@@ -1,0 +1,216 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+- Exact dedup = hash-groupBy: one shuffle on the dedup key.
+- MinHash/LSH: signatures are computed scan-side (pure Column expressions —
+  no Python in the loop); candidate generation explodes (band_idx, band_hash)
+  and self-joins on that compound key, so the shuffle carries only
+  (doc_id, band keys) — never the text. Pair count is bounded by bucket
+  collisions, the standard LSH cost model, instead of the O(n^2) cross join.
+- SimHash: 64-bit signature scan-side; candidates via banded prefix equality
+  (Hamming-distance pigeonhole: distance <= 3 over 4 bands of 16 bits
+  guarantees one equal band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.operators.text import tokens
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id representative per duplicate group (deterministic,
+    unlike dropDuplicates' arbitrary winner). One shuffle on the key."""
+    keep = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[*cols, id_col], how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# Shingles & MinHash
+# --------------------------------------------------------------------------
+def shingles(text_col: Column | str, k: int = 3) -> Column:
+    """k-token shingles (array<string>) of the text, distinct."""
+    t = tokens(text_col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 64) -> Column:
+    """MinHash signature (array<bigint>) — for each of n seeded xxhash64
+    functions, the min hash over the shingle set. Pure Column expressions:
+    computed in the scan stage, no UDF."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s, seed=i: F.xxhash64(F.lit(seed), s))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH, with the
+    estimated Jaccard (fraction of agreeing minhashes) attached and
+    thresholded. Returns (id_a, id_b, est_jaccard), id_a < id_b."""
+    rows_per_band = n_hashes // bands
+    sig = (
+        df.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_k).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select("_id", minhash_signature(F.col("_sh"), n_hashes).alias("_sig"))
+    )
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda h: h.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "_sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(n_hashes))
+    )
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash(text_col: Column | str, bits: int = 64) -> Column:
+    """SimHash signature (bigint): sign of the per-bit vote over token
+    hashes. Pure expressions; the bit loop is unrolled statically (shift
+    amounts must be literals), all codegen'd."""
+    th = F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t))
+    n = F.size(th)
+
+    def bit_set(b: int):
+        # single-arg lambda: F.filter dispatches on arity, so the bit index
+        # must be captured in a closure, not a default argument
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    sig = F.lit(0).cast("bigint")
+    for b in range(bits):
+        vote = F.size(F.filter(th, bit_set(b))) * 2 > n
+        # bit 63 is the sign bit in a 64-bit long: two's-complement value
+        weight = (1 << b) if b < 63 else -(1 << 63)
+        sig = sig + vote.cast("bigint") * F.lit(weight).cast("bigint")
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs under SimHash Hamming distance, banded-LSH candidate
+    generation (pigeonhole: <=3 differing bits over 4 bands of 16 -> at
+    least one band equal). Returns (id_a, id_b, hamming)."""
+    width = 64 // bands
+    sig = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sig"))
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("_sig"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sig", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sig"), F.col("b._sig")).cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification-grade, for candidate pairs)
+# --------------------------------------------------------------------------
+def jaccard_tokens(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two token-set columns (array<string>)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))

@@ -1,0 +1,88 @@
+"""Composite relational operators the reference's SQL surface implies but
+Spark has no single primitive for: batch sessionization and as-of joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the previous
+    event of the same user exceeds ``gap_seconds``. Classic lag + cumulative
+    sum over one window — a single shuffle on the user key, then in-partition
+    sorts; scales with per-user event counts, not global ordering.
+
+    Adds ``session_id`` (0-based per user).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        (F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1).cast(
+            "bigint"
+        ),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, attach the latest right row with
+    right_ts <= left_ts (backward) or the earliest with >= (forward), per key.
+
+    Implemented as union + ordered window (the merge-sort formulation): both
+    sides shuffle once on the key, then one ordered pass carries the most
+    recent right payload forward onto left rows — no range cross-join blowup,
+    so it scales like a regular shuffle join.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    lcols = left.columns
+    rcols = [c for c in right.columns if c != on]
+
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in rcols]).alias("_r"),
+    )
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+    ).withColumn("_r", F.lit(None).cast(r_tag.schema["_r"].dataType))
+    r_tag = r_tag.withColumn("_l", F.lit(None).cast(l_tag.schema["_l"].dataType))
+    unioned = l_tag.select("_k", "_ts", "_side", "_l", "_r").unionByName(
+        r_tag.select("_k", "_ts", "_side", "_l", "_r")
+    )
+
+    # Order so the qualifying right row precedes the left row, then carry the
+    # last non-null right payload forward. _side=0 sorts before _side=1 at
+    # equal timestamps, making the join inclusive (<= / >=).
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(ts_order, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("_rm", F.last("_r", ignorenulls=True).over(w)).filter(
+        F.col("_side") == 1
+    )
+    return matched.select(
+        *[F.col("_l")[c].alias(c) for c in lcols],
+        *[F.col("_rm")[c].alias(c) for c in rcols],
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+- ``brute_force_topk``: exact cosine top-k. The dot product is a pure Column
+  expression (zip_with + aggregate) so it runs JVM-side inside the scan
+  stage; top-k is TakeOrderedAndProject (no full sort). This is the
+  verification baseline and is already the right answer when the query set
+  is small.
+- ``lsh_topk``: random-hyperplane (sign) LSH. Signatures are computed
+  scan-side against a broadcast hyperplane matrix; candidates come from
+  bucket equality on signature bands, then exact cosine re-ranks. At 100 TB
+  this probes a tiny fraction of partitions' rows instead of every vector.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column | str) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns — sequential fold, so the
+    result is bit-reproducible across engines that fold left-to-right."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q",
+) -> DataFrame:
+    """Exact cosine top-k of ``df`` vectors against a 1-row query DataFrame
+    (broadcast — the query never forces a shuffle of the corpus)."""
+    joined = df.crossJoin(F.broadcast(query_df))
+    scored = joined.select(
+        F.col(id_col),
+        F.round(cosine(as_double(vec_col), as_double(query_vec_col)), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-free Gaussian hyperplanes for sign-LSH."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def signature_bits(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH signature as array<int> of 0/1 bits (one per hyperplane).
+
+    The planes are baked into the expression as literals — equivalent to
+    broadcasting a small matrix; no shuffle, no UDF.
+    """
+    v = as_double(vec_col)
+    bits = []
+    for plane in planes:
+        p = F.array(*[F.lit(x) for x in plane])
+        bits.append((dot(v, p) >= 0).cast("int"))
+    return F.array(*bits)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH bucket candidates, exact cosine re-rank.
+
+    Recall/probe tradeoff via (n_planes, bands): candidates share at least
+    one band of sign bits with the query.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+
+    def banded(sig: Column) -> Column:
+        return F.array(
+            *[
+                F.array_join(
+                    F.transform(F.slice(sig, b * width + 1, width), lambda x: x.cast("string")),
+                    "",
+                )
+                for b in range(bands)
+            ]
+        )
+
+    corpus = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(banded(signature_bits(F.col(vec_col), planes))).alias("band", "bucket"),
+    )
+    qsig = query_df.select(
+        F.col(query_vec_col),
+        F.posexplode(banded(signature_bits(F.col(query_vec_col), planes))).alias(
+            "band", "bucket"
+        ),
+    )
+    cand = (
+        corpus.join(F.broadcast(qsig), on=["band", "bucket"])
+        .dropDuplicates([id_col])
+        .select(
+            F.col(id_col),
+            F.round(cosine(as_double(vec_col), as_double(query_vec_col)), 6).alias("cos_sim"),
+        )
+    )
+    return cand.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
+    """IVF-style partition assignment: nearest centroid index per vector
+    (centroids baked as literals = broadcast). Downstream, repartitioning by
+    ``ivf_cell`` co-locates each cell so probes touch one partition."""
+    v = as_double(vec_col)
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return df.withColumn("ivf_cell", F.array_position(dists, F.array_min(dists)).cast("int") - 1)

@@ -1,0 +1,11 @@
+"""Sources & sinks: the SQLite bridge (reference Tier A) and helpers."""
+
+from sqlitedataframe_spark.sources.sqlite import (
+    SQLiteDataSource,
+    exec_sql,
+    read_sql,
+    table_exists,
+    write_sql,
+)
+
+__all__ = ["SQLiteDataSource", "read_sql", "write_sql", "table_exists", "exec_sql"]

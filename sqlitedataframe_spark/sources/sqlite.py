@@ -1,0 +1,460 @@
+"""SQLite <-> Spark DataFrame bridge — the reference's entire Tier A surface,
+re-expressed on Spark 4's Python Data Source API (pure Python: no JDBC jar).
+
+Read path (reference A1-A7):
+- ``read_sql(spark, db, table=...)`` — full-table scan, rowid-range
+  partitioned so executors read disjoint slices in parallel
+  (DataFrame.init(connection:table:), SQLiteDataFrame.swift:248-253).
+- ``read_sql(spark, db, statement=...)`` — arbitrary SQL scan, single
+  partition (the statement is SQLite's to plan; :295-304). Parameter binding
+  via ``params`` mirrors the prepared-statement entry point (:346-397).
+- Schema inference: decltype -> affinity -> typed column, caller ``types``
+  override, ``columns`` allowlist, ``.any`` fallback (:354-394, §1.3).
+- Cell decode incl. bool !=0, 3-format dates, `.any`->string (:432-531).
+
+Write path (reference A8-A11):
+- ``write_sql(df, db, table=..., if_exists=...)`` — DDL generation from the
+  Spark schema (:741-771) + partition-parallel batched INSERTs; the four
+  exists-policies map 1:1 to Spark SaveMode (:197-206).
+- ``write_sql(df, db, statement=...)`` — arbitrary parameterized DML executed
+  per row (positional binds; extra params NULL, extra columns truncated —
+  :572-591) via foreachPartition.
+
+Scale note: a single SQLite file is an inherently single-node sink/source;
+the bridge parallelizes reads via rowid ranges and batches writes per
+partition inside one transaction (the reference steps one row per implicit
+transaction — its known perf cliff, §3). On a cluster the db file must be on
+a shared filesystem; the parquet path is the 100 TB path.
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from sqlitedataframe_spark.errors import (
+    SQLiteOperationalError,
+    TableExistsError,
+    UnknownColumnError,
+)
+from sqlitedataframe_spark.session import tune
+from sqlitedataframe_spark.sqlite_types import (
+    SQLiteType,
+    affinity,
+    ddl_decl,
+    decode_cell,
+    encode_cell,
+    spark_schema,
+)
+
+_DEFAULT_READ_PARTITIONS = 8
+_WRITE_BATCH = 1000
+
+
+def _connect(path: str) -> sqlite3.Connection:
+    conn = sqlite3.connect(path, timeout=60.0)
+    conn.execute("PRAGMA busy_timeout = 60000")
+    return conn
+
+
+# ===========================================================================
+# Python Data Source
+# ===========================================================================
+class SQLiteRangePartition(InputPartition):
+    def __init__(self, lo: int | None, hi: int | None):
+        self.lo = lo
+        self.hi = hi
+
+
+class SQLiteReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options["path"]
+        self.table = options.get("table")
+        self.statement = options.get("statement")
+        self.params = json.loads(options.get("params") or "[]")
+        self.columns = json.loads(options["columns"])
+        self.types = {k: SQLiteType(v) for k, v in json.loads(options["types"]).items()}
+        self.num_partitions = int(options.get("num_partitions") or _DEFAULT_READ_PARTITIONS)
+        self.rowid_min = options.get("rowid_min")
+        self.rowid_max = options.get("rowid_max")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # Table scans split the rowid keyspace into disjoint ranges so each
+        # executor core reads its own slice; statement scans are one cursor
+        # (SQLite plans the statement — nothing to split).
+        if self.table and self.rowid_min is not None and self.rowid_max is not None:
+            lo, hi = int(self.rowid_min), int(self.rowid_max)
+            n = max(1, min(self.num_partitions, hi - lo + 1))
+            step = (hi - lo + 1 + n - 1) // n
+            return [
+                SQLiteRangePartition(lo + i * step, min(lo + (i + 1) * step - 1, hi))
+                for i in range(n)
+            ]
+        return [SQLiteRangePartition(None, None)]
+
+    def _query(self, partition: SQLiteRangePartition) -> tuple[str, list]:
+        if self.statement:
+            return self.statement, list(self.params)
+        cols = ", ".join(f'"{c}"' if c != "rowid" else "rowid" for c in self.columns)
+        q = f'SELECT {cols} FROM "{self.table}"'
+        if partition.lo is not None:
+            return q + " WHERE rowid BETWEEN ? AND ?", [partition.lo, partition.hi]
+        return q, []
+
+    def read(self, partition: SQLiteRangePartition) -> Iterator[tuple]:
+        conn = _connect(self.path)
+        try:
+            q, params = self._query(partition)
+            cur = conn.execute(q, params)
+            names = [d[0] for d in cur.description]
+            # statement path: project the allowlisted columns post-fetch by
+            # position (reference :354-363 — unknown names silently ignored)
+            idx = [names.index(c) for c in self.columns]
+            ts = [self.types.get(c, SQLiteType.ANY) for c in self.columns]
+            for row in cur:
+                yield tuple(decode_cell(row[i], t) for i, t in zip(idx, ts))
+        finally:
+            conn.close()
+
+
+class SQLiteCommit(WriterCommitMessage):
+    pass
+
+
+class SQLiteWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options["path"]
+        self.table = options["table"]
+        self.columns = [f.name for f in schema.fields]
+
+    def write(self, rows: Iterator) -> SQLiteCommit:
+        # Partition-parallel batched INSERT inside one transaction per batch:
+        # the scalable replacement for the reference's one-step-per-row loop
+        # (SQLiteDataFrame.swift:579-590). Writers serialize on SQLite's file
+        # lock; busy_timeout makes that safe.
+        conn = _connect(self.path)
+        try:
+            placeholders = ", ".join("?" for _ in self.columns)
+            cols = ", ".join(f'"{c}"' for c in self.columns)
+            stmt = f'INSERT INTO "{self.table}" ({cols}) VALUES ({placeholders})'
+            batch = []
+            for row in rows:
+                batch.append(tuple(encode_cell(v) for v in row))
+                if len(batch) >= _WRITE_BATCH:
+                    with conn:
+                        conn.executemany(stmt, batch)
+                    batch = []
+            if batch:
+                with conn:
+                    conn.executemany(stmt, batch)
+        finally:
+            conn.close()
+        return SQLiteCommit()
+
+    def commit(self, messages):  # noqa: D102 — sink has no global commit step
+        return None
+
+    def abort(self, messages):  # noqa: D102
+        return None
+
+
+class SQLiteDataSource(DataSource):
+    """``spark.read.format("sqlite")`` / ``df.write.format("sqlite")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sqlite"
+
+    def schema(self):
+        names = json.loads(self.options["columns"])
+        types = {k: SQLiteType(v) for k, v in json.loads(self.options["types"]).items()}
+        return spark_schema(names, types)
+
+    def reader(self, schema: StructType) -> SQLiteReader:
+        return SQLiteReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> SQLiteWriter:
+        return SQLiteWriter(self.options, schema)
+
+
+def _register(spark: SparkSession) -> None:
+    try:
+        spark.dataSource.register(SQLiteDataSource)
+    except Exception:
+        pass  # already registered
+
+
+# ===========================================================================
+# Schema inference (reference A4, §1.3)
+# ===========================================================================
+def _table_decltypes(conn: sqlite3.Connection, table: str) -> dict[str, str]:
+    cur = conn.execute(f'PRAGMA table_info("{table}")')
+    return {r[1]: r[2] for r in cur.fetchall()}
+
+
+def _statement_columns(conn: sqlite3.Connection, statement: str, params) -> list[str]:
+    cur = conn.execute(statement, params or [])
+    names = [d[0] for d in cur.description or []]
+    cur.close()
+    return names
+
+
+def _catalog_decltypes(conn: sqlite3.Connection) -> dict[str, str]:
+    """Column name -> decltype across every table in the db; names declared
+    with conflicting types in different tables are dropped (ambiguous).
+
+    The Python sqlite3 driver does not expose sqlite3_column_decltype, so the
+    statement path recovers the reference's decltype-affinity inference
+    (SQLiteDataFrame.swift:370-372) by name-matching result columns against
+    the catalog; computed/renamed columns fall back to runtime sniffing.
+    """
+    out: dict[str, str] = {}
+    ambiguous: set[str] = set()
+    tables = [
+        r[0]
+        for r in conn.execute("SELECT name FROM sqlite_master WHERE type IN ('table','view')")
+    ]
+    for t in tables:
+        for r in conn.execute(f'PRAGMA table_info("{t}")'):
+            name, decl = r[1], r[2]
+            if name in out and out[name].upper() != (decl or "").upper():
+                ambiguous.add(name)
+            out[name] = decl or ""
+    for name in ambiguous:
+        out.pop(name, None)
+    return out
+
+
+def _sniff_statement_types(
+    conn: sqlite3.Connection, statement: str, params, names: list[str]
+) -> dict[str, SQLiteType]:
+    """Statement scans have no decltype via the Python driver; sample the
+    first rows' runtime storage classes (SQLite's dynamic typing makes any
+    inference per-statement anyway — reference falls back to .any, :373).
+    A sampled tag refines .any to the concrete type; NULL-only stays .any."""
+    out: dict[str, SQLiteType] = {}
+    cur = conn.execute(statement, params or [])
+    for row in cur.fetchmany(100):
+        for n, v in zip(names, row):
+            if n in out or v is None:
+                continue
+            if isinstance(v, bool) or isinstance(v, int):
+                out[n] = SQLiteType.INT
+            elif isinstance(v, float):
+                out[n] = SQLiteType.FLOAT
+            elif isinstance(v, (bytes, bytearray)):
+                out[n] = SQLiteType.BLOB
+            else:
+                out[n] = SQLiteType.TEXT
+    cur.close()
+    return out
+
+
+# ===========================================================================
+# Public API (mirrors the reference's three inits + write, SURVEY §7)
+# ===========================================================================
+def read_sql(
+    spark: SparkSession,
+    db_path: str,
+    table: str | None = None,
+    statement: str | None = None,
+    params: Sequence | None = None,
+    columns: Sequence[str] | None = None,
+    types: dict[str, SQLiteType | str] | None = None,
+    num_partitions: int = _DEFAULT_READ_PARTITIONS,
+) -> DataFrame:
+    """Read a SQLite table or SQL statement into a Spark DataFrame.
+
+    Mirrors DataFrame.init(connection:table:columns:types:) (table path,
+    reference :248-253) and init(connection:statement:...) (:295-304) with
+    the same type-resolution priority: caller override -> decltype affinity
+    -> .any (:364-374).
+    """
+    if (table is None) == (statement is None):
+        raise ValueError("exactly one of table= or statement= is required")
+    tune(spark)
+    _register(spark)
+    overrides = {
+        k: (SQLiteType(v) if isinstance(v, str) else v) for k, v in (types or {}).items()
+    }
+
+    conn = _connect(db_path)
+    try:
+        rowid_min = rowid_max = None
+        if table is not None:
+            decls = _table_decltypes(conn, table)
+            if not decls:
+                raise SQLiteOperationalError(f"no such table: {table}")
+            all_names = list(decls)
+            if columns:
+                # table path: unknown requested columns are an error
+                # (reference contract :214-220); rowid is the implicit PK.
+                unknown = [c for c in columns if c not in decls and c != "rowid"]
+                if unknown:
+                    raise UnknownColumnError(f"unknown columns {unknown} in table {table!r}")
+                names = list(columns)
+            else:
+                names = all_names
+            col_types = {
+                n: overrides.get(n, SQLiteType.INT if n == "rowid" else affinity(decls.get(n)))
+                for n in names
+            }
+            row = conn.execute(f'SELECT MIN(rowid), MAX(rowid) FROM "{table}"').fetchone()
+            if row and row[0] is not None:
+                rowid_min, rowid_max = int(row[0]), int(row[1])
+        else:
+            stmt_names = _statement_columns(conn, statement, params)
+            if columns:
+                # statement path: allowlist filters result columns, unknown
+                # names silently ignored (reference :354-363).
+                names = [c for c in columns if c in stmt_names]
+            else:
+                names = stmt_names
+            decls = _catalog_decltypes(conn)
+            sniffed = _sniff_statement_types(conn, statement, params, stmt_names)
+            # resolution priority (reference :364-374): caller override ->
+            # decltype affinity (rowid is the implicit INTEGER PK) -> runtime
+            # sniff -> .any
+            col_types = {}
+            for n in names:
+                if n in overrides:
+                    col_types[n] = overrides[n]
+                elif n == "rowid":
+                    col_types[n] = SQLiteType.INT
+                elif n in decls and affinity(decls[n]) is not SQLiteType.ANY:
+                    col_types[n] = affinity(decls[n])
+                else:
+                    col_types[n] = sniffed.get(n, SQLiteType.ANY)
+    finally:
+        conn.close()
+
+    reader = (
+        spark.read.format("sqlite")
+        .option("path", db_path)
+        .option("columns", json.dumps(list(names)))
+        .option("types", json.dumps({k: v.value for k, v in col_types.items()}))
+        .option("num_partitions", str(num_partitions))
+    )
+    if table is not None:
+        reader = reader.option("table", table)
+        if rowid_min is not None:
+            reader = reader.option("rowid_min", str(rowid_min)).option(
+                "rowid_max", str(rowid_max)
+            )
+    else:
+        reader = reader.option("statement", statement)
+        if params:
+            reader = reader.option("params", json.dumps(list(params)))
+    return reader.load()
+
+
+_IF_EXISTS = ("fail", "ignore", "replace", "append")
+
+
+def write_sql(
+    df: DataFrame,
+    db_path: str,
+    table: str | None = None,
+    statement: str | None = None,
+    if_exists: str = "fail",
+) -> None:
+    """Write a DataFrame to SQLite.
+
+    Table form (reference A10/A11, :721-776): generate DDL from the Spark
+    schema and bulk-insert, honoring if_exists in {fail, ignore, replace,
+    append} = Spark SaveMode {errorifexists, ignore, overwrite, append}.
+
+    Statement form (reference A8, :572-591): execute an arbitrary
+    parameterized DML per row with positional binds; extra statement params
+    bind NULL, extra DataFrame columns are dropped.
+    """
+    if (table is None) == (statement is None):
+        raise ValueError("exactly one of table= or statement= is required")
+
+    if statement is not None:
+        n_params = statement.count("?")
+        cols = df.columns
+
+        def run_partition(rows):
+            conn = _connect(db_path)
+            try:
+                with conn:
+                    for row in rows:
+                        vals = [encode_cell(v) for v in row]
+                        bound = (vals + [None] * n_params)[:n_params]
+                        conn.execute(statement, bound)
+            finally:
+                conn.close()
+
+        df.select(*cols).foreachPartition(run_partition)
+        return
+
+    if if_exists not in _IF_EXISTS:
+        raise ValueError(f"if_exists must be one of {_IF_EXISTS}")
+    conn = _connect(db_path)
+    try:
+        exists = _exists(conn, table)
+        if exists:
+            if if_exists == "fail":
+                raise TableExistsError(f"table {table!r} already exists")
+            if if_exists == "ignore":
+                return
+            if if_exists == "replace":
+                with conn:
+                    conn.execute(f'DROP TABLE "{table}"')
+                exists = False
+        if not exists:
+            decls = ", ".join(ddl_decl(f) for f in df.schema.fields)
+            with conn:
+                conn.execute(f'CREATE TABLE "{table}" ({decls})')
+    finally:
+        conn.close()
+
+    _register(df.sparkSession)
+    (
+        df.write.format("sqlite")
+        .mode("append")
+        .option("path", db_path)
+        .option("table", table)
+        .save()
+    )
+
+
+def table_exists(db_path: str, table: str) -> bool:
+    """Catalog probe via sqlite_master (reference A12, :43-47)."""
+    conn = _connect(db_path)
+    try:
+        return _exists(conn, table)
+    finally:
+        conn.close()
+
+
+def _exists(conn: sqlite3.Connection, table: str) -> bool:
+    cur = conn.execute(
+        "SELECT COUNT(*) FROM sqlite_master WHERE type IN ('table','view') AND name = ?",
+        (table,),
+    )
+    return cur.fetchone()[0] > 0
+
+
+def exec_sql(db_path: str, script: str) -> None:
+    """Multi-statement DDL/DML execution (reference A13 exec, :52-54)."""
+    conn = _connect(db_path)
+    try:
+        with conn:
+            conn.executescript(script)
+    except sqlite3.Error as e:
+        raise SQLiteOperationalError(str(e), script) from e
+    finally:
+        conn.close()

@@ -1,0 +1,55 @@
+"""Bridge queries: data flows through the SQLite source/sink (Tier A) and
+back into Spark, proving read/write parity inside the correctness gate.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.sources.sqlite import read_sql, write_sql
+from sqlitedataframe_spark.suite import query
+from sqlitedataframe_spark.suite.relational import T
+
+
+@query(
+    "sqlite_roundtrip",
+    oracle="""
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation+region take a full trip through the SQLite bridge (write_sql
+    with replace policy, read_sql table scan + SQL-statement scan), then the
+    join/agg runs in Spark. Values must be byte-identical to reading the
+    parquet directly — the reference's write->read equality test shape
+    (SQLiteDataFrameTests.swift:175-198) under the oracle gate."""
+    db = os.path.join(tempfile.gettempdir(), "sdfspark_bridge.db")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    write_sql(nation, db, table="nation_rt", if_exists="replace")
+    write_sql(region, db, table="region_rt", if_exists="replace")
+
+    n = read_sql(spark, db, table="nation_rt", types={"n_nationkey": "int", "n_regionkey": "int"})
+    r = read_sql(
+        spark,
+        db,
+        statement="SELECT r_regionkey, r_name FROM region_rt",
+        types={"r_regionkey": "int", "r_name": "text"},
+    )
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        .orderBy("r_name")
+    )
