@@ -1,0 +1,98 @@
+"""Benchmark harness: runs the headline suite queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed to completion of a count()-free collect (materializing
+the true result). The session is warmed with one tiny action first so JVM
+startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sqlitedataframe_spark.session import get_spark  # noqa: E402
+from sqlitedataframe_spark.suite import load_all  # noqa: E402
+
+#: Headline set: every oracle-checked capability family plus the scale-path
+#: (LSH/approx) operators. sqlite_roundtrip is excluded — it benchmarks a
+#: temp-file SQLite write, not the engine.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q10_returned_items",
+    "join_left_outer",
+    "join_semi",
+    "agg_having_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_count_distinct_exact",
+    "agg_approx",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_ranking",
+    "sort_limit_offset",
+    "set_ops_union",
+    "subquery_scalar",
+    "string_funcs",
+    "date_funcs",
+    "events_json",
+    "events_window_tumbling",
+    "events_window_sliding",
+    "events_sessionize",
+    "events_enrich_join",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_bruteforce_topk",
+    "sim_ann_lsh",
+    "text_stats",
+    "text_quality",
+    "text_langid",
+    "multimodal_bytes",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    registry = load_all()
+    spark = get_spark("bench")
+    spark.range(1).count()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.time()
+        n = len(q.spark_fn(spark, sf_dir).collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

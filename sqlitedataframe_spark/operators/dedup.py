@@ -43,17 +43,21 @@ def shingles(text_col: Column | str, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, n_hashes: int = 64) -> Column:
-    """MinHash signature (array<bigint>) — for each of n seeded xxhash64
-    functions, the min hash over the shingle set. Pure Column expressions:
-    computed in the scan stage, no UDF."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda s, seed=i: F.xxhash64(F.lit(seed), s))
-            )
-            for i in range(n_hashes)
-        ]
+def minhash_signatures(
+    df: DataFrame, id_col: str, shingle_col: str, n_hashes: int = 64
+) -> DataFrame:
+    """MinHash signatures via explode + aggregate: one row per (id, shingle),
+    then n seeded min-aggregates per id. Map-side partial mins mean the
+    shuffle carries only n_hashes longs per id — the scalable formulation
+    (a single giant per-row expression recomputes the shingle array per hash
+    function and defeats codegen at width 64)."""
+    exploded = df.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("_s"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}") for i in range(n_hashes)
+    ]
+    per_id = exploded.groupBy(id_col).agg(*aggs)
+    return per_id.select(
+        F.col(id_col), F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("_sig")
     )
 
 
@@ -70,11 +74,10 @@ def minhash_lsh_pairs(
     estimated Jaccard (fraction of agreeing minhashes) attached and
     thresholded. Returns (id_a, id_b, est_jaccard), id_a < id_b."""
     rows_per_band = n_hashes // bands
-    sig = (
-        df.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_k).alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .select("_id", minhash_signature(F.col("_sh"), n_hashes).alias("_sig"))
-    )
+    with_sh = df.select(
+        F.col(id_col).alias("_id"), shingles(text_col, shingle_k).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    sig = minhash_signatures(with_sh, "_id", "_sh", n_hashes)
     banded = sig.select(
         "_id",
         "_sig",
@@ -133,25 +136,29 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
-def simhash(text_col: Column | str, bits: int = 64) -> Column:
-    """SimHash signature (bigint): sign of the per-bit vote over token
-    hashes. Pure expressions; the bit loop is unrolled statically (shift
-    amounts must be literals), all codegen'd."""
-    th = F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t))
-    n = F.size(th)
-
-    def bit_set(b: int):
-        # single-arg lambda: F.filter dispatches on arity, so the bit index
-        # must be captured in a closure, not a default argument
-        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
-
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """SimHash signatures (bigint) via explode + aggregate: one row per
+    (id, distinct token), hash each token once, then 64 per-bit vote sums
+    per id. Partial aggregation keeps the shuffle at 64 longs per id; the
+    sign vote and bit packing happen on the aggregated counts."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("_t"),
+    ).withColumn("_h", F.xxhash64("_t"))
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    per_id = exploded.groupBy(id_col).agg(*aggs)
     sig = F.lit(0).cast("bigint")
     for b in range(bits):
-        vote = F.size(F.filter(th, bit_set(b))) * 2 > n
+        vote = (F.col(f"_b{b}") * 2 > F.col("_n")).cast("bigint")
         # bit 63 is the sign bit in a 64-bit long: two's-complement value
         weight = (1 << b) if b < 63 else -(1 << 63)
-        sig = sig + vote.cast("bigint") * F.lit(weight).cast("bigint")
-    return sig
+        sig = sig + vote * F.lit(weight).cast("bigint")
+    return per_id.select(F.col(id_col), sig.alias("_sig"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -167,10 +174,14 @@ def simhash_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Near-dup pairs under SimHash Hamming distance, banded-LSH candidate
-    generation (pigeonhole: <=3 differing bits over 4 bands of 16 -> at
-    least one band equal). Returns (id_a, id_b, hamming)."""
+    generation (pigeonhole: <= bands-1 differing bits over `bands` bands ->
+    at least one band equal). Full recall requires max_hamming <= bands-1;
+    above that the banding is a heuristic filter. Returns
+    (id_a, id_b, hamming)."""
     width = 64 // bands
-    sig = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sig"))
+    sig = simhash_signatures(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id", text_col
+    )
     banded = sig.select(
         "_id",
         "_sig",

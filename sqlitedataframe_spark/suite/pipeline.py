@@ -134,9 +134,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (Hamming <= 12 on 64-bit signatures)."""
+    """SimHash banded near-dup pairs (Hamming <= 3 on 64-bit signatures —
+    the 4-band/16-bit pigeonhole guarantees recall only up to distance 3)."""
     d = T(spark, sf_dir, "documents")
-    return D.simhash_pairs(d, max_hamming=12).orderBy("id_a", "id_b")
+    return D.simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------

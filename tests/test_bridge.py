@@ -1,0 +1,198 @@
+"""SQLite bridge end-to-end tests — port of the reference's 12 XCTests
+(SQLiteDataFrameTests.swift, SURVEY §5) onto read_sql/write_sql.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import sqlite3
+
+import pytest
+
+from pyspark.sql import Row, types as ST
+
+from sqlitedataframe_spark.errors import TableExistsError, UnknownColumnError
+from sqlitedataframe_spark.sources.sqlite import (
+    exec_sql,
+    read_sql,
+    table_exists,
+    write_sql,
+)
+
+
+# -- read paths (reference testDataFrame :39-47, testTextStatement :74-80,
+#    testTable :82-87) -------------------------------------------------------
+def test_read_statement(spark, tasks_db):
+    df = read_sql(
+        spark,
+        tasks_db,
+        statement="SELECT rowid, description, done, date FROM tasks ORDER BY rowid",
+    )
+    rows = df.collect()
+    assert df.columns == ["rowid", "description", "done", "date"]
+    assert [r.rowid for r in rows] == [1, 2, 3]
+    assert rows[0].description == "write code"
+    assert rows[0].done is True and rows[1].done is False
+    assert rows[0].date == dt.datetime(2021, 1, 1, 10, 0, 0)
+
+
+def test_read_table(spark, tasks_db):
+    df = read_sql(spark, tasks_db, table="tasks")
+    assert df.count() == 3
+    assert df.columns == ["description", "done", "date"]
+
+
+def test_read_statement_with_params(spark, tasks_db):
+    # prepared-statement entry point with caller binds (reference A3 :346-397)
+    df = read_sql(
+        spark,
+        tasks_db,
+        statement="SELECT description FROM tasks WHERE done = ?",
+        params=[0],
+    )
+    assert sorted(r.description for r in df.collect()) == ["ship code", "test code"]
+
+
+# -- column allowlist (reference :49-57, :89-94) ----------------------------
+def test_statement_columns_filter_ignores_unknown(spark, tasks_db):
+    # statement path: unknown names silently ignored (reference :354-363)
+    df = read_sql(
+        spark,
+        tasks_db,
+        statement="SELECT rowid, description, done FROM tasks",
+        columns=["description", "bogus"],
+    )
+    assert df.columns == ["description"]
+    assert df.count() == 3
+
+
+def test_table_columns_unknown_raises(spark, tasks_db):
+    # table path: unknown requested columns are an error (reference :214-220)
+    with pytest.raises(UnknownColumnError):
+        read_sql(spark, tasks_db, table="tasks", columns=["description", "bogus"])
+
+
+# -- type overrides (reference testDataFrameSpecifyTypes :59-72) ------------
+def test_types_override_and_bogus_key(spark, tasks_db):
+    df = read_sql(
+        spark,
+        tasks_db,
+        statement="SELECT done, date FROM tasks ORDER BY rowid",
+        types={"done": "int", "bogus": "text"},  # bogus keys ignored
+    )
+    assert dict(df.dtypes)["done"] == "bigint"
+    assert df.collect()[0].done == 1
+
+
+def test_affinity_inference(spark, db_path):
+    exec_sql(
+        db_path,
+        """
+        CREATE TABLE t (i INTEGER, f REAL, s VARCHAR(10), b BLOB, bo BOOLEAN, d DATE);
+        INSERT INTO t VALUES (1, 1.5, 'x', x'0102', 1, '2021-06-01 00:00:00');
+        """,
+    )
+    df = read_sql(spark, db_path, table="t")
+    assert dict(df.dtypes) == {
+        "i": "bigint",
+        "f": "double",
+        "s": "string",
+        "b": "binary",
+        "bo": "boolean",
+        "d": "timestamp",
+    }
+    r = df.collect()[0]
+    assert r.i == 1 and r.f == 1.5 and r.s == "x"
+    assert bytes(r.b) == b"\x01\x02" and r.bo is True
+    assert r.d == dt.datetime(2021, 6, 1)
+
+
+def test_date_three_representations(spark, db_path):
+    # one date column holding TEXT / INTEGER unix / REAL julian cells
+    # (dynamic typing, reference :491-511)
+    want = dt.datetime(2021, 1, 1, 10, 0, 0)
+    unix = int(want.replace(tzinfo=dt.timezone.utc).timestamp())
+    julian = unix / 86400.0 + 2440587.5
+    exec_sql(db_path, "CREATE TABLE d (v DATE);")
+    conn = sqlite3.connect(db_path)
+    with conn:
+        conn.execute("INSERT INTO d VALUES (?)", ("2021-01-01 10:00:00",))
+        conn.execute("INSERT INTO d VALUES (?)", (unix,))
+        conn.execute("INSERT INTO d VALUES (?)", (julian,))
+    conn.close()
+    vals = [r.v for r in read_sql(spark, db_path, table="d").collect()]
+    assert all(abs((v - want).total_seconds()) < 1e-3 for v in vals)
+
+
+def test_rowid_partitioned_read(spark, tasks_db):
+    df = read_sql(spark, tasks_db, table="tasks", columns=["rowid", "description"],
+                  num_partitions=2)
+    assert df.rdd.getNumPartitions() == 2
+    assert sorted(r.rowid for r in df.collect()) == [1, 2, 3]
+
+
+# -- write paths (reference testWriteSQL :96-111, testWriteTable :113-127,
+#    exists-policies :129-172, round-trip :175-198) -------------------------
+def _frame(spark):
+    return spark.createDataFrame(
+        [
+            Row(description="a", done=True, date=dt.datetime(2021, 3, 1, 1, 2, 3)),
+            Row(description="b", done=False, date=dt.datetime(2021, 3, 2, 4, 5, 6)),
+        ],
+        schema=ST.StructType(
+            [
+                ST.StructField("description", ST.StringType()),
+                ST.StructField("done", ST.BooleanType()),
+                ST.StructField("date", ST.TimestampType()),
+            ]
+        ),
+    )
+
+
+def test_write_table_and_roundtrip(spark, db_path):
+    df = _frame(spark)
+    write_sql(df, db_path, table="out")
+    assert table_exists(db_path, "out")
+    back = read_sql(spark, db_path, table="out")
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_write_if_exists_policies(spark, db_path):
+    df = _frame(spark)
+    write_sql(df, db_path, table="t")
+
+    with pytest.raises(TableExistsError):
+        write_sql(df, db_path, table="t", if_exists="fail")
+
+    write_sql(df, db_path, table="t", if_exists="ignore")
+    assert read_sql(spark, db_path, table="t").count() == 2
+
+    write_sql(df, db_path, table="t", if_exists="append")
+    assert read_sql(spark, db_path, table="t").count() == 4
+
+    write_sql(df, db_path, table="t", if_exists="replace")
+    assert read_sql(spark, db_path, table="t").count() == 2
+
+
+def test_write_dml_statement(spark, tasks_db):
+    # arbitrary parameterized DML sink (reference A8 :572-591): UPDATE rows
+    upd = spark.createDataFrame([(True, "test code")], ["done", "description"])
+    write_sql(upd, tasks_db, statement="UPDATE tasks SET done = ? WHERE description = ?")
+    df = read_sql(spark, tasks_db, statement="SELECT done FROM tasks WHERE description = 'test code'")
+    assert df.collect()[0].done is True
+
+
+def test_write_dml_extra_params_bind_null(spark, db_path):
+    # extra statement params → NULL; extra DF columns truncated (ref :578-584)
+    exec_sql(db_path, "CREATE TABLE p (a INT, b INT);")
+    df = spark.createDataFrame([(1,)], ["a"])
+    write_sql(df, db_path, statement="INSERT INTO p (a, b) VALUES (?, ?)")
+    rows = read_sql(spark, db_path, table="p").collect()
+    assert rows[0].a == 1 and rows[0].b is None
+
+
+def test_exists_probe_and_exec(db_path):
+    exec_sql(db_path, "CREATE TABLE x (a INT); CREATE TABLE y (b TEXT);")
+    assert table_exists(db_path, "x") and table_exists(db_path, "y")
+    assert not table_exists(db_path, "z")

@@ -1,0 +1,179 @@
+"""Operator-level tests: dedup (exact / fingerprint / minhash / simhash),
+dialect shims, codecs — each against a small hand-computable oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from sqlitedataframe_spark import codecs
+from sqlitedataframe_spark.functions.dialect import (
+    glob_to_rlike,
+    group_concat,
+    julianday,
+    from_julianday,
+    sqlite_glob,
+    strftime,
+)
+from sqlitedataframe_spark.operators import dedup as D
+from sqlitedataframe_spark.operators import text as X
+
+
+# -- exact dedup ------------------------------------------------------------
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")], ["id", "v"]
+    )
+    kept = D.dedup_exact(df, ["v"], "id")
+    assert sorted(r.id for r in kept.collect()) == [1, 3, 5]
+
+
+# -- fingerprint ------------------------------------------------------------
+def test_fingerprint_permutation_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "sat the cat"), (3, "sat the cat sat"), (4, "a dog")],
+        ["id", "text"],
+    )
+    fps = {r.id: r.fp for r in df.select("id", X.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]  # permutation + repetition invariant
+    assert fps[4] != fps[1]
+
+
+# -- minhash / LSH ----------------------------------------------------------
+def test_minhash_finds_planted_near_dup(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " zz"  # ~0.93 shingle overlap
+    far = " ".join(f"x{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = D.minhash_lsh_pairs(df, min_jaccard=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].est_jaccard >= 0.5
+
+
+def test_minhash_identical_docs_est_one(spark):
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    pairs = D.minhash_lsh_pairs(df, min_jaccard=0.9).collect()
+    assert len(pairs) == 1 and pairs[0].est_jaccard == 1.0
+
+
+# -- simhash ----------------------------------------------------------------
+def test_simhash_identical_distance_zero(spark):
+    t = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame([(1, t), (2, t), (3, "other words here")], ["doc_id", "text"])
+    pairs = D.simhash_pairs(df, max_hamming=3).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_hamming64(spark):
+    df = spark.createDataFrame([(0b1011, 0b0010)], ["a", "b"])
+    got = df.select(D.hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0].h
+    assert got == 2
+
+
+# -- jaccard ----------------------------------------------------------------
+def test_jaccard_tokens(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], ["x", "y"])
+    got = df.select(D.jaccard_tokens(F.col("x"), F.col("y")).alias("j")).collect()[0].j
+    assert abs(got - 2 / 4) < 1e-9
+
+
+# -- dialect shims ----------------------------------------------------------
+def test_glob_to_rlike():
+    assert glob_to_rlike("abc") == "^abc$"
+    assert glob_to_rlike("a*c") == "^a.*c$"
+    assert glob_to_rlike("a?c") == "^a.c$"
+    assert glob_to_rlike("[abc]*") == "^[abc].*$"
+    assert glob_to_rlike("[!ab]x") == "^[^ab]x$"
+    assert glob_to_rlike("a.c") == r"^a\.c$"
+
+
+def test_sqlite_glob_matches(spark):
+    df = spark.createDataFrame([("apple",), ("apricot",), ("banana",)], ["s"])
+    got = sorted(r.s for r in df.filter(sqlite_glob("s", "ap*")).collect())
+    assert got == ["apple", "apricot"]
+
+
+def test_julianday_roundtrip(spark):
+    df = spark.createDataFrame([("2021-06-01 12:00:00",)], ["s"])
+    out = df.select(
+        julianday(F.to_timestamp("s")).alias("jd"),
+        from_julianday(julianday(F.to_timestamp("s"))).cast("string").alias("back"),
+    ).collect()[0]
+    # 2021-06-01T12:00Z is JD 2459367.0 exactly
+    assert abs(out.jd - 2459367.0) < 1e-9
+    assert out.back == "2021-06-01 12:00:00"
+
+
+def test_strftime(spark):
+    df = spark.createDataFrame([("2021-06-01 12:34:56",)], ["s"])
+    got = df.select(
+        strftime("%Y-%m-%d %H:%M:%S", F.to_timestamp("s")).alias("f")
+    ).collect()[0].f
+    assert got == "2021-06-01 12:34:56"
+
+
+def test_group_concat(spark):
+    df = spark.createDataFrame([(1, "b"), (1, "a"), (2, "c")], ["k", "v"])
+    got = {
+        r.k: r.g
+        for r in df.groupBy("k").agg(group_concat("v", ",").alias("g")).collect()
+    }
+    assert got == {1: "a,b", 2: "c"}
+
+
+# -- codecs (reference A17, IntThing example) -------------------------------
+def test_codec_roundtrip(spark):
+    codecs.register_codec(
+        "hexint",
+        decode=lambda s: int(s, 16) if s is not None else None,
+        encode=lambda i: format(i, "x") if i is not None else None,
+        spark_type="bigint",
+        storage_type=StringType(),
+    )
+    df = spark.createDataFrame([("ff",), ("10",)], ["v"])
+    dec = codecs.apply_decoders(df, {"v": "hexint"})
+    assert [r.v for r in dec.collect()] == [255, 16]
+    enc = codecs.apply_encoders(dec, {"v": "hexint"})
+    assert [r.v for r in enc.collect()] == ["ff", "10"]
+
+
+# -- text -------------------------------------------------------------------
+def test_token_counts(spark):
+    df = spark.createDataFrame([("The cat, sat on 42 mats!",)], ["text"])
+    r = df.select(
+        X.token_count_ws("text").alias("ws"),
+        X.token_count_bpe("text").alias("bpe"),
+        X.char_count("text").alias("ch"),
+    ).collect()[0]
+    assert r.ws == 6
+    # [The][cat][,][sat][on][42][mats][!]
+    assert r.bpe == 8
+    assert r.ch == 24
+
+
+def test_quality_and_langid(spark):
+    en = "the cat is on the mat and it is a fine day in the sun of it all"
+    df = spark.createDataFrame([(1, en), (2, "zzz qqq")], ["id", "text"])
+    out = {r.id: (r.q, r.lang) for r in df.select(
+        "id", X.quality_score("text").alias("q"), X.lang_id("text").alias("lang")
+    ).collect()}
+    assert out[1][1] == "en" and out[2][1] == "unknown"
+    assert 0.0 <= out[2][0] <= out[1][0] <= 1.0
+
+
+def test_multimodal_sha_and_features(spark):
+    from sqlitedataframe_spark.operators.multimodal import attach_media, extract_features
+
+    df = spark.createDataFrame([(1, "hello")], ["id", "text"])
+    media = attach_media(df, "id", "text")
+    r = media.collect()[0]
+    assert r.n_bytes == 5
+    assert r.sha256 == hashlib.sha256(b"hello").hexdigest()
+    f = extract_features(media).collect()[0]
+    assert (f.width, f.height, f.n_frames) == (5 % 640 + 1, 5 % 480 + 1, 5 % 30 + 1)

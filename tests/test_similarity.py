@@ -1,0 +1,68 @@
+"""Similarity-search tests: brute-force cosine vs a NumPy oracle, LSH recall
+of the exact top hit, IVF assignment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(7)
+    return rng.normal(size=(50, 16)).astype("float32")
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark, vectors):
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vectors)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _np_topk(vectors, q, k):
+    sims = vectors @ q / (np.linalg.norm(vectors, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(sims)), key=lambda i: (-round(float(sims[i]), 6), i))
+    return order[:k]
+
+
+def test_brute_force_matches_numpy(spark, vec_df, vectors):
+    q = vectors[0]
+    qdf = vec_df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    got = [r.vec_id for r in S.brute_force_topk(vec_df, qdf, k=5).collect()]
+    assert got == _np_topk(vectors.astype("float64"), q.astype("float64"), 5)
+    assert got[0] == 0  # the query matches itself first
+
+
+def test_lsh_topk_recalls_self_and_reranks_exactly(spark, vec_df, vectors):
+    qdf = vec_df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    got = S.lsh_topk(vec_df, qdf, dim=16, k=5).collect()
+    assert got[0].vec_id == 0 and abs(got[0].cos_sim - 1.0) < 1e-6
+    # scores must be exact cosine (re-rank), descending
+    sims = [r.cos_sim for r in got]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_dot_and_norm(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], ["a", "b"])
+    r = df.select(
+        S.dot(F.col("a"), F.col("b")).alias("d"),
+        S.norm(F.col("a")).alias("n"),
+        S.cosine(F.col("a"), F.col("a")).alias("c"),
+    ).collect()[0]
+    assert r.d == 32.0
+    assert abs(r.n - 14**0.5) < 1e-12
+    assert abs(r.c - 1.0) < 1e-12
+
+
+def test_ivf_assign(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.5, 0.0])], ["vec_id", "embedding"]
+    )
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    got = {r.vec_id: r.ivf_cell for r in S.ivf_assign(df, cents).collect()}
+    assert got == {0: 0, 1: 1, 2: 0}
