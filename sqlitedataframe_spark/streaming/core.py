@@ -1,0 +1,152 @@
+"""Structured Streaming operators over the events table.
+
+Scale design: every transform here is the same declarative plan Spark runs
+incrementally on a real cluster — watermarks bound state, windowed aggs do
+partial aggregation per micro-batch, and `availableNow` gives exactly-once
+batch-equivalent replay of a static directory (which is what makes these
+oracle-checkable: the streaming result must equal the batch/DuckDB result
+over the same files).
+
+The reference has no streaming concept; this module is the Spark-native
+capability extension (SURVEY §2 Tier B "Streaming, watermarks, session
+windows" row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.io import load_table, table_path
+from sqlitedataframe_spark.session import tune
+
+
+def _stream_dir(parquet_file: str) -> str:
+    """File-stream sources require a *directory*; the fixtures are single
+    parquet files. Stage a stable per-file symlink directory (idempotent —
+    the path is derived from the source path, so repeated calls reuse it)."""
+    key = hashlib.sha1(parquet_file.encode()).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"sdf_stream_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(parquet_file))
+    if not os.path.exists(link):
+        try:
+            os.symlink(parquet_file, link)
+        except FileExistsError:
+            pass
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet.
+
+    File-stream sources need an explicit schema; we take it from a batch
+    read (one footer read, no data scan). The events fixture stores
+    TIMESTAMP(NANOS) which Spark reads as long nanos (see session.tune) —
+    converted to microsecond timestamps here, identically to the batch path.
+    """
+    tune(spark)
+    batch = spark.read.parquet(table_path(sf_dir, "events"))
+    stream = spark.readStream.schema(batch.schema).parquet(
+        _stream_dir(table_path(sf_dir, "events"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def stream_tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window counts (each event lands in two windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def stream_session_window(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — Spark's native
+    ``session_window`` merges adjacent events into variable-length sessions
+    with state bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: first event per key wins; watermark bounds the
+    dedup state (keys older than the watermark are evicted) — the standard
+    at-scale pattern for exactly-once event feeds."""
+    return events.withWatermark("ts", watermark).dropDuplicates([*keys, "ts"]).select(
+        *keys, "ts"
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Run a streaming DataFrame to completion over all currently-available
+    input (``Trigger.AvailableNow``) into a memory sink; return the result
+    as a batch DataFrame.
+
+    This is the batch-equivalence harness: the incremental plan must produce
+    the same rows the one-shot batch plan does.
+    """
+    sink = name or f"mem_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    spark = stream_df.sparkSession
+    # Materialize before the temp view disappears with the next query reusing
+    # the name; memory sink tables are tiny (aggregated results).
+    return spark.createDataFrame(spark.table(sink).collect(), spark.table(sink).schema)
+
+
+def load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of read_events_stream (for equivalence tests)."""
+    return load_table(spark, sf_dir, "events")

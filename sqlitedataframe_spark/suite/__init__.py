@@ -53,6 +53,7 @@ def load_all() -> dict[str, Query]:
         analytic,
         pipeline,
         eventstream,
+        streamingq,
         bridge,
     )
 

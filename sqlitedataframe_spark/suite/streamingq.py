@@ -1,0 +1,120 @@
+"""Structured Streaming suite queries: each runs a real readStream →
+transform → writeStream pipeline to completion (Trigger.AvailableNow,
+memory sink) and returns the result, so the DuckDB oracle checks
+batch-equivalence of the incremental plan — the defining correctness
+property of Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark import streaming as STR
+from sqlitedataframe_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    stateful_sessionize,
+    stream_dedup,
+    stream_tumbling_counts,
+)
+from sqlitedataframe_spark.suite import query
+
+#: Shared session-boundary oracle CTE (30-min inactivity gap per user).
+_SESSION_CTE = """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT)
+                       > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      FROM g
+    )
+"""
+
+
+@query(
+    "stream_window_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermarked 1-hour tumbling windows, run to completion via
+    AvailableNow — must equal the batch/DuckDB result over the same files."""
+    s = stream_tumbling_counts(read_events_stream(spark, sf_dir))
+    return run_available_now(s, output_mode="complete").orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_session_window",
+    oracle=_SESSION_CTE
+    + """
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming native session_window (30-min gap) per user — equals the
+    batch LAG+cumsum sessionization the oracle computes."""
+    s = STR.stream_session_window(read_events_stream(spark, sf_dir))
+    return run_available_now(s, output_mode="complete").orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    ORDER BY user_id, event_type, ts
+    """,
+)
+def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup (watermark-bounded state): first arrival per
+    (user_id, event_type, ts) wins; output = the distinct key set."""
+    s = stream_dedup(read_events_stream(spark, sf_dir), ["user_id", "event_type"])
+    return run_available_now(s, output_mode="append").orderBy("user_id", "event_type", "ts")
+
+
+@query(
+    "stream_stateful_sessionize",
+    oracle=_SESSION_CTE
+    + """
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           CAST(COUNT(*) AS INT) AS n_events
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) sessionizing the
+    stream with explicit per-user state; update-mode re-emits are folded to
+    the latest row per session, which over a complete replay equals batch
+    sessionization."""
+    s = stateful_sessionize(read_events_stream(spark, sf_dir))
+    out = run_available_now(s, output_mode="update")
+    # latest re-emit per (user, session_start) wins (update-mode contract)
+    return (
+        out.groupBy("user_id", "session_start")
+        .agg(F.max("session_end").alias("session_end"), F.max("n_events").alias("n_events"))
+        .orderBy("user_id", "session_start")
+    )

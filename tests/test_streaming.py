@@ -1,0 +1,97 @@
+"""Structured Streaming tests: batch-equivalence of the incremental plans
+(the suite-level oracle tests cover single-batch AvailableNow; here we force
+MULTIPLE micro-batches and check cross-batch state continuation).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.io import load_table
+from sqlitedataframe_spark.operators.relational import sessionize
+from sqlitedataframe_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    stateful_sessionize,
+    stream_tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, sf_dir):
+    """Events split into multiple time-ordered parquet files so
+    maxFilesPerTrigger produces several micro-batches in event-time order."""
+    e = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="events_split_")
+    days = [r.d for r in e.select(F.to_date("ts").alias("d")).distinct().orderBy("d").collect()]
+    # one file per calendar day, in chronological order — a log-replay layout
+    # (the stateful operator's arrival-order contract)
+    out = tempfile.mkdtemp(prefix="events_flat_")
+    for i, day in enumerate(days):
+        src = os.path.join(d, f"part_{i:03d}")
+        e.filter(F.to_date("ts") == day).coalesce(1).write.mode("overwrite").parquet(src)
+        (f,) = [x for x in os.listdir(src) if x.endswith(".parquet")]
+        os.rename(os.path.join(src, f), os.path.join(out, f"{i:03d}.parquet"))
+    return out
+
+
+def _run_stream(df, mode):
+    sink = f"t_{uuid.uuid4().hex[:10]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    spark = df.sparkSession
+    return spark.createDataFrame(spark.table(sink).collect(), spark.table(sink).schema)
+
+
+def test_stateful_sessionize_across_batches(spark, sf_dir, split_events_dir):
+    """Sessions spanning micro-batch boundaries must fold to the exact batch
+    sessionization (update-mode re-emits, latest per session wins)."""
+    batch_events = load_table(spark, sf_dir, "events")
+    expected = (
+        sessionize(batch_events, "user_id", "ts", 1800)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+    )
+
+    schema = batch_events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(split_events_dir)
+    )
+    out = _run_stream(stateful_sessionize(stream), "update")
+    folded = (
+        out.groupBy("user_id", "session_start")
+        .agg(F.max("n_events").alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+    )
+    assert folded.exceptAll(expected).isEmpty() and expected.exceptAll(folded).isEmpty()
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    stream_res = run_available_now(
+        stream_tumbling_counts(read_events_stream(spark, sf_dir)), "complete"
+    )
+    e = load_table(spark, sf_dir, "events")
+    batch_res = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    assert stream_res.exceptAll(batch_res).isEmpty()
+    assert batch_res.exceptAll(stream_res).isEmpty()
