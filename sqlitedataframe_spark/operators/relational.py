@@ -32,6 +32,21 @@ def sessionize(
     )
 
 
+def with_rowid(df: DataFrame, *order_cols: str, name: str = "rowid") -> DataFrame:
+    """Stable, dense, 1-based row id over an explicit total order — the
+    engine-provided surrogate for SQLite's implicit ``rowid`` pseudo-column
+    on non-SQLite sources (SURVEY §7 hard part 1; README.md:30 usage).
+
+    Requires a caller-chosen deterministic order; ``monotonically_
+    increasing_id`` is neither stable nor dense, so it is not used. Global
+    row_number over one window serializes at the final numbering step — fine
+    for dimension-sized frames; for fact-scale frames prefer a composite
+    natural key or zipWithIndex-style per-partition offsets.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(name, F.row_number().over(w))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

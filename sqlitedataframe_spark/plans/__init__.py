@@ -1,0 +1,26 @@
+"""Physical-plan introspection (SURVEY §4): the reference delegates all
+optimization to SQLite's planner; the Spark engine delegates to Catalyst —
+this module makes Catalyst's decisions *observable and assertable* so scan
+pushdown, column pruning, broadcast choices and shuffle counts are tested
+properties, not hopes.
+"""
+
+from sqlitedataframe_spark.plans.introspect import (
+    broadcast_join_count,
+    codegen_stage_count,
+    exchange_count,
+    explain_text,
+    pushed_filters,
+    read_schemas,
+    scan_count,
+)
+
+__all__ = [
+    "broadcast_join_count",
+    "codegen_stage_count",
+    "exchange_count",
+    "explain_text",
+    "pushed_filters",
+    "read_schemas",
+    "scan_count",
+]

@@ -50,6 +50,7 @@ def load_all() -> dict[str, Query]:
     """Import every suite module so their @query decorators run."""
     from sqlitedataframe_spark.suite import (  # noqa: F401
         relational,
+        relational2,
         analytic,
         pipeline,
         eventstream,

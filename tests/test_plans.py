@@ -1,0 +1,66 @@
+"""Plan-shape tests: the scale-critical properties — predicate pushdown,
+column pruning, broadcast joins, shuffle counts — asserted on real plans.
+These are the properties that decide whether a query survives a 100x
+scale-up, so they are tested like behavior, not eyeballed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.io import load_table
+from sqlitedataframe_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    pushed_filters,
+    read_schemas,
+    scan_count,
+)
+from sqlitedataframe_spark.suite import load_all
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_orderkey")
+    pf = pushed_filters(q)
+    assert any("l_shipdate" in f for f in pf), pf
+
+
+def test_column_pruning(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")  # 16 columns
+    q = li.select("l_orderkey", "l_quantity")
+    (cols,) = read_schemas(q)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    q = c.join(n, c.c_nationkey == n.n_nationkey).select("c_name", "n_name")
+    assert broadcast_join_count(q) == 1
+    # a broadcast join must not shuffle either side
+    assert exchange_count(q) == 0
+
+
+def test_single_agg_is_one_shuffle(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    assert exchange_count(q) == 1  # partial agg map-side, one exchange
+
+
+def test_flagship_q01_plan_shape(spark, sf_dir):
+    """TPC-H Q1: filter pushed to scan, pruned read (7 of 16 cols), one
+    shuffle for the aggregation + one for the tiny ordered result."""
+    q = load_all()["q01_pricing_summary"].spark_fn(spark, sf_dir)
+    assert any("l_shipdate" in f for f in pushed_filters(q))
+    scan_cols = read_schemas(q)[0]
+    assert len(scan_cols) <= 7
+    assert scan_count(q) == 1
+    assert exchange_count(q) <= 2
+
+
+def test_q05_region_revenue_broadcasts_dims(spark, sf_dir):
+    """TPC-H Q5: the dimension chain (region/nation/supplier/customer) must
+    broadcast against the fact tables — no shuffle of lineitem for dims."""
+    q = load_all()["q05_region_revenue"].spark_fn(spark, sf_dir)
+    assert broadcast_join_count(q) >= 3
