@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sqlitedataframe_spark.operators.text import tokens
+from sqlitedataframe_spark.operators.util import spread as _spread
 
 
 # --------------------------------------------------------------------------
@@ -47,13 +48,17 @@ def minhash_signatures(
     df: DataFrame, id_col: str, shingle_col: str, n_hashes: int = 64
 ) -> DataFrame:
     """MinHash signatures via explode + aggregate: one row per (id, shingle),
-    then n seeded min-aggregates per id. Map-side partial mins mean the
-    shuffle carries only n_hashes longs per id — the scalable formulation
-    (a single giant per-row expression recomputes the shingle array per hash
-    function and defeats codegen at width 64)."""
-    exploded = df.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("_s"))
+    ONE string hash per shingle (xxhash64), then n seeded long-input remixes
+    ``xxhash64(seed_i, h)`` min-aggregated per id — the one-base-hash MinHash
+    construction. Map-side partial mins mean the shuffle carries only
+    n_hashes longs per id, and the per-row work is one string hash + n
+    fixed-width long hashes — small codegen, no UDFs. (Affine ``a*h + b``
+    remixes would be cheaper still but overflow under ANSI arithmetic.)"""
+    exploded = df.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("_s")).select(
+        F.col(id_col), F.xxhash64("_s").alias("_h")
+    )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}") for i in range(n_hashes)
+        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_h{i}") for i in range(n_hashes)
     ]
     per_id = exploded.groupBy(id_col).agg(*aggs)
     return per_id.select(
@@ -74,13 +79,24 @@ def minhash_lsh_pairs(
     estimated Jaccard (fraction of agreeing minhashes) attached and
     thresholded. Returns (id_a, id_b, est_jaccard), id_a < id_b."""
     rows_per_band = n_hashes // bands
-    with_sh = df.select(
-        F.col(id_col).alias("_id"), shingles(text_col, shingle_k).alias("_sh")
-    ).filter(F.size("_sh") > 0)
-    sig = minhash_signatures(with_sh, "_id", "_sh", n_hashes)
+    # spread BEFORE shingling so the (rare, local-only) repartition shuffles
+    # raw text, not the ~3x-larger shingle arrays
+    with_sh = (
+        _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id")
+        .select("_id", shingles(text_col, shingle_k).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+    )
+    # The signature table is consumed three times (banding + both sides of
+    # the verify join); persist it so the shingle/hash pipeline runs once.
+    # Size is ~(8 + 8*n_hashes) bytes/doc — the same state Spark ML's
+    # MinHashLSH caches. Spills to disk if it outgrows memory.
+    sig = minhash_signatures(with_sh, "_id", "_sh", n_hashes).persist()
+    # Candidate generation on SLIM rows (id, band, bucket) only: the banded
+    # self-join is the skew-prone step (a hot bucket yields quadratic pairs),
+    # so the wide 64-long signature arrays must not ride through it — they
+    # are re-attached per id afterwards with two ordinary hash joins.
     banded = sig.select(
         "_id",
-        "_sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -98,7 +114,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("_id", "_sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -109,14 +125,11 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sig").alias("sig_a"),
-            F.col("b._sig").alias("sig_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    sb = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -127,7 +140,9 @@ def minhash_lsh_pairs(
         / F.lit(float(n_hashes))
     )
     return (
-        pairs.withColumn("est_jaccard", F.round(est, 6))
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= min_jaccard)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -143,7 +158,7 @@ def simhash_signatures(
     (id, distinct token), hash each token once, then 64 per-bit vote sums
     per id. Partial aggregation keeps the shuffle at 64 longs per id; the
     sign vote and bit packing happen on the aggregated counts."""
-    exploded = df.select(
+    exploded = _spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(text_col))).alias("_t"),
     ).withColumn("_h", F.xxhash64("_t"))

@@ -20,6 +20,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sqlitedataframe_spark.operators.util import spread as _spread
+
 
 def as_double(vec: Column | str) -> Column:
     v = F.col(vec) if isinstance(vec, str) else vec
@@ -54,7 +56,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of ``df`` vectors against a 1-row query DataFrame
     (broadcast — the query never forces a shuffle of the corpus)."""
-    joined = df.crossJoin(F.broadcast(query_df))
+    joined = _spread(df, id_col).crossJoin(F.broadcast(query_df))
     scored = joined.select(
         F.col(id_col),
         F.round(cosine(as_double(vec_col), as_double(query_vec_col)), 6).alias("cos_sim"),
@@ -113,7 +115,7 @@ def lsh_topk(
             ]
         )
 
-    corpus = df.select(
+    corpus = _spread(df, id_col).select(
         F.col(id_col),
         F.col(vec_col),
         F.posexplode(banded(signature_bits(F.col(vec_col), planes))).alias("band", "bucket"),

@@ -10,6 +10,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sqlitedataframe_spark.functions.sql_rewrite import sqlite_sql
+from sqlitedataframe_spark.io import register_views
 from sqlitedataframe_spark.sources.sqlite import read_sql, write_sql
 from sqlitedataframe_spark.suite import query
 from sqlitedataframe_spark.suite.relational import T
@@ -52,4 +54,38 @@ def sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_nationkey").alias("key_sum"),
         )
         .orderBy("r_name")
+    )
+
+
+@query(
+    "sqlite_dialect_sql",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS names,
+           strftime(MIN(o_min), '%Y-%m') AS first_month
+    FROM nation
+    JOIN (SELECT o_custkey % 25 AS nk, MIN(o_orderdate) AS o_min
+          FROM orders GROUP BY 1) o ON nk = n_nationkey
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def sqlite_dialect_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SQLite-dialect SQL string (group_concat, strftime) executed through
+    the string-level rewriter — the reference's arbitrary-SQL pass-through
+    entry point (A2, SQLiteDataFrame.swift:295-304) running natively on
+    Spark SQL."""
+    register_views(spark, sf_dir, ["nation", "orders"])
+    return sqlite_sql(
+        spark,
+        """
+        SELECT n_regionkey,
+               group_concat(n_name, '|') AS names,
+               strftime('%Y-%m', MIN(o_min)) AS first_month
+        FROM nation
+        JOIN (SELECT o_custkey % 25 AS nk, MIN(o_orderdate) AS o_min
+              FROM orders GROUP BY 1) o ON nk = n_nationkey
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+        """,
     )
