@@ -34,11 +34,22 @@ HEADLINE = [
     "agg_having_distinct",
     "agg_rollup",
     "agg_cube",
+    "agg_grouping_sets",
     "agg_count_distinct_exact",
     "agg_approx",
     "window_topk_per_group",
     "window_running_sum",
     "window_ranking",
+    "join_full_outer",
+    "window_distribution",
+    "pivot_segments",
+    "cte_recursive",
+    "asof_join_events_orders",
+    "subquery_exists",
+    "math_funcs",
+    "json_each_props",
+    "sqlite_dialect_sql",
+    "rowid_surrogate",
     "sort_limit_offset",
     "set_ops_union",
     "subquery_scalar",
