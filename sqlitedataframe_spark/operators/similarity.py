@@ -137,6 +137,55 @@ def lsh_topk(
     return cand.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q",
+) -> DataFrame:
+    """IVF search: corpus vectors are assigned to their nearest centroid
+    cell; a query probes only its ``n_probe`` nearest cells and exact-cosine
+    re-ranks inside them. At 100 TB, with the corpus written partitioned/
+    clustered by ``ivf_cell``, a probe touches ~n_probe/n_cells of the data
+    (partition pruning on the cell column) instead of every row.
+    """
+    corpus = ivf_assign(df, centroids, vec_col)
+    qv = as_double(query_vec_col)
+    qdists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(qv, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    # the query's n_probe nearest cells, as an array of cell indices
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    qdists, lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
+                )
+            ),
+            lambda s: s["cell"],
+        ),
+        1,
+        n_probe,
+    )
+    q = query_df.select(F.col(query_vec_col), F.explode(probe_cells).alias("ivf_cell"))
+    cand = corpus.join(F.broadcast(q), on="ivf_cell").select(
+        F.col(id_col),
+        F.round(cosine(as_double(vec_col), as_double(query_vec_col)), 6).alias("cos_sim"),
+    )
+    return cand.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
     """IVF-style partition assignment: nearest centroid index per vector
     (centroids baked as literals = broadcast). Downstream, repartitioning by

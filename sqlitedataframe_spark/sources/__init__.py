@@ -5,7 +5,15 @@ from sqlitedataframe_spark.sources.sqlite import (
     exec_sql,
     read_sql,
     table_exists,
+    upsert_sql,
     write_sql,
 )
 
-__all__ = ["SQLiteDataSource", "read_sql", "write_sql", "table_exists", "exec_sql"]
+__all__ = [
+    "SQLiteDataSource",
+    "read_sql",
+    "write_sql",
+    "upsert_sql",
+    "table_exists",
+    "exec_sql",
+]

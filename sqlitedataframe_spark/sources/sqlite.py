@@ -59,6 +59,11 @@ from sqlitedataframe_spark.sqlite_types import (
 )
 
 _DEFAULT_READ_PARTITIONS = 8
+#: Minimum rowid-range width per read partition: splitting a small table
+#: across many cursors pays connection/open cost per partition for no
+#: parallelism gain. 10k rows per slice keeps executor tasks meaningful at
+#: scale while tiny tables collapse to one cursor.
+_MIN_ROWS_PER_PARTITION = 10_000
 _WRITE_BATCH = 1000
 
 
@@ -86,6 +91,7 @@ class SQLiteReader(DataSourceReader):
         self.columns = json.loads(options["columns"])
         self.types = {k: SQLiteType(v) for k, v in json.loads(options["types"]).items()}
         self.num_partitions = int(options.get("num_partitions") or _DEFAULT_READ_PARTITIONS)
+        self.auto_partitions = options.get("auto_partitions") == "1"
         self.rowid_min = options.get("rowid_min")
         self.rowid_max = options.get("rowid_max")
 
@@ -95,7 +101,12 @@ class SQLiteReader(DataSourceReader):
         # (SQLite plans the statement — nothing to split).
         if self.table and self.rowid_min is not None and self.rowid_max is not None:
             lo, hi = int(self.rowid_min), int(self.rowid_max)
-            n = max(1, min(self.num_partitions, hi - lo + 1))
+            span = hi - lo + 1
+            cap = self.num_partitions
+            if self.auto_partitions:
+                # default sizing: no slice narrower than _MIN_ROWS_PER_PARTITION
+                cap = min(cap, span // _MIN_ROWS_PER_PARTITION or 1)
+            n = max(1, min(cap, span))
             step = (hi - lo + 1 + n - 1) // n
             return [
                 SQLiteRangePartition(lo + i * step, min(lo + (i + 1) * step - 1, hi))
@@ -272,7 +283,7 @@ def read_sql(
     params: Sequence | None = None,
     columns: Sequence[str] | None = None,
     types: dict[str, SQLiteType | str] | None = None,
-    num_partitions: int = _DEFAULT_READ_PARTITIONS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Read a SQLite table or SQL statement into a Spark DataFrame.
 
@@ -344,7 +355,8 @@ def read_sql(
         .option("path", db_path)
         .option("columns", json.dumps(list(names)))
         .option("types", json.dumps({k: v.value for k, v in col_types.items()}))
-        .option("num_partitions", str(num_partitions))
+        .option("num_partitions", str(num_partitions or _DEFAULT_READ_PARTITIONS))
+        .option("auto_partitions", "0" if num_partitions else "1")
     )
     if table is not None:
         reader = reader.option("table", table)
@@ -429,6 +441,36 @@ def write_sql(
         .option("table", table)
         .save()
     )
+
+
+def upsert_sql(df: DataFrame, db_path: str, table: str, key_cols: Sequence[str]) -> None:
+    """MERGE-style upsert into an existing SQLite table: INSERT each row,
+    ON CONFLICT on ``key_cols`` update the remaining columns — SQLite's
+    native upsert through the arbitrary-DML sink (reference A8 documents
+    the statement form powering INSERT/UPDATE/DELETE, SQLiteDataFrame.swift
+    :541-545; this is the composed idiom).
+
+    Requires a UNIQUE index / PK on ``key_cols`` (SQLite's ON CONFLICT
+    contract). Executes partition-parallel, batched in transactions.
+    """
+    cols = df.columns
+    missing = [k for k in key_cols if k not in cols]
+    if missing:
+        raise ValueError(f"key columns {missing} not in DataFrame")
+    non_keys = [c for c in cols if c not in key_cols]
+    col_list = ", ".join(f'"{c}"' for c in cols)
+    placeholders = ", ".join("?" for _ in cols)
+    conflict = ", ".join(f'"{k}"' for k in key_cols)
+    if non_keys:
+        updates = ", ".join(f'"{c}" = excluded."{c}"' for c in non_keys)
+        action = f"DO UPDATE SET {updates}"
+    else:
+        action = "DO NOTHING"
+    stmt = (
+        f'INSERT INTO "{table}" ({col_list}) VALUES ({placeholders}) '
+        f"ON CONFLICT ({conflict}) {action}"
+    )
+    write_sql(df, db_path, statement=stmt)
 
 
 def table_exists(db_path: str, table: str) -> bool:

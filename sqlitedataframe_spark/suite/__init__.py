@@ -51,6 +51,7 @@ def load_all() -> dict[str, Query]:
     from sqlitedataframe_spark.suite import (  # noqa: F401
         relational,
         relational2,
+        tpch2,
         analytic,
         pipeline,
         eventstream,

@@ -200,6 +200,19 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(e, qdf, dim=64, k=10)
 
 
+@query("sim_ivf_topk", oracle=None)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: 8 deterministic centroids (the first 8 corpus
+    vectors), query probes its 2 nearest cells, exact re-rank inside."""
+    e = T(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    qdf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return S.ivf_topk(e, qdf, cents, k=10, n_probe=2)
+
+
 # --------------------------------------------------------------------------
 # Text analysis: token counts, quality stats, language ID.
 # --------------------------------------------------------------------------

@@ -16,6 +16,7 @@ from sqlitedataframe_spark.sources.sqlite import (
     exec_sql,
     read_sql,
     table_exists,
+    upsert_sql,
     write_sql,
 )
 
@@ -190,6 +191,25 @@ def test_write_dml_extra_params_bind_null(spark, db_path):
     write_sql(df, db_path, statement="INSERT INTO p (a, b) VALUES (?, ?)")
     rows = read_sql(spark, db_path, table="p").collect()
     assert rows[0].a == 1 and rows[0].b is None
+
+
+def test_upsert(spark, db_path):
+    # MERGE-style upsert: conflict rows update, new rows insert
+    exec_sql(db_path, "CREATE TABLE kv (k INT PRIMARY KEY, v TEXT);"
+                      "INSERT INTO kv VALUES (1, 'old'), (2, 'keep');")
+    df = spark.createDataFrame([(1, "new"), (3, "ins")], ["k", "v"])
+    upsert_sql(df, db_path, "kv", ["k"])
+    got = {r.k: r.v for r in read_sql(spark, db_path, table="kv").collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_auto_partition_sizing(spark, tasks_db):
+    # tiny table + default partitioning -> ONE cursor, not 8
+    df = read_sql(spark, tasks_db, table="tasks")
+    assert df.rdd.getNumPartitions() == 1
+    # explicit request still honored
+    df2 = read_sql(spark, tasks_db, table="tasks", num_partitions=2)
+    assert df2.rdd.getNumPartitions() == 2
 
 
 def test_exists_probe_and_exec(db_path):

@@ -59,6 +59,15 @@ def test_dot_and_norm(spark):
     assert abs(r.c - 1.0) < 1e-12
 
 
+def test_ivf_topk_recalls_self(spark, vec_df, vectors):
+    cents = [[float(x) for x in vectors[i]] for i in range(4)]
+    qdf = vec_df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    got = S.ivf_topk(vec_df, qdf, cents, k=3, n_probe=2).collect()
+    assert got[0].vec_id == 0 and abs(got[0].cos_sim - 1.0) < 1e-6
+    sims = [r.cos_sim for r in got]
+    assert sims == sorted(sims, reverse=True)
+
+
 def test_ivf_assign(spark):
     df = spark.createDataFrame(
         [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.5, 0.0])], ["vec_id", "embedding"]
