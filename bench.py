@@ -29,6 +29,13 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_region_revenue",
     "q10_returned_items",
+    "q04_late_ship_priority",
+    "q06_forecast_revenue",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_sales_opportunity",
+    "sim_ivf_topk",
     "join_left_outer",
     "join_semi",
     "agg_having_distinct",

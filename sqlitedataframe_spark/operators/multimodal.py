@@ -82,6 +82,44 @@ def fake_decode_dims(payload: bytes) -> tuple[int, int, int]:
     return (n % 640 + 1, n % 480 + 1, n % 30 + 1)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 5, max_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage for video-like payloads via mapInPandas: emits
+    up to ``max_frames`` rows per payload, one per sampled frame index.
+
+    The *decode* is the deterministic fake (equal byte slices stand in for
+    decoded frames — no video codecs in this container); the Spark plumbing
+    is the real pattern: a one-to-many Arrow-batched stage whose output rows
+    carry binary columns, runnable inside the scan stage with no shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                n_frames = len(data) % 30 + 1  # matches fake_decode_dims
+                picked = list(range(0, n_frames, every_n))[:max_frames]
+                width = max(1, len(data) // n_frames)
+                for i in picked:
+                    ids.append(mid)
+                    idxs.append(i)
+                    blobs.append(data[i * width : (i + 1) * width])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_bytes": blobs}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame:
     """Feature-extraction stage over media payloads via mapInPandas.
 

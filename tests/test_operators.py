@@ -177,3 +177,13 @@ def test_multimodal_sha_and_features(spark):
     assert r.sha256 == hashlib.sha256(b"hello").hexdigest()
     f = extract_features(media).collect()[0]
     assert (f.width, f.height, f.n_frames) == (5 % 640 + 1, 5 % 480 + 1, 5 % 30 + 1)
+
+
+def test_multimodal_sample_frames(spark):
+    from sqlitedataframe_spark.operators.multimodal import attach_media, sample_frames
+
+    text = "x" * 40  # 40 bytes -> n_frames = 40 % 30 + 1 = 11, width = 3
+    df = spark.createDataFrame([(7, text)], ["id", "text"])
+    rows = sample_frames(attach_media(df, "id", "text"), every_n=5, max_frames=4).collect()
+    assert [(r.media_id, r.frame_idx) for r in rows] == [(7, 0), (7, 5), (7, 10)]
+    assert all(len(bytes(r.frame_bytes)) == 3 for r in rows)
