@@ -120,6 +120,46 @@ def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "2 hours")
     )
 
 
+def stream_stream_attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    attr_type: str = "click",
+    window_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each conversion
+    event to the same user's attribution events in the preceding
+    ``window_minutes``. Both sides carry watermarks + the time-range join
+    condition, so Spark bounds each side's state buffer — the canonical
+    funnel/attribution join at scale."""
+    conv = (
+        events.filter(F.col("event_type") == conv_type)
+        .select(
+            F.col("event_id").alias("conv_id"),
+            F.col("user_id"),
+            F.col("ts").alias("conv_ts"),
+        )
+        .withWatermark("conv_ts", watermark)
+    )
+    attr = (
+        events.filter(F.col("event_type") == attr_type)
+        .select(
+            F.col("event_id").alias("attr_id"),
+            F.col("user_id").alias("attr_user"),
+            F.col("ts").alias("attr_ts"),
+        )
+        .withWatermark("attr_ts", watermark)
+    )
+    return conv.join(
+        attr,
+        F.expr(
+            f"user_id = attr_user AND "
+            f"attr_ts >= conv_ts - INTERVAL {window_minutes} MINUTES AND "
+            f"attr_ts <= conv_ts"
+        ),
+    ).select("conv_id", "user_id", "conv_ts", "attr_id", "attr_ts")
+
+
 def run_available_now(
     stream_df: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:

@@ -18,6 +18,7 @@ from sqlitedataframe_spark.streaming import (
     stream_dedup,
     stream_tumbling_counts,
 )
+from sqlitedataframe_spark.streaming.core import stream_stream_attribution
 from sqlitedataframe_spark.suite import query
 
 #: Shared session-boundary oracle CTE (30-min inactivity gap per user).
@@ -90,6 +91,27 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, event_type, ts) wins; output = the distinct key set."""
     s = stream_dedup(read_events_stream(spark, sf_dir), ["user_id", "event_type"])
     return run_available_now(s, output_mode="append").orderBy("user_id", "event_type", "ts")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS conv_id, a.user_id,
+           CAST(a.ts AS TIMESTAMP) AS conv_ts,
+           b.event_id AS attr_id,
+           CAST(b.ts AS TIMESTAMP) AS attr_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase' AND b.event_type = 'click'
+     AND b.ts BETWEEN a.ts - INTERVAL 30 MINUTE AND a.ts
+    ORDER BY conv_id, attr_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream attribution join (purchase <- clicks in the
+    prior 30 min), run to completion — equals the batch time-range join."""
+    s = stream_stream_attribution(read_events_stream(spark, sf_dir))
+    return run_available_now(s, output_mode="append").orderBy("conv_id", "attr_id")
 
 
 @query(
