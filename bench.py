@@ -78,6 +78,7 @@ HEADLINE = [
     "text_stats",
     "text_quality",
     "text_langid",
+    "text_rolling_hash",
     "multimodal_bytes",
 ]
 

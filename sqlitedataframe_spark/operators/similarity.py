@@ -137,6 +137,55 @@ def lsh_topk(
     return cand.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
+def train_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Lloyd's k-means over the embedding column, as DataFrame ops: assign
+    (ivf_assign) -> per-cell mean (groupBy + element-wise array agg) ->
+    repeat. Init = k deterministic samples. Each iteration is one shuffle
+    on the cell id; the centroid matrix (k x dim floats) collects to the
+    driver between iterations — the standard iterative-algorithm shape on
+    Spark (only the tiny model state crosses the driver boundary).
+
+    ``sample_fraction`` trains on a sample (plenty for IVF bucketing at
+    100 TB; assignment still covers every row downstream).
+    """
+    data = df.select(as_double(vec_col).alias("_v"))
+    if sample_fraction:
+        data = data.sample(fraction=sample_fraction, seed=seed)
+    data = data.persist()
+    try:
+        init = data.limit(k).collect()
+        cents = [list(r._v) for r in init]
+        if len(cents) < k:
+            raise ValueError(f"need at least {k} vectors, got {len(cents)}")
+        dim = len(cents[0])
+        for _ in range(iters):
+            assigned = ivf_assign(data, cents, "_v")
+            sums = assigned.groupBy("ivf_cell").agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at("_v", i + 1)).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            rows = {r.ivf_cell: r for r in sums.collect()}
+            cents = [
+                [rows[c][f"_s{i}"] / rows[c]["_n"] for i in range(dim)]
+                if c in rows
+                else cents[c]  # empty cell keeps its old centroid
+                for c in range(k)
+            ]
+        return cents
+    finally:
+        data.unpersist()
+
+
 def ivf_topk(
     df: DataFrame,
     query_df: DataFrame,

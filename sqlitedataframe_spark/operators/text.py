@@ -95,6 +95,24 @@ def lang_id(col: Column | str) -> Column:
     )
 
 
+#: Rolling-hash modulus: prime below 2^57, so acc*31 + char stays under
+#: 2^62 and never overflows ANSI bigint arithmetic.
+ROLLING_HASH_P = 144115188075855859
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Polynomial rolling hash of the full text (Rabin-Karp shape):
+    ``h = (h*31 + codepoint) mod P`` folded left-to-right — order-SENSITIVE
+    (complements the order-insensitive token fingerprint below) and
+    bit-identical across engines since the fold is sequential."""
+    chars = F.regexp_extract_all(_c(col), F.lit("."), F.lit(0))
+    return F.aggregate(
+        F.transform(chars, lambda ch: F.ascii(ch).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc * F.lit(31) + x, F.lit(ROLLING_HASH_P)),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set. Documents that are permutations/duplications of the same

@@ -10,6 +10,7 @@ from sqlitedataframe_spark.plans.introspect import (
     codegen_stage_count,
     exchange_count,
     explain_text,
+    partition_filters,
     pushed_filters,
     read_schemas,
     scan_count,
@@ -20,6 +21,7 @@ __all__ = [
     "codegen_stage_count",
     "exchange_count",
     "explain_text",
+    "partition_filters",
     "pushed_filters",
     "read_schemas",
     "scan_count",

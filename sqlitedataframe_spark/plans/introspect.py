@@ -49,6 +49,18 @@ def read_schemas(df: DataFrame) -> list[list[str]]:
     return schemas
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """All PartitionFilters entries across the plan's file scans — non-empty
+    means partition pruning will skip directories at the source."""
+    text = explain_text(df, "formatted")
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", text):
+        inner = m.group(1).strip()
+        if inner:
+            out.extend(p.strip() for p in inner.split(","))
+    return out
+
+
 def scan_count(df: DataFrame) -> int:
     """Number of file scans in the physical plan (simple-mode tree: one
     line per operator)."""

@@ -187,6 +187,36 @@ def run_available_now(
     return spark.createDataFrame(spark.table(sink).collect(), spark.table(sink).schema)
 
 
+def stream_to_sqlite(
+    stream_df: DataFrame,
+    db_path: str,
+    table: str,
+    checkpoint: str | None = None,
+):
+    """Stream into the SQLite bridge via ``foreachBatch``: each micro-batch
+    appends through write_sql (DDL on first batch, batched transactional
+    inserts). foreachBatch is the idiomatic sink adapter for targets without
+    a native streaming writer; exactly-once follows from the checkpoint +
+    idempotent-append contract the caller chooses.
+
+    Returns the started StreamingQuery (AvailableNow trigger): caller
+    awaits termination.
+    """
+    from sqlitedataframe_spark.sources.sqlite import table_exists, write_sql
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        mode = "append" if table_exists(db_path, table) else "replace"
+        write_sql(batch_df, db_path, table=table, if_exists=mode)
+
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="sdf_ckpt_")
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of read_events_stream (for equivalence tests)."""
     return load_table(spark, sf_dir, "events")

@@ -302,6 +302,28 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", X.lang_id("text").alias("lang_pred")).orderBy("doc_id")
 
 
+@query(
+    "text_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all(text, '.'),
+                               c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 144115188075855859
+           ) AS rhash
+    FROM documents
+    WHERE doc_id < 500
+    ORDER BY doc_id
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash per document (Rabin-Karp
+    document fingerprint) — sequential fold, engine-portable."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return d.select("doc_id", X.rolling_hash("text").alias("rhash")).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing: binary payload + metadata, JVM-side; the mapInPandas
 # feature extraction is exercised separately (fake decode isn't SQL).

@@ -12,6 +12,7 @@ from sqlitedataframe_spark.io import load_table
 from sqlitedataframe_spark.plans import (
     broadcast_join_count,
     exchange_count,
+    partition_filters,
     pushed_filters,
     read_schemas,
     scan_count,
@@ -57,6 +58,19 @@ def test_flagship_q01_plan_shape(spark, sf_dir):
     assert len(scan_cols) <= 7
     assert scan_count(q) == 1
     assert exchange_count(q) <= 2
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """A hive-partitioned layout + a filter on the partition column must
+    show up as PartitionFilters (directory pruning), not a data filter."""
+    e = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    q = spark.read.parquet(path).filter(F.col("event_type") == "click").select("event_id")
+    pf = partition_filters(q)
+    assert any("event_type" in f for f in pf), pf
+    # and the value filter must NOT appear as a pushed data filter
+    assert not any("event_type" in f for f in pushed_filters(q))
 
 
 def test_q05_region_revenue_broadcasts_dims(spark, sf_dir):

@@ -68,6 +68,25 @@ def test_ivf_topk_recalls_self(spark, vec_df, vectors):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_train_centroids_separates_clusters(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(loc=0.0, scale=0.1, size=(40, 4))
+    b = rng.normal(loc=5.0, scale=0.1, size=(40, 4))
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(list(a) + list(b))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = S.train_centroids(df, k=2, iters=4)
+    means = sorted(sum(c) / len(c) for c in cents)
+    assert abs(means[0] - 0.0) < 0.5 and abs(means[1] - 5.0) < 0.5
+    # downstream assignment splits the corpus cleanly
+    counts = {
+        r.ivf_cell: r.n
+        for r in S.ivf_assign(df, cents).groupBy("ivf_cell").agg(F.count("*").alias("n")).collect()
+    }
+    assert sorted(counts.values()) == [40, 40]
+
+
 def test_ivf_assign(spark):
     df = spark.createDataFrame(
         [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.5, 0.0])], ["vec_id", "embedding"]

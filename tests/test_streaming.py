@@ -83,6 +83,24 @@ def test_stateful_sessionize_across_batches(spark, sf_dir, split_events_dir):
     assert folded.exceptAll(expected).isEmpty() and expected.exceptAll(folded).isEmpty()
 
 
+def test_stream_to_sqlite_sink(spark, sf_dir, tmp_path):
+    """readStream -> foreachBatch -> SQLite bridge -> read_sql: the full
+    streaming-to-embedded-sink loop lands every event exactly once."""
+    from sqlitedataframe_spark.sources.sqlite import read_sql
+    from sqlitedataframe_spark.streaming.core import stream_to_sqlite
+
+    db = str(tmp_path / "sink.db")
+    stream = read_events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+    q = stream_to_sqlite(stream, db, "events_sink")
+    q.awaitTermination()
+    back = read_sql(spark, db, table="events_sink")
+    expected = load_table(spark, sf_dir, "events")
+    assert back.count() == expected.count()
+    assert back.agg(F.sum("event_id")).collect()[0][0] == (
+        expected.agg(F.sum("event_id")).collect()[0][0]
+    )
+
+
 def test_tumbling_stream_equals_batch(spark, sf_dir):
     stream_res = run_available_now(
         stream_tumbling_counts(read_events_stream(spark, sf_dir)), "complete"
