@@ -101,6 +101,67 @@ def test_stream_to_sqlite_sink(spark, sf_dir, tmp_path):
     )
 
 
+def test_watermark_append_finalization_and_late_drop(spark, tmp_path):
+    """Append-mode windowed aggregation: a window is emitted exactly when
+    the watermark passes its end, and a late row arriving after its
+    window was finalized is dropped — the state-bounding contract that
+    makes streaming aggs feasible at scale. (Update mode's late-drop is
+    best-effort in Spark and not asserted.)"""
+    import datetime as dt
+
+    schema = "user_id long, ts timestamp, value double"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, *hm), 1.0) for hm in rows], schema
+        )
+
+    d = str(tmp_path / "stream_in")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+
+    def drop_file(i: int, rows) -> None:
+        frame(rows).coalesce(1).write.parquet(f"{d}/f{i}.tmp")
+        (f,) = [x for x in os.listdir(f"{d}/f{i}.tmp") if x.endswith(".parquet")]
+        os.rename(os.path.join(f"{d}/f{i}.tmp", f), os.path.join(flat, f"{i:02d}.parquet"))
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_pass() -> None:
+        # file sink: the one sink type that recovers from a checkpoint,
+        # making the two-pass incremental replay exact
+        stream = spark.readStream.schema(schema).parquet(flat)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # pass 1: events 10:05, 10:10, 11:05 -> watermark ends at 10:05
+    drop_file(0, [(10, 5), (10, 10), (11, 5)])
+    run_pass()
+    # pass 2 (same checkpoint): 08:00 is beyond the watermark -> dropped;
+    # 12:05 advances the watermark to 11:05, finalizing window 10
+    drop_file(1, [(8, 0), (12, 5)])
+    run_pass()
+
+    final = {r.ws.hour: r.n for r in spark.read.parquet(out_dir).collect()}
+    # only window 10 finalized (end 11:00 <= final watermark 11:05);
+    # late 08:00 dropped; 11/12 still open at stream end -> not emitted
+    assert final == {10: 2}
+
+
 def test_tumbling_stream_equals_batch(spark, sf_dir):
     stream_res = run_available_now(
         stream_tumbling_counts(read_events_stream(spark, sf_dir)), "complete"
