@@ -35,6 +35,18 @@ HEADLINE = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_sales_opportunity",
+    "q02_min_cost_supplier",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q11_important_parts",
+    "q12_late_priority",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_qty_revenue",
+    "q20_over_contributors",
+    "q21_waiting_supplier",
     "sim_ivf_topk",
     "join_left_outer",
     "join_semi",

@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
         relational,
         relational2,
         tpch2,
+        tpch3,
         analytic,
         pipeline,
         eventstream,
