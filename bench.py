@@ -56,6 +56,13 @@ HEADLINE = [
     "agg_grouping_sets",
     "agg_count_distinct_exact",
     "agg_approx",
+    "agg_percentile_exact",
+    "agg_stats_moments",
+    "array_ops_embeddings",
+    "explode_unnest",
+    "regexp_funcs",
+    "unpivot_measures",
+    "gapfill_timeseries",
     "window_topk_per_group",
     "window_running_sum",
     "window_ranking",

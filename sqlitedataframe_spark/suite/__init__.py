@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
         tpch2,
         tpch3,
         analytic,
+        analytic2,
         pipeline,
         eventstream,
         streamingq,
