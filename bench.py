@@ -86,6 +86,7 @@ HEADLINE = [
     "events_window_sliding",
     "events_sessionize",
     "events_enrich_join",
+    "pipeline_curation",
     "dedup_exact",
     "dedup_fingerprint",
     "dedup_ngram_jaccard",

@@ -47,23 +47,35 @@ def shingles(text_col: Column | str, k: int = 3) -> Column:
 def minhash_signatures(
     df: DataFrame, id_col: str, shingle_col: str, n_hashes: int = 64
 ) -> DataFrame:
-    """MinHash signatures via explode + aggregate: one row per (id, shingle),
-    ONE string hash per shingle (xxhash64), then n seeded long-input remixes
-    ``xxhash64(seed_i, h)`` min-aggregated per id — the one-base-hash MinHash
-    construction. Map-side partial mins mean the shuffle carries only
-    n_hashes longs per id, and the per-row work is one string hash + n
-    fixed-width long hashes — small codegen, no UDFs. (Affine ``a*h + b``
-    remixes would be cheaper still but overflow under ANSI arithmetic.)"""
-    exploded = df.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("_s")).select(
-        F.col(id_col), F.xxhash64("_s").alias("_h")
+    """MinHash signatures computed entirely SCAN-SIDE, one nested
+    higher-order expression per row: hash each shingle once (xxhash64),
+    then for each of n seeds take ``array_min`` of the seeded long-input
+    remixes ``xxhash64(seed_i, h)`` — the one-base-hash MinHash
+    construction. No explode, no groupBy, ZERO shuffle: signatures fall out
+    of the scan stage itself, and the nested ``transform`` evaluates as an
+    internal loop (tiny codegen — no 64-column aggregate to compile).
+    (Affine ``a*h + b`` remixes would be cheaper still but overflow under
+    ANSI arithmetic.)"""
+    hashed = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
+    # Let-binding via a 1-element transform: the string-hash array is the
+    # ARGUMENT of the outer transform, so it is evaluated exactly once per
+    # row; the seed loop reads the bound lambda variable `hs`. Without this,
+    # CollapseProject would inline the hashing into the seed loop and
+    # recompute it n_hashes times. The whole signature is ONE compact
+    # expression (a loop over sequence(0..n-1)), so analysis + compile cost
+    # stays flat in n_hashes — a 64-wide unrolled form costs seconds of
+    # first-run planning.
+    sig = F.element_at(
+        F.transform(
+            F.array(hashed),
+            lambda hs: F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda i: F.array_min(F.transform(hs, lambda h: F.xxhash64(i, h))),
+            ),
+        ),
+        1,
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_h{i}") for i in range(n_hashes)
-    ]
-    per_id = exploded.groupBy(id_col).agg(*aggs)
-    return per_id.select(
-        F.col(id_col), F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("_sig")
-    )
+    return df.select(F.col(id_col), sig.alias("_sig"))
 
 
 def minhash_lsh_pairs(
@@ -154,26 +166,32 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:
-    """SimHash signatures (bigint) via explode + aggregate: one row per
-    (id, distinct token), hash each token once, then 64 per-bit vote sums
-    per id. Partial aggregation keeps the shuffle at 64 longs per id; the
-    sign vote and bit packing happen on the aggregated counts."""
-    exploded = _spread(df, id_col).select(
+    """SimHash signatures (bigint) computed entirely SCAN-SIDE: hash each
+    distinct token once into a long array, then take 64 per-bit majority
+    votes with ``filter``/``size`` over that array. No explode, no groupBy,
+    zero shuffle — the signature falls out of the scan stage. The hashed
+    array is a separate projection referenced 64 times so CollapseProject
+    keeps it materialized once per row."""
+    with_h = _spread(df, id_col).select(
         F.col(id_col),
-        F.explode(F.array_distinct(tokens(text_col))).alias("_t"),
-    ).withColumn("_h", F.xxhash64("_t"))
-    aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
-        for b in range(bits)
-    ]
-    per_id = exploded.groupBy(id_col).agg(*aggs)
+        F.transform(
+            F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)
+        ).alias("_hs"),
+    )
+    n = F.size(F.col("_hs"))
+
+    def _bit_set(b: int):
+        # closure factory keeps the lambda at arity 1 (see _remix above)
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == F.lit(1)
+
     sig = F.lit(0).cast("bigint")
     for b in range(bits):
-        vote = (F.col(f"_b{b}") * 2 > F.col("_n")).cast("bigint")
+        ones = F.size(F.filter(F.col("_hs"), _bit_set(b)))
+        vote = (ones * 2 > n).cast("bigint")
         # bit 63 is the sign bit in a 64-bit long: two's-complement value
         weight = (1 << b) if b < 63 else -(1 << 63)
         sig = sig + vote * F.lit(weight).cast("bigint")
-    return per_id.select(F.col(id_col), sig.alias("_sig"))
+    return with_h.select(F.col(id_col), sig.alias("_sig"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -353,3 +353,54 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     real Arrow plumbing + bytes-bounded batching)."""
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return extract_features(attach_media(d, "doc_id", "text")).orderBy("media_id")
+
+
+@query(
+    "pipeline_curation",
+    oracle="""
+    WITH kept AS (
+      SELECT lang, source, doc_id, n_chars,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+             md5(text) AS h
+      FROM documents
+      WHERE lang IN ('en', 'fr', 'es', 'de') AND n_chars BETWEEN 50 AND 5000),
+    deduped AS (
+      SELECT * FROM kept
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1)
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_chars) + 1e-9, 2) AS avg_chars
+    FROM deduped
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in ONE Spark plan: language
+    allowlist + length gate (both pushed to the parquet scan) -> exact
+    dedup on an md5 text fingerprint (shuffle carries the 32-char hash,
+    never the document body) -> per-(lang, source) corpus stats. The shape
+    a 100 TB curation job runs nightly."""
+    d = T(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "fr", "es", "de")
+        & F.col("n_chars").between(50, 5000)
+    )
+    kept = d.select(
+        "lang",
+        "source",
+        "doc_id",
+        "n_chars",
+        X.token_count_ws("text").alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    deduped = D.dedup_exact(kept, ["h"], "doc_id")
+    return (
+        deduped.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars") + 1e-9, 2).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -78,3 +78,28 @@ def test_q05_region_revenue_broadcasts_dims(spark, sf_dir):
     broadcast against the fact tables — no shuffle of lineitem for dims."""
     q = load_all()["q05_region_revenue"].spark_fn(spark, sf_dir)
     assert broadcast_join_count(q) >= 3
+
+
+def test_q02_broadcasts_all_dims(spark, sf_dir):
+    """TPC-H Q2 shape: part/supplier/nation/region all broadcast; the only
+    exchanges are the partsupp-derivation groupBy and the window partition."""
+    q = load_all()["q02_min_cost_supplier"].spark_fn(spark, sf_dir)
+    assert broadcast_join_count(q) >= 2
+    assert exchange_count(q) <= 3  # ps rollup + window + final sort
+
+
+def test_q08_star_join_single_fact_pass(spark, sf_dir):
+    """TPC-H Q8: one lineitem scan, every dimension broadcast, shuffles only
+    for the orders/customer joins and the final year rollup."""
+    q = load_all()["q08_market_share"].spark_fn(spark, sf_dir)
+    assert scan_count(q) <= 8
+    assert broadcast_join_count(q) >= 4
+    pf = pushed_filters(q)
+    assert any("o_orderdate" in f for f in pf), pf
+
+
+def test_q21_no_fact_self_join(spark, sf_dir):
+    """TPC-H Q21: the EXISTS / NOT EXISTS pair must decorrelate into window
+    functions over ONE lineitem scan, not three correlated re-scans."""
+    q = load_all()["q21_waiting_supplier"].spark_fn(spark, sf_dir)
+    assert scan_count(q) == 3  # lineitem + orders + supplier, each once
