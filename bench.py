@@ -103,13 +103,48 @@ HEADLINE = [
 ]
 
 
+def _warm(spark) -> None:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sqlitedataframe_spark.io import load_table
+
+    wd = "/root/testdata/sf0.001"
+    li = load_table(spark, wd, "lineitem")
+    n = load_table(spark, wd, "nation")
+    c = load_table(spark, wd, "customer")
+    (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+        .collect()
+    )
+    c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_name", "n_name", F.row_number().over(
+            Window.partitionBy("c_nationkey").orderBy("c_custkey")
+        ).alias("rn")
+    ).collect()
+    load_table(spark, wd, "embeddings").select(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+    ).collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     registry = load_all()
     spark = get_spark("bench")
-    spark.range(1).count()  # JVM warm-up
+    # Warm the ENGINE (not any measured plan): JVM + parquet vectorized
+    # reader + hash-agg/broadcast-join/window codegen paths, compiled once
+    # against the tiny sf0.001 fixtures so the first measured query isn't
+    # charged for framework initialization.
+    spark.range(1).count()
+    _warm(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -118,6 +153,9 @@ def main() -> None:
         n = len(q.spark_fn(spark, sf_dir).collect())
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # drop any persist() a query left behind: queries stay independent
+        # and cached blocks don't build memory pressure across the suite
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
