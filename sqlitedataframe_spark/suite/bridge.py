@@ -89,3 +89,75 @@ def sqlite_dialect_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_regionkey
         """,
     )
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice) + 1e-9, 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink parity (Tier C csvRepresentation round-trip,
+    SQLiteDataFrameTests.swift:105, as a distributed source): orders is
+    written to CSV with header + explicit timestamp format and read back
+    with an EXPLICIT schema (never inferSchema at scale — schema inference
+    is an extra full pass over 100 TB), then aggregated. Values must match
+    the parquet original exactly."""
+    out = os.path.join(tempfile.gettempdir(), "sdfspark_orders_csv")
+    o = T(spark, sf_dir, "orders")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    o.write.mode("overwrite").option("header", True).option(
+        "timestampFormat", fmt
+    ).csv(out)
+    back = (
+        spark.read.schema(o.schema)
+        .option("header", True)
+        .option("timestampFormat", fmt)
+        .csv(out)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice") + 1e-9, 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value) + 1e-9, 2) AS value_sum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink parity: events round-trips through
+    newline-delimited JSON (the interchange format of most ingestion
+    pipelines) with an explicit schema on read, then aggregates must match
+    the parquet original. Timestamps carried as ISO-8601 strings with
+    microsecond precision."""
+    out = os.path.join(tempfile.gettempdir(), "sdfspark_events_json")
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_iso"),
+    )
+    e.write.mode("overwrite").json(out)
+    back = spark.read.schema(e.schema).json(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-9, 2).alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
