@@ -180,18 +180,46 @@ def simhash_signatures(
     )
     n = F.size(F.col("_hs"))
 
-    def _bit_set(b: int):
-        # closure factory keeps the lambda at arity 1 (see _remix above)
-        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == F.lit(1)
+    # SWAR packed-lane bit counting: accumulator k (k=0..15) holds FOUR
+    # 16-bit counters in one bigint — the popcounts of bits k, k+16, k+32,
+    # k+48 across all token hashes. One fold per k = 16 cheap shift/and/add
+    # evals per token instead of 64 filter passes over the hash array.
+    # Lane width 16 bits caps distinct tokens at 65535 per document before
+    # counter overflow (far above any real document's distinct-token count).
+    # Arithmetic shift sign-extension only touches bits > 48+k, which the
+    # lane mask discards, so negative hashes count correctly.
+    LANE = 0x0001000100010001
+
+    def _lane_adder(k: int):
+        # closure factory keeps the lambda at declared arity 2 — a default
+        # arg (lambda acc, h, k=k) would be seen as arity 3 and mis-bind
+        return lambda acc, h: acc + F.shiftright(h, k).bitwiseAND(F.lit(LANE))
+
+    # The accumulators live in their OWN projection: each is referenced 4
+    # times by the unpack step below, and a Column object reused in Python
+    # duplicates its expression subtree — only an intermediate projection
+    # (kept by CollapseProject because the folds are non-cheap and
+    # multiply-referenced) guarantees each fold runs once per row.
+    lanes = with_h.select(
+        F.col(id_col),
+        F.col("_hs"),
+        *[
+            F.aggregate(F.col("_hs"), F.lit(0).cast("bigint"), _lane_adder(k)).alias(
+                f"_a{k}"
+            )
+            for k in range(16)
+        ],
+    )
 
     sig = F.lit(0).cast("bigint")
     for b in range(bits):
-        ones = F.size(F.filter(F.col("_hs"), _bit_set(b)))
+        k, p = b % 16, b // 16
+        ones = F.shiftright(F.col(f"_a{k}"), 16 * p).bitwiseAND(F.lit(0xFFFF))
         vote = (ones * 2 > n).cast("bigint")
         # bit 63 is the sign bit in a 64-bit long: two's-complement value
         weight = (1 << b) if b < 63 else -(1 << 63)
         sig = sig + vote * F.lit(weight).cast("bigint")
-    return with_h.select(F.col(id_col), sig.alias("_sig"))
+    return lanes.select(F.col(id_col), sig.alias("_sig"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

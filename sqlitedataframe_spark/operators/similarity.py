@@ -43,7 +43,19 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity with both inputs let-bound: zip_with over two
+    1-element arrays binds `a` and `b` to lambda variables, so each side's
+    cast/transform tree is evaluated ONCE per row even though dot+norm
+    reference it twice (HOFs are codegen-fallback — no CSE rescues a
+    duplicated subtree)."""
+    return F.element_at(
+        F.zip_with(
+            F.array(a),
+            F.array(b),
+            lambda x, y: dot(x, y) / (norm(x) * norm(y)),
+        ),
+        1,
+    )
 
 
 def brute_force_topk(
@@ -74,14 +86,21 @@ def signature_bits(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH signature as array<int> of 0/1 bits (one per hyperplane).
 
     The planes are baked into the expression as literals — equivalent to
-    broadcasting a small matrix; no shuffle, no UDF.
+    broadcasting a small matrix; no shuffle, no UDF. The cast vector is
+    let-bound (transform over a 1-element array) so the input transform
+    runs once per row, not once per plane.
     """
-    v = as_double(vec_col)
-    bits = []
-    for plane in planes:
-        p = F.array(*[F.lit(x) for x in plane])
-        bits.append((dot(v, p) >= 0).cast("int"))
-    return F.array(*bits)
+
+    def bits(v: Column) -> Column:
+        out = []
+        for plane in planes:
+            p = F.array(*[F.lit(x) for x in plane])
+            out.append((dot(v, p) >= 0).cast("int"))
+        return F.array(*out)
+
+    return F.element_at(
+        F.transform(F.array(as_double(vec_col)), lambda v: bits(v)), 1
+    )
 
 
 def lsh_topk(
@@ -104,27 +123,38 @@ def lsh_topk(
     planes = random_hyperplanes(dim, n_planes, seed)
     width = n_planes // bands
 
-    def banded(sig: Column) -> Column:
-        return F.array(
-            *[
-                F.array_join(
-                    F.transform(F.slice(sig, b * width + 1, width), lambda x: x.cast("string")),
-                    "",
-                )
-                for b in range(bands)
-            ]
+    def banded(vec: Column) -> Column:
+        # let-bind the signature: the slice-per-band expressions reference
+        # it `bands` times, and without the binding the whole 16-dot-product
+        # tree would be duplicated (and evaluated) once per band
+        sig = signature_bits(vec, planes)
+        return F.element_at(
+            F.transform(
+                F.array(sig),
+                lambda s: F.array(
+                    *[
+                        F.array_join(
+                            F.transform(
+                                F.slice(s, b * width + 1, width),
+                                lambda x: x.cast("string"),
+                            ),
+                            "",
+                        )
+                        for b in range(bands)
+                    ]
+                ),
+            ),
+            1,
         )
 
     corpus = _spread(df, id_col).select(
         F.col(id_col),
         F.col(vec_col),
-        F.posexplode(banded(signature_bits(F.col(vec_col), planes))).alias("band", "bucket"),
+        F.posexplode(banded(F.col(vec_col))).alias("band", "bucket"),
     )
     qsig = query_df.select(
         F.col(query_vec_col),
-        F.posexplode(banded(signature_bits(F.col(query_vec_col), planes))).alias(
-            "band", "bucket"
-        ),
+        F.posexplode(banded(F.col(query_vec_col))).alias("band", "bucket"),
     )
     cand = (
         corpus.join(F.broadcast(qsig), on=["band", "bucket"])
@@ -204,16 +234,7 @@ def ivf_topk(
     """
     corpus = ivf_assign(df, centroids, vec_col)
     qv = as_double(query_vec_col)
-    qdists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(qv, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
-    )
+    qdists = F.array(*[_sqdist(qv, c) for c in centroids])
     # the query's n_probe nearest cells, as an array of cell indices
     probe_cells = F.slice(
         F.transform(
@@ -235,19 +256,39 @@ def ivf_topk(
     return cand.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
+def _sqdist(v: Column, centroid: list[float]) -> Column:
+    """Squared euclidean distance of an array<double> column to a literal
+    centroid (sequential fold — engine-reproducible)."""
+    return F.aggregate(
+        F.zip_with(
+            v,
+            F.array(*[F.lit(x) for x in centroid]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
     """IVF-style partition assignment: nearest centroid index per vector
     (centroids baked as literals = broadcast). Downstream, repartitioning by
-    ``ivf_cell`` co-locates each cell so probes touch one partition."""
-    v = as_double(vec_col)
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
+    ``ivf_cell`` co-locates each cell so probes touch one partition.
+
+    Both the cast vector (referenced once per centroid) and the distance
+    array (referenced twice by argmin) are let-bound so each is computed
+    once per row."""
+
+    def argmin_cell(v: Column) -> Column:
+        dists = F.array(*[_sqdist(v, c) for c in centroids])
+        return F.element_at(
+            F.transform(
+                F.array(dists), lambda d: F.array_position(d, F.array_min(d))
+            ),
+            1,
+        )
+
+    cell = F.element_at(
+        F.transform(F.array(as_double(vec_col)), lambda v: argmin_cell(v)), 1
     )
-    return df.withColumn("ivf_cell", F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+    return df.withColumn("ivf_cell", cell.cast("int") - 1)

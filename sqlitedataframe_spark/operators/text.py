@@ -85,8 +85,11 @@ def lang_id(col: Column | str) -> Column:
     stopword ratio -> 'en'; else accented Latin -> 'fr'; else 'unknown'.
     """
     c = _c(col)
-    has_cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", "")) > 0
-    accents = F.length(F.regexp_replace(c, r"[^à-ÿ]", "")) > 0
+    # rlike, not length(regexp_replace(...)): existence tests short-circuit
+    # on the first matching char instead of materializing a stripped copy
+    # of every document
+    has_cjk = c.rlike("[一-鿿]")
+    accents = c.rlike("[à-ÿ]")
     return (
         F.when(has_cjk, "zh")
         .when(stopword_ratio(c) >= 0.08, "en")
