@@ -106,15 +106,24 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont (linear interpolation). At 100 TB prefer
     percentile_approx; this is the correctness anchor for it."""
     li = T(spark, sf_dir, "lineitem")
+    # one percentile buffer for all three l_quantity quantiles (array-of-
+    # percentages form), not three separate full-column buffers per group
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_quantity", F.lit(0.25)) + 1e-9, 4).alias("p25_qty"),
-            F.round(F.percentile("l_quantity", F.lit(0.5)) + 1e-9, 4).alias("median_qty"),
-            F.round(F.percentile("l_quantity", F.lit(0.75)) + 1e-9, 4).alias("p75_qty"),
+            F.percentile(
+                "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ).alias("_q"),
             F.round(F.percentile("l_extendedprice", F.lit(0.9)) + 1e-9, 4).alias(
                 "p90_price"
             ),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("_q", 1) + 1e-9, 4).alias("p25_qty"),
+            F.round(F.element_at("_q", 2) + 1e-9, 4).alias("median_qty"),
+            F.round(F.element_at("_q", 3) + 1e-9, 4).alias("p75_qty"),
+            "p90_price",
         )
         .orderBy("l_returnflag")
     )
