@@ -14,11 +14,33 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sqlitedataframe_spark.operators.text import tokens
 from sqlitedataframe_spark.operators.util import spread as _spread
+
+
+def _suppress_hot_buckets(
+    banded: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Frequent-bucket suppression: drop LSH buckets with more than
+    ``max_bucket`` members before the self-join. A hot bucket (boilerplate
+    text, near-empty documents, a degenerate band) otherwise yields
+    O(m^2) candidate pairs out of the join — the classic LSH skew cliff
+    that takes down a 100 TB dedup run. Trades recall only inside the
+    suppressed buckets (standard practice; exact dedup upstream catches
+    the identical-text mass these buckets contain). The window count
+    shuffles on the same key as the self-join, so ReuseExchange shares
+    one exchange between them."""
+    if max_bucket is None:
+        return banded
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -86,10 +108,13 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH, with the
     estimated Jaccard (fraction of agreeing minhashes) attached and
-    thresholded. Returns (id_a, id_b, est_jaccard), id_a < id_b."""
+    thresholded. Returns (id_a, id_b, est_jaccard), id_a < id_b.
+    Buckets larger than ``max_bucket`` are suppressed (skew guard, see
+    ``_suppress_hot_buckets``)."""
     rows_per_band = n_hashes // bands
     # spread BEFORE shingling so the (rare, local-only) repartition shuffles
     # raw text, not the ~3x-larger shingle arrays
@@ -127,6 +152,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _suppress_hot_buckets(banded, ["band", "bucket"], max_bucket)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -167,11 +193,11 @@ def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:
     """SimHash signatures (bigint) computed entirely SCAN-SIDE: hash each
-    distinct token once into a long array, then take 64 per-bit majority
-    votes with ``filter``/``size`` over that array. No explode, no groupBy,
-    zero shuffle — the signature falls out of the scan stage. The hashed
-    array is a separate projection referenced 64 times so CollapseProject
-    keeps it materialized once per row."""
+    distinct token once into a long array, then count every bit position
+    with SWAR packed lanes (below) and take 64 majority votes. No explode,
+    no groupBy, zero shuffle — the signature falls out of the scan stage.
+    The hashed array is a separate projection referenced by every lane fold
+    so CollapseProject keeps it materialized once per row."""
     with_h = _spread(df, id_col).select(
         F.col(id_col),
         F.transform(
@@ -233,12 +259,14 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs under SimHash Hamming distance, banded-LSH candidate
     generation (pigeonhole: <= bands-1 differing bits over `bands` bands ->
     at least one band equal). Full recall requires max_hamming <= bands-1;
     above that the banding is a heuristic filter. Returns
-    (id_a, id_b, hamming)."""
+    (id_a, id_b, hamming). Buckets larger than ``max_bucket`` are
+    suppressed (skew guard, see ``_suppress_hot_buckets``)."""
     width = 64 // bands
     sig = simhash_signatures(
         df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id", text_col
@@ -260,6 +288,7 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("_id", "_sig", "bb.band", "bb.bucket")
+    banded = _suppress_hot_buckets(banded, ["band", "bucket"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     # Duplicate candidate pairs (a pair colliding in several bands) are
     # removed with dropDuplicates, NOT an inline first-matching-band filter:

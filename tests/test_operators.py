@@ -62,6 +62,16 @@ def test_minhash_identical_docs_est_one(spark):
     assert len(pairs) == 1 and pairs[0].est_jaccard == 1.0
 
 
+def test_minhash_hot_bucket_suppression(spark):
+    # 30 identical docs put all their bands in the same buckets: with the
+    # skew guard tight they are suppressed (0 pairs); without it the join
+    # yields the full 30*29/2 quadratic blow-up
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(i, t) for i in range(30)], ["doc_id", "text"])
+    assert D.minhash_lsh_pairs(df, max_bucket=5).count() == 0
+    assert D.minhash_lsh_pairs(df, max_bucket=None).count() == 30 * 29 // 2
+
+
 # -- simhash ----------------------------------------------------------------
 def test_simhash_identical_distance_zero(spark):
     t = "one two three four five six seven eight nine ten"
