@@ -308,8 +308,11 @@ def simhash_pairs(
             F.col("b._id").alias("id_b"),
             hamming64(F.col("a._sig"), F.col("b._sig")).cast("int").alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # hamming is a pure function of the pair, so filtering BEFORE the
+        # pair dedup is equivalent — and map-side, so far pairs never enter
+        # the dropDuplicates exchange
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
