@@ -71,13 +71,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures computed entirely SCAN-SIDE, one nested
     higher-order expression per row: hash each shingle once (xxhash64),
-    then for each of n seeds take ``array_min`` of the seeded long-input
+    then for each of n seeds fold the running min of the seeded long-input
     remixes ``xxhash64(seed_i, h)`` — the one-base-hash MinHash
-    construction. No explode, no groupBy, ZERO shuffle: signatures fall out
-    of the scan stage itself, and the nested ``transform`` evaluates as an
-    internal loop (tiny codegen — no 64-column aggregate to compile).
-    (Affine ``a*h + b`` remixes would be cheaper still but overflow under
-    ANSI arithmetic.)"""
+    construction, with no per-seed remix array materialized. No explode,
+    no groupBy, ZERO shuffle: signatures fall out of the scan stage
+    itself, and the nested ``transform`` evaluates as an internal loop
+    (tiny codegen — no 64-column aggregate to compile). (Affine ``a*h+b``
+    remixes would be cheaper still but overflow under ANSI arithmetic.)"""
     hashed = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
     # Let-binding via a 1-element transform: the string-hash array is the
     # ARGUMENT of the outer transform, so it is evaluated exactly once per
@@ -92,7 +92,11 @@ def minhash_signatures(
             F.array(hashed),
             lambda hs: F.transform(
                 F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-                lambda i: F.array_min(F.transform(hs, lambda h: F.xxhash64(i, h))),
+                lambda i: F.aggregate(
+                    hs,
+                    F.lit((1 << 63) - 1).cast("bigint"),
+                    lambda acc, h: F.least(acc, F.xxhash64(i, h)),
+                ),
             ),
         ),
         1,
