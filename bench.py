@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline suite queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output: a full per-query JSON line (and ``bench_detail.json`` sidecar),
+followed by a COMPACT final stdout line
+``{"metric": "suite_total_wall_seconds", "value": total_sec, "unit": "sec",
+"sf": ...}`` sized to survive the driver's ~2 KB tail capture.
 
 Each query is timed to completion of a count()-free collect (materializing
 the true result). The session is warmed with one tiny action first so JVM
@@ -158,14 +161,33 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "suite_total_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Full per-query detail: written to a sidecar file AND printed as an
+    # EARLIER stdout line. The driver's tail capture is ~2 KB, so the FINAL
+    # line must be compact enough to survive it — keep it to the headline
+    # metric only (per-round grading reads `metric`/`value` from this line).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(full))
     print(
         json.dumps(
             {
                 "metric": "suite_total_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "detail": "bench_detail.json",
             }
         )
     )

@@ -38,13 +38,52 @@ def with_rowid(df: DataFrame, *order_cols: str, name: str = "rowid") -> DataFram
     on non-SQLite sources (SURVEY §7 hard part 1; README.md:30 usage).
 
     Requires a caller-chosen deterministic order; ``monotonically_
-    increasing_id`` is neither stable nor dense, so it is not used. Global
-    row_number over one window serializes at the final numbering step — fine
-    for dimension-sized frames; for fact-scale frames prefer a composite
-    natural key or zipWithIndex-style per-partition offsets.
+    increasing_id`` is neither stable nor dense, so it is not used.
+
+    Scale-safe zipWithIndex shape (no global window, so no single-partition
+    WindowExec anywhere in the plan):
+
+    1. one range exchange on the order key — partition p holds keys strictly
+       below partition p+1 (equal keys never straddle a boundary);
+    2. ``row_number`` partitioned by ``spark_partition_id`` — numbering runs
+       in parallel per partition;
+    3. per-partition counts from a second, column-pruned pass — Catalyst
+       slims it to the order key alone, so the extra scan+shuffle carries
+       only the key column (a few % of the main exchange's bytes; its two
+       uses share one ReusedExchange). Counts become cumulative offsets via
+       a broadcast triangle join over at most ``shuffle.partitions`` rows —
+       O(P²) on cluster-sized, not data-sized, cardinality;
+    4. broadcast the offsets back onto the partition id.
+
+    The frame itself is never serialized through one task at any step.
     """
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn(name, F.row_number().over(w))
+    cols = [F.col(c) for c in order_cols]
+    # Explicit partition count pins REPARTITION_BY_NUM shuffle origin: AQE
+    # must not coalesce the two range exchanges differently (branch sizes
+    # differ once pruning slims the count branch to the key column), or the
+    # spark_partition_id spaces would disagree and offsets would misalign.
+    # Range boundaries themselves are deterministic for identical input
+    # (RangePartitioner samples with a fixed per-partition seed).
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(n, *cols).withColumn("_pid", F.spark_partition_id())
+    in_part = F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(
+            F.broadcast(counts.select(F.col("_pid").alias("_q"), "_cnt").alias("b")),
+            F.col("b._q") < F.col("a._pid"),
+            "left",
+        )
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    return (
+        ranged.withColumn("_rn", in_part)
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(name, (F.col("_off") + F.col("_rn")).cast("int"))
+        .drop("_pid", "_rn", "_off")
+    )
 
 
 def asof_join(

@@ -10,6 +10,7 @@ from sqlitedataframe_spark.plans.introspect import (
     codegen_stage_count,
     exchange_count,
     explain_text,
+    global_window_count,
     partition_filters,
     pushed_filters,
     read_schemas,
@@ -21,6 +22,7 @@ __all__ = [
     "codegen_stage_count",
     "exchange_count",
     "explain_text",
+    "global_window_count",
     "partition_filters",
     "pushed_filters",
     "read_schemas",

@@ -88,6 +88,32 @@ def broadcast_join_count(df: DataFrame) -> int:
     return len(re.findall(r"Broadcast(?:Hash|NestedLoop)Join", explain_text(df, "simple")))
 
 
+def global_window_count(df: DataFrame) -> int:
+    """Number of UNPARTITIONED Window operators — the ones Spark executes on
+    a single task ("No Partition Defined" warning; total serialization at
+    scale). A partitioned Window line in the simple-mode tree has three
+    top-level bracket groups (exprs, partition spec, order spec); a global
+    one has two (no partition spec). Scale-safe plans assert this == 0."""
+    count = 0
+    for line in explain_text(df, "simple").splitlines():
+        stripped = line.strip().lstrip("+-*( )0123456789")
+        if not stripped.startswith("Window "):
+            continue
+        # Split on top-level "], [" separators to count bracket groups.
+        depth, groups = 0, 1
+        body = stripped[len("Window ") :]
+        for i, ch in enumerate(body):
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0 and body[i : i + 3] == "], ":
+                    groups += 1
+        if groups < 3:
+            count += 1
+    return count
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen spans; fewer spans for the same plan
     means wider fused pipelines."""

@@ -158,13 +158,27 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE BETWEEN value-based frame: suppliers with acctbal within +-500."""
+    """RANGE BETWEEN value-based frame: suppliers with acctbal within +-500.
+
+    Global RANGE semantics WITHOUT a global window: the bucketed
+    ``global_range_frame`` operator partitions the frame by value buckets
+    (operators/windows.py), so no single-partition WindowExec appears in
+    the plan.
+    """
+    from sqlitedataframe_spark.operators.windows import global_range_frame
+
     s = T(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_acctbal").rangeBetween(-500, 500)
-    return s.select(
+    out = global_range_frame(
+        s,
+        "s_acctbal",
+        -500,
+        500,
+        {"peers_within_500": lambda w: F.count(F.lit(1)).over(w)},
+    )
+    return out.select(
         "s_suppkey",
         F.round("s_acctbal", 2).alias("s_acctbal"),
-        F.count(F.lit(1)).over(w).alias("peers_within_500"),
+        "peers_within_500",
     ).orderBy("s_suppkey")
 
 

@@ -197,3 +197,66 @@ def test_multimodal_sample_frames(spark):
     rows = sample_frames(attach_media(df, "id", "text"), every_n=5, max_frames=4).collect()
     assert [(r.media_id, r.frame_idx) for r in rows] == [(7, 0), (7, 5), (7, 10)]
     assert all(len(bytes(r.frame_bytes)) == 3 for r in rows)
+
+
+# -- scale-safe rowid -------------------------------------------------------
+def test_with_rowid_matches_global_order(spark):
+    from sqlitedataframe_spark.operators.relational import with_rowid
+
+    # Multi-partition frame with ties in a prefix of the order key: rowids
+    # must be exactly 1..N following the total order.
+    rows = [(i % 7, i, f"v{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["grp", "seq", "v"]).repartition(8)
+    got = with_rowid(df, "grp", "seq").select("rowid", "grp", "seq").collect()
+    expect = sorted(rows, key=lambda r: (r[0], r[1]))
+    assert sorted(r.rowid for r in got) == list(range(1, 1001))
+    by_rowid = {r.rowid: (r.grp, r.seq) for r in got}
+    for i, (g, s, _) in enumerate(expect, start=1):
+        assert by_rowid[i] == (g, s)
+
+
+def test_with_rowid_empty_frame(spark):
+    from sqlitedataframe_spark.operators.relational import with_rowid
+
+    df = spark.createDataFrame([], "a int, b string")
+    assert with_rowid(df, "a").count() == 0
+
+
+# -- bucketed global range frame --------------------------------------------
+def test_global_range_frame_matches_bruteforce(spark):
+    from sqlitedataframe_spark.operators.windows import global_range_frame
+
+    import random
+
+    rng = random.Random(42)
+    vals = [round(rng.uniform(-1000, 1000), 2) for _ in range(500)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["id", "val"])
+    got = {
+        r.id: (r.peers, r.tot)
+        for r in global_range_frame(
+            df,
+            "val",
+            -75,
+            30,  # asymmetric bounds
+            {
+                "peers": lambda w: F.count(F.lit(1)).over(w),
+                "tot": lambda w: F.round(F.sum("val").over(w), 2),
+            },
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        frame = [u for u in vals if v - 75 <= u <= v + 30]
+        assert got[i][0] == len(frame), (i, v)
+        assert abs(got[i][1] - round(sum(frame), 2)) < 1e-6, (i, v)
+
+
+def test_global_range_frame_rejects_degenerate(spark):
+    from sqlitedataframe_spark.operators.windows import global_range_frame
+
+    import pytest
+
+    df = spark.createDataFrame([(1, 1.0)], ["id", "val"])
+    with pytest.raises(ValueError):
+        global_range_frame(df, "val", 0, 0, {"c": lambda w: F.count(F.lit(1)).over(w)})
+    with pytest.raises(ValueError):
+        global_range_frame(df, "val", -1, 1, {})

@@ -12,6 +12,7 @@ from sqlitedataframe_spark.io import load_table
 from sqlitedataframe_spark.plans import (
     broadcast_join_count,
     exchange_count,
+    global_window_count,
     partition_filters,
     pushed_filters,
     read_schemas,
@@ -103,3 +104,18 @@ def test_q21_no_fact_self_join(spark, sf_dir):
     functions over ONE lineitem scan, not three correlated re-scans."""
     q = load_all()["q21_waiting_supplier"].spark_fn(spark, sf_dir)
     assert scan_count(q) == 3  # lineitem + orders + supplier, each once
+
+
+def test_rowid_no_global_window(spark, sf_dir):
+    """with_rowid is the zipWithIndex shape: every Window in its plan must be
+    partitioned (by spark_partition_id) — the global-ordering contract may
+    not be met by serializing the frame through one task."""
+    q = load_all()["rowid_surrogate"].spark_fn(spark, sf_dir)
+    assert global_window_count(q) == 0
+
+
+def test_range_frame_no_global_window(spark, sf_dir):
+    """Global RANGE frame must run bucket-partitioned, not on one task."""
+    q = load_all()["window_range_frame"].spark_fn(spark, sf_dir)
+    assert global_window_count(q) == 0
+    assert exchange_count(q) <= 3  # bucket exchange + count/offset plumbing
