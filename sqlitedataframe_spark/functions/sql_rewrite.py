@@ -101,7 +101,7 @@ def _render_strftime(args: list[str]) -> str:
     fmt, x = args[0], args[1]
     if not (fmt.startswith("'") and fmt.endswith("'")):
         raise ValueError("strftime format must be a string literal")
-    body = fmt[1:-1]
+    body = fmt[1:-1].replace("''", "'")  # un-escape the SQL literal
     if body == "%s":
         return f"unix_timestamp({x})"
     out, i = [], 0
@@ -114,9 +114,17 @@ def _render_strftime(args: list[str]) -> str:
             i += 2
         else:
             ch = body[i]
-            out.append(ch if not ch.isalpha() else f"'{ch}'")
+            if ch == "'":
+                out.append("''")  # Java pattern: literal quote is ''
+            elif ch.isalpha():
+                out.append(f"'{ch}'")  # Java pattern: quote literal letters
+            else:
+                out.append(ch)
             i += 1
-    return f"date_format({x}, '{''.join(out)}')"
+    # Re-escape for splicing into a single-quoted SQL literal: a pattern
+    # like yyyy'T'HH must read date_format(x, 'yyyy''T''HH').
+    pattern_sql = "".join(out).replace("'", "''")
+    return f"date_format({x}, '{pattern_sql}')"
 
 
 def _render_group_concat(args: list[str]) -> str:

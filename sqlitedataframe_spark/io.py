@@ -46,8 +46,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
-    tune(spark)
-    return {n: spark.read.parquet(table_path(sf_dir, n)) for n in names}
+    # Route through load_table so normalizations (events ts nanos ->
+    # microsecond timestamp) apply identically on every entry point — SQL
+    # views and DataFrame callers must see the same types.
+    return {n: load_table(spark, sf_dir, n) for n in names}
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:

@@ -48,9 +48,18 @@ def _suppress_hot_buckets(
 # --------------------------------------------------------------------------
 def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Keep the min-id representative per duplicate group (deterministic,
-    unlike dropDuplicates' arbitrary winner). One shuffle on the key."""
-    keep = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, on=[*cols, id_col], how="left_semi")
+    unlike dropDuplicates' arbitrary winner). One shuffle on the key.
+
+    row_number-over-window formulation (not groupBy + semi-join): one
+    exchange instead of two plan branches, and NULL dedup keys group
+    together and keep their representative — a semi-join on the keys would
+    silently drop every NULL-keyed row (non-null-safe equality)."""
+    w = Window.partitionBy(*cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 # --------------------------------------------------------------------------

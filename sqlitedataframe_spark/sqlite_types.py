@@ -9,6 +9,7 @@ affinity rules (:171-194), DDL type map (:741-768).
 from __future__ import annotations
 
 import datetime as dt
+import re
 from decimal import Decimal
 from enum import Enum
 
@@ -123,13 +124,21 @@ def decode_cell(value, t: SQLiteType):
         if isinstance(value, (int, float)):
             v = int(value)
         else:
-            v = int(str(value))
+            # SQLite dynamic typing: TEXT can live in an INT-affinity column.
+            # sqlite3_column_int64 coerces (atoi semantics: longest numeric
+            # prefix, else 0) — one bad cell must not kill the read task.
+            v = _coerce_int(str(value))
         # beyond-int64 values round-trip via text in the reference; surface
         # them as string is lossy for LongType, so clamp-free passthrough and
         # let callers use a Decimal override for UInt64 semantics.
         return v if -(1 << 63) <= v <= INT64_MAX else None
     if t is SQLiteType.FLOAT:
-        return float(value) if not isinstance(value, (bytes, bytearray)) else None
+        if isinstance(value, (bytes, bytearray)):
+            return None
+        if isinstance(value, (int, float)):
+            return float(value)
+        # sqlite3_column_double coercion for TEXT (prefix parse, else 0.0).
+        return _coerce_float(str(value))
     if t is SQLiteType.TEXT:
         if isinstance(value, (bytes, bytearray)):
             return bytes(value).decode("utf-8", "replace")
@@ -148,6 +157,37 @@ def decode_cell(value, t: SQLiteType):
     if isinstance(value, (bytes, bytearray)):
         return bytes(value).decode("utf-8", "replace")
     return str(value)
+
+
+_INT_PREFIX = re.compile(r"^\s*[+-]?\d+")
+_FLOAT_PREFIX = re.compile(r"^\s*[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+
+
+def _coerce_int(text: str) -> int:
+    """SQLite TEXT->INTEGER coercion (sqlite3_column_int64 / CAST semantics):
+    longest leading integer prefix; else longest float prefix truncated;
+    else 0. Never raises."""
+    m = _INT_PREFIX.match(text)
+    if m:
+        return int(m.group())
+    m = _FLOAT_PREFIX.match(text)
+    if m:
+        try:
+            return int(float(m.group()))
+        except (ValueError, OverflowError):
+            return 0
+    return 0
+
+
+def _coerce_float(text: str) -> float:
+    """SQLite TEXT->REAL coercion: longest numeric prefix, else 0.0."""
+    m = _FLOAT_PREFIX.match(text)
+    if m:
+        try:
+            return float(m.group())
+        except ValueError:
+            return 0.0
+    return 0.0
 
 
 def decode_date(value) -> dt.datetime | None:

@@ -300,14 +300,20 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     ORDER BY c_custkey
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS as a LEFT ANTI join: customers with no orders at all."""
+    """NOT EXISTS as a LEFT ANTI join: customers with no URGENT order.
+
+    The build side is filtered (not the bare orders table) so the result is
+    non-empty at every SF — a zero-row pass would be weak oracle evidence.
+    """
     c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
@@ -425,16 +431,22 @@ def set_ops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_ops_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT o_custkey AS custkey FROM orders
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment <> 'BUILDING'
     """,
 )
 def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct semantics = DataFrame.subtract)."""
-    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    """EXCEPT (distinct semantics = DataFrame.subtract): ordering customers
+    outside the non-BUILDING segments — non-empty at every SF (a zero-row
+    pass would be weak oracle evidence)."""
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") != "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.subtract(c)
 
 
 # --------------------------------------------------------------------------
@@ -591,17 +603,21 @@ def date_julianday(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
     ORDER BY o_orderkey
     """,
 )
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery: price above 2x global average (broadcast scalar)."""
+    """Scalar subquery: price above 1.5x global average (broadcast scalar).
+
+    1.5x (not 2x) so the filter passes thousands of rows at sf0.01 — a
+    zero-row oracle match would be weak evidence.
+    """
     o = T(spark, sf_dir, "orders")
     avg_df = o.agg(F.avg("o_totalprice").alias("avg_price"))
     return (
         o.join(B(avg_df))  # 1-row broadcast: scalar subquery without collect()
-        .filter(F.col("o_totalprice") > 2 * F.col("avg_price"))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
         .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
         .orderBy("o_orderkey")
     )

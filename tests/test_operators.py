@@ -260,3 +260,32 @@ def test_global_range_frame_rejects_degenerate(spark):
         global_range_frame(df, "val", 0, 0, {"c": lambda w: F.count(F.lit(1)).over(w)})
     with pytest.raises(ValueError):
         global_range_frame(df, "val", -1, 1, {})
+
+
+def test_dedup_exact_null_keys_kept(spark):
+    """NULL dedup keys must group together and keep their min-id
+    representative, not vanish (ADVICE r1: semi-join dropped NULL-keyed
+    rows via non-null-safe equality)."""
+    from sqlitedataframe_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "a"), (5, None)],
+        ["id", "v"],
+    )
+    kept = sorted(r.id for r in D.dedup_exact(df, ["v"], "id").collect())
+    assert kept == [1, 2]
+
+
+def test_spread_avoids_rdd_probe(spark):
+    """spread() must not touch df.rdd (RDD bridge materialization)."""
+    from sqlitedataframe_spark.operators.util import spread
+    from pyspark.sql import DataFrame as DF
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        DF, "rdd", property(lambda self: (_ for _ in ()).throw(AssertionError("rdd touched")))
+    ):
+        out = spread(df, "k")
+    assert out.count() == 10

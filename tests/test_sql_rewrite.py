@@ -84,3 +84,20 @@ def test_end_to_end_strftime_julianday(views):
         "FROM orders WHERE o_orderkey = 1",
     ).collect()[0]
     assert len(row.ym) == 7 and row.jd > 2_400_000
+
+
+def test_translate_strftime_literal_letters():
+    """Literal letters in the format must be quoted AND the quotes escaped
+    when spliced into the single-quoted SQL literal."""
+    out = translate_sqlite_sql("SELECT strftime('%YT%H', ts) FROM t")
+    assert "date_format(ts, 'yyyy''T''HH')" in out
+
+
+def test_translate_strftime_literal_letters_runs(spark):
+    from sqlitedataframe_spark.functions.sql_rewrite import sqlite_sql
+
+    spark.sql("SELECT timestamp'2024-03-05 07:00:00' AS ts").createOrReplaceTempView(
+        "one_ts"
+    )
+    row = sqlite_sql(spark, "SELECT strftime('%YT%H', ts) AS s FROM one_ts").first()
+    assert row.s == "2024T07"

@@ -156,3 +156,20 @@ def test_ddl_decl():
     assert ddl_decl(ST.StructField("n", ST.LongType())) == '"n" INT'
     assert ddl_decl(ST.StructField("d", ST.TimestampType())) == '"d" DATE'
     assert ddl_decl(ST.StructField("x", ST.ArrayType(ST.LongType()))) == '"x"'
+
+
+def test_decode_int_coerces_bad_text():
+    """SQLite dynamic typing: TEXT in an INT column coerces (atoi), never
+    raises — one bad cell must not kill a read task."""
+    assert decode_cell("abc", SQLiteType.INT) == 0
+    assert decode_cell("42abc", SQLiteType.INT) == 42
+    assert decode_cell("  -7xyz", SQLiteType.INT) == -7
+    assert decode_cell("3.9", SQLiteType.INT) == 3
+    assert decode_cell("", SQLiteType.INT) == 0
+
+
+def test_decode_float_coerces_bad_text():
+    assert decode_cell("abc", SQLiteType.FLOAT) == 0.0
+    assert decode_cell("2.5x", SQLiteType.FLOAT) == 2.5
+    assert decode_cell("-1e3garbage", SQLiteType.FLOAT) == -1000.0
+    assert decode_cell("1.25", SQLiteType.FLOAT) == 1.25
