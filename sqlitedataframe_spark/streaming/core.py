@@ -217,6 +217,55 @@ def stream_to_sqlite(
     )
 
 
+def stream_upsert_to_sqlite(
+    stream_df: DataFrame,
+    db_path: str,
+    table: str,
+    key_cols: list[str],
+    checkpoint: str | None = None,
+):
+    """Incremental UPSERT streaming sink: each micro-batch MERGEs into the
+    SQLite table on ``key_cols`` (INSERT .. ON CONFLICT DO UPDATE through
+    ``upsert_sql``) instead of appending.
+
+    This is the idiomatic pattern for maintaining a *materialized view* in
+    an external store from an update-mode aggregation: re-emitted keys
+    overwrite their previous row, so replays and update-mode re-emissions
+    are idempotent — exactly-once EFFECT without exactly-once delivery.
+    The first batch creates the table (DDL from the Spark schema) with a
+    UNIQUE index on the key columns, which SQLite's ON CONFLICT requires.
+
+    Returns the started StreamingQuery (AvailableNow trigger); pass the
+    SAME ``checkpoint`` across restarts to resume incrementally.
+    """
+    from sqlitedataframe_spark.sources.sqlite import (
+        exec_sql,
+        table_exists,
+        upsert_sql,
+        write_sql,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not table_exists(db_path, table):
+            # DDL from schema, then the unique key ON CONFLICT targets.
+            write_sql(batch_df.limit(0), db_path, table=table, if_exists="replace")
+            quoted = ", ".join(f'"{k}"' for k in key_cols)
+            exec_sql(
+                db_path,
+                f'CREATE UNIQUE INDEX "idx_{table}_upsert" ON "{table}" ({quoted})',
+            )
+        upsert_sql(batch_df, db_path, table, key_cols)
+
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="sdf_ckpt_")
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of read_events_stream (for equivalence tests)."""
     return load_table(spark, sf_dir, "events")

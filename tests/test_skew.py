@@ -35,3 +35,49 @@ def test_salted_join_equals_plain(spark):
     salted = salted_join(left, right, "k")
     assert salted.count() == plain.count() == 501
     assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
+
+
+def test_salted_join_adversarial_hot_key(spark):
+    """90% of the probe side lands on ONE key. The salted join must (a)
+    equal the plain join, and (b) actually spread the hot key across salt
+    buckets so no single (key, salt) group holds more than ~2/buckets of
+    the hot rows."""
+    buckets = 8
+    hot_n, cold_n = 20_000, 2_000
+    left = (
+        spark.range(hot_n + cold_n)
+        .withColumn(
+            "k",
+            F.when(F.col("id") < hot_n, F.lit("HOT")).otherwise(
+                F.concat(F.lit("cold_"), (F.col("id") % 100).cast("string"))
+            ),
+        )
+        .withColumn("lv", F.col("id") * 2)
+        .drop("id")
+    )
+    right = spark.createDataFrame(
+        [("HOT", -1)] + [(f"cold_{i}", i) for i in range(100)], ["k", "rv"]
+    )
+
+    from sqlitedataframe_spark.operators.skew import salted_join
+
+    got = salted_join(left, right, "k")
+    plain = left.join(right, "k")
+    assert got.count() == plain.count() == hot_n + cold_n
+    assert (
+        got.agg(F.sum(F.col("lv") + F.col("rv"))).collect()[0][0]
+        == plain.agg(F.sum(F.col("lv") + F.col("rv"))).collect()[0][0]
+    )
+
+    # distribution property: the salted left's largest (k, salt) shard of
+    # the hot key is far below the unsalted hot-key group size
+    salted_left = left.withColumn("_salt", (F.rand(seed=7) * buckets).cast("int"))
+    shard_sizes = [
+        r.n
+        for r in salted_left.filter(F.col("k") == "HOT")
+        .groupBy("_salt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(shard_sizes) == buckets  # every bucket participates
+    assert max(shard_sizes) < hot_n * 2 / buckets

@@ -174,3 +174,49 @@ def test_tumbling_stream_equals_batch(spark, sf_dir):
     )
     assert stream_res.exceptAll(batch_res).isEmpty()
     assert batch_res.exceptAll(stream_res).isEmpty()
+
+
+def test_stream_upsert_incremental_restart(spark, tmp_path):
+    """Incremental materialized view: run an update-mode aggregation to a
+    SQLite upsert sink, append MORE source files, resume from the SAME
+    checkpoint — re-emitted keys must overwrite, not duplicate, and the
+    final table must equal the batch aggregate over all files."""
+    import sqlite3
+
+    from sqlitedataframe_spark.streaming.core import stream_upsert_to_sqlite
+
+    src = tempfile.mkdtemp(prefix="upsert_src_")
+    ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
+    db = str(tmp_path / "view.db")
+
+    batch1 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10)], ["k", "v"]
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("k string, v long").parquet(src)
+        agg = stream.groupBy("k").agg(
+            F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+        )
+        q = stream_upsert_to_sqlite(agg, db, "totals", ["k"], checkpoint=ckpt)
+        q.awaitTermination()
+
+    run_once()
+    conn = sqlite3.connect(db)
+    assert dict(
+        (k, (t, n)) for k, t, n in conn.execute("SELECT k, total, n FROM totals")
+    ) == {"a": (3, 2), "b": (10, 1)}
+
+    # new source files arrive; resume from the same checkpoint
+    spark.createDataFrame([("a", 4), ("c", 7)], ["k", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    rows = dict(
+        (k, (t, n)) for k, t, n in conn.execute("SELECT k, total, n FROM totals")
+    )
+    conn.close()
+    assert rows == {"a": (7, 3), "b": (10, 1), "c": (7, 1)}
+    # upsert, not append: exactly one row per key
+    assert len(rows) == 3
