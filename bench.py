@@ -69,6 +69,10 @@ HEADLINE = [
     "window_topk_per_group",
     "window_running_sum",
     "window_ranking",
+    "window_range_frame",
+    "window_groups_frame",
+    "window_frame_exclude",
+    "rowid_fact_scale",
     "join_full_outer",
     "window_distribution",
     "pivot_segments",

@@ -5,8 +5,16 @@ Spark evaluates an ORDER BY window with no PARTITION BY on a single task
 cluster scale. ``global_range_frame`` re-expresses the global value-RANGE
 frame as a bucketed, fully partitioned plan with identical semantics.
 
-Reference parity: the reference delegates RANGE frames to SQLite's window
-engine (single-threaded by nature); this is the distributed re-expression.
+``groups_frame`` implements SQL's GROUPS frame mode (frames counted in
+peer groups) and the EXCLUDE clause — both absent from Spark's window
+engine — as compositions of partitioned windows: dense_rank gives the
+group index, group-level partial aggregates make GROUPS a RANGE frame
+over that index, and EXCLUDE falls out of invertible-aggregate
+arithmetic (frame − group ± current).
+
+Reference parity: the reference delegates every frame mode to SQLite's
+window engine (single-threaded by nature; GROUPS/EXCLUDE are SQLite 3.28+
+features); these are the distributed re-expressions.
 """
 
 from __future__ import annotations
@@ -76,3 +84,115 @@ def global_range_frame(
         *[fn(w).alias(name) for name, fn in aggs.items()],
     )
     return out.filter(F.col("_delta") == 0).drop("_delta")
+
+
+#: agg name -> (row-level partial exprs, group-combiner over partials,
+#: invertible). Partials are per peer group; the combiner re-aggregates
+#: them over the GROUPS frame; invertible aggs additionally support the
+#: EXCLUDE arithmetic (frame − group ± current).
+_GROUPS_AGGS = {
+    "sum": True,
+    "count": True,
+    "avg": True,
+    "min": False,
+    "max": False,
+}
+
+_EXCLUDES = ("no others", "current row", "group", "ties")
+
+
+def groups_frame(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_col: str,
+    lower: int,
+    upper: int,
+    agg: str,
+    value_col: str,
+    out_name: str,
+    exclude: str = "no others",
+) -> DataFrame:
+    """SQL ``GROUPS BETWEEN lower AND upper [EXCLUDE ...]`` window frame —
+    a frame counted in *peer groups* (rows tying on the order key), which
+    Spark's window engine does not implement (SQLite 3.28+ and DuckDB do;
+    declared a gap in round 1, now closed).
+
+    Composition, every step partitioned by ``partition_cols``:
+
+    1. ``dense_rank`` over (partition, order) = the 1-based group index g;
+    2. one row of partial aggregates per (partition, g) — sum/count/min/max
+       partials over the group's rows;
+    3. the GROUPS frame is now exactly a RANGE frame over g (group indexes
+       are dense integers), evaluated on the *group-level* rows — state per
+       partition is #distinct-order-values, not #rows;
+    4. join the frame result back on (partition, g) — a co-partitioned
+       shuffle join;
+    5. EXCLUDE arithmetic on invertible aggs (sum/count/avg):
+       ``current row`` subtracts the row's own value, ``group`` subtracts
+       the row's whole peer group, ``ties`` subtracts the peers but adds
+       the row back. min/max support ``exclude='no others'`` only (not
+       invertible; matching SQL engines' own algebraic limits would need a
+       segment-tree pass — out of scope).
+
+    ``agg`` in {sum, count, avg, min, max}; ``count`` counts rows (pass any
+    value_col). NULL values in ``value_col`` follow SQL aggregate semantics
+    (ignored by sum/avg/min/max; the exclusion arithmetic coalesces them
+    to 0).
+    """
+    if agg not in _GROUPS_AGGS:
+        raise ValueError(f"agg must be one of {sorted(_GROUPS_AGGS)}")
+    if exclude not in _EXCLUDES:
+        raise ValueError(f"exclude must be one of {_EXCLUDES}")
+    if exclude != "no others" and not _GROUPS_AGGS[agg]:
+        raise ValueError(f"EXCLUDE requires an invertible aggregate, not {agg!r}")
+
+    P = [F.col(c) for c in partition_cols]
+    g_win = Window.partitionBy(*P).orderBy(order_col)
+    rows = df.withColumn("_g", F.dense_rank().over(g_win))
+
+    glevel = rows.groupBy(*partition_cols, "_g").agg(
+        F.sum(F.col(value_col).cast("double")).alias("_gsum"),
+        F.count(value_col).alias("_gcnt"),
+        F.min(value_col).alias("_gmin"),
+        F.max(value_col).alias("_gmax"),
+    )
+    fw = Window.partitionBy(*P).orderBy("_g").rangeBetween(lower, upper)
+    frame = glevel.select(
+        *partition_cols,
+        "_g",
+        "_gsum",
+        "_gcnt",
+        F.sum("_gsum").over(fw).alias("_fsum"),
+        F.sum("_gcnt").over(fw).alias("_fcnt"),
+        F.min("_gmin").over(fw).alias("_fmin"),
+        F.max("_gmax").over(fw).alias("_fmax"),
+    )
+
+    joined = rows.join(frame, on=[*partition_cols, "_g"])
+    v = F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))
+    v_cnt = F.when(F.col(value_col).isNull(), 0).otherwise(1)
+    fsum, fcnt = F.col("_fsum"), F.col("_fcnt")
+    gsum = F.coalesce(F.col("_gsum"), F.lit(0.0))
+    gcnt = F.col("_gcnt")
+    if exclude == "current row":
+        esum, ecnt = fsum - v, fcnt - v_cnt
+    elif exclude == "group":
+        esum, ecnt = fsum - gsum, fcnt - gcnt
+    elif exclude == "ties":
+        esum, ecnt = fsum - gsum + v, fcnt - gcnt + v_cnt
+    else:
+        esum, ecnt = fsum, fcnt
+
+    if agg == "sum":
+        # SQL: empty frame (or all-NULL) -> NULL
+        result = F.when(ecnt > 0, esum)
+    elif agg == "count":
+        result = ecnt.cast("bigint")
+    elif agg == "avg":
+        result = F.when(ecnt > 0, esum / ecnt)
+    elif agg == "min":
+        result = F.col("_fmin")
+    else:
+        result = F.col("_fmax")
+
+    return joined.select(*df.columns, result.alias(out_name))

@@ -3,8 +3,10 @@ ROLLUP/CUBE/GROUPING SETS (a Spark capability upgrade — SQLite lacks them).
 
 Windows partition by a key, so Spark shuffles once on the partition key and
 sorts within partitions — the same plan shape at any scale. Frames (ROWS and
-RANGE) map 1:1 onto pyspark.sql.Window. GROUPS frames / EXCLUDE clauses are
-documented unsupported (SURVEY §7 risk 7).
+RANGE) map 1:1 onto pyspark.sql.Window. GROUPS frames and the EXCLUDE
+clause (SQLite 3.28+ features, absent from Spark's window engine) are
+implemented as the ``operators/windows.groups_frame`` composition —
+declared a gap in round 1, closed in round 2.
 """
 
 from __future__ import annotations
@@ -180,6 +182,87 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s_acctbal", 2).alias("s_acctbal"),
         "peers_within_500",
     ).orderBy("s_suppkey")
+
+
+# --------------------------------------------------------------------------
+# GROUPS frames + EXCLUDE clause (SQLite 3.28 surface Spark lacks) via the
+# dense_rank / group-partial composition in operators/windows.groups_frame.
+# DuckDB also lacks GROUPS mode, so the oracle spells the identical frame as
+# RANGE over DENSE_RANK (a GROUPS frame IS a RANGE frame on the dense group
+# index); EXCLUDE is native DuckDB.
+# --------------------------------------------------------------------------
+@query(
+    "window_groups_frame",
+    oracle="""
+    WITH g AS (SELECT p_brand, p_partkey, p_retailprice,
+                      DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size)
+                        AS dr
+               FROM part)
+    SELECT p_brand, p_partkey,
+           ROUND(SUM(p_retailprice) OVER w, 2) AS grp_sum,
+           CAST(COUNT(p_partkey) OVER w AS BIGINT) AS grp_cnt
+    FROM g
+    WINDOW w AS (PARTITION BY p_brand ORDER BY dr
+                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    ORDER BY p_brand, p_partkey
+    """,
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING: sum and count over the
+    current peer group (rows tying on p_size) and both neighbor groups."""
+    from sqlitedataframe_spark.operators.windows import groups_frame
+
+    p = T(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_size", "p_retailprice")
+    s = groups_frame(p, ["p_brand"], "p_size", -1, 1, "sum", "p_retailprice", "grp_sum")
+    out = groups_frame(
+        s, ["p_brand"], "p_size", -1, 1, "count", "p_partkey", "grp_cnt"
+    )
+    return out.select(
+        "p_brand",
+        "p_partkey",
+        F.round("grp_sum", 2).alias("grp_sum"),
+        "grp_cnt",
+    ).orderBy("p_brand", "p_partkey")
+
+
+@query(
+    "window_frame_exclude",
+    oracle="""
+    WITH g AS (SELECT p_brand, p_partkey, p_retailprice,
+                      DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size)
+                        AS dr
+               FROM part)
+    SELECT p_brand, p_partkey,
+           ROUND(AVG(p_retailprice) OVER (PARTITION BY p_brand ORDER BY dr
+                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES)
+                 + 1e-9, 4) AS avg_excl_ties,
+           CAST(COUNT(p_partkey) OVER (PARTITION BY p_brand ORDER BY dr
+                 RANGE BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE GROUP)
+                AS BIGINT) AS cnt_excl_group
+    FROM g
+    ORDER BY p_brand, p_partkey
+    """,
+)
+def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE TIES / EXCLUDE GROUP on GROUPS frames — the invertible-
+    aggregate arithmetic (frame − group ± current) in groups_frame."""
+    from sqlitedataframe_spark.operators.windows import groups_frame
+
+    p = T(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_size", "p_retailprice")
+    s = groups_frame(
+        p, ["p_brand"], "p_size", -1, 1, "avg", "p_retailprice",
+        "avg_excl_ties", exclude="ties",
+    )
+    out = groups_frame(
+        s, ["p_brand"], "p_size", -2, 0, "count", "p_partkey",
+        "cnt_excl_group", exclude="group",
+    )
+    return out.select(
+        "p_brand",
+        "p_partkey",
+        F.round(F.col("avg_excl_ties") + 1e-9, 4).alias("avg_excl_ties"),
+        "cnt_excl_group",
+    ).orderBy("p_brand", "p_partkey")
 
 
 # --------------------------------------------------------------------------

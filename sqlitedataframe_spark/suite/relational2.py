@@ -347,6 +347,30 @@ def rowid_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_rowid(n, "n_nationkey").select("rowid", "n_name").orderBy("rowid")
 
 
+@query(
+    "rowid_fact_scale",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS INT)
+             AS rowid,
+           o_orderkey
+    FROM orders
+    ORDER BY rowid
+    """,
+)
+def rowid_fact_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rowid over a FACT-sized table and a two-column order (date + unique
+    tiebreaker): exercises the zipWithIndex shape (range exchange +
+    partitioned numbering + broadcast offsets) where the old global
+    row_number would have serialized. No single-partition WindowExec —
+    the property `test_plans.py::test_rowid_no_global_window` asserts."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        with_rowid(o, "o_orderdate", "o_orderkey")
+        .select("rowid", "o_orderkey")
+        .orderBy("rowid")
+    )
+
+
 # --------------------------------------------------------------------------
 # As-of join (time-series operator Spark lacks as a primitive)
 # --------------------------------------------------------------------------

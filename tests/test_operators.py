@@ -289,3 +289,81 @@ def test_spread_avoids_rdd_probe(spark):
     ):
         out = spread(df, "k")
     assert out.count() == 10
+
+
+def test_groups_frame_matches_bruteforce(spark):
+    from sqlitedataframe_spark.operators.windows import groups_frame
+
+    import random
+
+    rng = random.Random(7)
+    # many ties (order key 0..5) and some NULL values
+    rows = [
+        (i, i % 3, rng.randint(0, 5), None if i % 11 == 0 else float(rng.randint(1, 9)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["id", "p", "o", "v"])
+
+    def brute(exclude, agg, lo, hi):
+        out = {}
+        for i, p, o, v in rows:
+            peers = [r for r in rows if r[1] == p]
+            dr = sorted({r[2] for r in peers})
+            g = dr.index(o) + 1
+            frame = [r for r in peers if g + lo <= dr.index(r[2]) + 1 <= g + hi]
+            if exclude == "current row":
+                frame = [r for r in frame if r[0] != i]
+            elif exclude == "group":
+                frame = [r for r in frame if r[2] != o]
+            elif exclude == "ties":
+                frame = [r for r in frame if r[2] == o and r[0] == i or r[2] != o]
+            vals = [r[3] for r in frame if r[3] is not None]
+            if agg == "sum":
+                out[i] = sum(vals) if vals else None
+            elif agg == "count":
+                out[i] = len(vals)
+            elif agg == "avg":
+                out[i] = sum(vals) / len(vals) if vals else None
+            elif agg == "min":
+                out[i] = min(vals) if vals else None
+            else:
+                out[i] = max(vals) if vals else None
+        return out
+
+    cases = [
+        ("no others", "sum", -1, 1),
+        ("current row", "sum", -1, 1),
+        ("group", "avg", -2, 0),
+        ("ties", "count", 0, 2),
+        ("no others", "min", -1, 1),
+        ("no others", "max", -1, 0),
+    ]
+    for exclude, agg, lo, hi in cases:
+        got = {
+            r.id: r.res
+            for r in groups_frame(
+                df, ["p"], "o", lo, hi, agg, "v", "res", exclude=exclude
+            ).collect()
+        }
+        exp = brute(exclude, agg, lo, hi)
+        for i in got:
+            if exp[i] is None:
+                assert got[i] is None, (exclude, agg, i)
+            else:
+                assert got[i] is not None and abs(got[i] - exp[i]) < 1e-9, (
+                    exclude, agg, i, got[i], exp[i],
+                )
+
+
+def test_groups_frame_rejects_bad_args(spark):
+    from sqlitedataframe_spark.operators.windows import groups_frame
+
+    import pytest
+
+    df = spark.createDataFrame([(1, 1, 1.0)], ["p", "o", "v"])
+    with pytest.raises(ValueError):
+        groups_frame(df, ["p"], "o", -1, 1, "median", "v", "x")
+    with pytest.raises(ValueError):
+        groups_frame(df, ["p"], "o", -1, 1, "sum", "v", "x", exclude="everything")
+    with pytest.raises(ValueError):
+        groups_frame(df, ["p"], "o", -1, 1, "min", "v", "x", exclude="ties")
