@@ -43,7 +43,18 @@ def _ordered_names() -> list[str]:
         except (OSError, ValueError):
             continue
     names = list(reg.keys())
-    return [n for n in names if n not in seen] + [n for n in names if n in seen]
+    # Within the never-checked group, lead with the end-to-end bridge
+    # round-trips (they prove the whole Tier A surface and register LAST in
+    # module order, so a bounded capture would otherwise drop them first).
+    lead = [
+        "sqlite_roundtrip",
+        "sqlite_dialect_sql",
+        "source_csv_roundtrip",
+        "source_json_roundtrip",
+    ]
+    unseen = [n for n in names if n not in seen]
+    unseen = [n for n in lead if n in unseen] + [n for n in unseen if n not in lead]
+    return unseen + [n for n in names if n in seen]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -89,6 +89,7 @@ HEADLINE = [
     "string_funcs",
     "date_funcs",
     "events_json",
+    "events_json_variant",
     "events_window_tumbling",
     "events_window_sliding",
     "events_sessionize",

@@ -43,6 +43,40 @@ def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_json_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_high,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_high_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType JSON path: ``parse_json`` ONCE per row, then
+    ``variant_get`` extractions and predicates operate on the binary
+    variant encoding — the scale-right upgrade over repeated
+    ``get_json_object`` calls, each of which re-parses the JSON text
+    (SURVEY §2 Tier B JSON row: "VariantType in Spark 4")."""
+    e = T(spark, sf_dir, "events")
+    v = e.withColumn("v", F.parse_json("props")).withColumn(
+        "k", F.variant_get("v", "$.k", "bigint")
+    )
+    return (
+        v.filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high"),
+            F.sum("k").alias("sum_high_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "events_window_tumbling",
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
