@@ -95,6 +95,7 @@ class SQLiteReader(DataSourceReader):
         self.auto_partitions = options.get("auto_partitions") == "1"
         self.rowid_min = options.get("rowid_min")
         self.rowid_max = options.get("rowid_max")
+        self.any_mode = options.get("any_mode") or "string"
 
     def partitions(self) -> Sequence[InputPartition]:
         # Table scans split the rowid keyspace into disjoint ranges so each
@@ -135,7 +136,9 @@ class SQLiteReader(DataSourceReader):
             idx = [names.index(c) for c in self.columns]
             ts = [self.types.get(c, SQLiteType.ANY) for c in self.columns]
             for row in cur:
-                yield tuple(decode_cell(row[i], t) for i, t in zip(idx, ts))
+                yield tuple(
+                    decode_cell(row[i], t, self.any_mode) for i, t in zip(idx, ts)
+                )
         finally:
             conn.close()
 
@@ -191,7 +194,7 @@ class SQLiteDataSource(DataSource):
     def schema(self):
         names = json.loads(self.options["columns"])
         types = {k: SQLiteType(v) for k, v in json.loads(self.options["types"]).items()}
-        return spark_schema(names, types)
+        return spark_schema(names, types, self.options.get("any_mode") or "string")
 
     def reader(self, schema: StructType) -> SQLiteReader:
         return SQLiteReader(self.options, schema)
@@ -288,6 +291,7 @@ def read_sql(
     columns: Sequence[str] | None = None,
     types: dict[str, SQLiteType | str] | None = None,
     num_partitions: int | None = None,
+    any_mode: str = "string",
 ) -> DataFrame:
     """Read a SQLite table or SQL statement into a Spark DataFrame.
 
@@ -295,9 +299,18 @@ def read_sql(
     reference :248-253) and init(connection:statement:...) (:295-304) with
     the same type-resolution priority: caller override -> decltype affinity
     -> .any (:364-374).
+
+    ``any_mode`` controls how dynamically typed (`.any`) cells materialize:
+    ``"string"`` (default, SURVEY §1.4 lossless-string policy) or
+    ``"struct"`` — the tagged union ``ANY_STRUCT_TYPE`` mirroring the
+    reference's runtime-typed SQLiteValue (SQLiteDataFrame.swift:77-83,
+    512-527); struct cells round-trip through write_sql with their original
+    storage class.
     """
     if (table is None) == (statement is None):
         raise ValueError("exactly one of table= or statement= is required")
+    if any_mode not in ("string", "struct"):
+        raise ValueError("any_mode must be 'string' or 'struct'")
     tune(spark)
     _register(spark)
     overrides = {
@@ -360,6 +373,7 @@ def read_sql(
         .option("types", json.dumps({k: v.value for k, v in col_types.items()}))
         .option("num_partitions", str(num_partitions or _DEFAULT_READ_PARTITIONS))
         .option("auto_partitions", "0" if num_partitions else "1")
+        .option("any_mode", any_mode)
     )
     if table is not None:
         reader = reader.option("table", table)

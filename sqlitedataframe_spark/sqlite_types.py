@@ -68,6 +68,38 @@ def affinity(decltype: str | None) -> SQLiteType:
     return SQLiteType.ANY
 
 
+#: Tagged-union Spark form of the reference's 5-tag ``SQLiteValue``
+#: (SQLiteDataFrame.swift:77-83): the lossless runtime-typed representation
+#: of a dynamically typed (`.any`) cell. ``kind`` in {'int','real','text',
+#: 'blob'}; a NULL cell is a NULL struct. Used when ``any_mode='struct'``.
+ANY_STRUCT_TYPE = ST.StructType(
+    [
+        ST.StructField("kind", ST.StringType(), False),
+        ST.StructField("int_value", ST.LongType(), True),
+        ST.StructField("real_value", ST.DoubleType(), True),
+        ST.StructField("text_value", ST.StringType(), True),
+        ST.StructField("blob_value", ST.BinaryType(), True),
+    ]
+)
+
+
+def any_struct_cell(value):
+    """Runtime SQLite value -> tagged-union tuple for ANY_STRUCT_TYPE."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return ("int", int(value), None, None, None)
+    if isinstance(value, int):
+        if -(1 << 63) <= value <= INT64_MAX:
+            return ("int", value, None, None, None)
+        return ("text", None, None, str(value), None)
+    if isinstance(value, float):
+        return ("real", None, value, None, None)
+    if isinstance(value, (bytes, bytearray)):
+        return ("blob", None, None, None, bytes(value))
+    return ("text", None, None, str(value), None)
+
+
 #: SQLiteType -> Spark type (SURVEY §1.4). All nullable: the reference keeps
 #: every frame column nullable even for NOT NULL SQL columns (README.md:60).
 SPARK_TYPE: dict[SQLiteType, ST.DataType] = {
@@ -99,9 +131,16 @@ DDL_TYPE: dict[type, str] = {
 }
 
 
-def spark_schema(names: list[str], types: dict[str, SQLiteType]) -> ST.StructType:
+def spark_schema(
+    names: list[str], types: dict[str, SQLiteType], any_mode: str = "string"
+) -> ST.StructType:
+    def spark_type(t: SQLiteType) -> ST.DataType:
+        if t is SQLiteType.ANY and any_mode == "struct":
+            return ANY_STRUCT_TYPE
+        return SPARK_TYPE[t]
+
     return ST.StructType(
-        [ST.StructField(n, SPARK_TYPE[types.get(n, SQLiteType.ANY)], True) for n in names]
+        [ST.StructField(n, spark_type(types.get(n, SQLiteType.ANY)), True) for n in names]
     )
 
 
@@ -117,9 +156,11 @@ def ddl_decl(field: ST.StructField) -> str:
 # Mirrors the reference's typed decode switch (SQLiteDataFrame.swift:454-527)
 # including the 3-format date rule (:491-511) and bool != 0 (:455-456).
 # --------------------------------------------------------------------------
-def decode_cell(value, t: SQLiteType):
+def decode_cell(value, t: SQLiteType, any_mode: str = "string"):
     if value is None:
         return None
+    if t is SQLiteType.ANY and any_mode == "struct":
+        return any_struct_cell(value)
     if t is SQLiteType.INT:
         if isinstance(value, (int, float)):
             v = int(value)
@@ -219,6 +260,14 @@ def decode_date(value) -> dt.datetime | None:
 def encode_cell(value):
     if value is None:
         return None
+    # Tagged-union round-trip (any_mode='struct'): a Row/tuple shaped like
+    # ANY_STRUCT_TYPE binds its underlying runtime value back, so mixed
+    # storage classes survive read->write unchanged.
+    kind = getattr(value, "kind", None)
+    if kind in ("int", "real", "text", "blob"):
+        field = {"int": "int_value", "real": "real_value",
+                 "text": "text_value", "blob": "blob_value"}[kind]
+        return encode_cell(getattr(value, field, None))
     if isinstance(value, bool):
         return 1 if value else 0
     if isinstance(value, int):

@@ -268,3 +268,50 @@ def test_write_statement_with_question_in_literal(spark, tmp_path):
     rows = sorted(conn.execute("SELECT body, tag FROM notes").fetchall())
     conn.close()
     assert rows == [("why?", "hello"), ("why?", "world")]
+
+
+# -- runtime-typed .any cells (reference SQLiteValue parity) ------------------
+def test_any_struct_mode_roundtrip(spark, tmp_path):
+    """A decltype-less column holding four storage classes reads as the
+    tagged union (any_mode='struct') and writes back with the ORIGINAL
+    storage class per cell — the reference's .any/SQLiteValue semantics
+    (SQLiteDataFrame.swift:77-83, 512-527), which the default string mode
+    flattens."""
+    db = str(tmp_path / "any.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE mixed (id INTEGER PRIMARY KEY, v)")  # no decltype
+    conn.executemany(
+        "INSERT INTO mixed (id, v) VALUES (?, ?)",
+        [(1, 42), (2, 2.5), (3, "word"), (4, b"\x01\x02"), (5, None)],
+    )
+    conn.commit()
+    conn.close()
+
+    df = read_sql(spark, db, table="mixed", any_mode="struct")
+    rows = {r.id: r.v for r in df.collect()}
+    assert rows[1].kind == "int" and rows[1].int_value == 42
+    assert rows[2].kind == "real" and rows[2].real_value == 2.5
+    assert rows[3].kind == "text" and rows[3].text_value == "word"
+    assert rows[4].kind == "blob" and bytes(rows[4].blob_value) == b"\x01\x02"
+    assert rows[5] is None
+
+    out = str(tmp_path / "any_out.db")
+    write_sql(df, out, table="mixed2", if_exists="replace")
+    conn = sqlite3.connect(out)
+    back = dict(conn.execute("SELECT id, typeof(v) FROM mixed2").fetchall())
+    conn.close()
+    assert back == {1: "integer", 2: "real", 3: "text", 4: "blob", 5: "null"}
+
+
+def test_any_string_mode_unchanged(spark, tmp_path):
+    """Default mode keeps the SURVEY §1.4 lossless-string policy."""
+    db = str(tmp_path / "any2.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE mixed (id INTEGER PRIMARY KEY, v)")
+    conn.executemany(
+        "INSERT INTO mixed (id, v) VALUES (?, ?)", [(1, 42), (2, "word")]
+    )
+    conn.commit()
+    conn.close()
+    rows = {r.id: r.v for r in read_sql(spark, db, table="mixed").collect()}
+    assert rows == {1: "42", 2: "word"}
