@@ -112,20 +112,38 @@ def groups_frame(
     out_name: str,
     exclude: str = "no others",
 ) -> DataFrame:
-    """SQL ``GROUPS BETWEEN lower AND upper [EXCLUDE ...]`` window frame —
-    a frame counted in *peer groups* (rows tying on the order key), which
+    """Single-aggregate convenience wrapper over ``groups_frames``."""
+    return groups_frames(
+        df, partition_cols, order_col,
+        [(lower, upper, agg, value_col, out_name, exclude)],
+    )
+
+
+def groups_frames(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_col: str,
+    specs: list[tuple],
+) -> DataFrame:
+    """SQL ``GROUPS BETWEEN lower AND upper [EXCLUDE ...]`` window frames —
+    frames counted in *peer groups* (rows tying on the order key), which
     Spark's window engine does not implement (SQLite 3.28+ and DuckDB do;
     declared a gap in round 1, now closed).
+
+    ``specs`` is a list of ``(lower, upper, agg, value_col, out_name,
+    exclude)`` tuples — EVERY spec is computed in one shared pass (one
+    dense_rank, one group-level aggregate, one join back), so asking for N
+    window aggregates costs one composition, not N.
 
     Composition, every step partitioned by ``partition_cols``:
 
     1. ``dense_rank`` over (partition, order) = the 1-based group index g;
     2. one row of partial aggregates per (partition, g) — sum/count/min/max
-       partials over the group's rows;
-    3. the GROUPS frame is now exactly a RANGE frame over g (group indexes
+       partials per referenced value column;
+    3. each GROUPS frame is now exactly a RANGE frame over g (group indexes
        are dense integers), evaluated on the *group-level* rows — state per
        partition is #distinct-order-values, not #rows;
-    4. join the frame result back on (partition, g) — a co-partitioned
+    4. join the frame results back on (partition, g) — a co-partitioned
        shuffle join;
     5. EXCLUDE arithmetic on invertible aggs (sum/count/avg):
        ``current row`` subtracts the row's own value, ``group`` subtracts
@@ -134,65 +152,81 @@ def groups_frame(
        invertible; matching SQL engines' own algebraic limits would need a
        segment-tree pass — out of scope).
 
-    ``agg`` in {sum, count, avg, min, max}; ``count`` counts rows (pass any
-    value_col). NULL values in ``value_col`` follow SQL aggregate semantics
-    (ignored by sum/avg/min/max; the exclusion arithmetic coalesces them
-    to 0).
+    ``agg`` in {sum, count, avg, min, max}; ``count`` counts non-NULL
+    ``value_col`` rows. NULL values follow SQL aggregate semantics (ignored
+    by sum/avg/min/max; the exclusion arithmetic coalesces them to 0).
     """
-    if agg not in _GROUPS_AGGS:
-        raise ValueError(f"agg must be one of {sorted(_GROUPS_AGGS)}")
-    if exclude not in _EXCLUDES:
-        raise ValueError(f"exclude must be one of {_EXCLUDES}")
-    if exclude != "no others" and not _GROUPS_AGGS[agg]:
-        raise ValueError(f"EXCLUDE requires an invertible aggregate, not {agg!r}")
+    if not specs:
+        raise ValueError("specs must name at least one window aggregate")
+    for lower, upper, agg, value_col, out_name, exclude in specs:
+        if agg not in _GROUPS_AGGS:
+            raise ValueError(f"agg must be one of {sorted(_GROUPS_AGGS)}")
+        if exclude not in _EXCLUDES:
+            raise ValueError(f"exclude must be one of {_EXCLUDES}")
+        if exclude != "no others" and not _GROUPS_AGGS[agg]:
+            raise ValueError(f"EXCLUDE requires an invertible aggregate, not {agg!r}")
 
     P = [F.col(c) for c in partition_cols]
     g_win = Window.partitionBy(*P).orderBy(order_col)
     rows = df.withColumn("_g", F.dense_rank().over(g_win))
 
-    glevel = rows.groupBy(*partition_cols, "_g").agg(
-        F.sum(F.col(value_col).cast("double")).alias("_gsum"),
-        F.count(value_col).alias("_gcnt"),
-        F.min(value_col).alias("_gmin"),
-        F.max(value_col).alias("_gmax"),
-    )
-    fw = Window.partitionBy(*P).orderBy("_g").rangeBetween(lower, upper)
+    # one partial-aggregate set per distinct value column
+    vcols = list(dict.fromkeys(s[3] for s in specs))
+    partials = []
+    for vc in vcols:
+        partials += [
+            F.sum(F.col(vc).cast("double")).alias(f"_gsum_{vc}"),
+            F.count(vc).alias(f"_gcnt_{vc}"),
+            F.min(vc).alias(f"_gmin_{vc}"),
+            F.max(vc).alias(f"_gmax_{vc}"),
+        ]
+    glevel = rows.groupBy(*partition_cols, "_g").agg(*partials)
+
+    # one frame-window column set per spec (bounds may differ per spec)
+    frame_cols = []
+    for i, (lower, upper, agg, vc, _, _) in enumerate(specs):
+        fw = Window.partitionBy(*P).orderBy("_g").rangeBetween(lower, upper)
+        frame_cols += [
+            F.sum(f"_gsum_{vc}").over(fw).alias(f"_fsum_{i}"),
+            F.sum(f"_gcnt_{vc}").over(fw).alias(f"_fcnt_{i}"),
+            F.min(f"_gmin_{vc}").over(fw).alias(f"_fmin_{i}"),
+            F.max(f"_gmax_{vc}").over(fw).alias(f"_fmax_{i}"),
+        ]
     frame = glevel.select(
         *partition_cols,
         "_g",
-        "_gsum",
-        "_gcnt",
-        F.sum("_gsum").over(fw).alias("_fsum"),
-        F.sum("_gcnt").over(fw).alias("_fcnt"),
-        F.min("_gmin").over(fw).alias("_fmin"),
-        F.max("_gmax").over(fw).alias("_fmax"),
+        *[c for vc in vcols for c in (f"_gsum_{vc}", f"_gcnt_{vc}")],
+        *frame_cols,
     )
 
     joined = rows.join(frame, on=[*partition_cols, "_g"])
-    v = F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))
-    v_cnt = F.when(F.col(value_col).isNull(), 0).otherwise(1)
-    fsum, fcnt = F.col("_fsum"), F.col("_fcnt")
-    gsum = F.coalesce(F.col("_gsum"), F.lit(0.0))
-    gcnt = F.col("_gcnt")
-    if exclude == "current row":
-        esum, ecnt = fsum - v, fcnt - v_cnt
-    elif exclude == "group":
-        esum, ecnt = fsum - gsum, fcnt - gcnt
-    elif exclude == "ties":
-        esum, ecnt = fsum - gsum + v, fcnt - gcnt + v_cnt
-    else:
-        esum, ecnt = fsum, fcnt
+    outputs = []
+    for i, (lower, upper, agg, vc, out_name, exclude) in enumerate(specs):
+        v = F.coalesce(F.col(vc).cast("double"), F.lit(0.0))
+        v_cnt = F.when(F.col(vc).isNull(), 0).otherwise(1)
+        fsum, fcnt = F.col(f"_fsum_{i}"), F.col(f"_fcnt_{i}")
+        gsum = F.coalesce(F.col(f"_gsum_{vc}"), F.lit(0.0))
+        gcnt = F.col(f"_gcnt_{vc}")
+        if exclude == "current row":
+            esum, ecnt = fsum - v, fcnt - v_cnt
+        elif exclude == "group":
+            esum, ecnt = fsum - gsum, fcnt - gcnt
+        elif exclude == "ties":
+            esum, ecnt = fsum - gsum + v, fcnt - gcnt + v_cnt
+        else:
+            esum, ecnt = fsum, fcnt
 
-    if agg == "sum":
-        # SQL: empty frame (or all-NULL) -> NULL
-        result = F.when(ecnt > 0, esum)
-    elif agg == "count":
-        result = ecnt.cast("bigint")
-    elif agg == "avg":
-        result = F.when(ecnt > 0, esum / ecnt)
-    elif agg == "min":
-        result = F.col("_fmin")
-    else:
-        result = F.col("_fmax")
+        if agg == "sum":
+            # SQL: empty frame (or all-NULL) -> NULL
+            result = F.when(ecnt > 0, esum)
+        elif agg == "count":
+            result = ecnt.cast("bigint")
+        elif agg == "avg":
+            result = F.when(ecnt > 0, esum / ecnt)
+        elif agg == "min":
+            result = F.col(f"_fmin_{i}")
+        else:
+            result = F.col(f"_fmax_{i}")
+        outputs.append(result.alias(out_name))
 
-    return joined.select(*df.columns, result.alias(out_name))
+    return joined.select(*df.columns, *outputs)

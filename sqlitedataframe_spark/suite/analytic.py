@@ -210,12 +210,17 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING: sum and count over the
     current peer group (rows tying on p_size) and both neighbor groups."""
-    from sqlitedataframe_spark.operators.windows import groups_frame
+    from sqlitedataframe_spark.operators.windows import groups_frames
 
     p = T(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_size", "p_retailprice")
-    s = groups_frame(p, ["p_brand"], "p_size", -1, 1, "sum", "p_retailprice", "grp_sum")
-    out = groups_frame(
-        s, ["p_brand"], "p_size", -1, 1, "count", "p_partkey", "grp_cnt"
+    out = groups_frames(
+        p,
+        ["p_brand"],
+        "p_size",
+        [
+            (-1, 1, "sum", "p_retailprice", "grp_sum", "no others"),
+            (-1, 1, "count", "p_partkey", "grp_cnt", "no others"),
+        ],
     )
     return out.select(
         "p_brand",
@@ -246,16 +251,17 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCLUDE TIES / EXCLUDE GROUP on GROUPS frames — the invertible-
     aggregate arithmetic (frame − group ± current) in groups_frame."""
-    from sqlitedataframe_spark.operators.windows import groups_frame
+    from sqlitedataframe_spark.operators.windows import groups_frames
 
     p = T(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_size", "p_retailprice")
-    s = groups_frame(
-        p, ["p_brand"], "p_size", -1, 1, "avg", "p_retailprice",
-        "avg_excl_ties", exclude="ties",
-    )
-    out = groups_frame(
-        s, ["p_brand"], "p_size", -2, 0, "count", "p_partkey",
-        "cnt_excl_group", exclude="group",
+    out = groups_frames(
+        p,
+        ["p_brand"],
+        "p_size",
+        [
+            (-1, 1, "avg", "p_retailprice", "avg_excl_ties", "ties"),
+            (-2, 0, "count", "p_partkey", "cnt_excl_group", "group"),
+        ],
     )
     return out.select(
         "p_brand",

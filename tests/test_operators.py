@@ -367,3 +367,29 @@ def test_groups_frame_rejects_bad_args(spark):
         groups_frame(df, ["p"], "o", -1, 1, "sum", "v", "x", exclude="everything")
     with pytest.raises(ValueError):
         groups_frame(df, ["p"], "o", -1, 1, "min", "v", "x", exclude="ties")
+
+
+def test_groups_frames_multi_spec_single_pass(spark):
+    """Multiple specs share one dense_rank + one group-level pass + one
+    join; results must equal the one-at-a-time calls."""
+    from sqlitedataframe_spark.operators.windows import groups_frame, groups_frames
+    from sqlitedataframe_spark.plans import scan_count
+
+    df = spark.createDataFrame(
+        [(i, i % 2, i % 4, float(i)) for i in range(40)], ["id", "p", "o", "v"]
+    )
+    multi = groups_frames(
+        df,
+        ["p"],
+        "o",
+        [
+            (-1, 1, "sum", "v", "s", "no others"),
+            (0, 0, "count", "v", "c", "ties"),
+        ],
+    )
+    lone_s = groups_frame(df, ["p"], "o", -1, 1, "sum", "v", "s")
+    lone_c = groups_frame(df, ["p"], "o", 0, 0, "count", "v", "c", exclude="ties")
+    got = {r.id: (r.s, r.c) for r in multi.collect()}
+    exp_s = {r.id: r.s for r in lone_s.collect()}
+    exp_c = {r.id: r.c for r in lone_c.collect()}
+    assert got == {i: (exp_s[i], exp_c[i]) for i in got}
