@@ -119,3 +119,10 @@ def test_range_frame_no_global_window(spark, sf_dir):
     q = load_all()["window_range_frame"].spark_fn(spark, sf_dir)
     assert global_window_count(q) == 0
     assert exchange_count(q) <= 3  # bucket exchange + count/offset plumbing
+
+
+def test_groups_frame_no_global_window(spark, sf_dir):
+    """GROUPS/EXCLUDE composition: every window partitioned (by the
+    partition key at row level, by partition+group index at group level)."""
+    q = load_all()["window_frame_exclude"].spark_fn(spark, sf_dir)
+    assert global_window_count(q) == 0
