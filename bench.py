@@ -108,6 +108,12 @@ HEADLINE = [
     "text_langid",
     "text_rolling_hash",
     "multimodal_bytes",
+    "sample_hash_deterministic",
+    "sample_train_test_split",
+    "sample_stratified",
+    "text_tfidf_topk",
+    "range_join_events",
+    "dedup_connected_components",
 ]
 
 

@@ -1,0 +1,111 @@
+"""Distributed connected components — the clustering step that turns
+near-duplicate candidate *pairs* (MinHash/SimHash/Jaccard edges) into
+duplicate *groups*, so a curation pipeline can keep one representative per
+component.
+
+Algorithm: min-label propagation with pointer jumping.
+
+  labels[v]   starts as v.
+  Each round: (1) every vertex takes the min label over itself and its
+  neighbours (one groupBy on the edge list); (2) pointer jump — every
+  vertex replaces its label L by labels[L] (one self-join on the labels
+  frame). Step (2) halves the remaining propagation distance each round,
+  so convergence is O(log diameter) rounds instead of O(diameter) — the
+  difference between ~20 and ~10^5 rounds on chain-shaped dup clusters.
+
+Scale notes (100 TB):
+- State per round is one (node, comp) long-pair frame and the slim
+  (src, dst) edge list; nothing wider ever shuffles.
+- Each round = 2 shuffles (neighbour-min aggregation, pointer-jump join),
+  both partitioned by node id; AQE coalesces as components collapse.
+- ``localCheckpoint`` truncates lineage each round — iterative joins
+  otherwise nest the plan exponentially and stall the optimizer. On a real
+  cluster use ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``
+  for fault-tolerant truncation; local mode has no DFS, so the
+  executor-local variant is used here.
+- The only driver-side state is the per-round changed-row count (one long).
+  This is the standard stopping rule; the label frames never collect.
+
+The reference (jackpal/SQLiteDataFrame) has no graph surface; this is part
+of the training-data pipeline extension (dedup clustering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable from it.
+
+    ``edges`` is an undirected edge list (each pair listed once is enough);
+    ``nodes`` optionally supplies isolated vertices (defaults to the ids
+    appearing in ``edges``). Returns (node, component) with component =
+    min id of the node's connected component.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    if nodes is None:
+        base = e.select(F.col("a").alias("node")).distinct()
+    else:
+        base = nodes.select(F.col(node_col).alias("node")).distinct()
+    labels = base.select("node", F.col("node").alias("comp"))
+    # Symmetrized edges are re-joined every round: keep them materialized
+    # once instead of recomputing union+distinct per round.
+    e = e.persist()
+    labels = labels.localCheckpoint(eager=True)
+    # Labels are monotone non-increasing, so the label-sum is a complete
+    # convergence witness: stable sum <=> no label changed. One tiny
+    # aggregate per round — no old-vs-new join, no extra action (the lazy
+    # checkpoint is materialized by this same job). decimal(38,0) so the
+    # sum cannot overflow ANSI bigint on huge id spaces.
+    def _witness(frame: DataFrame) -> object:
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev = _witness(labels)
+    for _ in range(max_iter):
+        # (1) neighbour-min: candidates = own label + labels flowing across
+        # every edge, one min-agg partitioned by node.
+        flowed = e.join(labels, e.a == labels.node).select(
+            F.col("b").alias("node"), "comp"
+        )
+        relabeled = (
+            flowed.union(labels.select("node", "comp"))
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # (2) pointer jump: comp <- labels[comp] (labels frame keyed by
+        # node), strictly-decreasing so min() keeps correctness.
+        ptr = relabeled.select(
+            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+        )
+        jumped = (
+            relabeled.join(ptr, relabeled.comp == ptr.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur = _witness(jumped)
+        labels = jumped
+        if cur == prev:
+            break
+        prev = cur
+    e.unpersist()
+    return labels

@@ -140,3 +140,59 @@ def asof_join(
         *[F.col("_l")[c].alias(c) for c in lcols],
         *[F.col("_rm")[c].alias(c) for c in rcols],
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lookback_seconds: int,
+) -> DataFrame:
+    """Range join: pair each right row with every left row of the same key
+    whose timestamp falls in ``(right_ts - lookback, right_ts]``.
+
+    Spark plans a raw ``l.ts BETWEEN r.ts - X AND r.ts`` join condition as
+    BroadcastNestedLoopJoin — O(|L|x|R|) per key and a non-starter at scale.
+    This implementation makes it an equi-join:
+
+    1. bucket both sides by ``floor(epoch / lookback)`` (map-side);
+    2. the interval side (right) is replicated to BOTH buckets its window
+       can touch — exactly 2, because the window length equals the bucket
+       width (``sequence`` + explode, map-side, 2x right only);
+    3. equi-join on (key, bucket) — a plain shuffled hash/sort-merge join —
+       then the exact range predicate filters residual pairs.
+
+    Each matching pair meets in exactly one bucket (the left row's home
+    bucket), so no post-join dedup is needed. Cost: one 2x replication of
+    the slim right projection instead of a nested loop; skewed keys fall
+    out to AQE skew-join handling like any other equi-join.
+    """
+    lb = int(lookback_seconds)
+    # floor(epoch_sec / width): epoch seconds are positive, so the
+    # truncating bigint cast after double division IS floor here.
+    def bkt(ts: str):
+        return (F.unix_timestamp(F.col(ts)) / F.lit(lb)).cast("bigint")
+
+    # A matching left row's second-truncated epoch lies in
+    # [sec(right)-lb, sec(right)], so its home bucket is bucket(right)-1 or
+    # bucket(right) — replicate the interval side to exactly those two.
+    l_b = left.withColumn("_bkt", bkt(left_ts))
+    r_b = right.withColumn(
+        "_bkt", F.explode(F.sequence(bkt(right_ts) - 1, bkt(right_ts)))
+    )
+    lk, rk = F.col(f"l.{on}"), F.col(f"r.{on}")
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    window_lo = rt - F.make_interval(secs=F.lit(lb))
+    return (
+        l_b.alias("l")
+        .join(
+            r_b.alias("r"),
+            (lk == rk)
+            & (F.col("l._bkt") == F.col("r._bkt"))
+            & (lt > window_lo)
+            & (lt <= rt),
+        )
+        .drop("_bkt")
+    )

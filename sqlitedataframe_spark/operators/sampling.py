@@ -1,0 +1,96 @@
+"""Deterministic hash-based sampling: reproducible samples, stratified
+samples, and train/valid/test splits keyed on a stable row identifier.
+
+Why not ``df.sample()``: Spark's sampler is seeded *per partition*, so the
+selected rows change whenever partitioning changes (repartition, AQE, a
+different cluster size) — unacceptable for training-data pipelines where a
+split must be stable across reruns and engines. Hashing a row key instead
+makes the decision a pure function of the data:
+
+    keep  <=>  substr(md5(cast(key as string)), 1, 4) < hex_threshold
+
+Scale: pure map-side Column expressions — zero shuffles, zero RNG state,
+trivially parallel at 100 TB, and the same rows are selected by any engine
+with a standard md5 (the DuckDB oracles run the identical predicate).
+
+The reference (jackpal/SQLiteDataFrame) has no sampling surface; this module
+is part of the training-data pipeline extension (SURVEY.md north-star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Number of distinct values of the 4-hex-digit hash prefix (16 bits).
+_SPACE = 1 << 16
+
+
+def _hex4(key: Column | str) -> Column:
+    """First 4 hex chars of md5(key) — a uniform 16-bit label as a string.
+
+    String form (not an integer) so the identical predicate runs on any
+    engine with md5: lowercase-hex substrings compare bytewise the same
+    everywhere, with no hex->int conversion portability trap.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(c.cast("string").cast("binary")), 1, 4)
+
+
+def hex_threshold(fraction: float) -> str:
+    """The 4-hex-digit cut so that P[_hex4(key) < cut] ~= fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(round(fraction * _SPACE)), _SPACE - 1), "04x")
+
+
+def sample_by_hash(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Deterministic ~``fraction`` sample of ``df`` keyed on ``key``."""
+    return df.filter(_hex4(key) < F.lit(hex_threshold(fraction)))
+
+
+def split_assign(key: Column | str, splits: dict[str, float]) -> Column:
+    """Assign each row to a named split with the given proportions.
+
+    ``splits`` maps name -> fraction (must sum to ~1.0). Assignment is by
+    cumulative hash threshold, so splits are disjoint, exhaustive, and
+    stable: adding rows never moves an existing row between splits.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    h = _hex4(key)
+    names = list(splits)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = h < F.lit(hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def stratified_sample(
+    df: DataFrame, key: str, stratum: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of a rare class). Strata absent from ``fractions``
+    are dropped — the common curation shape ("keep x% of web, all of
+    wiki"). Still a single map-side filter: the per-stratum threshold is a
+    CASE expression, no groupBy, no per-stratum pass.
+    """
+    thr = None
+    for name, frac in fractions.items():
+        cond = F.col(stratum) == name
+        lit = F.lit(hex_threshold(frac))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    if thr is None:
+        raise ValueError("fractions must be non-empty")
+    return df.filter(_hex4(key) < thr)
+
+
+def sample_sql_predicate(key_sql: str, fraction: float) -> str:
+    """The oracle-side WHERE clause matching :func:`sample_by_hash` —
+    kept here so Spark and SQL twins can never drift apart."""
+    return f"substr(md5(CAST({key_sql} AS VARCHAR)), 1, 4) < '{hex_threshold(fraction)}'"

@@ -122,3 +122,68 @@ def fingerprint(col: Column | str) -> Column:
     vocabulary collapse to one fingerprint — a cheap exact near-dup key."""
     t = F.array_sort(F.array_distinct(tokens(col)))
     return F.md5(F.array_join(t, " "))
+
+
+#: Word tokenization shared by the TF-IDF path and its SQL oracle twin:
+#: split on any non-alphanumeric run. Kept as a constant so the Spark and
+#: DuckDB sides can never drift apart.
+WORD_SPLIT_PATTERN = "[^a-z0-9]+"
+
+#: Minimum term length for TF-IDF (drops split artifacts and stop-ish
+#: 1-2 char tokens).
+TFIDF_MIN_TERM_LEN = 3
+
+
+def tfidf_topk(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_term_len: int = TFIDF_MIN_TERM_LEN,
+):
+    """Top-k TF-IDF terms per document.
+
+    Plan shape (3 shuffles total, each on a slim projection):
+      1. scan -> lower/split/explode (map-side) -> groupBy(doc, term) for tf;
+      2. groupBy(term) on the tf table for df (term-document frequency) —
+         partial aggregation map-side, so the exchange carries one row per
+         distinct (partition, term), not one per posting;
+      3. tf join df on term (shuffle join; vocabulary is unbounded so the
+         df side is NOT assumed broadcastable at 100 TB), then a window
+         partitioned by doc for the top-k.
+    N (corpus size) rides along as a 1-row broadcast — no collect().
+
+    Ranking is by the integer pair (tf DESC, df ASC, term ASC), not by the
+    float score: tf*ln(N/df) ties and last-ulp drift would make top-k
+    nondeterministic across engines; the integer ordering is total and
+    engine-portable. The rounded score is still reported.
+    """
+    from pyspark.sql import Window
+
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), WORD_SPLIT_PATTERN)).alias("term"),
+    ).filter(F.length("term") >= min_term_len)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_tbl, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "rank",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) + 1e-9, 6
+            ).alias("tfidf"),
+        )
+    )

@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         analytic,
         analytic2,
         pipeline,
+        pipeline2,
         eventstream,
         streamingq,
         bridge,

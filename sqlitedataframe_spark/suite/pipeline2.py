@@ -1,0 +1,238 @@
+"""Training-data pipeline queries, part 2: deterministic sampling /
+train-test splits, TF-IDF, duplicate-cluster connected components, and the
+bucketed interval (range) join — each with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.operators import sampling as SM
+from sqlitedataframe_spark.operators import text as X
+from sqlitedataframe_spark.operators.graph import connected_components
+from sqlitedataframe_spark.operators.relational import interval_join
+from sqlitedataframe_spark.suite import query
+from sqlitedataframe_spark.suite.relational import T
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling: the same rows are selected by both engines
+# because the predicate is a pure function of md5(key) — see
+# operators/sampling.py for why df.sample() can't provide this.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE {SM.sample_sql_predicate("o_orderkey", 0.1)}
+    ORDER BY o_orderkey
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% reproducible sample of orders keyed on o_orderkey (map-side
+    filter, zero shuffles, stable under any repartitioning)."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        SM.sample_by_hash(o, "o_orderkey", 0.1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "sample_train_test_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN hx < 'cccd' THEN 'train'
+                WHEN hx < 'e666' THEN 'valid'
+                ELSE 'test' END AS split
+    FROM h
+    ORDER BY doc_id
+    """,
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/valid/test assignment for every document — disjoint,
+    exhaustive, and stable (adding documents never reassigns existing ones).
+    The oracle's literal thresholds are hex_threshold(0.8)='cccd' and
+    hex_threshold(0.9)='e666'."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            SM.split_assign(
+                "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
+            ).alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE (c_mktsegment = 'BUILDING'
+           AND {SM.sample_sql_predicate("c_custkey", 0.05)})
+       OR (c_mktsegment = 'MACHINERY'
+           AND {SM.sample_sql_predicate("c_custkey", 0.5)})
+    ORDER BY c_custkey
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rates (downsample BUILDING to 5%, keep 50% of MACHINERY,
+    drop the rest) as ONE map-side CASE filter — no groupBy, no per-stratum
+    passes."""
+    c = T(spark, sf_dir, "customer")
+    return (
+        SM.stratified_sample(
+            c, "c_custkey", "c_mktsegment", {"BUILDING": 0.05, "MACHINERY": 0.5}
+        )
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: the inverted-index shape (explode -> tf -> df -> join -> window).
+# ---------------------------------------------------------------------------
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text),
+                                               '{X.WORD_SPLIT_PATTERN}')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM terms WHERE length(term) >= {X.TFIDF_MIN_TERM_LEN}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INT) AS rank,
+             ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) + 1e-9, 6)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, rank, tfidf
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (integer-keyed deterministic
+    ranking; see operators.text.tfidf_topk for the 3-shuffle plan shape)."""
+    d = T(spark, sf_dir, "documents")
+    return X.tfidf_topk(d, "doc_id", "text", k=3).orderBy("doc_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup candidate edges: pairs -> dup groups.
+# The oracle walks the same edges with a recursive CTE (min reachable id).
+# ---------------------------------------------------------------------------
+_CC_EDGE_SQL = """
+    toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS t
+      FROM documents
+    ),
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+      WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.t, b.t))) >= 0.5
+    )
+"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_CC_EDGE_SQL},
+    sym AS (SELECT src, dst FROM edges
+            UNION SELECT dst, src FROM edges),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+    )
+    SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
+    FROM walk GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: consecutive-id pairs with token Jaccard >= 0.5
+    as edges, then min-label connected components (pointer-jumped, O(log
+    diameter) rounds — operators/graph.py). Every document gets a
+    component id = min doc_id of its dup cluster."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(X.tokens("text")).alias("t"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.t"), F.col("b.t")))
+    union = F.size(F.array_union(F.col("a.t"), F.col("b.t")))
+    edges = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(inter.cast("double") / union >= 0.5)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    labels = connected_components(edges, nodes=d.select("doc_id"), node_col="doc_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join: purchases matched to the same user's clicks in the
+# preceding 30 minutes — bucketed equi-join, no nested-loop join anywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_events",
+    oracle="""
+    SELECT b.event_id AS purchase_id, a.event_id AS click_id,
+           CAST(round(date_part('epoch', b.ts - a.ts)) AS BIGINT)
+             AS seconds_before
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND a.ts > b.ts - INTERVAL 30 MINUTE AND a.ts <= b.ts
+    ORDER BY purchase_id, click_id
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within 30 min before each purchase by the same user.
+    operators.relational.interval_join turns the range predicate into a
+    (user, time-bucket) equi-join with 2x replication of the purchase side
+    — the plan contains no BroadcastNestedLoopJoin (asserted in
+    tests/test_plans.py)."""
+    e = T(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"), "user_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "user_id",
+    )
+    j = interval_join(
+        clicks, purchases, on="user_id", left_ts="click_ts",
+        right_ts="purchase_ts", lookback_seconds=1800,
+    )
+    return j.select(
+        "purchase_id",
+        "click_id",
+        F.round(
+            F.col("purchase_ts").cast("double") - F.col("click_ts").cast("double")
+        ).cast("bigint").alias("seconds_before"),
+    ).orderBy("purchase_id", "click_id")

@@ -1,0 +1,181 @@
+"""Tests for the round-2 pipeline operators: deterministic sampling,
+TF-IDF, connected components, and the bucketed interval join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.operators import sampling as SM
+from sqlitedataframe_spark.operators import text as X
+from sqlitedataframe_spark.operators.graph import connected_components
+from sqlitedataframe_spark.operators.relational import interval_join
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+def test_hex_threshold_values():
+    assert SM.hex_threshold(0.0) == "0000"
+    assert SM.hex_threshold(0.5) == "8000"
+    assert SM.hex_threshold(1.0) == "ffff"
+    with pytest.raises(ValueError):
+        SM.hex_threshold(1.5)
+
+
+def test_sample_by_hash_stable_under_repartition(spark):
+    df = spark.range(2000)
+    a = {r.id for r in SM.sample_by_hash(df, "id", 0.2).collect()}
+    b = {r.id for r in SM.sample_by_hash(df.repartition(7), "id", 0.2).collect()}
+    assert a == b  # decision depends on the key only, never on partitioning
+    assert 0.15 < len(a) / 2000 < 0.25
+
+
+def test_split_assign_disjoint_exhaustive(spark):
+    df = spark.range(3000).select(
+        "id", SM.split_assign("id", {"train": 0.8, "valid": 0.1, "test": 0.1}).alias("s")
+    )
+    counts = {r.s: r["count"] for r in df.groupBy("s").count().collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert sum(counts.values()) == 3000  # exhaustive, disjoint by construction
+    assert counts["train"] > 2200
+    with pytest.raises(ValueError):
+        SM.split_assign("id", {"a": 0.5, "b": 0.2})
+
+
+def test_stratified_sample_rates(spark):
+    rows = [Row(k=i, g="big" if i % 2 else "small") for i in range(4000)]
+    df = spark.createDataFrame(rows)
+    out = SM.stratified_sample(df, "k", "g", {"big": 0.5, "small": 0.05})
+    counts = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
+    assert 800 < counts["big"] < 1200
+    assert 40 < counts["small"] < 180
+    # strata not listed are dropped entirely
+    out2 = SM.stratified_sample(df, "k", "g", {"big": 1.0})
+    assert out2.filter(F.col("g") == "small").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+def test_tfidf_topk_small_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple apple banana"),
+            Row(doc_id=2, text="apple cherry cherry cherry"),
+            Row(doc_id=3, text="durian"),
+        ]
+    )
+    out = {
+        (r.doc_id, r.rank): r
+        for r in X.tfidf_topk(docs, k=2).collect()
+    }
+    # doc 1: apple tf=2 (df=2), banana tf=1 (df=1) -> apple ranks first on tf
+    assert out[(1, 1)].term == "apple" and out[(1, 1)].tf == 2
+    assert out[(1, 2)].term == "banana"
+    # doc 2: cherry tf=3 beats apple tf=1
+    assert out[(2, 1)].term == "cherry" and out[(2, 1)].df == 1
+    # doc 3: single rare term, idf = ln(3/1)
+    r3 = out[(3, 1)]
+    assert r3.term == "durian"
+    assert abs(r3.tfidf - round(1 * 1.0986123, 6)) < 1e-5
+    # k bound respected
+    assert all(rank <= 2 for (_, rank) in out)
+
+
+def test_tfidf_tie_break_deterministic(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="zzz aaa")] )
+    out = X.tfidf_topk(docs, k=2).orderBy("rank").collect()
+    # equal tf and df: term ASC breaks the tie
+    assert [r.term for r in out] == ["aaa", "zzz"]
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+def test_connected_components_chain_and_isolates(spark):
+    # chain 1-2-3-4-5, pair 10-11, isolate 20
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=3, dst=4),
+         Row(src=4, dst=5), Row(src=11, dst=10)]
+    )
+    nodes = spark.createDataFrame([Row(node=i) for i in [1, 2, 3, 4, 5, 10, 11, 20]])
+    got = {
+        r.node: r.comp for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_defaults_nodes_from_edges(spark):
+    edges = spark.createDataFrame([Row(src=7, dst=3), Row(src=3, dst=9)])
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {3: 3, 7: 3, 9: 3}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # 64-node chain: min-propagation alone would need 63 rounds; pointer
+    # jumping must land it well inside max_iter=25.
+    edges = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(63)])
+    got = connected_components(edges)
+    assert got.filter(F.col("comp") != 0).count() == 0
+    assert got.count() == 64
+
+
+# ---------------------------------------------------------------------------
+# interval join
+# ---------------------------------------------------------------------------
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_interval_join_matches_naive(spark):
+    clicks = spark.createDataFrame(
+        [
+            Row(click_id=1, user_id=1, click_ts=_ts("2024-01-01 10:00:01")),
+            Row(click_id=2, user_id=1, click_ts=_ts("2024-01-01 10:29:59")),
+            Row(click_id=3, user_id=1, click_ts=_ts("2024-01-01 10:00:00")),  # = lo, excluded
+            Row(click_id=4, user_id=2, click_ts=_ts("2024-01-01 10:00:00")),  # other user
+            Row(click_id=5, user_id=1, click_ts=_ts("2024-01-01 10:30:00")),  # = ts, included
+        ]
+    )
+    purchases = spark.createDataFrame(
+        [Row(purchase_id=100, user_id=1, purchase_ts=_ts("2024-01-01 10:30:00"))]
+    )
+    got = sorted(
+        r.click_id
+        for r in interval_join(
+            clicks, purchases, "user_id", "click_ts", "purchase_ts", 1800
+        ).collect()
+    )
+    assert got == [1, 2, 5]
+
+
+def test_interval_join_crosses_bucket_boundary(spark):
+    # click at 09:59:59 and purchase at 10:14:59: different 900s buckets —
+    # the bucket-minus-one replica must still find the pair.
+    clicks = spark.createDataFrame(
+        [Row(click_id=1, user_id=1, click_ts=_ts("2024-01-01 09:59:59"))]
+    )
+    purchases = spark.createDataFrame(
+        [Row(purchase_id=2, user_id=1, purchase_ts=_ts("2024-01-01 10:14:58"))]
+    )
+    out = interval_join(clicks, purchases, "user_id", "click_ts", "purchase_ts", 900)
+    assert out.count() == 1
+
+
+def test_interval_join_no_nested_loop(spark):
+    from sqlitedataframe_spark.plans import explain_text
+
+    clicks = spark.createDataFrame(
+        [Row(click_id=1, user_id=1, click_ts=_ts("2024-01-01 10:00:00"))]
+    )
+    purchases = spark.createDataFrame(
+        [Row(purchase_id=2, user_id=1, purchase_ts=_ts("2024-01-01 10:10:00"))]
+    )
+    plan = explain_text(
+        interval_join(clicks, purchases, "user_id", "click_ts", "purchase_ts", 1800)
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -126,3 +126,21 @@ def test_groups_frame_no_global_window(spark, sf_dir):
     partition key at row level, by partition+group index at group level)."""
     q = load_all()["window_frame_exclude"].spark_fn(spark, sf_dir)
     assert global_window_count(q) == 0
+
+
+def test_range_join_no_nested_loop(spark):
+    """Interval join must be the bucketed equi-join, never a nested loop."""
+    from sqlitedataframe_spark.plans import explain_text
+
+    q = load_all()["range_join_events"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = explain_text(q)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_sampling_is_map_side(spark, sf_dir):
+    """Deterministic hash sampling adds no exchange: scan -> filter only."""
+    from sqlitedataframe_spark.operators.sampling import sample_by_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    q = sample_by_hash(o, "o_orderkey", 0.1).select("o_orderkey")
+    assert exchange_count(q) == 0
