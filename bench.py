@@ -114,6 +114,7 @@ HEADLINE = [
     "text_tfidf_topk",
     "range_join_events",
     "dedup_connected_components",
+    "embed_label_centroids",
 ]
 
 

@@ -292,3 +292,25 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embe
         F.transform(F.array(as_double(vec_col)), lambda v: argmin_cell(v)), 1
     )
     return df.withColumn("ivf_cell", cell.cast("int") - 1)
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid of a vector column, in exploded (label, pos, value)
+    form.
+
+    posexplode + groupBy(label, pos) is the scale-right shape for wide
+    vectors: the exchange carries slim (label, pos, partial-sum) triples
+    with map-side partial aggregation — never whole arrays — and no
+    order-sensitive array reassembly (collect_list order is undefined under
+    parallel merge). Re-assemble downstream with sort_array(collect_list(
+    struct(pos, v))) only if an array form is genuinely needed.
+
+    ``pos`` is 1-based (portable to SQL engines' generate_subscripts).
+    """
+    return (
+        df.select(F.col(label_col).alias("label"), F.posexplode(as_double(vec_col)))
+        .groupBy("label", (F.col("pos") + 1).alias("pos"))
+        .agg(F.round(F.avg("col") + 1e-9, 6).alias("centroid"))
+    )

@@ -236,3 +236,27 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_ts").cast("double") - F.col("click_ts").cast("double")
         ).cast("bigint").alias("seconds_before"),
     ).orderBy("purchase_id", "click_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids: exact-checked distributed vector
+# aggregation (the oracle-verified twin of the k-means/IVF rows-only path).
+# ---------------------------------------------------------------------------
+@query(
+    "embed_label_centroids",
+    oracle="""
+    SELECT label, pos, ROUND(AVG(v) + 1e-9, 6) AS centroid
+    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in exploded form (see operators.similarity.
+    label_centroids: slim posexplode shuffle, no array reassembly)."""
+    from sqlitedataframe_spark.operators.similarity import label_centroids
+
+    e = T(spark, sf_dir, "embeddings")
+    return label_centroids(e).orderBy("label", "pos")

@@ -94,3 +94,19 @@ def test_ivf_assign(spark):
     cents = [[0.0, 0.0], [10.0, 10.0]]
     got = {r.vec_id: r.ivf_cell for r in S.ivf_assign(df, cents).collect()}
     assert got == {0: 0, 1: 1, 2: 0}
+
+
+def test_label_centroids_small(spark):
+    from pyspark.sql import Row
+
+    from sqlitedataframe_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            Row(label=0, embedding=[1.0, 2.0]),
+            Row(label=0, embedding=[3.0, 6.0]),
+            Row(label=1, embedding=[10.0, 0.0]),
+        ]
+    )
+    got = {(r.label, r.pos): r.centroid for r in label_centroids(df).collect()}
+    assert got == {(0, 1): 2.0, (0, 2): 4.0, (1, 1): 10.0, (1, 2): 0.0}
