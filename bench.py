@@ -115,6 +115,7 @@ HEADLINE = [
     "range_join_events",
     "dedup_connected_components",
     "embed_label_centroids",
+    "merge_upsert_orders",
 ]
 
 

@@ -196,3 +196,56 @@ def interval_join(
         )
         .drop("_bkt")
     )
+
+
+def merge_into(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE semantics on plain (non-transactional) storage: upsert
+    ``updates`` into ``base`` by ``keys`` — matched rows are replaced by the
+    update row, unmatched update rows are inserted, and (optionally) update
+    rows with ``delete_col = true`` delete their match instead.
+
+    The CDC-compaction shape: ``merged = merge_into(snapshot, changes, keys)``
+    then write ``merged`` as the next snapshot. On transactional formats
+    (Delta/Iceberg) this is ``MERGE INTO``; on raw parquet it has to be a
+    rewrite, and this is the rewrite's one-shuffle plan:
+
+    - union both sides tagged with a priority bit, one ``row_number`` window
+      partitioned by key (priority DESC) keeps the winning row per key —
+      a single hash exchange on the merge keys, no join at all;
+    - deletes fall out by filtering the winner, so a delete still shadows
+      (and thereby removes) its base row.
+
+    Schemas must agree on all non-key columns (updates may omit
+    ``delete_col``). Updates must be unique per key (enforce upstream with
+    dedup_exact; duplicate update keys would make "the" update row
+    nondeterministic — exactly the constraint real MERGE implementations
+    impose).
+    """
+    upd_cols = set(updates.columns)
+    data_cols = [c for c in base.columns if c not in keys]
+    if delete_col is not None and delete_col not in upd_cols:
+        raise ValueError(f"delete_col {delete_col!r} not in updates")
+    missing = [c for c in keys + data_cols if c not in upd_cols]
+    if missing:
+        raise ValueError(f"updates missing columns {missing}")
+
+    sel = [*keys, *data_cols]
+    del_flag = (
+        F.col(delete_col).cast("boolean") if delete_col is not None else F.lit(False)
+    )
+    u = updates.select(
+        *sel, F.lit(1).alias("_prio"), F.coalesce(del_flag, F.lit(False)).alias("_del")
+    )
+    b = base.select(*sel, F.lit(0).alias("_prio"), F.lit(False).alias("_del"))
+    w = Window.partitionBy(*keys).orderBy(F.col("_prio").desc())
+    return (
+        u.unionByName(b)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (~F.col("_del")))
+        .select(*sel)
+    )

@@ -260,3 +260,68 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = T(spark, sf_dir, "embeddings")
     return label_centroids(e).orderBy("label", "pos")
+
+
+# ---------------------------------------------------------------------------
+# MERGE (CDC upsert) on plain storage: one window over the union, no join.
+# ---------------------------------------------------------------------------
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice
+      FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey, 'P' AS o_orderstatus,
+             ROUND(o_totalprice * 1.1 + 1e-9, 2) AS o_totalprice,
+             (o_orderkey % 37 = 1) AS is_del
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', 1.0, FALSE
+      FROM orders WHERE o_orderkey % 1000 = 1
+    ),
+    merged AS (
+      SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+             COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+             COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+             COALESCE(u.is_del, FALSE) AS is_del
+      FROM b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM merged WHERE NOT is_del
+    ORDER BY o_orderkey
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on parquet (operators.relational.merge_into):
+    updates replace matched orders, inserts add new keys, delete-flagged
+    updates remove their match — one hash exchange on the key, no join.
+    The update set is derived deterministically from orders itself so the
+    oracle can rebuild it in SQL."""
+    from sqlitedataframe_spark.operators.relational import merge_into
+
+    o = T(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("P").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1 + 1e-9, 2).alias("o_totalprice"),
+            (F.col("o_orderkey") % 37 == 1).alias("is_del"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 1000 == 1).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(1.0).alias("o_totalprice"),
+                F.lit(False).alias("is_del"),
+            )
+        )
+    )
+    return merge_into(base, updates, ["o_orderkey"], delete_col="is_del").orderBy(
+        "o_orderkey"
+    )

@@ -179,3 +179,42 @@ def test_interval_join_no_nested_loop(spark):
         interval_join(clicks, purchases, "user_id", "click_ts", "purchase_ts", 1800)
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ---------------------------------------------------------------------------
+# merge_into
+# ---------------------------------------------------------------------------
+def test_merge_into_upsert_insert_delete(spark):
+    from sqlitedataframe_spark.operators.relational import merge_into
+
+    base = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    updates = spark.createDataFrame(
+        [
+            Row(k=2, v="B", is_del=False),   # update
+            Row(k=4, v="d", is_del=False),   # insert
+            Row(k=3, v=None, is_del=True),   # delete
+        ]
+    )
+    got = {r.k: r.v for r in merge_into(base, updates, ["k"], "is_del").collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_merge_into_without_delete_col(spark):
+    from sqlitedataframe_spark.operators.relational import merge_into
+
+    base = spark.createDataFrame([Row(k=1, v="a")])
+    updates = spark.createDataFrame([Row(k=1, v="A"), Row(k=9, v="z")])
+    got = {r.k: r.v for r in merge_into(base, updates, ["k"]).collect()}
+    assert got == {1: "A", 9: "z"}
+
+
+def test_merge_into_validates_columns(spark):
+    from sqlitedataframe_spark.operators.relational import merge_into
+
+    base = spark.createDataFrame([Row(k=1, v="a")])
+    with pytest.raises(ValueError):
+        merge_into(base, spark.createDataFrame([Row(k=1)]), ["k"])
+    with pytest.raises(ValueError):
+        merge_into(base, spark.createDataFrame([Row(k=1, v="x")]), ["k"], "nope")
