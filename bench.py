@@ -116,6 +116,7 @@ HEADLINE = [
     "dedup_connected_components",
     "embed_label_centroids",
     "merge_upsert_orders",
+    "profile_orders",
 ]
 
 

@@ -325,3 +325,50 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_into(base, updates, ["o_orderkey"], delete_col="is_del").orderBy(
         "o_orderkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling: per-column quality stats in one aggregation pass.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_totalprice", True),
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, numeric in _PROFILE_COLS:
+        if numeric:
+            mm = (
+                f"ROUND(CAST(MIN({c}) AS DOUBLE) + 1e-9, 2) AS min_d,\n"
+                f"       ROUND(CAST(MAX({c}) AS DOUBLE) + 1e-9, 2) AS max_d,\n"
+                "       CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s"
+            )
+        else:
+            mm = (
+                "CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d,\n"
+                f"       CAST(MIN({c}) AS VARCHAR) AS min_s, CAST(MAX({c}) AS VARCHAR) AS max_s"
+            )
+        parts.append(
+            f"""SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {mm}
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts) + '\nORDER BY "column"'
+
+
+@query("profile_orders", oracle=_profile_oracle())
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of orders (operators.profiling.profile): all
+    stats from ONE aggregation pass; exact distinct counts here for the
+    oracle, approx_count_distinct at 100 TB."""
+    from sqlitedataframe_spark.operators.profiling import profile
+
+    o = T(spark, sf_dir, "orders")
+    return profile(o, [c for c, _ in _PROFILE_COLS]).orderBy("column")

@@ -218,3 +218,30 @@ def test_merge_into_validates_columns(spark):
         merge_into(base, spark.createDataFrame([Row(k=1)]), ["k"])
     with pytest.raises(ValueError):
         merge_into(base, spark.createDataFrame([Row(k=1, v="x")]), ["k"], "nope")
+
+
+# ---------------------------------------------------------------------------
+# profiling
+# ---------------------------------------------------------------------------
+def test_profile_stats(spark):
+    from sqlitedataframe_spark.operators.profiling import profile
+
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=2, b=None), Row(a=2, b="y")]
+    )
+    got = {r.column: r for r in profile(df).collect()}
+    assert got["a"].n_rows == 3 and got["a"].n_nulls == 0
+    assert got["a"].n_distinct == 2
+    assert got["a"].min_d == 1.0 and got["a"].max_d == 2.0
+    assert got["a"].min_s is None
+    assert got["b"].n_nulls == 1 and got["b"].n_distinct == 2
+    assert got["b"].min_s == "x" and got["b"].max_s == "y"
+    assert got["b"].min_d is None
+
+
+def test_profile_approx_mode(spark):
+    from sqlitedataframe_spark.operators.profiling import profile
+
+    df = spark.range(1000).select(F.col("id").alias("a"))
+    (row,) = profile(df, exact=False).collect()
+    assert abs(row.n_distinct - 1000) < 100  # HLL estimate
