@@ -82,6 +82,7 @@ HEADLINE = [
     "math_funcs",
     "json_each_props",
     "sqlite_dialect_sql",
+    "sqlite_dialect_sql2",
     "rowid_surrogate",
     "sort_limit_offset",
     "set_ops_union",

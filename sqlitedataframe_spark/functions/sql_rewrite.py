@@ -17,6 +17,18 @@ Rewrites (conservative — only unambiguous patterns are touched):
                              → ``array_join(array_sort(collect_list(x)),s)``
                                (sorted for deterministic distributed output)
 - ``printf(fmt, ...)``       → ``format_string(fmt, ...)``
+- ``iif(a, b, c)``           → ``if(a, b, c)``
+- ``min/max(a, b, ...)``     → ``least/greatest`` with an any-NULL guard
+                               (SQLite scalar form; 1-arg aggregates kept)
+- ``total(x)``               → ``coalesce(sum(cast(x as double)), 0.0)``
+- ``char(c1, c2, ...)``      → ``concat(chr(c1), chr(c2), ...)``
+- ``unicode(x)``             → ``ascii(x)``
+- ``likely/unlikely/likelihood`` → planner hints; pass the value through
+- ``date/datetime/time(x, 'modifier'...)``
+                             → ``date_format`` over ``timestampadd`` /
+                               ``date_trunc`` folds ('+N days', '-N months',
+                               'start of day/month/year', fractional
+                               seconds)
 - ``ifnull/instr/hex/abs/…`` need no rewrite (same-named in Spark).
 
 Anything else passes through untouched and gets Spark SQL's (richer)
@@ -65,10 +77,13 @@ def _split_args(arglist: str) -> list[str]:
 
 def _rewrite_call(sql: str, fname: str, render) -> str:
     """Replace every ``fname(args)`` call with ``render(args_list)``,
-    scanning balanced parens so nested calls survive."""
+    scanning balanced parens so nested calls survive. A render may return
+    ``None`` to leave that call unchanged (e.g. aggregate ``min(x)`` vs
+    scalar ``min(x, y)``); the search resumes after it either way."""
     pat = re.compile(rf"\b{fname}\s*\(", re.IGNORECASE)
+    pos = 0
     while True:
-        m = pat.search(sql)
+        m = pat.search(sql, pos)
         if not m:
             return sql
         start, i, depth = m.start(), m.end(), 1
@@ -84,7 +99,15 @@ def _rewrite_call(sql: str, fname: str, render) -> str:
                 depth -= 1
             i += 1
         inner = sql[m.end() : i - 1]
-        sql = sql[:start] + render(_split_args(inner)) + sql[i:]
+        repl = render(_split_args(inner))
+        if repl is None:
+            pos = i
+            continue
+        # resume at the replacement start: same-name calls nested inside the
+        # argument text (now part of repl) still get rewritten — safe because
+        # no render emits its own function name
+        sql = sql[:start] + repl + sql[i:]
+        pos = start
 
 
 def _render_julianday(args: list[str]) -> str:
@@ -137,6 +160,110 @@ def _render_printf(args: list[str]) -> str:
     return f"format_string({', '.join(args)})"
 
 
+def _render_iif(args: list[str]) -> str:
+    a, b, c = args
+    return f"if({a}, {b}, {c})"
+
+
+def _render_scalar_minmax(spark_fn: str):
+    # SQLite min/max with 2+ args is the SCALAR form; 1-arg stays the
+    # aggregate and must be left alone (render None). SQLite returns NULL
+    # if ANY argument is NULL, whereas Spark least/greatest skip NULLs —
+    # wrap with an explicit any-null guard for faithful semantics.
+    def render(args: list[str]) -> str | None:
+        if len(args) < 2:
+            return None
+        null_guard = " or ".join(f"(({a}) is null)" for a in args)
+        return f"if({null_guard}, null, {spark_fn}({', '.join(args)}))"
+
+    return render
+
+
+_render_scalar_min = _render_scalar_minmax("least")
+_render_scalar_max = _render_scalar_minmax("greatest")
+
+
+def _render_total(args: list[str]) -> str:
+    # SQLite total(): SUM over doubles that yields 0.0 (never NULL) on
+    # empty/all-NULL input.
+    (x,) = args
+    return f"coalesce(sum(cast({x} as double)), cast(0.0 as double))"
+
+
+def _render_char(args: list[str]) -> str:
+    # SQLite char(c1, c2, ...) concatenates code points; Spark chr is 1-arg.
+    return f"concat({', '.join(f'chr({a})' for a in args)})"
+
+
+def _render_unicode(args: list[str]) -> str:
+    (x,) = args
+    return f"ascii({x})"
+
+
+def _render_hint_passthrough(args: list[str]) -> str:
+    # likely/unlikely/likelihood are planner hints; value is the first arg.
+    return f"({args[0]})"
+
+
+#: SQLite date-modifier units → Spark timestampadd units.
+_DATE_UNITS = {
+    "year": "YEAR", "years": "YEAR",
+    "month": "MONTH", "months": "MONTH",
+    "day": "DAY", "days": "DAY",
+    "hour": "HOUR", "hours": "HOUR",
+    "minute": "MINUTE", "minutes": "MINUTE",
+    "second": "SECOND", "seconds": "SECOND",
+}
+
+_MOD_SHIFT = re.compile(r"^([+-]?\d+(?:\.\d+)?)\s+([a-z]+)$")
+
+
+def _apply_date_modifiers(expr: str, mods: list[str]) -> str:
+    """Fold SQLite date modifiers ('+3 days', 'start of month', ...) over a
+    timestamp expression, left to right (SQLite applies them in order)."""
+    for raw in mods:
+        if not (raw.startswith("'") and raw.endswith("'")):
+            raise ValueError(f"date modifier must be a string literal: {raw}")
+        mod = raw[1:-1].replace("''", "'").strip().lower()
+        m = _MOD_SHIFT.match(mod)
+        if m:
+            n, unit = m.group(1), m.group(2)
+            if unit not in _DATE_UNITS:
+                raise ValueError(f"unsupported date modifier unit {unit!r}")
+            if "." in n:
+                # fractional shifts only make sense for seconds (SQLite
+                # allows e.g. '+1.5 seconds'); scale to micros
+                if _DATE_UNITS[unit] != "SECOND":
+                    raise ValueError(f"fractional shift needs seconds: {mod!r}")
+                micros = int(round(float(n) * 1_000_000))
+                expr = f"timestampadd(MICROSECOND, {micros}, {expr})"
+            else:
+                expr = f"timestampadd({_DATE_UNITS[unit]}, {n}, {expr})"
+        elif mod == "start of day":
+            expr = f"date_trunc('DAY', {expr})"
+        elif mod == "start of month":
+            expr = f"date_trunc('MONTH', {expr})"
+        elif mod == "start of year":
+            expr = f"date_trunc('YEAR', {expr})"
+        else:
+            raise ValueError(f"unsupported date modifier {mod!r}")
+    return expr
+
+
+def _render_date_fn(out_fmt: str):
+    def render(args: list[str]) -> str:
+        base = f"cast({args[0]} as timestamp)"
+        shifted = _apply_date_modifiers(base, args[1:])
+        return f"date_format({shifted}, '{out_fmt}')"
+
+    return render
+
+
+_render_date = _render_date_fn("yyyy-MM-dd")
+_render_datetime = _render_date_fn("yyyy-MM-dd HH:mm:ss")
+_render_time = _render_date_fn("HH:mm:ss")
+
+
 def _rewrite_glob(sql: str) -> str:
     # <operand> GLOB '<pattern>' — operand is an identifier/qualified name
     # or a parenthesized expression immediately before GLOB.
@@ -160,6 +287,22 @@ def translate_sqlite_sql(statement: str) -> str:
     sql = _rewrite_call(sql, "strftime", _render_strftime)
     sql = _rewrite_call(sql, "group_concat", _render_group_concat)
     sql = _rewrite_call(sql, "printf", _render_printf)
+    sql = _rewrite_call(sql, "iif", _render_iif)
+    sql = _rewrite_call(sql, "min", _render_scalar_min)
+    sql = _rewrite_call(sql, "max", _render_scalar_max)
+    sql = _rewrite_call(sql, "total", _render_total)
+    sql = _rewrite_call(sql, "char", _render_char)
+    sql = _rewrite_call(sql, "unicode", _render_unicode)
+    for hint in ("likelihood", "likely", "unlikely"):
+        sql = _rewrite_call(sql, hint, _render_hint_passthrough)
+    # datetime/time/date: longest name first so `datetime(` is not half-
+    # matched as `time(`... it isn't (the \b + literal name anchors each),
+    # but date must not re-match the date_format() output of datetime —
+    # date_format survives because \bdate\s*\( requires '(' right after
+    # 'date'.
+    sql = _rewrite_call(sql, "datetime", _render_datetime)
+    sql = _rewrite_call(sql, "time", _render_time)
+    sql = _rewrite_call(sql, "date", _render_date)
     return sql
 
 

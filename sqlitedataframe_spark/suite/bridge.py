@@ -92,6 +92,48 @@ def sqlite_dialect_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sqlite_dialect_sql2",
+    oracle="""
+    SELECT o_orderpriority,
+           CASE WHEN o_orderstatus = 'F' THEN 'done' ELSE 'open' END AS state,
+           chr(ascii(o_orderstatus)) AS status_letter,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COALESCE(SUM(CAST(o_totalprice AS DOUBLE)), 0.0) + 1e-9, 2)
+             AS revenue,
+           strftime(date_trunc('month', CAST(MIN(o_orderdate) AS TIMESTAMP)),
+                    '%Y-%m-%d') AS first_month,
+           strftime(CAST(MAX(o_orderdate) AS TIMESTAMP) + INTERVAL 7 DAY,
+                    '%Y-%m-%d %H:%M:%S') AS week_after_last,
+           GREATEST(MIN(o_custkey), 100) AS floor_cust
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    ORDER BY o_orderpriority, state, status_letter
+    """,
+)
+def sqlite_dialect_sql2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 dialect coverage through the string rewriter: iif, total(),
+    char()/unicode(), scalar max(), and date()/datetime() with modifiers
+    ('start of month', '+7 days') — all running natively on spark.sql."""
+    register_views(spark, sf_dir, ["orders"])
+    return sqlite_sql(
+        spark,
+        """
+        SELECT o_orderpriority,
+               iif(o_orderstatus = 'F', 'done', 'open') AS state,
+               char(unicode(o_orderstatus)) AS status_letter,
+               COUNT(*) AS n,
+               ROUND(total(o_totalprice) + 1e-9, 2) AS revenue,
+               date(MIN(o_orderdate), 'start of month') AS first_month,
+               datetime(MAX(o_orderdate), '+7 days') AS week_after_last,
+               max(MIN(o_custkey), 100) AS floor_cust
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus
+        ORDER BY o_orderpriority, state, status_letter
+        """,
+    )
+
+
+@query(
     "source_csv_roundtrip",
     oracle="""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,

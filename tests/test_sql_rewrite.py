@@ -101,3 +101,67 @@ def test_translate_strftime_literal_letters_runs(spark):
     )
     row = sqlite_sql(spark, "SELECT strftime('%YT%H', ts) AS s FROM one_ts").first()
     assert row.s == "2024T07"
+
+
+# ---------------------------------------------------------------------------
+# round-2 rewrites: iif, scalar min/max, total, char, unicode, date modifiers
+# ---------------------------------------------------------------------------
+def test_translate_iif_and_hints():
+    out = translate_sqlite_sql("SELECT iif(a > 1, 'y', 'n'), likely(b) FROM t")
+    assert "if(a > 1, 'y', 'n')" in out and "(b)" in out and "likely" not in out
+
+
+def test_translate_scalar_min_max_keeps_aggregate():
+    out = translate_sqlite_sql("SELECT min(a), min(a, b), max(a, b, c) FROM t")
+    assert "min(a)" in out  # 1-arg aggregate untouched
+    assert "least(a, b)" in out and "greatest(a, b, c)" in out
+    assert "is null" in out  # SQLite any-NULL guard
+
+
+def test_translate_total_char_unicode():
+    out = translate_sqlite_sql("SELECT total(x), char(65, 66), unicode(s) FROM t")
+    assert "coalesce(sum(cast(x as double))" in out
+    assert "concat(chr(65), chr(66))" in out
+    assert "ascii(s)" in out
+
+
+def test_translate_date_modifiers():
+    out = translate_sqlite_sql(
+        "SELECT date(d, '+3 days', 'start of month'), datetime(d, '-1 hour') FROM t"
+    )
+    assert "timestampadd(DAY, +3" in out
+    assert "date_trunc('MONTH'" in out
+    assert "timestampadd(HOUR, -1" in out
+    assert "date_format" in out
+
+
+def test_translate_varchar_cast_untouched():
+    out = translate_sqlite_sql("SELECT CAST(a AS varchar(10)) FROM t")
+    assert "varchar(10)" in out
+
+
+def test_scalar_minmax_null_semantics(spark):
+    from sqlitedataframe_spark.functions.sql_rewrite import sqlite_sql
+
+    row = sqlite_sql(
+        spark, "SELECT min(1, 2) AS a, max(1, NULL) AS b, min(3, NULL, 1) AS c"
+    ).first()
+    assert row.a == 1 and row.b is None and row.c is None
+
+
+def test_date_functions_run(spark):
+    from sqlitedataframe_spark.functions.sql_rewrite import sqlite_sql
+
+    row = sqlite_sql(
+        spark,
+        "SELECT date(timestamp'2024-03-05 07:08:09', '+3 days') AS d, "
+        "datetime(timestamp'2024-03-05 07:08:09', 'start of month') AS dt, "
+        "time(timestamp'2024-03-05 07:08:09', '+90 minutes') AS t, "
+        "total(x) AS tot, char(72, 105) AS hi "
+        "FROM (SELECT CAST(NULL AS DOUBLE) AS x)",
+    ).first()
+    assert row.d == "2024-03-08"
+    assert row.dt == "2024-03-01 00:00:00"
+    assert row.t == "08:38:09"
+    assert row.tot == 0.0
+    assert row.hi == "Hi"
