@@ -118,6 +118,8 @@ HEADLINE = [
     "embed_label_centroids",
     "merge_upsert_orders",
     "profile_orders",
+    "text_chunk_windows",
+    "text_pack_sequential",
 ]
 
 

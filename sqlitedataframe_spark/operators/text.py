@@ -187,3 +187,79 @@ def tfidf_topk(
             ).alias("tfidf"),
         )
     )
+
+
+def chunk_text(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Split each document into overlapping fixed-size token windows — the
+    context-window preparation step of a training pipeline.
+
+    Pure map-side: tokenize once, generate the chunk-start offsets with
+    ``sequence`` and ``posexplode`` them, slice the token array per chunk.
+    No shuffle at all; output rows = sum of per-doc chunk counts. At 100 TB
+    this runs entirely inside the scan stage.
+
+    Chunks: starts at 0, stride ``chunk_tokens - overlap``; every token is
+    covered and the final window may be short (never empty). A document
+    with <= chunk_tokens tokens yields exactly one chunk.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    # number of windows = ceil(max(s - chunk, 0) / stride) + 1; sequence's
+    # inclusive stop is (n-1)*stride
+    extra = F.greatest(F.size(toks) - F.lit(chunk_tokens), F.lit(0))
+    stop = ((extra + F.lit(stride - 1)) / F.lit(stride)).cast("int") * F.lit(stride)
+    starts = F.sequence(F.lit(0), stop, F.lit(stride))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_t"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    piece = F.slice(F.col("_t"), F.col("_start") + 1, chunk_tokens)
+    return d.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def pack_sequential(
+    df,
+    size_col: str,
+    shard_col,
+    order_col: str,
+    capacity: int,
+    bin_col: str = "bin",
+):
+    """Assign rows to fixed-capacity bins by cumulative size within a shard
+    — deterministic sequence packing for context-length batching.
+
+    ``bin = floor(cumulative_size_before_row / capacity)`` over the shard's
+    ``order_col`` order: contiguous documents fill a bin until the running
+    total crosses the capacity boundary (a document may straddle — this is
+    offset-based packing, not bin-packing; deterministic and one-pass).
+
+    Scale: packing is inherently sequential, so the global problem is
+    sharded — each shard packs independently under one window partitioned
+    by ``shard_col`` (one exchange, parallel across shards); at 100 TB pick
+    shard counts >> executor count and bins stay balanced by the law of
+    large numbers.
+    """
+    from pyspark.sql import Window
+
+    shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    w = (
+        Window.partitionBy(shard)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum(size_col).over(w) - F.col(size_col)
+    return df.withColumn(bin_col, F.floor(cum_before / F.lit(capacity)).cast("bigint"))

@@ -372,3 +372,67 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = T(spark, sf_dir, "orders")
     return profile(o, [c for c, _ in _PROFILE_COLS]).orderBy("column")
+
+
+# ---------------------------------------------------------------------------
+# Context-window preparation: chunking + sequence packing.
+# ---------------------------------------------------------------------------
+@query(
+    "text_chunk_windows",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(
+               0,
+               CAST(CEIL(GREATEST(len(t) - 64, 0) / 48.0) AS INT) * 48,
+               48)) AS start
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS INT) AS chunk_id,
+           CAST(len(list_slice(t, start + 1, start + 64)) AS INT) AS n_tokens,
+           array_to_string(list_slice(t, start + 1, start + 64), ' ') AS chunk_text
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 16-token overlap (stride 48) for every document
+    — zero-shuffle map-side chunking (operators.text.chunk_text)."""
+    d = T(spark, sf_dir, "documents")
+    return X.chunk_text(d, chunk_tokens=64, overlap=16).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "text_pack_sequential",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(lower(trim(text)), ' ')) AS INT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                      / 2048.0) AS BIGINT) AS bin
+    FROM sized
+    ORDER BY doc_id
+    """,
+)
+def text_pack_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard sequence packing into 2048-token bins
+    (operators.text.pack_sequential): one window per shard, parallel
+    across shards."""
+    from sqlitedataframe_spark.operators.text import pack_sequential
+
+    d = T(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        X.token_count_ws("text").alias("n_tokens"),
+    )
+    return pack_sequential(sized, "n_tokens", "shard", "doc_id", 2048).orderBy("doc_id")

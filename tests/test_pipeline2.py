@@ -245,3 +245,50 @@ def test_profile_approx_mode(spark):
     df = spark.range(1000).select(F.col("id").alias("a"))
     (row,) = profile(df, exact=False).collect()
     assert abs(row.n_distinct - 1000) < 100  # HLL estimate
+
+
+# ---------------------------------------------------------------------------
+# chunking + packing
+# ---------------------------------------------------------------------------
+def test_chunk_text_overlap_and_tail(spark):
+    from sqlitedataframe_spark.operators.text import chunk_text
+
+    # 10 tokens, chunks of 4, overlap 2 (stride 2): starts 0,2,4,6 -> but
+    # stop = ceil((10-4)/2)*2 = 6 -> chunks at 0,2,4,6
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")]
+    )
+    out = chunk_text(docs, chunk_tokens=4, overlap=2).orderBy("chunk_id").collect()
+    assert [r.chunk_id for r in out] == [0, 1, 2, 3]
+    assert out[0].chunk_text == "t0 t1 t2 t3"
+    assert out[1].chunk_text == "t2 t3 t4 t5"
+    assert out[3].chunk_text == "t6 t7 t8 t9"
+    assert all(r.n_tokens == 4 for r in out)
+
+
+def test_chunk_text_short_doc_single_chunk(spark):
+    from sqlitedataframe_spark.operators.text import chunk_text
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    out = chunk_text(docs, chunk_tokens=64, overlap=16).collect()
+    assert len(out) == 1 and out[0].n_tokens == 2 and out[0].chunk_text == "a b"
+
+
+def test_chunk_text_validates(spark):
+    from sqlitedataframe_spark.operators.text import chunk_text
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a")])
+    with pytest.raises(ValueError):
+        chunk_text(docs, chunk_tokens=4, overlap=4)
+
+
+def test_pack_sequential_bins(spark):
+    from sqlitedataframe_spark.operators.text import pack_sequential
+
+    df = spark.createDataFrame(
+        [Row(i=1, n=600, s=0), Row(i=2, n=600, s=0), Row(i=3, n=600, s=0),
+         Row(i=4, n=600, s=0), Row(i=5, n=10, s=1)]
+    )
+    got = {r.i: r.bin for r in pack_sequential(df, "n", "s", "i", 1000).collect()}
+    # cumulative-before: 0, 600, 1200, 1800 -> bins 0, 0, 1, 1; shard 1 restarts
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
