@@ -93,14 +93,19 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the latest right row with
     right_ts <= left_ts (backward) or the earliest with >= (forward), per key.
+    With ``tolerance_seconds``, a match further than the tolerance from the
+    left timestamp is rejected (the standard as-of max-gap option) — the
+    matched columns come back NULL, exactly as if no right row qualified.
 
     Implemented as union + ordered window (the merge-sort formulation): both
     sides shuffle once on the key, then one ordered pass carries the most
     recent right payload forward onto left rows — no range cross-join blowup,
-    so it scales like a regular shuffle join.
+    so it scales like a regular shuffle join. The tolerance adds no extra
+    pass: the matched right timestamp rides along in the same window.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
@@ -136,6 +141,23 @@ def asof_join(
     matched = unioned.withColumn("_rm", F.last("_r", ignorenulls=True).over(w)).filter(
         F.col("_side") == 1
     )
+    if tolerance_seconds is not None:
+        # matched right ts rides the same window; gap beyond tolerance
+        # voids the match (NULL payload), like no right row qualified
+        rts = F.when(F.col("_side") == 0, F.col("_ts"))
+        matched_ts = F.last(rts, ignorenulls=True).over(w)
+        gap = F.abs(
+            F.col("_ts").cast("double") - matched_ts.cast("double")
+        )
+        matched = (
+            unioned.withColumn("_rm", F.last("_r", ignorenulls=True).over(w))
+            .withColumn("_gap", gap)
+            .filter(F.col("_side") == 1)
+            .withColumn(
+                "_rm",
+                F.when(F.col("_gap") <= float(tolerance_seconds), F.col("_rm")),
+            )
+        )
     return matched.select(
         *[F.col("_l")[c].alias(c) for c in lcols],
         *[F.col("_rm")[c].alias(c) for c in rcols],

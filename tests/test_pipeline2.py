@@ -292,3 +292,37 @@ def test_pack_sequential_bins(spark):
     got = {r.i: r.bin for r in pack_sequential(df, "n", "s", "i", 1000).collect()}
     # cumulative-before: 0, 600, 1200, 1800 -> bins 0, 0, 1, 1; shard 1 restarts
     assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+# ---------------------------------------------------------------------------
+# as-of join tolerance
+# ---------------------------------------------------------------------------
+def test_asof_join_tolerance(spark):
+    from sqlitedataframe_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [
+            Row(k=1, lt=_ts("2024-01-01 10:00:00"), lv="near"),
+            Row(k=1, lt=_ts("2024-01-01 12:00:00"), lv="far"),
+        ]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rt=_ts("2024-01-01 09:59:00"), rv="quote")]
+    )
+    out = {
+        r.lv: r.rv
+        for r in asof_join(
+            left, right, "k", "lt", "rt", tolerance_seconds=600
+        ).collect()
+    }
+    # 10:00 is 60s after the quote (within 600s); 12:00 is 2h after (voided)
+    assert out == {"near": "quote", "far": None}
+
+
+def test_asof_join_no_tolerance_unchanged(spark):
+    from sqlitedataframe_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([Row(k=1, lt=_ts("2024-01-01 12:00:00"), lv="x")])
+    right = spark.createDataFrame([Row(k=1, rt=_ts("2024-01-01 09:00:00"), rv="q")])
+    (row,) = asof_join(left, right, "k", "lt", "rt").collect()
+    assert row.rv == "q"
