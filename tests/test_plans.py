@@ -144,3 +144,25 @@ def test_sampling_is_map_side(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     q = sample_by_hash(o, "o_orderkey", 0.1).select("o_orderkey")
     assert exchange_count(q) == 0
+
+
+def test_merge_into_single_exchange_no_join(spark, sf_dir):
+    """MERGE resolves via one window over the union — one exchange on the
+    merge key, no join operator at all."""
+    from sqlitedataframe_spark.operators.relational import merge_into
+    from sqlitedataframe_spark.plans import explain_text
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    upd = o.limit(10).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    q = merge_into(o, upd, ["o_orderkey"])
+    assert global_window_count(q) == 0  # window is partitioned by the key
+    plan = explain_text(q)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_chunk_text_zero_shuffle(spark, sf_dir):
+    """Chunking runs entirely inside the scan stage."""
+    from sqlitedataframe_spark.operators.text import chunk_text
+
+    d = load_table(spark, sf_dir, "documents")
+    assert exchange_count(chunk_text(d)) == 0
