@@ -72,6 +72,7 @@ HEADLINE = [
     "window_range_frame",
     "window_groups_frame",
     "window_frame_exclude",
+    "window_exclude_minmax",
     "rowid_fact_scale",
     "join_full_outer",
     "window_distribution",

@@ -148,9 +148,17 @@ def groups_frames(
     5. EXCLUDE arithmetic on invertible aggs (sum/count/avg):
        ``current row`` subtracts the row's own value, ``group`` subtracts
        the row's whole peer group, ``ties`` subtracts the peers but adds
-       the row back. min/max support ``exclude='no others'`` only (not
-       invertible; matching SQL engines' own algebraic limits would need a
-       segment-tree pass — out of scope).
+       the row back. Exclusion terms apply only when the frame actually
+       covers the current group (``lower <= 0 <= upper``) — EXCLUDE
+       removes rows from the frame, it never implies their membership.
+    6. EXCLUDE on min/max (not invertible) decomposes the frame into a
+       strictly-before part ``[lower, -1]`` and strictly-after part
+       ``[1, upper]`` — two more RANGE windows over g — then recombines:
+       ``group`` = least/greatest(pre, post); ``ties`` adds the row's own
+       value back; ``current row`` additionally needs min/max-except-self
+       *within* the peer group, maintained from the group's (min, count of
+       min, second-distinct min) — two peer-group window stages over the
+       same exchange, no extra shuffle.
 
     ``agg`` in {sum, count, avg, min, max}; ``count`` counts non-NULL
     ``value_col`` rows. NULL values follow SQL aggregate semantics (ignored
@@ -163,12 +171,35 @@ def groups_frames(
             raise ValueError(f"agg must be one of {sorted(_GROUPS_AGGS)}")
         if exclude not in _EXCLUDES:
             raise ValueError(f"exclude must be one of {_EXCLUDES}")
-        if exclude != "no others" and not _GROUPS_AGGS[agg]:
-            raise ValueError(f"EXCLUDE requires an invertible aggregate, not {agg!r}")
 
     P = [F.col(c) for c in partition_cols]
     g_win = Window.partitionBy(*P).orderBy(order_col)
     rows = df.withColumn("_g", F.dense_rank().over(g_win))
+
+    # min/max EXCLUDE 'current row' needs within-peer-group except-self
+    # stats. Two window stages over the SAME (partition, _g) partitioning —
+    # Catalyst reuses one exchange, no extra shuffle.
+    mm_self_cols = {
+        (s[3], s[2])
+        for s in specs
+        if s[2] in ("min", "max") and s[5] == "current row"
+    }
+    if mm_self_cols:
+        wg = Window.partitionBy(*P, "_g")
+        stage1, stage2 = [], []
+        for vc, agg in mm_self_cols:
+            fn, cmp_beyond = (F.min, F.col(vc) > F.col(f"_pm_{agg}_{vc}")) if agg == "min" else (
+                F.max, F.col(vc) < F.col(f"_pm_{agg}_{vc}"))
+            stage1.append(fn(vc).over(wg).alias(f"_pm_{agg}_{vc}"))
+            stage2.append(
+                F.sum(
+                    F.when(F.col(vc) == F.col(f"_pm_{agg}_{vc}"), 1).otherwise(0)
+                ).over(wg).alias(f"_pmn_{agg}_{vc}")
+            )
+            stage2.append(
+                fn(F.when(cmp_beyond, F.col(vc))).over(wg).alias(f"_pm2_{agg}_{vc}")
+            )
+        rows = rows.select("*", *stage1).select("*", *stage2)
 
     # one partial-aggregate set per distinct value column
     vcols = list(dict.fromkeys(s[3] for s in specs))
@@ -184,7 +215,7 @@ def groups_frames(
 
     # one frame-window column set per spec (bounds may differ per spec)
     frame_cols = []
-    for i, (lower, upper, agg, vc, _, _) in enumerate(specs):
+    for i, (lower, upper, agg, vc, _, exclude) in enumerate(specs):
         fw = Window.partitionBy(*P).orderBy("_g").rangeBetween(lower, upper)
         frame_cols += [
             F.sum(f"_gsum_{vc}").over(fw).alias(f"_fsum_{i}"),
@@ -192,6 +223,29 @@ def groups_frames(
             F.min(f"_gmin_{vc}").over(fw).alias(f"_fmin_{i}"),
             F.max(f"_gmax_{vc}").over(fw).alias(f"_fmax_{i}"),
         ]
+        if agg in ("min", "max") and exclude != "no others":
+            # prefix [lower, -1] / suffix [1, upper] parts of the frame,
+            # empty sides as typed NULL
+            fn = F.min if agg == "min" else F.max
+            src = f"_gmin_{vc}" if agg == "min" else f"_gmax_{vc}"
+            if lower <= -1:
+                pw = Window.partitionBy(*P).orderBy("_g").rangeBetween(
+                    lower, min(upper, -1)
+                )
+                pre = fn(src).over(pw)
+            else:
+                pre = F.lit(None)
+            if upper >= 1:
+                sw = Window.partitionBy(*P).orderBy("_g").rangeBetween(
+                    max(lower, 1), upper
+                )
+                post = fn(src).over(sw)
+            else:
+                post = F.lit(None)
+            frame_cols += [
+                pre.cast(df.schema[vc].dataType).alias(f"_fpre_{i}"),
+                post.cast(df.schema[vc].dataType).alias(f"_fpost_{i}"),
+            ]
     frame = glevel.select(
         *partition_cols,
         "_g",
@@ -202,31 +256,55 @@ def groups_frames(
     joined = rows.join(frame, on=[*partition_cols, "_g"])
     outputs = []
     for i, (lower, upper, agg, vc, out_name, exclude) in enumerate(specs):
+        # EXCLUDE removes rows from the frame; when the frame bounds do not
+        # cover the current group there is nothing to remove
+        covers = lower <= 0 <= upper
         v = F.coalesce(F.col(vc).cast("double"), F.lit(0.0))
         v_cnt = F.when(F.col(vc).isNull(), 0).otherwise(1)
         fsum, fcnt = F.col(f"_fsum_{i}"), F.col(f"_fcnt_{i}")
         gsum = F.coalesce(F.col(f"_gsum_{vc}"), F.lit(0.0))
         gcnt = F.col(f"_gcnt_{vc}")
-        if exclude == "current row":
+        if not covers or exclude == "no others":
+            esum, ecnt = fsum, fcnt
+        elif exclude == "current row":
             esum, ecnt = fsum - v, fcnt - v_cnt
         elif exclude == "group":
             esum, ecnt = fsum - gsum, fcnt - gcnt
-        elif exclude == "ties":
+        else:  # ties
             esum, ecnt = fsum - gsum + v, fcnt - gcnt + v_cnt
-        else:
-            esum, ecnt = fsum, fcnt
 
         if agg == "sum":
             # SQL: empty frame (or all-NULL) -> NULL
             result = F.when(ecnt > 0, esum)
         elif agg == "count":
-            result = ecnt.cast("bigint")
+            # COUNT over an empty frame is 0, never NULL (the frame sum of
+            # group partials is NULL when no group falls in the bounds)
+            result = F.coalesce(ecnt, F.lit(0)).cast("bigint")
         elif agg == "avg":
             result = F.when(ecnt > 0, esum / ecnt)
-        elif agg == "min":
-            result = F.col(f"_fmin_{i}")
-        else:
-            result = F.col(f"_fmax_{i}")
+        else:  # min / max via prefix/suffix decomposition
+            plain = F.col(f"_fmin_{i}" if agg == "min" else f"_fmax_{i}")
+            if not covers or exclude == "no others":
+                result = plain
+            else:
+                pre, post = F.col(f"_fpre_{i}"), F.col(f"_fpost_{i}")
+                if exclude == "group":
+                    parts = [pre, post]
+                elif exclude == "ties":
+                    parts = [pre, post, F.col(vc)]
+                else:  # current row: peer-group min/max except self
+                    m = F.col(f"_pm_{agg}_{vc}")
+                    n = F.col(f"_pmn_{agg}_{vc}")
+                    m2 = F.col(f"_pm2_{agg}_{vc}")
+                    beyond = F.col(vc) > m if agg == "min" else F.col(vc) < m
+                    within = (
+                        F.when(F.col(vc).isNull() | beyond, m)
+                        .when(n > 1, m)
+                        .otherwise(m2)
+                    )
+                    parts = [pre, post, within]
+                comb = F.least if agg == "min" else F.greatest
+                result = comb(*parts)
         outputs.append(result.alias(out_name))
 
     return joined.select(*df.columns, *outputs)

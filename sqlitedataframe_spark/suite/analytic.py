@@ -271,6 +271,58 @@ def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_brand", "p_partkey")
 
 
+@query(
+    "window_exclude_minmax",
+    oracle="""
+    WITH g AS (SELECT p_brand, p_partkey, p_retailprice,
+                      DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size)
+                        AS dr
+               FROM part)
+    SELECT p_brand, p_partkey,
+           ROUND(MIN(p_retailprice) OVER (PARTITION BY p_brand ORDER BY dr
+                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP),
+                 2) AS min_excl_group,
+           ROUND(MAX(p_retailprice) OVER (PARTITION BY p_brand ORDER BY dr
+                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES),
+                 2) AS max_excl_ties,
+           ROUND(MIN(p_retailprice) OVER (PARTITION BY p_brand ORDER BY dr
+                 RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+                 EXCLUDE CURRENT ROW), 2) AS min_excl_current
+    FROM g
+    ORDER BY p_brand, p_partkey
+    """,
+)
+def window_exclude_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE with min/max on GROUPS frames — NOT invertible, so the
+    frame decomposes into strictly-before/strictly-after RANGE windows
+    (plus within-peer-group except-self bookkeeping for EXCLUDE CURRENT
+    ROW); closed the round-1 "segment-tree out of scope" limitation.
+    Semantics cross-checked against SQLite's own GROUPS engine in
+    tests/test_operators.py::test_groups_frame_matches_sqlite_reference
+    (covering frames here, where the DuckDB RANGE+EXCLUDE oracle agrees
+    with SQLite)."""
+    from sqlitedataframe_spark.operators.windows import groups_frames
+
+    p = T(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_size", "p_retailprice")
+    out = groups_frames(
+        p,
+        ["p_brand"],
+        "p_size",
+        [
+            (-1, 1, "min", "p_retailprice", "min_excl_group", "group"),
+            (-1, 1, "max", "p_retailprice", "max_excl_ties", "ties"),
+            (-2, 0, "min", "p_retailprice", "min_excl_current", "current row"),
+        ],
+    )
+    return out.select(
+        "p_brand",
+        "p_partkey",
+        F.round("min_excl_group", 2).alias("min_excl_group"),
+        F.round("max_excl_ties", 2).alias("max_excl_ties"),
+        F.round("min_excl_current", 2).alias("min_excl_current"),
+    ).orderBy("p_brand", "p_partkey")
+
+
 # --------------------------------------------------------------------------
 # ROLLUP / CUBE — Spark capability upgrade over SQLite (SURVEY §2 Tier B).
 # --------------------------------------------------------------------------

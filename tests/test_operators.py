@@ -365,8 +365,10 @@ def test_groups_frame_rejects_bad_args(spark):
         groups_frame(df, ["p"], "o", -1, 1, "median", "v", "x")
     with pytest.raises(ValueError):
         groups_frame(df, ["p"], "o", -1, 1, "sum", "v", "x", exclude="everything")
-    with pytest.raises(ValueError):
-        groups_frame(df, ["p"], "o", -1, 1, "min", "v", "x", exclude="ties")
+    # min/max + EXCLUDE is supported since r2 (prefix/suffix decomposition):
+    # a single-row frame excluding its own group has nothing left -> NULL
+    (row,) = groups_frame(df, ["p"], "o", -1, 1, "min", "v", "x", exclude="ties").collect()
+    assert row.x == 1.0  # ties-excluded frame keeps the current row itself
 
 
 def test_groups_frames_multi_spec_single_pass(spark):
@@ -393,3 +395,72 @@ def test_groups_frames_multi_spec_single_pass(spark):
     exp_s = {r.id: r.s for r in lone_s.collect()}
     exp_c = {r.id: r.c for r in lone_c.collect()}
     assert got == {i: (exp_s[i], exp_c[i]) for i in got}
+
+
+def test_groups_frame_matches_sqlite_reference(spark):
+    """groups_frames vs the REFERENCE engine itself: SQLite's native GROUPS
+    window frames with every EXCLUDE mode, including min/max (prefix/suffix
+    decomposition) and frames that do not cover the current group (EXCLUDE
+    is pure removal — SQLite semantics; DuckDB's RANGE+EXCLUDE differs
+    there and is NOT the parity target)."""
+    import random
+    import sqlite3
+
+    from pyspark.sql import Row
+
+    from sqlitedataframe_spark.operators.windows import groups_frames
+
+    random.seed(7)
+    rows = [
+        Row(
+            p=i % 2,
+            o=random.randint(0, 5),
+            v=None if random.random() < 0.2 else float(random.randint(0, 9)),
+            rid=i,
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (rid INT, p INT, o INT, v REAL)")
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?,?)", [(r.rid, r.p, r.o, r.v) for r in rows]
+    )
+
+    def bound(n):
+        if n < 0:
+            return f"{abs(n)} PRECEDING"
+        return "CURRENT ROW" if n == 0 else f"{n} FOLLOWING"
+
+    cases = [
+        (agg, excl, sqlx, lo, up)
+        for agg in ("min", "max", "sum", "count", "avg")
+        for excl, sqlx in [
+            ("group", "EXCLUDE GROUP"),
+            ("ties", "EXCLUDE TIES"),
+            ("current row", "EXCLUDE CURRENT ROW"),
+            ("no others", ""),
+        ]
+        for lo, up in [(-1, 1), (1, 2), (-2, -1)]  # covering + both-sided gaps
+    ]
+    for agg, excl, sqlx, lo, up in cases:
+        got = {
+            r.rid: r.res
+            for r in groups_frames(
+                df, ["p"], "o", [(lo, up, agg, "v", "res", excl)]
+            ).collect()
+        }
+        fn = "COUNT" if agg == "count" else agg.upper()
+        want = dict(
+            con.execute(
+                f"SELECT rid, {fn}(v) OVER (PARTITION BY p ORDER BY o "
+                f"GROUPS BETWEEN {bound(lo)} AND {bound(up)} {sqlx}) FROM t"
+            ).fetchall()
+        )
+        for k, w in want.items():
+            g = got[k]
+            if g is None and w is None:
+                continue
+            assert g is not None and w is not None and abs(g - w) < 1e-9, (
+                f"{agg} {excl} ({lo},{up}) rid={k}: got {g}, sqlite {w}"
+            )
