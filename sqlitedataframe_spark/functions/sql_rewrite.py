@@ -75,17 +75,44 @@ def _split_args(arglist: str) -> list[str]:
     return out
 
 
+def _in_string_literal(sql: str, pos: int) -> bool:
+    """True when ``pos`` falls inside a single-quoted SQL string literal."""
+    i = 0
+    while i < pos:
+        if sql[i] == "'":
+            m = re.match(_STR, sql[i:])
+            if m is None:  # unterminated literal: everything after is inside
+                return True
+            if i + m.end() > pos:
+                return True
+            i += m.end()
+        else:
+            i += 1
+    return False
+
+
+#: type-name context: ``CAST(x AS CHAR(10))`` etc. must not be rewritten
+_TYPE_CONTEXT = re.compile(r"(?i)\bas\s*$")
+
+
 def _rewrite_call(sql: str, fname: str, render) -> str:
     """Replace every ``fname(args)`` call with ``render(args_list)``,
     scanning balanced parens so nested calls survive. A render may return
     ``None`` to leave that call unchanged (e.g. aggregate ``min(x)`` vs
-    scalar ``min(x, y)``); the search resumes after it either way."""
+    scalar ``min(x, y)``); the search resumes after it either way.
+    Matches inside string literals and in type-name position (directly
+    after ``AS``, i.e. ``CAST(x AS CHAR(10))``) are never rewritten."""
     pat = re.compile(rf"\b{fname}\s*\(", re.IGNORECASE)
     pos = 0
     while True:
         m = pat.search(sql, pos)
         if not m:
             return sql
+        if _in_string_literal(sql, m.start()) or _TYPE_CONTEXT.search(
+            sql, 0, m.start()
+        ):
+            pos = m.end()
+            continue
         start, i, depth = m.start(), m.end(), 1
         while i < len(sql) and depth:
             ch = sql[i]
@@ -218,23 +245,27 @@ _DATE_UNITS = {
 _MOD_SHIFT = re.compile(r"^([+-]?\d+(?:\.\d+)?)\s+([a-z]+)$")
 
 
-def _apply_date_modifiers(expr: str, mods: list[str]) -> str:
+def _apply_date_modifiers(expr: str, mods: list[str]) -> str | None:
     """Fold SQLite date modifiers ('+3 days', 'start of month', ...) over a
-    timestamp expression, left to right (SQLite applies them in order)."""
+    timestamp expression, left to right (SQLite applies them in order).
+    Returns None for modifiers outside the supported subset (non-literal,
+    'localtime'/'utc'/'weekday N', ...) — the caller then leaves the call
+    untouched, per the module contract ("anything else passes through;
+    incompatibilities surface as normal analysis errors")."""
     for raw in mods:
         if not (raw.startswith("'") and raw.endswith("'")):
-            raise ValueError(f"date modifier must be a string literal: {raw}")
+            return None
         mod = raw[1:-1].replace("''", "'").strip().lower()
         m = _MOD_SHIFT.match(mod)
         if m:
             n, unit = m.group(1), m.group(2)
             if unit not in _DATE_UNITS:
-                raise ValueError(f"unsupported date modifier unit {unit!r}")
+                return None
             if "." in n:
                 # fractional shifts only make sense for seconds (SQLite
                 # allows e.g. '+1.5 seconds'); scale to micros
                 if _DATE_UNITS[unit] != "SECOND":
-                    raise ValueError(f"fractional shift needs seconds: {mod!r}")
+                    return None
                 micros = int(round(float(n) * 1_000_000))
                 expr = f"timestampadd(MICROSECOND, {micros}, {expr})"
             else:
@@ -246,14 +277,23 @@ def _apply_date_modifiers(expr: str, mods: list[str]) -> str:
         elif mod == "start of year":
             expr = f"date_trunc('YEAR', {expr})"
         else:
-            raise ValueError(f"unsupported date modifier {mod!r}")
+            return None
     return expr
 
 
 def _render_date_fn(out_fmt: str):
-    def render(args: list[str]) -> str:
-        base = f"cast({args[0]} as timestamp)"
+    def render(args: list[str]) -> str | None:
+        if not args:
+            return None
+        # date('now') / datetime('now', ...): SQLite's current-moment form
+        base = (
+            "current_timestamp()"
+            if args[0].strip().lower() == "'now'"
+            else f"cast({args[0]} as timestamp)"
+        )
         shifted = _apply_date_modifiers(base, args[1:])
+        if shifted is None:
+            return None
         return f"date_format({shifted}, '{out_fmt}')"
 
     return render

@@ -138,26 +138,17 @@ def asof_join(
         .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = unioned.withColumn("_rm", F.last("_r", ignorenulls=True).over(w)).filter(
-        F.col("_side") == 1
-    )
+    rm = F.last("_r", ignorenulls=True).over(w)
     if tolerance_seconds is not None:
-        # matched right ts rides the same window; gap beyond tolerance
+        # matched right ts rides the same window (evaluated BEFORE the side
+        # filter, while right rows are still present); gap beyond tolerance
         # voids the match (NULL payload), like no right row qualified
-        rts = F.when(F.col("_side") == 0, F.col("_ts"))
-        matched_ts = F.last(rts, ignorenulls=True).over(w)
-        gap = F.abs(
-            F.col("_ts").cast("double") - matched_ts.cast("double")
-        )
-        matched = (
-            unioned.withColumn("_rm", F.last("_r", ignorenulls=True).over(w))
-            .withColumn("_gap", gap)
-            .filter(F.col("_side") == 1)
-            .withColumn(
-                "_rm",
-                F.when(F.col("_gap") <= float(tolerance_seconds), F.col("_rm")),
-            )
-        )
+        matched_ts = F.last(
+            F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
+        ).over(w)
+        gap = F.abs(F.col("_ts").cast("double") - matched_ts.cast("double"))
+        rm = F.when(gap <= float(tolerance_seconds), rm)
+    matched = unioned.withColumn("_rm", rm).filter(F.col("_side") == 1)
     return matched.select(
         *[F.col("_l")[c].alias(c) for c in lcols],
         *[F.col("_rm")[c].alias(c) for c in rcols],

@@ -38,10 +38,16 @@ def _hex4(key: Column | str) -> Column:
 
 
 def hex_threshold(fraction: float) -> str:
-    """The 4-hex-digit cut so that P[_hex4(key) < cut] ~= fraction."""
+    """The cut string so that P[_hex4(key) < cut] ~= fraction.
+
+    Fraction 1.0 returns ``"g000"`` — lexicographically above every hex
+    string, so a 100% sample keeps ALL rows (a clamp to ``"ffff"`` with the
+    strict ``<`` would silently drop the ~1/65536 keys whose md5 starts
+    with ffff)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(min(int(round(fraction * _SPACE)), _SPACE - 1), "04x")
+    cut = int(round(fraction * _SPACE))
+    return "g000" if cut >= _SPACE else format(cut, "04x")
 
 
 def sample_by_hash(df: DataFrame, key: str, fraction: float) -> DataFrame:

@@ -182,7 +182,9 @@ def groups_frames(
     mm_self_cols = {
         (s[3], s[2])
         for s in specs
-        if s[2] in ("min", "max") and s[5] == "current row"
+        if s[2] in ("min", "max")
+        and s[5] == "current row"
+        and s[0] <= 0 <= s[1]  # exclusion is a no-op on non-covering frames
     }
     if mm_self_cols:
         wg = Window.partitionBy(*P, "_g")
@@ -223,7 +225,7 @@ def groups_frames(
             F.min(f"_gmin_{vc}").over(fw).alias(f"_fmin_{i}"),
             F.max(f"_gmax_{vc}").over(fw).alias(f"_fmax_{i}"),
         ]
-        if agg in ("min", "max") and exclude != "no others":
+        if agg in ("min", "max") and exclude != "no others" and lower <= 0 <= upper:
             # prefix [lower, -1] / suffix [1, upper] parts of the frame,
             # empty sides as typed NULL
             fn = F.min if agg == "min" else F.max

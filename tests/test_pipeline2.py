@@ -326,3 +326,14 @@ def test_asof_join_no_tolerance_unchanged(spark):
     right = spark.createDataFrame([Row(k=1, rt=_ts("2024-01-01 09:00:00"), rv="q")])
     (row,) = asof_join(left, right, "k", "lt", "rt").collect()
     assert row.rv == "q"
+
+
+def test_sample_fraction_one_keeps_every_row(spark):
+    # a 100% sample must not lose the ~1/65536 keys whose md5 prefix is ffff
+    assert SM.hex_threshold(1.0) == "g000"
+    df = spark.range(100000)
+    assert SM.sample_by_hash(df, "id", 1.0).count() == 100000
+    out = SM.stratified_sample(
+        df.withColumn("g", F.lit("all")), "id", "g", {"all": 1.0}
+    )
+    assert out.count() == 100000

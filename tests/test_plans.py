@@ -128,11 +128,11 @@ def test_groups_frame_no_global_window(spark, sf_dir):
     assert global_window_count(q) == 0
 
 
-def test_range_join_no_nested_loop(spark):
+def test_range_join_no_nested_loop(spark, sf_dir):
     """Interval join must be the bucketed equi-join, never a nested loop."""
     from sqlitedataframe_spark.plans import explain_text
 
-    q = load_all()["range_join_events"].spark_fn(spark, "/root/testdata/sf0.001")
+    q = load_all()["range_join_events"].spark_fn(spark, sf_dir)
     plan = explain_text(q)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 

@@ -165,3 +165,28 @@ def test_date_functions_run(spark):
     assert row.t == "08:38:09"
     assert row.tot == 0.0
     assert row.hi == "Hi"
+
+
+def test_rewriter_ignores_string_literals():
+    sql = "SELECT 'start time (sec)' AS label, 'min(x)' AS t2 FROM t"
+    assert translate_sqlite_sql(sql) == sql
+
+
+def test_rewriter_ignores_char_type_in_cast():
+    sql = "SELECT CAST(a AS CHAR(10)), CAST(b AS varchar(5)) FROM t"
+    assert translate_sqlite_sql(sql) == sql
+
+
+def test_unsupported_date_modifiers_pass_through():
+    # outside the supported subset: left untouched (surfaces as a normal
+    # analysis error downstream), never a translation-time crash
+    sql = "SELECT date(d, 'localtime'), datetime(d, 'weekday 1') FROM t"
+    assert translate_sqlite_sql(sql) == sql
+
+
+def test_date_now(spark):
+    from sqlitedataframe_spark.functions.sql_rewrite import sqlite_sql
+
+    row = sqlite_sql(spark, "SELECT date('now') AS d, datetime('NOW') AS dt").first()
+    assert len(row.d) == 10 and row.d[4] == "-"
+    assert len(row.dt) == 19
