@@ -312,6 +312,8 @@ def _rewrite_glob(sql: str) -> str:
     )
 
     def sub(m: re.Match) -> str:
+        if _in_string_literal(sql, m.start()):
+            return m.group(0)
         glob = m.group("pat")[1:-1].replace("''", "'")
         regex = glob_to_rlike(glob).replace("\\", "\\\\").replace("'", "''")
         return f"{m.group('lhs')} RLIKE '{regex}'"

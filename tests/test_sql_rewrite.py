@@ -190,3 +190,10 @@ def test_date_now(spark):
     row = sqlite_sql(spark, "SELECT date('now') AS d, datetime('NOW') AS dt").first()
     assert len(row.d) == 10 and row.d[4] == "-"
     assert len(row.dt) == 19
+
+
+def test_glob_inside_string_literal_untouched():
+    sql = "SELECT 'a GLOB ''*x*'' pattern' AS doc, name FROM t WHERE name GLOB 'ab*'"
+    out = translate_sqlite_sql(sql)
+    assert "'a GLOB ''*x*'' pattern'" in out  # literal intact
+    assert "RLIKE" in out  # real GLOB still rewritten
