@@ -121,6 +121,8 @@ HEADLINE = [
     "profile_orders",
     "text_chunk_windows",
     "text_pack_sequential",
+    "source_orc_roundtrip",
+    "source_text_gz",
 ]
 
 

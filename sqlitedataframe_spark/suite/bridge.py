@@ -203,3 +203,62 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice) + 1e-9, 2) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink parity: the second columnar format Spark ships
+    natively (predicate pushdown + column pruning apply exactly as for
+    parquet). Orders round-trips through ORC and must aggregate to the
+    parquet original's values."""
+    out = os.path.join(tempfile.gettempdir(), "sdfspark_orders_orc")
+    o = T(spark, sf_dir, "orders")
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.schema(o.schema).orc(out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice") + 1e-9, 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "source_text_gz",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(len(string_split(line, ' '))) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id || CHR(9) || lower(trim(text)) AS line FROM documents)
+    """,
+)
+def source_text_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text corpus ingestion: documents are exported as gzip-compressed
+    tab-separated text lines (the classic one-doc-per-line corpus layout)
+    and re-ingested with spark.read.text — gzip is NOT splittable, so at
+    100 TB one .gz file = one task; the export writes many files
+    (partition-parallel) precisely so the read side parallelizes by file
+    count. Tokens are then counted over the re-read lines."""
+    out = os.path.join(tempfile.gettempdir(), "sdfspark_docs_txt")
+    d = T(spark, sf_dir, "documents")
+    lines = d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.lower(F.trim("text"))).alias(
+            "value"
+        )
+    )
+    lines.write.mode("overwrite").option("compression", "gzip").text(out)
+    back = spark.read.text(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.size(F.split(F.col("value"), " "))).alias("n_tokens"),
+    )
