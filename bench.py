@@ -123,6 +123,7 @@ HEADLINE = [
     "text_pack_sequential",
     "source_orc_roundtrip",
     "source_text_gz",
+    "source_partitioned_pruning",
 ]
 
 

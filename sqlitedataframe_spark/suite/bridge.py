@@ -262,3 +262,34 @@ def source_text_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.size(F.split(F.col("value"), " "))).alias("n_tokens"),
     )
+
+
+@query(
+    "source_partitioned_pruning",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice) + 1e-9, 2) AS total
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout: orders written partitionBy(
+    o_orderpriority), then read with a partition-key filter — the scan
+    touches ONLY the matching directory (PartitionFilters, asserted in
+    tests/test_plans.py::test_partition_pruning). At 100 TB this is
+    the difference between listing one partition and scanning the lake."""
+    out = os.path.join(tempfile.gettempdir(), "sdfspark_orders_part")
+    o = T(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice") + 1e-9, 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -166,3 +166,4 @@ def test_chunk_text_zero_shuffle(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     assert exchange_count(chunk_text(d)) == 0
+
