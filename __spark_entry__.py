@@ -43,14 +43,32 @@ def _ordered_names() -> list[str]:
         except (OSError, ValueError):
             continue
     names = list(reg.keys())
-    # Within the never-checked group, lead with the end-to-end bridge
+    # Within the never-checked group, lead with (a) the end-to-end bridge
     # round-trips (they prove the whole Tier A surface and register LAST in
-    # module order, so a bounded capture would otherwise drop them first).
+    # module order, so a bounded capture would otherwise drop them first)
+    # and (b) queries added this round that no prior judge pass has
+    # verified either — r1-judge-verified queries can wait a round longer.
     lead = [
         "sqlite_roundtrip",
         "sqlite_dialect_sql",
         "source_csv_roundtrip",
         "source_json_roundtrip",
+        "sqlite_dialect_sql2",
+        "source_orc_roundtrip",
+        "source_text_gz",
+        "source_partitioned_pruning",
+        "text_chunk_windows",
+        "text_pack_sequential",
+        "window_exclude_minmax",
+        "sample_hash_deterministic",
+        "sample_train_test_split",
+        "sample_stratified",
+        "text_tfidf_topk",
+        "dedup_connected_components",
+        "range_join_events",
+        "embed_label_centroids",
+        "merge_upsert_orders",
+        "profile_orders",
     ]
     unseen = [n for n in names if n not in seen]
     unseen = [n for n in lead if n in unseen] + [n for n in unseen if n not in lead]
