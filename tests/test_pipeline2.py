@@ -21,7 +21,8 @@ from sqlitedataframe_spark.operators.relational import interval_join
 def test_hex_threshold_values():
     assert SM.hex_threshold(0.0) == "0000"
     assert SM.hex_threshold(0.5) == "8000"
-    assert SM.hex_threshold(1.0) == "ffff"
+    # 1.0 sorts above every hex string so a 100% sample keeps ffff-keys too
+    assert SM.hex_threshold(1.0) == "g000"
     with pytest.raises(ValueError):
         SM.hex_threshold(1.5)
 
