@@ -116,6 +116,7 @@ HEADLINE = [
     "text_tfidf_topk",
     "range_join_events",
     "dedup_connected_components",
+    "pipeline_near_dedup",
     "embed_label_centroids",
     "merge_upsert_orders",
     "profile_orders",

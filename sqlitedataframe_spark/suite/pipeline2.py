@@ -436,3 +436,115 @@ def text_pack_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.token_count_ws("text").alias("n_tokens"),
     )
     return pack_sequential(sized, "n_tokens", "shard", "doc_id", 2048).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end NEAR-duplicate removal: blocking -> exact Jaccard edges ->
+# connected components -> min-id representative -> corpus stats. The fully
+# deterministic twin of the MinHash-LSH path (same pipeline shape, exact
+# candidate generation), so the whole chain is oracle-checkable — the
+# oracle computes the transitive closure with a recursive CTE.
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_near_dedup",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang, source,
+             CAST(floor(n_chars / 100) AS BIGINT) AS bkt,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+      WHERE {SM.sample_sql_predicate("doc_id", 0.4)}),
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM toks a JOIN toks b
+        ON a.lang = b.lang AND a.bkt = b.bkt AND b.doc_id > a.doc_id
+      WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.t, b.t))) >= 0.8),
+    sym AS (
+      SELECT src, dst FROM edges
+      UNION ALL SELECT dst AS src, src AS dst FROM edges),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM toks
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b),
+    comp AS (SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a)
+    SELECT d.lang, d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.comp = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN c.comp = d.doc_id THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN c.comp = d.doc_id THEN d.n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_kept
+    FROM toks d JOIN comp c ON c.doc_id = d.doc_id
+    GROUP BY d.lang, d.source
+    ORDER BY d.lang, d.source
+    """,
+)
+def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL (not just pair detection): block on
+    (lang, n_chars/100 band) -> exact token-Jaccard >= 0.8 within each block
+    -> connected components (operators.graph, pointer-jumped) -> keep the
+    min-doc_id representative per dup cluster -> per-(lang, source) corpus
+    stats. Runs on a deterministic 40% hash-sample of the corpus — the
+    "develop on a reproducible sample, promote to full scale" workflow;
+    the oracle applies the identical md5 predicate so both engines see the
+    exact same rows.
+
+    Scale design: blocking bounds the candidate space to sum(block size^2)
+    — the all-pairs join never crosses blocks, shuffles on the slim
+    (lang, bkt) key, and skewed blocks fall out to AQE skew-join. A
+    lossless size-ratio prefilter (J >= 0.8 implies token counts within
+    25%) prunes pairs before any intersect is computed. At 100 TB swap the
+    exact edge generator for ``dedup.minhash_lsh_pairs`` (identical
+    downstream shape); this deterministic variant exists so the WHOLE chain
+    — candidates, clustering, representative choice — hash-checks against
+    the oracle's recursive-CTE transitive closure."""
+    from sqlitedataframe_spark.operators import dedup as D
+
+    d = SM.sample_by_hash(
+        T(spark, sf_dir, "documents"), "doc_id", 0.4
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("bigint").alias("bkt"),
+        F.array_distinct(X.tokens("text")).alias("t"),
+        X.token_count_ws("text").alias("n_tokens"),
+    ).withColumn("nt", F.size("t"))
+    a, b = d.alias("a"), d.alias("b")
+    na, nb = F.col("a.nt"), F.col("b.nt")
+    inter = F.size(F.array_intersect(F.col("a.t"), F.col("b.t")))
+    # Lossless prefilter: J >= 0.8 implies min(|A|,|B|)/max(|A|,|B|) >= 0.8
+    # — integer compare prunes most candidate pairs BEFORE the O(|A|+|B|)
+    # intersect runs. Union size is |A|+|B|-i (inputs are distinct sets),
+    # so no array_union materialization either.
+    edges = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .filter(F.least(na, nb) * 5 >= F.greatest(na, nb) * 4)
+        .filter(inter.cast("double") / (na + nb - inter) >= 0.8)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    labels = connected_components(
+        edges, nodes=d.select("doc_id"), node_col="doc_id"
+    )
+    joined = d.join(labels, d.doc_id == labels.node)
+    kept = F.col("comp") == F.col("doc_id")
+    return (
+        joined.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.sum((~kept).cast("bigint")).alias("n_removed"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "tokens_kept"
+            ),
+        )
+        .orderBy("lang", "source")
+    )

@@ -167,3 +167,14 @@ def test_chunk_text_zero_shuffle(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     assert exchange_count(chunk_text(d)) == 0
 
+
+
+def test_near_dedup_blocked_join_no_nested_loop(spark, sf_dir):
+    """The near-dedup candidate join must stay a (lang, bkt) equi-join —
+    never a nested loop / cartesian — and the sample predicate must reach
+    the scan as a pushed filter."""
+    from sqlitedataframe_spark.plans import explain_text
+
+    q = load_all()["pipeline_near_dedup"].spark_fn(spark, sf_dir)
+    plan = explain_text(q)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
