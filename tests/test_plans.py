@@ -178,3 +178,45 @@ def test_near_dedup_blocked_join_no_nested_loop(spark, sf_dir):
     q = load_all()["pipeline_near_dedup"].spark_fn(spark, sf_dir)
     plan = explain_text(q)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """Runtime bloom-filter join (Spark's InjectRuntimeFilter): when a
+    selectively-filtered build side is too big to broadcast (the normal
+    case for fact-fact joins at 100 TB), Spark derives a bloom filter from
+    it and pre-filters the probe side BEFORE the shuffle. The size
+    thresholds are cluster-scale by default, so the test lowers them and
+    disables broadcast to emulate two above-threshold sides; the assert is
+    that the optimizer actually injects might_contain/bloom_filter_agg —
+    i.e. the capability is live on this engine, not hypothetical."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        # load_table -> tune() resets the broadcast threshold; re-disable so
+        # the join planner sees two non-broadcastable sides.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.sum("l_quantity").alias("s")
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
