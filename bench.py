@@ -118,6 +118,8 @@ HEADLINE = [
     "dedup_connected_components",
     "pipeline_near_dedup",
     "embed_label_centroids",
+    "embed_quantize_int8",
+    "sample_cap_per_class",
     "merge_upsert_orders",
     "profile_orders",
     "text_chunk_windows",

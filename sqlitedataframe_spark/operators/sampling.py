@@ -100,3 +100,30 @@ def sample_sql_predicate(key_sql: str, fraction: float) -> str:
     """The oracle-side WHERE clause matching :func:`sample_by_hash` —
     kept here so Spark and SQL twins can never drift apart."""
     return f"substr(md5(CAST({key_sql} AS VARCHAR)), 1, 4) < '{hex_threshold(fraction)}'"
+
+
+def cap_per_class(
+    df: DataFrame, class_cols: list[str], key: str, cap: int
+) -> DataFrame:
+    """Keep at most ``cap`` rows per class, chosen in deterministic
+    md5-hash order (random-but-reproducible, like :func:`sample_by_hash`)
+    — the per-domain/per-language cap every large-corpus curation recipe
+    applies so one dominant source cannot swamp the mixture.
+
+    One shuffle on the class key; the per-class ``row_number`` window is
+    partitioned, so parallelism = #classes. For classes so large that a
+    single reducer per class is a bottleneck at 100 TB, do the two-phase
+    variant instead: count per class, then ``sample_by_hash`` each class at
+    ``cap / count`` (approximate cap, fully map-side) — this exact variant
+    is the oracle-checkable one.
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    w = Window.partitionBy(*class_cols).orderBy(_hex4(key).asc(), F.col(key).asc())
+    return (
+        df.withColumn("_cap_rn", F.row_number().over(w))
+        .filter(F.col("_cap_rn") <= cap)
+        .drop("_cap_rn")
+    )

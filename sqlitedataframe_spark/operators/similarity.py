@@ -314,3 +314,47 @@ def label_centroids(
         .groupBy("label", (F.col("pos") + 1).alias("pos"))
         .agg(F.round(F.avg("col") + 1e-9, 6).alias("centroid"))
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(x_i / scale),
+    scale = max|x| / 127 — the standard 4x storage/bandwidth cut for
+    embedding corpora (float32 -> int8 + one float scale per vector).
+
+    Entirely JVM-side column arithmetic (no UDF): the cast vector and the
+    scale are let-bound via 1-element-array transforms, so max|x| is
+    computed once per row, not once per element. Zero vectors quantize to
+    all-zero with scale 0 (guarded division).
+
+    Adds ``out_col`` (array<int>, values in [-127, 127]) and
+    ``{out_col}_scale`` (double); reconstruct with q_i * scale.
+    """
+    v = as_double(vec_col)
+    quantized = F.element_at(
+        F.transform(
+            F.array(v),
+            lambda vv: F.element_at(
+                F.transform(
+                    F.array(F.array_max(F.transform(vv, F.abs)) / F.lit(127.0)),
+                    lambda s: F.struct(
+                        F.transform(
+                            vv,
+                            lambda x: F.when(s == 0.0, F.lit(0))
+                            .otherwise(F.round(x / s).cast("int"))
+                            .alias("x"),
+                        ).alias("q"),
+                        s.alias("scale"),
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
+    return df.withColumn("_qz", quantized).select(
+        "*",
+        F.col("_qz.q").alias(out_col),
+        F.col("_qz.scale").alias(f"{out_col}_scale"),
+    ).drop("_qz")

@@ -548,3 +548,92 @@ def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization: the standard 4x storage cut for embedding
+# corpora, exact-checked element-by-element against the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label,
+             embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+               AS sc
+      FROM embeddings
+      WHERE vec_id % 5 = 0)
+    SELECT vec_id, label,
+           CAST(generate_subscripts(v, 1) AS INTEGER) AS pos,
+           unnest(list_transform(v, x ->
+             CAST(CASE WHEN sc = 0 THEN 0 ELSE round(x / sc) END AS INTEGER)))
+             AS q,
+           ROUND(sc + 1e-9, 6) AS scale
+    FROM s
+    ORDER BY vec_id, pos
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (operators.similarity.
+    quantize_int8), exploded to (vec_id, pos, q, scale) so every quantized
+    element hash-checks against the oracle. The modulo filter keeps the
+    exploded check set bounded; the operator itself is a pure map."""
+    from sqlitedataframe_spark.operators.similarity import quantize_int8
+
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    qz = quantize_int8(e)
+    return (
+        qz.select(
+            "vec_id",
+            "label",
+            F.posexplode("q").alias("pos0", "q"),
+            F.round(F.col("q_scale") + 1e-9, 6).alias("scale"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            "q",
+            "scale",
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-class cap: no language may contribute more than N documents — the
+# per-domain cap every large-corpus mixture recipe applies.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_cap_per_class",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id)
+               AS INT) AS pick_order
+      FROM documents)
+    SELECT doc_id, lang, source, pick_order
+    FROM ranked WHERE pick_order <= 8
+    ORDER BY doc_id
+    """,
+)
+def sample_cap_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 8 documents per language, picked in deterministic md5-hash
+    order (operators.sampling.cap_per_class) — reproducible across engines
+    and stable under repartitioning."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    capped = SM.cap_per_class(d, ["lang"], "doc_id", 8)
+    # re-derive the pick order for the check output (the operator drops it)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        F.col("doc_id"),
+    )
+    return (
+        capped.withColumn("pick_order", F.row_number().over(w).cast("int"))
+        .orderBy("doc_id")
+    )

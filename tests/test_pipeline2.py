@@ -338,3 +338,40 @@ def test_sample_fraction_one_keeps_every_row(spark):
         df.withColumn("g", F.lit("all")), "id", "g", {"all": 1.0}
     )
     assert out.count() == 100000
+
+
+# ---------------------------------------------------------------------------
+# round-2b: per-class cap + int8 quantization
+# ---------------------------------------------------------------------------
+def test_cap_per_class_caps_and_is_stable(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("cls")
+    )
+    capped = SM.cap_per_class(df, ["cls"], "k", 10)
+    counts = {r["cls"]: r["n"] for r in
+              capped.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 10 for v in counts.values())
+    # deterministic: same rows under a different partitioning
+    again = SM.cap_per_class(df.repartition(7), ["cls"], "k", 10)
+    assert sorted(r["k"] for r in capped.collect()) == sorted(
+        r["k"] for r in again.collect()
+    )
+    with pytest.raises(ValueError):
+        SM.cap_per_class(df, ["cls"], "k", 0)
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    from sqlitedataframe_spark.operators.similarity import quantize_int8
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, -2.0, 0.5, 127.5]),
+        Row(vec_id=1, embedding=[0.0, 0.0, 0.0, 0.0]),  # zero vector
+    ]
+    out = quantize_int8(spark.createDataFrame(rows)).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    q0, s0 = by_id[0]["q"], by_id[0]["q_scale"]
+    assert max(abs(v) for v in q0) == 127  # max element hits full range
+    # reconstruction error bounded by scale/2 per element
+    for orig, qv in zip(rows[0].embedding, q0):
+        assert abs(orig - qv * s0) <= s0 / 2 + 1e-12
+    assert by_id[1]["q"] == [0, 0, 0, 0] and by_id[1]["q_scale"] == 0.0
