@@ -69,6 +69,9 @@ def _ordered_names() -> list[str]:
         "embed_label_centroids",
         "merge_upsert_orders",
         "profile_orders",
+        "pipeline_near_dedup",
+        "embed_quantize_int8",
+        "sample_cap_per_class",
     ]
     unseen = [n for n in names if n not in seen]
     unseen = [n for n in lead if n in unseen] + [n for n in unseen if n not in lead]
