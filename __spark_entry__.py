@@ -72,6 +72,7 @@ def _ordered_names() -> list[str]:
         "pipeline_near_dedup",
         "embed_quantize_int8",
         "sample_cap_per_class",
+        "source_schema_evolution",
     ]
     unseen = [n for n in names if n not in seen]
     unseen = [n for n in lead if n in unseen] + [n for n in unseen if n not in lead]

@@ -127,6 +127,7 @@ HEADLINE = [
     "source_orc_roundtrip",
     "source_text_gz",
     "source_partitioned_pruning",
+    "source_schema_evolution",
 ]
 
 

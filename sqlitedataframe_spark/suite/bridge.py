@@ -293,3 +293,53 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority,
+           ROUND(SUM(o_totalprice) + 1e-9, 2) AS total
+    FROM (
+      SELECT o_orderstatus, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on plain parquet: an early batch written WITHOUT
+    ``o_orderpriority`` and a later batch WITH it land in the same
+    directory; ``mergeSchema`` reconciles the footers and the old rows
+    surface the new column as NULL — exactly how a long-lived ingestion
+    path picks up new fields without rewriting history.
+
+    Scale note: mergeSchema reads every file footer at planning time — fine
+    per-ingestion-batch, but at lake scale keep the canonical schema in a
+    catalog and pass it explicitly (``spark.read.schema(...)``) instead of
+    re-deriving it from 10^6 footers on every read."""
+    out = os.path.join(tempfile.gettempdir(), "sdfspark_orders_evo")
+    o = T(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(out)
+    v2.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+            F.round(F.sum("o_totalprice") + 1e-9, 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
