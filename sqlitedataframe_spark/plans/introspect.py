@@ -91,26 +91,42 @@ def broadcast_join_count(df: DataFrame) -> int:
 def global_window_count(df: DataFrame) -> int:
     """Number of UNPARTITIONED Window operators — the ones Spark executes on
     a single task ("No Partition Defined" warning; total serialization at
-    scale). A partitioned Window line in the simple-mode tree has three
-    top-level bracket groups (exprs, partition spec, order spec); a global
-    one has two (no partition spec). Scale-safe plans assert this == 0."""
+    scale). Scale-safe plans assert this == 0.
+
+    A Window line in the simple-mode tree prints up to three top-level
+    bracket groups: ``[exprs]``, ``[partition spec]``, ``[order spec]`` —
+    empty specs are omitted, so both a global ordered window and a
+    partitioned unordered one print TWO groups. Disambiguate by content:
+    an order spec's entries carry ``ASC``/``DESC`` sort directions, a
+    partition spec's never do."""
     count = 0
     for line in explain_text(df, "simple").splitlines():
         stripped = line.strip().lstrip("+-*( )0123456789")
         if not stripped.startswith("Window "):
             continue
-        # Split on top-level "], [" separators to count bracket groups.
-        depth, groups = 0, 1
+        # Collect top-level bracket groups with their text.
         body = stripped[len("Window ") :]
+        depth, start, groups = 0, None, []
         for i, ch in enumerate(body):
             if ch == "[":
+                if depth == 0:
+                    start = i
                 depth += 1
             elif ch == "]":
                 depth -= 1
-                if depth == 0 and body[i : i + 3] == "], ":
-                    groups += 1
-        if groups < 3:
-            count += 1
+                if depth == 0 and start is not None:
+                    groups.append(body[start : i + 1])
+                    start = None
+        if len(groups) >= 3:
+            continue  # exprs + partition + order: partitioned
+        if len(groups) == 2:
+            last = groups[-1]
+            # [exprs], [partition]: partitioned (unordered) — safe.
+            # [exprs], [order]: GLOBAL ordered window.
+            if " ASC" in last or " DESC" in last:
+                count += 1
+            continue
+        count += 1  # exprs only: global unordered window
     return count
 
 

@@ -220,3 +220,26 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_global_window_detector_four_shapes(spark):
+    """The detector must flag exactly the unpartitioned windows: a
+    partitioned-but-unordered window also prints two bracket groups in the
+    simple tree and must NOT be misread as global."""
+    from pyspark.sql import Window
+
+    from sqlitedataframe_spark.plans import global_window_count
+
+    df = spark.range(100).withColumn("g", F.col("id") % 3)
+    assert global_window_count(
+        df.withColumn("r", F.row_number().over(Window.partitionBy("g").orderBy("id")))
+    ) == 0
+    assert global_window_count(
+        df.withColumn("c", F.count("*").over(Window.partitionBy("g")))
+    ) == 0
+    assert global_window_count(
+        df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    ) == 1
+    assert global_window_count(
+        df.withColumn("c", F.count("*").over(Window.partitionBy()))
+    ) == 1

@@ -1,0 +1,95 @@
+"""Mechanical plan audit across the ENTIRE suite registry.
+
+For every query in ``__spark_entry__.queries()`` this builds the DataFrame
+(no execution beyond what plan construction needs) and records the
+physical-plan properties that matter at 100 TB:
+
+- scan / exchange / broadcast-join counts
+- nested-loop or cartesian joins (always a red flag on fact-sized inputs)
+- single-partition global windows (serialization bottleneck)
+- Python row-at-a-time UDF evaluation (BatchEvalPython — the slow path;
+  Arrow-vectorized stages show as ArrowEvalPython/MapInPandas instead)
+
+Output: one JSON object per query in ``PLANS_AUDIT.json`` plus a summary
+line. Queries that RUN work at plan-build time (the source round-trips
+write temp files; iterative operators like connected components execute
+rounds) are still audited — their final returned plan is what's inspected.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sqlitedataframe_spark.plans import (  # noqa: E402
+    broadcast_join_count,
+    exchange_count,
+    explain_text,
+    global_window_count,
+    scan_count,
+)
+
+
+def audit_one(df) -> dict:
+    plan = explain_text(df)
+    return {
+        "scans": scan_count(df),
+        "exchanges": exchange_count(df),
+        "broadcast_joins": broadcast_join_count(df),
+        "nested_loop_or_cartesian": (
+            "NestedLoop" in plan or "Cartesian" in plan
+        ),
+        "global_windows": global_window_count(df),
+        "python_row_udf": "BatchEvalPython" in plan,
+    }
+
+
+def main() -> None:
+    from sqlitedataframe_spark.session import get_spark
+    from sqlitedataframe_spark.suite import load_all
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    registry = load_all()
+    spark = get_spark("plan-audit")
+    out: dict[str, dict] = {}
+    flagged: list[str] = []
+    for name, q in sorted(registry.items()):
+        if only and name not in only:
+            continue
+        try:
+            row = audit_one(q.spark_fn(spark, sf_dir))
+        except Exception as e:  # audit must not die on one bad query
+            row = {"error": f"{type(e).__name__}: {e}"[:200]}
+        out[name] = row
+        if row.get("nested_loop_or_cartesian") or row.get("python_row_udf"):
+            flagged.append(name)
+        bad = " FLAG" if name in flagged else ""
+        print(f"{name}: {row}{bad}", file=sys.stderr)
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "PLANS_AUDIT.json") if not only else "/dev/stdout"
+    payload = {
+        "sf_dir": sf_dir,
+        "n_queries": len(out),
+        "flagged_nested_loop_or_row_udf": flagged,
+        "queries": out,
+    }
+    if only:
+        print(json.dumps(payload, indent=1))
+    else:
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps({
+            "n_queries": len(out),
+            "flagged": flagged,
+            "detail": "PLANS_AUDIT.json",
+        }))
+
+
+if __name__ == "__main__":
+    main()
