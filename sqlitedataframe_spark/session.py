@@ -34,6 +34,9 @@ def get_spark(app_name: str = "sqlitedataframe-spark", cpus: int | None = None) 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", BROADCAST_THRESHOLD)
+        # Python DataSource filter pushdown (the SQLite bridge implements
+        # pushFilters; reads FAIL if the reader defines it while this is off)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
@@ -61,6 +64,11 @@ def tune(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         conf.set("spark.sql.autoBroadcastJoinThreshold", BROADCAST_THRESHOLD)
+    except Exception:
+        pass
+    try:
+        # required for the SQLite bridge reader (it defines pushFilters)
+        conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
         pass
     return spark

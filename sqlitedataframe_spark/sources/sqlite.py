@@ -97,6 +97,96 @@ class SQLiteReader(DataSourceReader):
         self.rowid_max = options.get("rowid_max")
         self.any_mode = options.get("any_mode") or "string"
 
+    # -- filter pushdown ---------------------------------------------------
+    # Spark 4.1 Python DataSource pushdown. Design: SQLite evaluates a
+    # SUPERSET pre-filter (rows it keeps >= rows Spark's exact filter
+    # keeps) and ALL filters are returned to Spark for re-application.
+    # Under SQLite dynamic typing a column can hold any storage class, and
+    # decode_cell's coercions (TEXT-in-INT atoi, blob handling, >int64 ->
+    # NULL) cannot be reproduced bit-exactly by SQLite comparisons alone —
+    # so cleanly-stored rows are filtered inside SQLite (CAST mirrors the
+    # coercion) while dirty-storage rows pass through the guard and get the
+    # exact Spark-side decode+filter. Transfer shrinks by the filter's
+    # selectivity on clean data; correctness never depends on the pushdown.
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        self.pushed_sql: list[str] = []
+        self.pushed_params: list = []
+        if self.table:
+            for f in filters:
+                frag = self._translate_filter(f)
+                if frag is not None:
+                    self.pushed_sql.append(frag[0])
+                    self.pushed_params.extend(frag[1])
+        # Everything is re-applied by Spark (superset contract above).
+        return filters
+
+    _OPS = {
+        "EqualTo": "=",
+        "GreaterThan": ">",
+        "GreaterThanOrEqual": ">=",
+        "LessThan": "<",
+        "LessThanOrEqual": "<=",
+    }
+
+    def _translate_filter(self, f) -> tuple[str, list] | None:
+        """One Spark Filter -> (sql_fragment, params), or None if the
+        filter is not worth pre-evaluating inside SQLite."""
+        name = type(f).__name__
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            return None
+        col = attr[0]
+        if col != "rowid" and col not in self.columns:
+            return None
+        q = "rowid" if col == "rowid" else f'"{col}"'
+        t = SQLiteType.INT if col == "rowid" else self.types.get(col, SQLiteType.ANY)
+        dirty = f"typeof({q}) IN ('text', 'blob')"  # rows Spark must judge
+        if name == "IsNotNull":
+            # decoded non-null implies storage non-null for every type
+            return f"{q} IS NOT NULL", []
+        if name == "IsNull" and t is SQLiteType.TEXT:
+            # TEXT decode is None iff storage NULL; other types can decode
+            # non-null storage to None (coercion corners) — not superset.
+            return f"{q} IS NULL", []
+        if t in (SQLiteType.INT, SQLiteType.FLOAT):
+            cast = "INTEGER" if t is SQLiteType.INT else "REAL"
+            guard = "" if col == "rowid" else f"{dirty} OR "
+            if name in self._OPS:
+                return (
+                    f"({guard}CAST({q} AS {cast}) {self._OPS[name]} ?)",
+                    [encode_cell(f.value)],
+                )
+            if name == "In" and f.value:
+                marks = ", ".join("?" for _ in f.value)
+                return (
+                    f"({guard}CAST({q} AS {cast}) IN ({marks}))",
+                    [encode_cell(v) for v in f.value],
+                )
+            return None
+        if t is SQLiteType.TEXT:
+            # equality/prefix only: SQLite orders TEXT by UTF-8 bytes,
+            # Spark by UTF-16 code units — range predicates disagree on
+            # supplementary-plane strings, equality never does.
+            blob = f"typeof({q}) = 'blob'"
+            if name == "EqualTo":
+                return f"({blob} OR CAST({q} AS TEXT) = ?)", [str(f.value)]
+            if name == "In" and f.value:
+                marks = ", ".join("?" for _ in f.value)
+                return (
+                    f"({blob} OR CAST({q} AS TEXT) IN ({marks}))",
+                    [str(v) for v in f.value],
+                )
+            if name == "StringStartsWith" and f.value:
+                return (
+                    f"({blob} OR substr(CAST({q} AS TEXT), 1, ?) = ?)",
+                    [len(f.value), f.value],
+                )
+            return None
+        if t is SQLiteType.BOOL and name == "EqualTo":
+            want = "<> 0" if f.value else "= 0"
+            return f"({dirty} OR CAST({q} AS NUMERIC) {want})", []
+        return None  # DATE (3-format decode), BLOB, ANY: Spark-side only
+
     def partitions(self) -> Sequence[InputPartition]:
         # Table scans split the rowid keyspace into disjoint ranges so each
         # executor core reads its own slice; statement scans are one cursor
@@ -121,8 +211,15 @@ class SQLiteReader(DataSourceReader):
             return self.statement, list(self.params)
         cols = ", ".join(f'"{c}"' if c != "rowid" else "rowid" for c in self.columns)
         q = f'SELECT {cols} FROM "{self.table}"'
+        where: list[str] = []
+        params: list = []
         if partition.lo is not None:
-            return q + " WHERE rowid BETWEEN ? AND ?", [partition.lo, partition.hi]
+            where.append("rowid BETWEEN ? AND ?")
+            params.extend([partition.lo, partition.hi])
+        where.extend(getattr(self, "pushed_sql", []))
+        params.extend(getattr(self, "pushed_params", []))
+        if where:
+            return q + " WHERE " + " AND ".join(where), params
         return q, []
 
     def read(self, partition: SQLiteRangePartition) -> Iterator[tuple]:

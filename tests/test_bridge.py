@@ -9,7 +9,9 @@ import sqlite3
 
 import pytest
 
-from pyspark.sql import Row, types as ST
+import json
+
+from pyspark.sql import Row, functions as F, types as ST
 
 from sqlitedataframe_spark.errors import TableExistsError, UnknownColumnError
 from sqlitedataframe_spark.sources.sqlite import (
@@ -315,3 +317,83 @@ def test_any_string_mode_unchanged(spark, tmp_path):
     conn.close()
     rows = {r.id: r.v for r in read_sql(spark, db, table="mixed").collect()}
     assert rows == {1: "42", 2: "word"}
+
+
+# ---------------------------------------------------------------------------
+# filter pushdown (r2): SQLite pre-filters a SUPERSET, Spark re-applies —
+# results must be identical to the unpushed read under every storage mess.
+# ---------------------------------------------------------------------------
+def test_pushdown_translation_units():
+    from pyspark.sql import datasource as dsf
+
+    from sqlitedataframe_spark.sources.sqlite import SQLiteReader
+
+    r = SQLiteReader(
+        {
+            "path": "/nonexistent",
+            "table": "t",
+            "columns": json.dumps(["i", "f", "s", "b", "d"]),
+            "types": json.dumps(
+                {"i": "int", "f": "float", "s": "text", "b": "bool", "d": "date"}
+            ),
+        },
+        None,
+    )
+    frag = r._translate_filter(dsf.GreaterThan(("i",), 5))
+    assert frag and "CAST" in frag[0] and "typeof" in frag[0] and frag[1] == [5]
+    frag = r._translate_filter(dsf.EqualTo(("s",), "x"))
+    assert frag and "AS TEXT" in frag[0]
+    # TEXT range predicates must NOT push (UTF-8 vs UTF-16 ordering)
+    assert r._translate_filter(dsf.GreaterThan(("s",), "x")) is None
+    # DATE never pushes (3-format decode)
+    assert r._translate_filter(dsf.EqualTo(("d",), 1)) is None
+    assert r._translate_filter(dsf.IsNotNull(("d",))) == ("\"d\" IS NOT NULL", [])
+    # IsNull only safe on TEXT
+    assert r._translate_filter(dsf.IsNull(("i",))) is None
+    assert r._translate_filter(dsf.IsNull(("s",))) == ("\"s\" IS NULL", [])
+    # rowid is always clean: no typeof guard
+    frag = r._translate_filter(dsf.LessThan(("rowid",), 10))
+    assert frag == ("(CAST(rowid AS INTEGER) < ?)", [10])
+    # pushFilters returns EVERY filter (Spark re-applies: superset contract)
+    # while the translated fragments land in the partition queries
+    fs = [dsf.GreaterThan(("i",), 5), dsf.EqualTo(("d",), 1)]
+    back = list(r.pushFilters(fs))
+    assert back == fs
+    from sqlitedataframe_spark.sources.sqlite import SQLiteRangePartition
+
+    q, params = r._query(SQLiteRangePartition(0, 99))
+    assert "rowid BETWEEN ? AND ?" in q and "CAST(\"i\" AS INTEGER) > ?" in q
+    assert params == [0, 99, 5]
+
+
+def test_pushdown_results_match_dirty_storage(spark, db_path):
+    """Mixed-storage table: TEXT in an INT column, blob in a FLOAT column,
+    ints in a TEXT column. Filtered reads with pushdown must equal the
+    Spark-side-only semantics (decode coercion then filter)."""
+    conn = sqlite3.connect(db_path)
+    conn.execute("CREATE TABLE mess (i INT, f FLOAT, s TEXT)")
+    rows = [
+        (1, 1.5, "alpha"),
+        ("42abc", 2.5, 7),            # text-in-int (coerces 42), int-in-text
+        ("junk", b"\x00\x01", "beta"), # coerces 0; blob-in-float -> null
+        (None, None, None),
+        (99, 0.5, "alphabet"),
+    ]
+    conn.executemany("INSERT INTO mess VALUES (?, ?, ?)", rows)
+    conn.commit()
+    conn.close()
+
+    df = read_sql(spark, db_path, table="mess")
+    got = sorted(
+        (r.i, r.s) for r in df.filter(F.col("i") > 5).select("i", "s").collect()
+    )
+    assert got == [(42, "7"), (99, "alphabet")]
+    # blob-in-float decodes to NULL: IS NOT NULL must drop it
+    assert df.filter(F.col("f").isNotNull()).count() == 3
+    # TEXT equality with int storage ('7' after decode)
+    assert df.filter(F.col("s") == "7").count() == 1
+    # prefix pushdown
+    assert df.filter(F.col("s").startswith("alpha")).count() == 2
+    # conjunction of pushable + unpushable filters ('7' < 'a': only
+    # "alphabet" survives the unpushed string-range predicate)
+    assert df.filter((F.col("i") > 5) & (F.col("s") > "a")).count() == 1
