@@ -73,6 +73,7 @@ def _ordered_names() -> list[str]:
         "embed_quantize_int8",
         "sample_cap_per_class",
         "source_schema_evolution",
+        "text_repetition",
     ]
     unseen = [n for n in names if n not in seen]
     unseen = [n for n in lead if n in unseen] + [n for n in unseen if n not in lead]

@@ -109,6 +109,7 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "text_rolling_hash",
+    "text_repetition",
     "multimodal_bytes",
     "sample_hash_deterministic",
     "sample_train_test_split",

@@ -263,3 +263,54 @@ def pack_sequential(
     )
     cum_before = F.sum(size_col).over(w) - F.col(size_col)
     return df.withColumn(bin_col, F.floor(cum_before / F.lit(capacity)).cast("bigint"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram repetition statistics — the Gopher-style
+    repetition filter signal (a document whose single most frequent
+    n-gram covers a large fraction of all its n-grams is boilerplate or
+    spam, not prose).
+
+    Returns (id, n_grams, top_count, rep_ratio): total n-gram occurrences,
+    the count of the most frequent n-gram, and their ratio (6 dp).
+    Documents shorter than ``n`` tokens contribute one whole-text gram
+    (ratio 1.0 — maximally "repetitive" degenerate case, callers usually
+    length-gate first).
+
+    Plan shape: grams explode map-side off the scan; ONE shuffle on
+    (id, gram) for the counting aggregate; the per-document max+sum roll
+    up on the same id key (AQE-coalesced second exchange on a strict
+    subset of the first's key — slim longs only, no text after the first
+    aggregate drops the gram strings).
+    """
+    from pyspark.sql import DataFrame as _DF  # noqa: F401 (signature clarity)
+
+    t = tokens(text_col)
+    cnt = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+    per_gram = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_gram.groupBy("id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "top_count",
+            F.round(F.col("top_count") / F.col("n_grams") + 1e-9, 6).alias(
+                "rep_ratio"
+            ),
+        )
+    )

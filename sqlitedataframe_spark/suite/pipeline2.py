@@ -637,3 +637,37 @@ def sample_cap_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         capped.withColumn("pick_order", F.row_number().over(w).cast("int"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram repetition filter signal (Gopher-style): fraction of a document's
+# trigrams covered by its single most frequent trigram.
+# ---------------------------------------------------------------------------
+@query(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(t) - 1, 2)),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS gram
+      FROM toks),
+    per_gram AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram)
+    SELECT doc_id AS id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(MAX(c) AS BIGINT) AS top_count,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c) + 1e-9, 6) AS rep_ratio
+    FROM per_gram
+    GROUP BY doc_id
+    ORDER BY id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram repetition ratio per document (operators.text.
+    repetition_stats) — the repetition-based quality gate signal."""
+    d = T(spark, sf_dir, "documents")
+    return X.repetition_stats(d, "doc_id", "text", n=3).orderBy("id")
