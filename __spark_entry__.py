@@ -74,6 +74,8 @@ def _ordered_names() -> list[str]:
         "sample_cap_per_class",
         "source_schema_evolution",
         "text_repetition",
+        "text_redact_spans",
+        "sample_cap_per_class_approx",
     ]
     unseen = [n for n in names if n not in seen]
     unseen = [n for n in lead if n in unseen] + [n for n in unseen if n not in lead]

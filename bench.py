@@ -110,6 +110,8 @@ HEADLINE = [
     "text_langid",
     "text_rolling_hash",
     "text_repetition",
+    "text_redact_spans",
+    "sample_cap_per_class_approx",
     "multimodal_bytes",
     "sample_hash_deterministic",
     "sample_train_test_split",

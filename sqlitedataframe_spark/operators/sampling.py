@@ -127,3 +127,42 @@ def cap_per_class(
         .filter(F.col("_cap_rn") <= cap)
         .drop("_cap_rn")
     )
+
+
+def cap_per_class_approx(
+    df: DataFrame, class_cols: list[str], key: str, cap: int
+) -> DataFrame:
+    """The 100 TB variant of :func:`cap_per_class`: approximate per-class
+    cap with NO per-class serialization point.
+
+    Two phases: (1) one aggregate computes per-class counts (map-side
+    partials, classes are the only rows that shuffle); (2) each class's
+    keep-fraction ``cap / count`` becomes an md5-threshold predicate —
+    applied as a broadcast-joined map-side filter, so the data pass itself
+    is embarrassingly parallel regardless of class sizes. The kept count
+    per class is Binomial(count, cap/count) — within ~sqrt(cap) of the
+    target, the standard trade for unbounded class sizes.
+
+    The per-class cut string is computed with the same integer rounding as
+    :func:`hex_threshold` so results are engine-reproducible (classes at or
+    under the cap keep everything via the 'g000' sentinel).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    counts = df.groupBy(*class_cols).agg(F.count(F.lit(1)).alias("_cnt"))
+    space = F.lit(float(_SPACE))
+    cut = F.when(F.col("_cnt") <= cap, F.lit("g000")).otherwise(
+        F.lpad(
+            F.lower(
+                F.hex(F.round(space * cap / F.col("_cnt")).cast("int"))
+            ),
+            4,
+            "0",
+        )
+    )
+    thresholds = counts.select(*class_cols, cut.alias("_cut"))
+    return (
+        df.join(F.broadcast(thresholds), on=class_cols)
+        .filter(_hex4(key) < F.col("_cut"))
+        .drop("_cut")
+    )

@@ -671,3 +671,64 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition_stats) — the repetition-based quality gate signal."""
     d = T(spark, sf_dir, "documents")
     return X.repetition_stats(d, "doc_id", "text", n=3).orderBy("id")
+
+
+@query(
+    "sample_cap_per_class_approx",
+    oracle="""
+    WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    cut AS (
+      SELECT lang,
+             CASE WHEN c <= 40 THEN 'g000'
+                  ELSE printf('%04x', CAST(round(65536.0 * 40 / c) AS INT))
+             END AS cut
+      FROM cnt)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN cut USING (lang)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < cut
+    ORDER BY d.doc_id
+    """,
+)
+def sample_cap_per_class_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~40 documents per language via the two-phase threshold cap
+    (operators.sampling.cap_per_class_approx) — the no-serialization-point
+    variant for classes too large for a per-class window at 100 TB."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return SM.cap_per_class_approx(d, ["lang"], "doc_id", 40).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Redaction / normalization: long-token spans replaced with a placeholder (the
+# PII-scrub plan shape: pure map-side regexp over the scan). The md5 of the
+# redacted text makes the oracle sensitive to every replacement byte.
+# ---------------------------------------------------------------------------
+@query(
+    "text_redact_spans",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS INT) AS n_spans,
+           md5(regexp_replace(text, '[a-z]{6,}', '<num>', 'g')) AS redacted_md5
+    FROM documents
+    WHERE len(regexp_extract_all(text, '[a-z]{6,}')) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_redact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replace every 6+-letter token span with ``<num>`` (the PII-redaction plan
+    shape — pure map-side regexp, zero shuffles before the final sort) and
+    fingerprint the redacted text so the oracle checks every byte of the
+    replacement, not just the counts."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]{6,}"), F.lit(0))).alias(
+                "n_spans"
+            ),
+            F.md5(F.regexp_replace("text", "[a-z]{6,}", "<num>")).alias(
+                "redacted_md5"
+            ),
+        )
+        .filter(F.col("n_spans") > 0)
+        .orderBy("doc_id")
+    )
