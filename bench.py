@@ -61,6 +61,8 @@ HEADLINE = [
     "agg_approx",
     "agg_percentile_exact",
     "agg_stats_moments",
+    "agg_histogram",
+    "agg_corr_covar",
     "array_ops_embeddings",
     "explode_unnest",
     "regexp_funcs",

@@ -289,3 +289,77 @@ def gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram via width_bucket: the fixed-bin aggregation every profiling /
+# distribution dashboard runs — one scan, one exchange on the bin id.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000 THEN 25
+                     ELSE floor(o_totalprice / 25000.0) + 1 END AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice) + 1e-9, 2) AS lo,
+           ROUND(MAX(o_totalprice) + 1e-9, 2) AS hi
+    FROM orders
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bin fixed-width histogram of order totals (width_bucket is pure
+    arithmetic — bins are computed map-side, the exchange carries one row
+    per bin)."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(24))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice") + 1e-9, 2).alias("lo"),
+            F.round(F.max("o_totalprice") + 1e-9, 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation / covariance: bivariate statistics per group.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS corr_qty_price,
+           ROUND(covar_pop(l_quantity, l_discount) + 1e-9, 6) AS covar_qty_disc,
+           ROUND(covar_samp(l_quantity, l_discount) + 1e-9, 6) AS covars_qty_disc
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and population/sample covariance per line
+    status — single-pass bivariate moments (map-side partials)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice") + 1e-9, 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_pop("l_quantity", "l_discount") + 1e-9, 6).alias(
+                "covar_qty_disc"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_discount") + 1e-9, 6).alias(
+                "covars_qty_disc"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
