@@ -78,6 +78,7 @@ def _ordered_names() -> list[str]:
         "sample_cap_per_class_approx",
         "agg_histogram",
         "agg_corr_covar",
+        "events_funnel",
     ]
     unseen = [n for n in names if n not in seen]
     unseen = [n for n in lead if n in unseen] + [n for n in unseen if n not in lead]

@@ -98,6 +98,7 @@ HEADLINE = [
     "events_window_sliding",
     "events_sessionize",
     "events_enrich_join",
+    "events_funnel",
     "pipeline_curation",
     "dedup_exact",
     "dedup_fingerprint",

@@ -206,3 +206,78 @@ def events_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: strictly-ordered view -> click -> purchase progression
+# per user. Each stage is a min-timestamp aggregate over events after the
+# previous stage's timestamp — three user_id-keyed joins, co-partitioned.
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id)
+    SELECT v.user_id,
+           CAST(floor(epoch(v.t_view)) AS BIGINT) AS view_s,
+           CAST(floor(epoch(c.t_click)) AS BIGINT) AS click_s,
+           CAST(floor(epoch(p.t_purchase)) AS BIGINT) AS purchase_s,
+           CAST(1 + CAST(c.user_id IS NOT NULL AS INT)
+                  + CAST(p.user_id IS NOT NULL AS INT) AS INT) AS stage
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel progression (first view, first click after it,
+    first purchase after that) with the reached stage 1-3. All three
+    stage frames key on user_id, so the joins co-partition on one
+    exchange lineage; event-type filters push to the scan."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    out = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_timestamp("t_view").alias("view_s"),
+            F.unix_timestamp("t_click").alias("click_s"),
+            F.unix_timestamp("t_purchase").alias("purchase_s"),
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).cast("int").alias("stage"),
+        )
+        .orderBy("user_id")
+    )
+    return out
