@@ -375,3 +375,22 @@ def test_quantize_int8_bounds_and_reconstruction(spark):
     for orig, qv in zip(rows[0].embedding, q0):
         assert abs(orig - qv * s0) <= s0 / 2 + 1e-12
     assert by_id[1]["q"] == [0, 0, 0, 0] and by_id[1]["q_scale"] == 0.0
+
+
+def test_cap_per_class_approx_bounds_and_determinism(spark):
+    df = spark.range(3000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("cls")
+    )
+    capped = SM.cap_per_class_approx(df, ["cls"], "k", 100)
+    counts = {r["cls"]: r["n"] for r in
+              capped.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    # binomial around the cap: within ~4*sqrt(100) of target
+    assert all(60 <= v <= 140 for v in counts.values()), counts
+    # classes at/under the cap keep everything
+    small = spark.range(50).select(F.col("id").alias("k"), F.lit(0).alias("cls"))
+    assert SM.cap_per_class_approx(small, ["cls"], "k", 100).count() == 50
+    # deterministic under repartitioning
+    again = SM.cap_per_class_approx(df.repartition(11), ["cls"], "k", 100)
+    assert sorted(r["k"] for r in capped.collect()) == sorted(
+        r["k"] for r in again.collect()
+    )
