@@ -39,7 +39,18 @@ def _ordered_names() -> list[str]:
             with open(path) as f:
                 rows = json.load(f)
             if isinstance(rows, dict):
-                seen.update(rows.keys())
+                # only GREEN rows count as seen: a red row (err, or any
+                # comparison False) means the fix still needs a driver-green
+                # row, so the query re-fronts next round
+                for name, row in rows.items():
+                    if not isinstance(row, dict):
+                        seen.add(name)
+                        continue
+                    if row.get("err") is None and all(
+                        row.get(k) is not False
+                        for k in ("rows_match", "schema_match", "hash_match")
+                    ):
+                        seen.add(name)
         except (OSError, ValueError):
             continue
     names = list(reg.keys())

@@ -181,15 +181,27 @@ def main() -> None:
     _warm(spark)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        q = registry[name]
+        # Per-query isolation: one broken query must never abort the suite
+        # (r02's bench died mid-run on a single analysis error and the whole
+        # round went unscored). Failures are recorded and the run continues.
         t0 = time.time()
-        n = len(q.spark_fn(spark, sf_dir).collect())
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # drop any persist() a query left behind: queries stay independent
-        # and cached blocks don't build memory pressure across the suite
-        spark.catalog.clearCache()
+        try:
+            q = registry[name]
+            n = len(q.spark_fn(spark, sf_dir).collect())
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — bench must always finish
+            errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+        finally:
+            # drop any persist() a query left behind: queries stay
+            # independent and cached blocks don't build memory pressure
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -197,6 +209,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "sf": sf,
     }
     # Full per-query detail: written to a sidecar file AND printed as an
@@ -218,6 +231,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "n_errors": len(errors),
                 "detail": "bench_detail.json",
             }
         )

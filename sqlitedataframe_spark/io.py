@@ -34,15 +34,38 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize(df: DataFrame, name: str) -> DataFrame:
+    """Single version-drift boundary for fixture types.
+
+    The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which has
+    no stable Spark representation across versions:
+
+    - with ``spark.sql.legacy.parquet.nanosAsLong=true`` honored (some Spark
+      builds), it loads as ``bigint`` nanoseconds;
+    - on Spark 4.1.2 in this sandbox the flag is silently ignored and the
+      column loads as ``timestamp_ntz``;
+    - a future build may load it as plain ``timestamp`` directly.
+
+    All three converge here to microsecond-precision ``timestamp`` (the
+    session timezone is UTC — see session.tune — so NTZ→instant conversion
+    is value-identical to how DuckDB reads the same file). Both the batch
+    reader (load_table) and the streaming reader (streaming.core.
+    read_events_stream) route through this function, so every downstream
+    operator — watermarks included — sees one type regardless of version.
+    """
+    if name == "events" and "ts" in df.columns:
+        dtype = dict(df.dtypes)["ts"]
+        if dtype == "bigint":  # legacy nanosAsLong path: nanos → micros
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":  # Spark 4.1.2 path: reinterpret as UTC
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # plain "timestamp": already canonical
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
-    # events.ts is parquet TIMESTAMP(NANOS): read as long nanos (see
-    # session.tune) and truncate to microsecond timestamps, matching how
-    # engines without a nanos type (DuckDB included) view the column.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize(spark.read.parquet(table_path(sf_dir, name)), name)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

@@ -146,7 +146,12 @@ def asof_join(
         matched_ts = F.last(
             F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
         ).over(w)
-        gap = F.abs(F.col("_ts").cast("double") - matched_ts.cast("double"))
+        # cast via "timestamp" first: legal on both timestamp and
+        # timestamp_ntz inputs (ntz->double directly is a Spark 4.1 error)
+        gap = F.abs(
+            F.col("_ts").cast("timestamp").cast("double")
+            - matched_ts.cast("timestamp").cast("double")
+        )
         rm = F.when(gap <= float(tolerance_seconds), rm)
     matched = unioned.withColumn("_rm", rm).filter(F.col("_side") == 1)
     return matched.select(

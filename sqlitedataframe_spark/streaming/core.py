@@ -22,7 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sqlitedataframe_spark.io import load_table, table_path
+from sqlitedataframe_spark.io import load_table, normalize, table_path
 from sqlitedataframe_spark.session import tune
 
 
@@ -46,18 +46,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet.
 
     File-stream sources need an explicit schema; we take it from a batch
-    read (one footer read, no data scan). The events fixture stores
-    TIMESTAMP(NANOS) which Spark reads as long nanos (see session.tune) —
-    converted to microsecond timestamps here, identically to the batch path.
+    read (one footer read, no data scan). The events ``ts`` column is
+    normalized to ``timestamp`` by io.normalize — the SAME boundary the
+    batch path uses — so watermarks always see TimestampType regardless of
+    how this Spark version surfaces parquet TIMESTAMP(NANOS).
     """
     tune(spark)
     batch = spark.read.parquet(table_path(sf_dir, "events"))
     stream = spark.readStream.schema(batch.schema).parquet(
         _stream_dir(table_path(sf_dir, "events"))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize(stream, "events")
 
 
 def stream_tumbling_counts(

@@ -418,7 +418,23 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact distinct counts would shuffle every key. Rows-only check (approx
     algorithms differ across engines by design)."""
     l = T(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_pcts"),
+    # One quantile sketch per group (array form), then flattened to scalar
+    # columns post-agg — the driver's pandas canonicalizer can't hash an
+    # ARRAY column (r02 red row), and three separate percentile_approx aggs
+    # would build three sketches over the same data.
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.95, 0.99], 10000
+            ).alias("_pcts"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            F.element_at("_pcts", 1).alias("p50"),
+            F.element_at("_pcts", 2).alias("p95"),
+            F.element_at("_pcts", 3).alias("p99"),
+        )
     )

@@ -232,8 +232,12 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "purchase_id",
         "click_id",
+        # NTZ-safe epoch math: cast("timestamp") is a no-op on timestamp and
+        # a UTC reinterpretation on timestamp_ntz; a direct ntz->double cast
+        # is illegal on Spark 4.1 (this crashed the r02 driver bench).
         F.round(
-            F.col("purchase_ts").cast("double") - F.col("click_ts").cast("double")
+            F.col("purchase_ts").cast("timestamp").cast("double")
+            - F.col("click_ts").cast("timestamp").cast("double")
         ).cast("bigint").alias("seconds_before"),
     ).orderBy("purchase_id", "click_id")
 
