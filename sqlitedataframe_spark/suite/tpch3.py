@@ -366,16 +366,24 @@ def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: distribution of per-customer order counts (left join keeps
-    zero-order customers; COUNT(col) skips their NULLs). Two shuffles:
-    custkey agg, then tiny c_count agg."""
+    zero-order customers as c_count=0).
+
+    COUNT is algebraic, so orders pre-aggregates to (custkey, count) BEFORE
+    the join — map-side partial counts mean the shuffle carries one slim row
+    per customer instead of every order row through a join, and the
+    left-join + coalesce(cnt, 0) reproduces COUNT(o_orderkey)'s
+    NULL-skipping exactly. At 100 TB this turns a customer×orders shuffle
+    join into orders-agg (tiny output) + a join that AQE can broadcast."""
     c = T(spark, sf_dir, "customer").select("c_custkey")
-    o = T(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "1-URGENT"
-    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("_cnt"), F.lit(0)).alias("c_count"))
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
