@@ -121,6 +121,8 @@ HEADLINE = [
     "sample_stratified",
     "text_tfidf_topk",
     "range_join_events",
+    "dedup_decontaminate",
+    "events_retention",
     "dedup_connected_components",
     "pipeline_near_dedup",
     "embed_label_centroids",

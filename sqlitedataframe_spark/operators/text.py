@@ -314,3 +314,60 @@ def repetition_stats(
             ),
         )
     )
+
+
+def ngram_set(text_col: Column | str, n: int, sep: str = " ") -> Column:
+    """Distinct word n-grams of the raw text (array<string>), split on
+    single spaces — the exact-match unit for train/test decontamination.
+    Documents with fewer than ``n`` tokens yield an empty set (no partial
+    grams), matching SQL ``generate_series(1, len-n+1)`` semantics.
+
+    Pure scan-side Column expression; ``array_distinct`` makes per-document
+    dedup free (no shuffle) for downstream set operations.
+    """
+    t = F.split(_c(text_col), sep)
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), sep)),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def ngram_contamination(
+    train,
+    test,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    broadcast_test: bool = True,
+):
+    """Train/test decontamination: per train document, the number of
+    distinct word ``n``-grams it shares with ANY test document — the
+    standard exact-overlap contamination check run before training on
+    web-scale corpora (cf. GPT-3/PaLM appendix decontamination: n-gram
+    collision against benchmark test sets).
+
+    Plan shape at 100 TB: both sides expand to (id, gram) pairs map-side
+    (``ngram_set`` is a scan-stage expression; ``array_distinct`` already
+    dedups within a document, so no global distinct is needed on the train
+    side). The TEST gram set — benchmarks, inherently bounded — collapses
+    to a distinct gram list and is broadcast, so the 100-TB train side
+    joins without shuffling; one final aggregate on train ids returns the
+    per-document overlap count. Set ``broadcast_test=False`` for an
+    atypically large test corpus and the optimizer plans a shuffle join
+    (AQE may still broadcast if small enough).
+    """
+    test_grams = (
+        test.select(F.explode(ngram_set(text_col, n)).alias("gram")).distinct()
+    )
+    if broadcast_test:
+        test_grams = F.broadcast(test_grams)
+    train_pairs = train.select(
+        F.col(id_col), F.explode(ngram_set(text_col, n)).alias("gram")
+    )
+    return (
+        train_pairs.join(test_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

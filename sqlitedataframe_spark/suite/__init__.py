@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
         analytic2,
         pipeline,
         pipeline2,
+        pipeline3,
         eventstream,
         streamingq,
         bridge,

@@ -1,0 +1,197 @@
+"""Round-3 pipeline queries: train/test decontamination, cohort retention,
+ANN recall evaluation.
+
+Like every suite module, each query pairs an idiomatic-Spark plan with a
+DuckDB oracle (or is rows-only where no exact oracle exists by nature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.operators import similarity as S
+from sqlitedataframe_spark.operators import text as X
+from sqlitedataframe_spark.suite import query
+from sqlitedataframe_spark.suite.relational import T
+
+
+# ---------------------------------------------------------------------------
+# Train/test decontamination: exact n-gram overlap against a held-out set.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS r(i)
+    ),
+    test_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+    train_grams AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 50 <> 0)
+    SELECT train_grams.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM train_grams JOIN test_grams USING (gram)
+    GROUP BY train_grams.doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    4-gram with the held-out set (every 50th doc plays the "test set").
+
+    operators.text.ngram_contamination: grams expand map-side (scan-stage
+    expressions, per-doc dedup via array_distinct), the bounded test-gram
+    set broadcasts, so the train side — the 100 TB side — never shuffles;
+    one aggregate on doc_id finishes it.
+    """
+    d = T(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return X.ngram_contamination(train, test, n=4).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: day-0 cohort x day-offset activity matrix.
+# ---------------------------------------------------------------------------
+@query(
+    "events_retention",
+    oracle="""
+    WITH firstd AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT d0 AS cohort_date, CAST(date_diff('day', d0, d) AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM firstd JOIN act USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-activity date,
+    counted at each day offset they return.
+
+    Plan shape: both inputs aggregate on user_id first (min-date and
+    distinct active days — map-side partials shrink each to one slim row
+    per user/user-day), then join on the SAME user_id key (no extra
+    exchange under AQE since both sides are already hash-partitioned on
+    it), then a tiny (cohort, offset) aggregate.
+    """
+    e = T(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firstd = e.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = e.distinct()
+    return (
+        act.join(firstd, "user_id")
+        .groupBy(
+            F.col("d0").alias("cohort_date"),
+            F.datediff(F.col("d"), F.col("d0")).cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@10 of the sign-LSH path vs exact top-10.
+# ---------------------------------------------------------------------------
+@query("sim_ann_recall", oracle=None)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the banded sign-LSH candidate path against exact
+    brute-force cosine, over 8 query vectors at once — the evaluation
+    harness that justifies shipping an ANN index at 100 TB (rows-only:
+    recall of a seeded LSH has no SQL oracle by nature).
+
+    Multi-query formulation: the 8 queries broadcast everywhere, the
+    corpus is scanned twice (once scored exactly, once bucket-joined);
+    per-query top-k comes from a window over qid — no per-query jobs, no
+    driver loop.
+    """
+    k, dim, n_planes, bands = 10, 64, 16, 4
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+
+    # exact top-10 per query: corpus x broadcast(8 queries)
+    exact = (
+        e.crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(S.as_double("embedding"), S.as_double("q")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id")
+    )
+
+    # LSH candidates: same banded signatures as operators.similarity.lsh_topk
+    planes = S.random_hyperplanes(dim, n_planes, seed=42)
+    width = n_planes // bands
+    sig = S.signature_bits(F.col("embedding"), planes)
+    band_cols = F.posexplode(
+        F.array(
+            *[
+                F.array_join(
+                    F.transform(
+                        F.slice(sig, b * width + 1, width), lambda x: x.cast("string")
+                    ),
+                    "",
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("band", "bucket")
+    corpus_b = e.select("vec_id", "embedding", band_cols)
+    qs_b = qs.select(
+        "qid",
+        "q",
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                S.signature_bits(F.col("q"), planes),
+                                b * width + 1,
+                                width,
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                        "",
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    approx = (
+        corpus_b.join(F.broadcast(qs_b), ["band", "bucket"])
+        .dropDuplicates(["qid", "vec_id"])
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(S.as_double("embedding"), S.as_double("q")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id")
+    )
+
+    hits = exact.join(approx, ["qid", "vec_id"], "left_semi")
+    return (
+        hits.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(k), 2).alias("recall_at_10"),
+        )
+        .orderBy("qid")
+    )

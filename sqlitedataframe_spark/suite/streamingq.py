@@ -16,6 +16,7 @@ from sqlitedataframe_spark.streaming import (
     run_available_now,
     stateful_sessionize,
     stream_dedup,
+    stream_sliding_counts,
     stream_tumbling_counts,
 )
 from sqlitedataframe_spark.streaming.core import stream_stream_attribution
@@ -57,6 +58,25 @@ def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     AvailableNow — must equal the batch/DuckDB result over the same files."""
     s = stream_tumbling_counts(read_events_stream(spark, sf_dir))
     return run_available_now(s, output_mode="complete").orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_window_sliding",
+    oracle="""
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300 - 300*g)
+                AS TIMESTAMP) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS g) t
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermarked 10-min/5-min sliding windows run to
+    completion — every event lands in exactly two windows (window = 2x
+    slide), which is what the oracle's two-bucket expansion computes."""
+    s = stream_sliding_counts(read_events_stream(spark, sf_dir))
+    return run_available_now(s, output_mode="complete").orderBy("window_start")
 
 
 @query(
