@@ -195,3 +195,79 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew handling, driver-verified: salting must not change results.
+# ---------------------------------------------------------------------------
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators.skew.salted_join) equals the plain join:
+    the left (fact) side salts randomly, the right side replicates across
+    the salt domain, so one hot key spreads over salt_buckets reducers.
+    The oracle is the UNsalted join — salting must be invisible in the
+    result, which is exactly what this row checks."""
+    from sqlitedataframe_spark.operators.skew import salted_join
+
+    l = T(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    s = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(l, s, on="suppkey", salt_buckets=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
+    "agg_skew_salted",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators.skew.salted_agg) equals the
+    plain GROUP BY: three group keys over millions of rows is the
+    definitional hot-key shape, and the salt spreads each key over 32
+    partial reducers before the tiny final combine. min_/max_ prefixes
+    route the re-combine (min/max re-apply; sums/counts re-sum)."""
+    from sqlitedataframe_spark.operators.skew import salted_agg
+
+    l = T(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        l,
+        ["l_returnflag"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty_raw"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        ],
+        salt_buckets=32,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sum_qty_raw"), 2).alias("sum_qty"),
+        F.round(F.col("min_price"), 2).alias("min_price"),
+        F.round(F.col("max_price"), 2).alias("max_price"),
+    ).orderBy("l_returnflag")

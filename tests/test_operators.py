@@ -464,3 +464,30 @@ def test_groups_frame_matches_sqlite_reference(spark):
             assert g is not None and w is not None and abs(g - w) < 1e-9, (
                 f"{agg} {excl} ({lo},{up}) rid={k}: got {g}, sqlite {w}"
             )
+
+
+def test_ngram_set_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c d e",), ("a b",), ("a b c a b c",)], ["text"]
+    )
+    rows = df.select(X.ngram_set("text", 3).alias("g")).collect()
+    assert rows[0].g == ["a b c", "b c d", "c d e"]
+    assert rows[1].g == []  # shorter than n: no partial grams
+    # duplicates collapse (array_distinct)
+    assert sorted(rows[2].g) == sorted(["a b c", "b c a", "c a b"])
+
+
+def test_ngram_contamination_counts(spark):
+    train = spark.createDataFrame(
+        [(1, "w x y z q"), (2, "no overlap here at all"), (3, "w x y z w x y z")],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame([(100, "p p w x y z p")], ["doc_id", "text"])
+    got = {
+        r.doc_id: r.n_shared_grams
+        for r in X.ngram_contamination(train, test, n=4).collect()
+    }
+    # test grams (distinct): {"p p w x","p w x y","w x y z","x y z p"}
+    # doc1 grams: {"w x y z","x y z q"} -> 1 shared
+    # doc3 grams: {"w x y z","x y z w","y z w x","z w x y"} -> 1 shared
+    assert got == {1: 1, 3: 1}
