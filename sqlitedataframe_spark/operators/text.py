@@ -282,37 +282,64 @@ def repetition_stats(
     (ratio 1.0 — maximally "repetitive" degenerate case, callers usually
     length-gate first).
 
-    Plan shape: grams explode map-side off the scan; ONE shuffle on
-    (id, gram) for the counting aggregate; the per-document max+sum roll
-    up on the same id key (AQE-coalesced second exchange on a strict
-    subset of the first's key — slim longs only, no text after the first
-    aggregate drops the gram strings).
+    Plan shape: ZERO shuffles. The statistic is per-document, so it never
+    needed the (id, gram) counting exchange the first implementation used:
+    sort the gram array in-row and fold once tracking the longest run of
+    equal neighbors — the run length of the sorted array IS the top gram
+    count. Everything evaluates inside the scan stage; at 100 TB the gram
+    strings never leave their executor.
     """
-    from pyspark.sql import DataFrame as _DF  # noqa: F401 (signature clarity)
-
     t = tokens(text_col)
     cnt = F.size(t)
     idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
-    per_gram = (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
-        .groupBy("id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    return (
-        per_gram.groupBy("id")
-        .agg(
-            F.sum("c").alias("n_grams"),
-            F.max("c").alias("top_count"),
-        )
-        .select(
-            "id",
-            "n_grams",
-            "top_count",
-            F.round(F.col("top_count") / F.col("n_grams") + 1e-9, 6).alias(
-                "rep_ratio"
+    zero = F.lit(0).cast("bigint")
+
+    def fold(g: Column) -> Column:
+        return F.aggregate(
+            g,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                zero.alias("run"),
+                zero.alias("best"),
             ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("bigint"))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1).cast("bigint")
+                    ),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
         )
+
+    # let-bind the sorted gram array (transform over a 1-element array, as
+    # in similarity.cosine): size() and the fold both reference it, and
+    # without the binding the whole tokenize+gram+sort tree would evaluate
+    # twice per row
+    stats = F.element_at(
+        F.transform(
+            F.array(F.array_sort(grams)),
+            lambda g: F.struct(
+                F.size(g).cast("bigint").alias("n"), fold(g).alias("b")
+            ),
+        ),
+        1,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        stats["n"].alias("n_grams"),
+        stats["b"].alias("top_count"),
+    ).select(
+        "id",
+        "n_grams",
+        "top_count",
+        F.round(F.col("top_count") / F.col("n_grams") + 1e-9, 6).alias("rep_ratio"),
     )
 
 
