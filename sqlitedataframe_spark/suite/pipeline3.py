@@ -271,3 +271,98 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("min_price"), 2).alias("min_price"),
         F.round(F.col("max_price"), 2).alias("max_price"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup: boilerplate paragraphs shared across documents.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_chunk_exact",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+                  FROM documents),
+    chunks AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i*16+1 : i*16+16], ' ') AS chunk
+      FROM toks, UNNEST(generate_series(0, CAST(floor((len(t)-1)/16) AS BIGINT))) AS r(i)
+    ),
+    dup AS (SELECT chunk FROM chunks GROUP BY chunk HAVING COUNT(*) >= 2)
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_chunks
+    FROM chunks c JOIN dup USING (chunk)
+    GROUP BY c.doc_id ORDER BY doc_id
+    """,
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: per document, how many of its 16-token chunks
+    also appear in at least one other document — the boilerplate/template
+    removal signal that document-level dedup misses.
+
+    Plan shape: chunks split map-side (non-overlapping windows, per-doc
+    dedup via array_distinct — no shuffle for within-doc repeats); ONE
+    shuffle on the chunk key counts containing docs; only chunks seen in
+    >=2 docs (rare by construction) flow into the join back. At 100 TB
+    swap the chunk string for xxhash64(chunk) to shuffle 8-byte keys —
+    string keys kept here so the DuckDB oracle is byte-identical.
+    """
+    toks = X.tokens(F.col("text"))
+    nchunks = F.floor((F.size(toks) - 1) / 16).cast("int")
+    chunk_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), nchunks),
+            lambda i: F.array_join(F.slice(toks, i * 16 + 1, 16), " "),
+        )
+    )
+    d = T(spark, sf_dir, "documents")
+    chunks = d.select(F.col("doc_id"), F.explode(chunk_arr).alias("chunk"))
+    dup = (
+        chunks.groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk")
+    )
+    return (
+        chunks.join(dup, "chunk")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_chunks"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture report: per (lang, source) doc/token counts + token share.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_mixture",
+    oracle="""
+    WITH per AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(len(string_split(lower(trim(text)),' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang, source),
+    tot AS (SELECT SUM(n_tokens) AS t FROM per)
+    SELECT lang, source, n_docs, n_tokens,
+           ROUND(n_tokens / t + 1e-9, 6) AS token_share
+    FROM per, tot ORDER BY lang, source
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture report: documents and whitespace tokens per
+    (language, source) with each cell's share of total tokens — the
+    sampling-weight input every corpus curation run starts from.
+
+    The global total comes from a 1-row broadcast cross join of the
+    aggregated (not raw) table — never an unpartitioned window."""
+    d = T(spark, sf_dir, "documents")
+    per = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count_ws("text").cast("bigint")).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("t") + 1e-9, 6).alias("token_share"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -491,3 +491,28 @@ def test_ngram_contamination_counts(spark):
     # doc1 grams: {"w x y z","x y z q"} -> 1 shared
     # doc3 grams: {"w x y z","x y z w","y z w x","z w x y"} -> 1 shared
     assert got == {1: 1, 3: 1}
+
+
+def test_repetition_fold_matches_counter(spark):
+    """The sorted-run fold must equal the brute-force per-doc gram count
+    (Counter) for adversarial token patterns: all-same, all-distinct,
+    interleaved repeats, shorter-than-n."""
+    from collections import Counter
+
+    docs = [
+        "a a a a a a",                # one gram repeated
+        "a b c d e f g",              # all distinct
+        "a b a b a b a b",            # interleaved: "a b a" x3, "b a b" x3
+        "x y",                        # shorter than n=3: one whole-text gram
+        "q q q w q q q w q q q",      # runs with separators
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], ["doc_id", "text"])
+    got = {r.id: (r.n_grams, r.top_count) for r in X.repetition_stats(df, n=3).collect()}
+    for i, t in enumerate(docs):
+        toks = t.split()
+        if len(toks) < 3:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        c = Counter(grams)
+        assert got[i] == (len(grams), max(c.values())), (i, t, got[i], c)
