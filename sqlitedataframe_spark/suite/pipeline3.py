@@ -366,3 +366,46 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow grouped-map surface, exactly oracled: per-group z-score.
+# ---------------------------------------------------------------------------
+@query(
+    "pandas_zscore_groups",
+    oracle="""
+    SELECT doc_id, lang,
+           ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                 / (STDDEV_SAMP(n_chars) OVER (PARTITION BY lang)) + 1e-9, 4) AS z
+    FROM documents ORDER BY doc_id
+    """,
+)
+def pandas_zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of document length via ``applyInPandas`` — the
+    Arrow grouped-map path, verified EXACTLY against a SQL window oracle
+    (sample stddev, ddof=1 on both sides).
+
+    This is deliberately a computation Spark's built-in window functions
+    also express (the oracle IS that expression): the point of the row is
+    gate-checking the Arrow batch transfer + grouped pandas execution
+    surface itself, which the real custom operators (stateful sessionize,
+    multimodal features) rely on. One shuffle on the group key; batches
+    stream through pandas one language at a time, so executor memory holds
+    one group's slim (id, n_chars) frame, not the corpus.
+    """
+    import pandas as pd
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def z(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        out = pdf[["doc_id", "lang"]].copy()
+        out["z"] = ((pdf["n_chars"] - mu) / sd + 1e-9).round(4)
+        return out
+
+    return (
+        d.groupBy("lang")
+        .applyInPandas(z, "doc_id long, lang string, z double")
+        .orderBy("doc_id")
+    )
