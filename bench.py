@@ -136,6 +136,18 @@ HEADLINE = [
     "source_text_gz",
     "source_partitioned_pruning",
     "source_schema_evolution",
+    "join_skew_salted",
+    "agg_skew_salted",
+    "dedup_chunk_exact",
+    "corpus_mixture",
+    "pandas_zscore_groups",
+    "sim_ann_recall",
+    "graph_pagerank",
+    "link_blocked_levenshtein",
+    "sample_weighted",
+    "zorder_layout",
+    "agg_hll_sketch",
+    "multimodal_frames",
 ]
 
 

@@ -109,3 +109,66 @@ def connected_components(
         prev = cur
     e.unpersist()
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    round_dp: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list -> (node, pr).
+
+    The canonical iterative-algorithm shape on Spark (the pattern GraphX/
+    Pregel formalize), expressed purely in DataFrame ops so Catalyst/AQE
+    plan every step:
+
+    - out-degrees are computed ONCE and joined into the edge list before
+      the loop, so each iteration is exactly one join (ranks -> edges on
+      ``src``) plus one aggregation (contributions by ``dst``) — two
+      hash exchanges on node id, nothing wider than (node, double).
+    - each iteration's rank frame is ``localCheckpoint``-truncated;
+      without truncation the lineage nests one join+agg per iteration and
+      the optimizer re-plans a tree that doubles per round (on a real
+      cluster use ``checkpoint()`` with a DFS checkpoint dir instead).
+    - ranks are rounded to ``round_dp`` decimals each iteration. This is
+      a *determinism contract*, not a numeric shortcut: parallel sums add
+      contributions in partition order, so two runs (or two engines)
+      differ in the last ulp; re-rounding every round pins the value both
+      engines carry into the next iteration, which is what lets a SQL
+      oracle reproduce the result exactly.
+
+    Nodes are taken from the edge list (every src; sinks that never occur
+    as src receive rank but contribute nothing). For an undirected graph
+    pass both directions in ``edges``.
+
+    The reference (jackpal/SQLiteDataFrame) has no graph surface; part of
+    the training-data pipeline extension (SURVEY Tier D).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    ew = e.join(deg, "src").persist()
+    nodes = ew.select(F.col("src").alias("node")).union(
+        ew.select(F.col("dst").alias("node"))
+    ).distinct()
+    ranks = nodes.select("node", F.lit(1.0).alias("pr"))
+    base = F.lit(round(1.0 - damping, 10))
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .groupBy("dst")
+            .agg(
+                F.round(base + F.lit(damping) * F.sum(F.col("pr") / F.col("_deg")), round_dp).alias("pr")
+            )
+            .select(F.col("dst").alias("node"), "pr")
+        )
+        # nodes with no in-edges fall back to the teleport base rank
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select("node", F.coalesce("pr", base).alias("pr"))
+            .localCheckpoint(eager=False)
+        )
+    ew.unpersist()
+    return ranks

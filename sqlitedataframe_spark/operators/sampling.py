@@ -166,3 +166,38 @@ def cap_per_class_approx(
         .filter(_hex4(key) < F.col("_cut"))
         .drop("_cut")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame, key: str, weight: str, k: int, key_out: str = "_wkey"
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES / Efraimidis-
+    Spirakis): keep the ``k`` rows with the largest ``u^(1/w)`` where ``u``
+    is a uniform drawn deterministically from ``md5(key)``.
+
+    Ordering by ``u^(1/w)`` is order-equivalent to ordering by
+    ``ln(u)/w`` (exp is monotone), which needs one ``ln`` instead of a
+    ``pow`` — fewer transcendental calls and one fewer cross-engine
+    rounding hazard. The uniform is the first 8 md5 hex digits as an
+    integer, shifted to (0, 1] so ``ln`` never sees 0.
+
+    Scale: the sort key is a pure map-side expression; ``orderBy.limit``
+    compiles to Spark's TakeOrdered — each partition keeps its local
+    top-k and only k rows per partition reach the driver-side merge, so
+    there is no global sort and no full shuffle at any size. This is the
+    standard one-pass distributed weighted reservoir.
+
+    The key is rounded to 10 dp so rank order is reproducible across
+    engines (the DuckDB oracle computes the identical expression).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h8 = F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 8)
+    u = (F.conv(h8, 16, 10).cast("bigint") + 1) / F.lit(4294967297.0)
+    wkey = F.round(F.log(u) / F.col(weight), 10)
+    return (
+        df.filter(F.col(weight) > 0)
+        .withColumn(key_out, wkey)
+        .orderBy(F.col(key_out).desc(), F.col(key))
+        .limit(k)
+    )

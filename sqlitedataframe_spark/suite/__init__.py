@@ -58,6 +58,7 @@ def load_all() -> dict[str, Query]:
         pipeline,
         pipeline2,
         pipeline3,
+        pipeline4,
         eventstream,
         streamingq,
         bridge,

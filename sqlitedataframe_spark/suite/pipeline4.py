@@ -1,0 +1,267 @@
+"""Round-3 pipeline queries II: iterative graph rank, record linkage,
+weighted sampling, Z-order layout keys, mergeable sketches, and the
+video-frame-sampling mapInPandas surface.
+
+Like every suite module, each query pairs an idiomatic-Spark plan with a
+DuckDB oracle (or is rows-only where no exact oracle exists by nature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.operators.layout import zorder_key, zorder_key_sql
+from sqlitedataframe_spark.suite import query
+from sqlitedataframe_spark.suite.relational import T
+
+
+# ---------------------------------------------------------------------------
+# PageRank, fixed 3 iterations — the iterative-algorithm capability row.
+# ---------------------------------------------------------------------------
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled PageRank: one CTE pair (contrib, ranks) per iteration.
+
+    Recursive CTEs cannot aggregate in the recursive term, so a
+    fixed-iteration unroll is the only exact SQL twin of the loop."""
+    parts = [
+        """
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0
+              UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    r0 AS (SELECT node, 1.0 AS pr FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT e.dst AS node, ROUND(0.15 + 0.85 * SUM(r.pr / deg.d), 6) AS pr
+      FROM edges e JOIN r{i - 1} r ON e.src = r.node
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node, COALESCE(c{i}.pr, 0.15) AS pr
+      FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, pr FROM r{iterations} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(3))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 iterations) on the undirected bipartite
+    customer-supplier graph induced by order lines.
+
+    The Spark side is operators.graph.pagerank — the canonical iterative
+    DataFrame loop (degree-joined edge list built once; per iteration one
+    join + one aggregation, localCheckpoint lineage truncation). Ranks are
+    rounded to 6 dp *every* iteration on both engines, which makes the
+    parallel-summed Spark result bit-identical to the serial DuckDB unroll
+    (see pagerank docstring: rounding is the determinism contract).
+    """
+    from sqlitedataframe_spark.operators.graph import pagerank
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iterations=3, damping=0.85, round_dp=6).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Record linkage: blocked levenshtein join (entity resolution shape).
+# ---------------------------------------------------------------------------
+@query(
+    "link_blocked_levenshtein",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey AS id, p_name, p_brand,
+             string_split(p_name, ' ')[1] AS w1
+      FROM part
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.p_name, b.p_name) AS lev
+    FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1 AND a.id < b.id
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def link_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names via blocking + in-block edit distance
+    (operators.linkage.blocked_levenshtein_pairs).
+
+    Blocking key = (brand, first name token): the quadratic levenshtein
+    work is confined to co-partitioned blocks after one hash exchange per
+    side — the at-scale entity-resolution join shape (never all-pairs).
+    """
+    from sqlitedataframe_spark.operators.linkage import blocked_levenshtein_pairs
+
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    return blocked_levenshtein_pairs(
+        p,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_cols=["p_brand", F.split(F.col("p_name"), " ").getItem(0)],
+        max_distance=3,
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES), deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             ROUND(LN((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) + 1) / 4294967297.0)
+                   / n_chars, 10) AS _wkey
+      FROM documents WHERE n_chars > 0
+      ORDER BY _wkey DESC, doc_id LIMIT 100
+    )
+    SELECT doc_id, n_chars, _wkey FROM s ORDER BY doc_id
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic document sample, k=100 (operators.
+    sampling.weighted_sample_topk): Efraimidis-Spirakis keys from md5-
+    derived uniforms, ranked map-side and TakeOrdered-merged — one pass,
+    no global sort, reproducible across engines and reruns.
+    """
+    from sqlitedataframe_spark.operators.sampling import weighted_sample_topk
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_topk(d, key="doc_id", weight="n_chars", k=100).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout key — multi-column data clustering for pruning.
+# ---------------------------------------------------------------------------
+@query(
+    "zorder_layout",
+    oracle=f"""
+    WITH k AS (
+      SELECT o_orderkey,
+             o_custkey % 65536 AS x,
+             date_diff('day', DATE '1970-01-01', o_orderdate) % 65536 AS y
+      FROM orders
+    )
+    SELECT o_orderkey, {zorder_key_sql("x", "y", 16)} AS zkey
+    FROM k ORDER BY zkey, o_orderkey LIMIT 300
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 300 orders in Z-order of (customer, order-day) — the Morton
+    key that operators.layout.zorder_layout range-partitions and sorts by
+    at write time so parquet zone maps prune on BOTH columns. Pure integer
+    shift/mask arithmetic, bit-identical across engines; the query itself
+    is a map-side key + TakeOrdered (no global sort).
+    """
+    o = T(spark, sf_dir, "orders")
+    zk = zorder_key(
+        F.col("o_custkey") % 65536,
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) % 65536,
+        16,
+    )
+    return (
+        o.select("o_orderkey", zk.alias("zkey"))
+        .orderBy("zkey", "o_orderkey")
+        .limit(300)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (Apache DataSketches HLL).
+# ---------------------------------------------------------------------------
+@query("agg_hll_sketch", oracle=None)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL sketches + a sketch-MERGED grand total ('ALL' row).
+
+    The 100 TB pattern this demonstrates: per-shard/per-group sketches are
+    small fixed-size binaries that re-aggregate via hll_union_agg WITHOUT
+    touching raw data again — a distinct-count rollup hierarchy costs one
+    pass total. Rows-only check (sketch estimates are engine-specific by
+    nature); the exact twin is agg_count_distinct_exact.
+    """
+    l = T(spark, sf_dir, "lineitem")
+    sk = l.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg(F.col("l_partkey")).alias("sk")
+    )
+    per = sk.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_parts"),
+    )
+    grand = sk.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("ALL").alias("l_returnflag"),
+        F.hll_sketch_estimate("u").cast("bigint").alias("approx_parts"),
+    )
+    return per.unionByName(grand).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Video-frame sampling plumbing (multimodal mapInPandas, exactly oracled).
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_frames",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    f AS (
+      SELECT media_id, h,
+             n % 30 + 1 AS nf,
+             GREATEST(1, n // (n % 30 + 1)) AS w
+      FROM m
+    )
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           lower(substr(h, i * w * 2 + 1, w * 2)) AS frame_hex
+    FROM f, UNNEST(generate_series(0, nf - 1, 5)) AS r(i)
+    WHERE i <= 15
+    ORDER BY media_id, frame_idx
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage (operators.multimodal.sample_frames) driven
+    end-to-end: binary payloads -> mapInPandas one-to-many frame rows.
+
+    The decode is the container's deterministic fake (equal byte slices;
+    real codecs slot into the same stage), which makes this mapInPandas
+    surface EXACTLY oracle-checkable: the oracle recomputes the identical
+    slice arithmetic over the hex encoding. Frames are emitted as
+    lowercase hex on both sides (DuckDB cannot substring BLOBs).
+    Scale: the stage runs inside the scan (no shuffle); payload bytes
+    cross into Python once, Arrow-batched.
+    """
+    from sqlitedataframe_spark.operators.multimodal import attach_media, sample_frames
+
+    d = T(spark, sf_dir, "documents")
+    media = attach_media(d, id_col="doc_id", text_col="text")
+    frames = sample_frames(media, every_n=5, max_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.lower(F.hex("frame_bytes")).alias("frame_hex"),
+    ).orderBy("media_id", "frame_idx")

@@ -1,0 +1,183 @@
+"""Unit tests for the round-3 operators: pagerank, blocked levenshtein
+linkage, weighted sampling, and Z-order layout keys."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.operators.graph import pagerank
+from sqlitedataframe_spark.operators.layout import (
+    zorder_key,
+    zorder_key_sql,
+    zorder_layout,
+)
+from sqlitedataframe_spark.operators.linkage import blocked_levenshtein_pairs
+from sqlitedataframe_spark.operators.sampling import weighted_sample_topk
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+def _pr_dict(df):
+    return {r.node: r.pr for r in df.collect()}
+
+
+def test_pagerank_symmetric_pair(spark):
+    # Undirected single edge a-b: both nodes keep rank 1.0 every iteration
+    # (each gives its whole rank to the other; 0.15 + 0.85*1 = 1).
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    got = _pr_dict(pagerank(e, iterations=3))
+    assert got == {"a": 1.0, "b": 1.0}
+
+
+def test_pagerank_star_center_dominates(spark):
+    # Undirected star: center must outrank every leaf, and total rank is
+    # conserved at n * (1 - d) + d * n = n (within rounding).
+    leaves = [f"l{i}" for i in range(4)]
+    edges = [("c", l) for l in leaves] + [(l, "c") for l in leaves]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = _pr_dict(pagerank(e, iterations=5))
+    assert all(got["c"] > got[l] for l in leaves)
+    assert abs(sum(got.values()) - 5.0) < 1e-3
+    assert len({got[l] for l in leaves}) == 1  # symmetry
+
+
+def test_pagerank_directed_sink_gets_more(spark):
+    # a -> b, c -> b: b accumulates, a and c fall to the teleport base.
+    e = spark.createDataFrame([("a", "b"), ("c", "b")], ["src", "dst"])
+    got = _pr_dict(pagerank(e, iterations=2))
+    assert got["b"] > got["a"] == got["c"] == 0.15
+
+
+def test_pagerank_hand_computed_chain(spark):
+    # Directed chain a -> b -> c, one iteration from all-ones:
+    #   b: 0.15 + 0.85 * (1/1) = 1.0 ; c: same ; a: base 0.15.
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    got = _pr_dict(pagerank(e, iterations=1))
+    assert got == {"a": 0.15, "b": 1.0, "c": 1.0}
+
+
+# ---------------------------------------------------------------------------
+# blocked_levenshtein_pairs
+# ---------------------------------------------------------------------------
+def test_blocked_levenshtein_basic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "red widget", "g1"),
+            (2, "red gadget", "g1"),  # lev 2 from id 1 (w->g, i->a)
+            (3, "red widget", "g1"),  # lev 0 from id 1
+            (4, "red widget", "g2"),  # other block: never compared
+            (5, "blue bolt", "g1"),   # same block, lev > threshold
+        ],
+        ["id", "name", "grp"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.lev
+        for r in blocked_levenshtein_pairs(
+            df, "id", "name", ["grp"], max_distance=3
+        ).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 0, (2, 3): 2}
+
+
+def test_blocked_levenshtein_no_self_or_reversed_pairs(spark):
+    df = spark.createDataFrame([(1, "x", "g"), (2, "x", "g")], ["id", "name", "grp"])
+    rows = blocked_levenshtein_pairs(df, "id", "name", ["grp"], 0).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+
+
+def test_blocked_levenshtein_column_block_key(spark):
+    # Block key may be an expression (first token), as the suite query uses.
+    df = spark.createDataFrame(
+        [(1, "red widget"), (2, "red widger"), (3, "blue widget")], ["id", "name"]
+    )
+    rows = blocked_levenshtein_pairs(
+        df, "id", "name", [F.split(F.col("name"), " ").getItem(0)], 2
+    ).collect()
+    assert [(r.id_a, r.id_b, r.lev) for r in rows] == [(1, 2, 1)]
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_topk
+# ---------------------------------------------------------------------------
+def test_weighted_sample_deterministic_and_sized(spark):
+    df = spark.createDataFrame([(i, (i % 7) + 1) for i in range(500)], ["k", "w"])
+    a = sorted(r.k for r in weighted_sample_topk(df, "k", "w", 50).collect())
+    b = sorted(
+        r.k
+        for r in weighted_sample_topk(df.repartition(13), "k", "w", 50).collect()
+    )
+    assert len(a) == 50
+    assert a == b  # partitioning must not change the selected set
+
+
+def test_weighted_sample_respects_weights(spark):
+    # Two strata with 100x weight difference: the heavy stratum must
+    # dominate the sample.
+    rows = [(i, 100.0) for i in range(200)] + [(i + 1000, 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    picked = [r.k for r in weighted_sample_topk(df, "k", "w", 60).collect()]
+    heavy = sum(1 for k in picked if k < 1000)
+    assert heavy > 45  # E[heavy] ~ 59; far from chance (30)
+
+
+def test_weighted_sample_zero_weight_excluded(spark):
+    df = spark.createDataFrame([(1, 0.0), (2, 5.0), (3, 5.0)], ["k", "w"])
+    picked = {r.k for r in weighted_sample_topk(df, "k", "w", 3).collect()}
+    assert picked == {2, 3}
+
+
+def test_weighted_sample_rejects_bad_k(spark):
+    df = spark.createDataFrame([(1, 1.0)], ["k", "w"])
+    with pytest.raises(ValueError):
+        weighted_sample_topk(df, "k", "w", 0)
+
+
+# ---------------------------------------------------------------------------
+# zorder
+# ---------------------------------------------------------------------------
+def test_zorder_key_interleaves_bits(spark):
+    # x=0b11, y=0b01 -> z = x bits at even positions + y bits at odd:
+    # 1*1 + 1*4 (x) + 1*2 (y) = 7.
+    df = spark.createDataFrame([(3, 1)], ["x", "y"])
+    assert df.select(zorder_key("x", "y", 4).alias("z")).first().z == 7
+
+
+def test_zorder_key_matches_sql_twin(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in range(0, 300, 7) for y in range(0, 300, 11)], ["x", "y"]
+    )
+    got = df.select(
+        "x", "y", zorder_key("x", "y", 16).alias("z_col"),
+        F.expr(zorder_key_sql("x", "y", 16)).alias("z_sql"),
+    )
+    assert got.filter(F.col("z_col") != F.col("z_sql")).count() == 0
+
+
+def test_zorder_key_locality(spark):
+    # Both-coordinate neighbors must be closer in z than far points:
+    # z(2,2) within [z(0,0), z(3,3)] block of 16, while z(200, 200) is far.
+    df = spark.createDataFrame([(0, 0), (2, 2), (3, 3), (200, 200)], ["x", "y"])
+    z = {(r.x, r.y): r.z for r in df.select("x", "y", zorder_key("x", "y").alias("z")).collect()}
+    assert z[(0, 0)] <= z[(2, 2)] <= z[(3, 3)] < z[(200, 200)]
+
+
+def test_zorder_layout_partitions_are_range_disjoint(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 1000, (i * 91) % 1000) for i in range(5000)],
+        ["id", "x", "y"],
+    ).repartition(8)
+    out = zorder_layout(df, "x", "y", bits=10, num_partitions=8)
+    ranges = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("_zkey").alias("lo"), F.max("_zkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev.hi <= cur.lo  # contiguous, non-overlapping z-ranges
+    assert out.drop("_zkey").select("id", "x", "y").exceptAll(df).isEmpty()
