@@ -148,6 +148,8 @@ HEADLINE = [
     "zorder_layout",
     "agg_hll_sketch",
     "multimodal_frames",
+    "mixture_token_budget",
+    "dedup_semantic",
 ]
 
 

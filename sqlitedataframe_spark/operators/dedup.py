@@ -337,3 +337,82 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): cluster embeddings, prune near-identical
+# vectors within each cluster.
+# --------------------------------------------------------------------------
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    threshold: float = 0.97,
+    kmeans_iters: int = 3,
+    max_cell: int = 20000,
+) -> DataFrame:
+    """Semantic near-duplicate pruning over an embedding column: k-means
+    cells -> intra-cell cosine pairs above ``threshold`` -> connected
+    components -> keep the min-id representative per component.
+
+    The SemDeDup recipe (Abbas et al. 2023) made scalable the same way the
+    paper does: the quadratic cosine comparison never crosses cluster
+    boundaries, so its cost is bounded by the largest cell, not the corpus.
+    Plan shape: one shuffle to co-partition each cell's vectors, pairwise
+    cosine inside the cell partition (JVM-side array arithmetic), then the
+    pointer-jumped connected-components rounds on the (slim) dup-pair edge
+    list. ``max_cell`` is the hot-cell guard: cells larger than the bound
+    are sub-split by an md5 salt before pairing (trading recall on
+    monster cells for a hard cost ceiling — same policy as the LSH
+    hot-bucket guard). Only the k x dim centroid model touches the driver.
+
+    Returns (id_col, component, is_representative) for every input row.
+    """
+    from sqlitedataframe_spark.operators.graph import connected_components
+    from sqlitedataframe_spark.operators.similarity import (
+        as_double,
+        cosine,
+        ivf_assign,
+        train_centroids,
+    )
+
+    cents = train_centroids(df, k=k, iters=kmeans_iters, vec_col=vec_col)
+    assigned = ivf_assign(df, cents, vec_col).select(
+        F.col(id_col).alias("_id"),
+        as_double(vec_col).alias("_v"),
+        F.col("ivf_cell").alias("_cell"),
+    )
+    # hot-cell guard: sub-split oversized cells deterministically
+    counts = assigned.groupBy("_cell").agg(F.count(F.lit(1)).alias("_n"))
+    salted = assigned.join(F.broadcast(counts), "_cell").withColumn(
+        "_sub",
+        F.when(
+            F.col("_n") > max_cell,
+            F.conv(
+                F.substring(F.md5(F.col("_id").cast("string").cast("binary")), 1, 4),
+                16,
+                10,
+            ).cast("int")
+            % F.ceil(F.col("_n") / max_cell).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    a = salted.select(
+        F.col("_cell"), F.col("_sub"), F.col("_id").alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = salted.select(
+        F.col("_cell"), F.col("_sub"), F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
+    )
+    edges = (
+        a.join(b, on=["_cell", "_sub"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    nodes = assigned.select(F.col("_id").alias("node"))
+    comps = connected_components(edges, nodes=nodes)
+    return comps.select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("component"),
+        (F.col("node") == F.col("comp")).alias("is_representative"),
+    )

@@ -201,3 +201,62 @@ def weighted_sample_topk(
         .orderBy(F.col(key_out).desc(), F.col(key))
         .limit(k)
     )
+
+
+def allocate_token_budget(
+    df: DataFrame,
+    class_col: str,
+    tokens_col: str,
+    budget_fraction: float,
+    key: str,
+) -> DataFrame:
+    """Mixture re-balancing under a token budget: give every class an EQUAL
+    share of ``budget_fraction * total_tokens``, translate each class's
+    share into a keep-rate ``min(1, share / class_tokens)``, and apply it
+    as a deterministic md5-threshold filter keyed on ``key``.
+
+    This is the standard "hit the target training mixture" operator:
+    over-represented classes (languages, sources) are down-sampled to
+    their token share, under-represented ones pass through whole (rate
+    caps at 1). Same two-phase shape as :func:`cap_per_class_approx`:
+
+    - phase 1 aggregates per-class token totals — only one row per class
+      shuffles;
+    - the per-class cut is a broadcast-joined map-side predicate, so the
+      data pass is embarrassingly parallel whatever the class sizes; the
+      kept token count per class is within ~sqrt(n_class) docs of target.
+
+    All arithmetic uses the same integer threshold rounding as
+    :func:`hex_threshold` (+1e-9 nudge before the 0-dp round so both
+    engines resolve exact .5 boundaries identically), which keeps results
+    engine-reproducible — the suite oracle recomputes the identical plan
+    in SQL.
+    """
+    if not 0.0 < budget_fraction <= 1.0:
+        raise ValueError(f"budget_fraction must be in (0, 1], got {budget_fraction}")
+    totals = df.groupBy(class_col).agg(F.sum(tokens_col).alias("_class_toks"))
+    grand = totals.agg(
+        F.sum("_class_toks").alias("_all_toks"), F.count(F.lit(1)).alias("_n_classes")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(budget_fraction) * F.col("_all_toks") / F.col("_n_classes"))
+        / F.col("_class_toks"),
+    )
+    cut = F.when(rate >= 1.0, F.lit("g000")).otherwise(
+        F.lpad(
+            F.lower(
+                F.hex(F.round(rate * _SPACE + F.lit(1e-9)).cast("int"))
+            ),
+            4,
+            "0",
+        )
+    )
+    thresholds = totals.crossJoin(F.broadcast(grand)).select(
+        class_col, cut.alias("_cut")
+    )
+    return (
+        df.join(F.broadcast(thresholds), on=class_col)
+        .filter(_hex4(key) < F.col("_cut"))
+        .drop("_cut")
+    )

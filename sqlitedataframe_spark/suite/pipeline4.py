@@ -265,3 +265,88 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.lower(F.hex("frame_bytes")).alias("frame_hex"),
     ).orderBy("media_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture allocation (training-mixture rebalancing).
+# ---------------------------------------------------------------------------
+@query(
+    "mixture_token_budget",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars // 4 AS toks FROM documents),
+    tot AS (SELECT lang, SUM(toks) AS class_toks FROM d GROUP BY lang),
+    g AS (SELECT SUM(class_toks) AS all_toks, COUNT(*) AS n_classes FROM tot),
+    r AS (
+      SELECT lang,
+             LEAST(1.0, (0.30 * all_toks / n_classes) / class_toks) AS rate
+      FROM tot, g
+    ),
+    cuts AS (
+      SELECT lang,
+             CASE WHEN rate >= 1.0 THEN 'g000'
+                  ELSE lpad(lower(hex(CAST(ROUND(rate * 65536 + 1e-9, 0)
+                                           AS INT))), 4, '0')
+             END AS cut
+      FROM r
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.toks
+      FROM d JOIN cuts USING (lang)
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < cut
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a target training mixture: every language
+    gets an equal share of a 30%-of-corpus token budget; over-represented
+    languages are deterministically down-sampled to their share,
+    under-represented ones pass through (operators.sampling.
+    allocate_token_budget — broadcast per-class thresholds, map-side
+    md5 predicate, no per-class serialization point).
+    """
+    from sqlitedataframe_spark.operators.sampling import allocate_token_budget
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("n_chars") / 4).cast("bigint").alias("toks")
+    )
+    kept = allocate_token_budget(
+        d, class_col="lang", tokens_col="toks", budget_fraction=0.30, key="doc_id"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style) over the embeddings table.
+# ---------------------------------------------------------------------------
+@query("dedup_semantic", oracle=None)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic pruning (operators.dedup.semantic_dedup):
+    k-means cells -> intra-cell cosine >= 0.9 pairs -> connected
+    components -> min-id representative. Rows-only by nature (k-means
+    initialization is engine-specific); the oracle-checked relatives are
+    dedup_embedding_cosine (exact pairs) and dedup_connected_components
+    (exact clustering). Output: per-component sizes of the non-trivial
+    duplicate groups plus survivor count.
+    """
+    from sqlitedataframe_spark.operators.dedup import semantic_dedup
+
+    e = T(spark, sf_dir, "embeddings")
+    marked = semantic_dedup(
+        e, id_col="vec_id", vec_col="embedding", k=8, threshold=0.9, kmeans_iters=3
+    )
+    return (
+        marked.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+        .orderBy(F.col("group_size").desc(), "component")
+    )

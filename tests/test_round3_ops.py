@@ -181,3 +181,85 @@ def test_zorder_layout_partitions_are_range_disjoint(spark):
     for prev, cur in zip(ranges, ranges[1:]):
         assert prev.hi <= cur.lo  # contiguous, non-overlapping z-ranges
     assert out.drop("_zkey").select("id", "x", "y").exceptAll(df).isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# allocate_token_budget
+# ---------------------------------------------------------------------------
+def test_token_budget_downsamples_heavy_class(spark):
+    from sqlitedataframe_spark.operators.sampling import allocate_token_budget
+
+    rows = [(i, "big", 100) for i in range(2000)] + [
+        (i + 10000, "small", 100) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["id", "cls", "toks"])
+    kept = allocate_token_budget(df, "cls", "toks", 0.5, key="id")
+    by = {r.cls: r.n for r in kept.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    # budget = 0.5 * 202000 = 101000 tokens; equal share 50500 per class.
+    # big (200000 toks) downsampled to ~505 docs; small passes whole.
+    assert by["small"] == 20
+    assert 380 <= by["big"] <= 630  # ~505 within ~5 sigma binomial noise
+
+
+def test_token_budget_deterministic_under_repartition(spark):
+    from sqlitedataframe_spark.operators.sampling import allocate_token_budget
+
+    rows = [(i, "a" if i % 3 else "b", (i % 5) + 1) for i in range(600)]
+    df = spark.createDataFrame(rows, ["id", "cls", "toks"])
+    k1 = sorted(r.id for r in allocate_token_budget(df, "cls", "toks", 0.4, "id").collect())
+    k2 = sorted(
+        r.id
+        for r in allocate_token_budget(df.repartition(17), "cls", "toks", 0.4, "id").collect()
+    )
+    assert k1 == k2 and len(k1) > 0
+
+
+def test_token_budget_rejects_bad_fraction(spark):
+    from sqlitedataframe_spark.operators.sampling import allocate_token_budget
+
+    df = spark.createDataFrame([(1, "a", 1)], ["id", "cls", "toks"])
+    with pytest.raises(ValueError):
+        allocate_token_budget(df, "cls", "toks", 0.0, "id")
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup
+# ---------------------------------------------------------------------------
+def test_semantic_dedup_groups_identical_vectors(spark):
+    from sqlitedataframe_spark.operators.dedup import semantic_dedup
+
+    # two exact-duplicate families + unique vectors, in 2D
+    rows = (
+        [(i, [1.0, 0.0]) for i in range(3)]           # dups of each other
+        + [(10 + i, [0.0, 1.0]) for i in range(2)]    # second dup family
+        + [(100, [0.7071, 0.7071]), (101, [-1.0, 0.2])]  # singletons
+    )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(df, "vec_id", "embedding", k=2, threshold=0.999, kmeans_iters=2)
+    got = {r.vec_id: (r.component, r.is_representative) for r in out.collect()}
+    assert len(got) == len(rows)  # every row labeled
+    assert got[0] == (0, True) and got[1] == (0, False) and got[2] == (0, False)
+    assert got[10] == (10, True) and got[11] == (10, False)
+    assert got[100][1] and got[101][1]  # singletons are their own reps
+
+
+def test_semantic_dedup_hot_cell_guard_bounds_pairs(spark):
+    from sqlitedataframe_spark.operators.dedup import semantic_dedup
+
+    # 200 identical vectors with max_cell=50: the salt splits the cell, so
+    # the group fragments (recall trade) but every row is still labeled and
+    # each fragment has one representative.
+    rows = [(i, [1.0, 0.0]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(
+        df, "vec_id", "embedding", k=2, threshold=0.999, kmeans_iters=1, max_cell=50
+    )
+    marked = out.collect()
+    assert len(marked) == 200
+    comps = {}
+    for r in marked:
+        comps.setdefault(r.component, []).append(r)
+    for comp, members in comps.items():
+        reps = [m for m in members if m.is_representative]
+        assert len(reps) == 1 and reps[0].vec_id == comp
+    assert 1 < len(comps) < 200  # split, but still grouping within shards
