@@ -118,6 +118,8 @@ def pagerank(
     round_dp: int = 10,
     src: str = "src",
     dst: str = "dst",
+    all_nodes_receive: bool = False,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list -> (node, pr).
 
@@ -144,31 +146,58 @@ def pagerank(
     as src receive rank but contribute nothing). For an undirected graph
     pass both directions in ``edges``.
 
+    ``all_nodes_receive=True`` is a caller promise that every node has at
+    least one in-edge (always true for undirected graphs, where the node
+    set IS the src set): the per-iteration left-join that re-attaches
+    contribution-less nodes is then skipped — one fewer shuffle per
+    iteration. Perf note for callers: shuffles carry the node id every
+    round, so prefer compact integer ids and map to display labels after
+    the loop, not before.
+
+    ``broadcast_ranks=True`` broadcasts the (node, pr) and (node, degree)
+    frames into the edge join, turning each iteration into a map-side
+    join over the persisted edge list + one small aggregation exchange.
+    Use it when the NODE count fits an executor broadcast (edges may
+    still be arbitrarily large — node count is what matters). AQE cannot
+    make this call itself: the rank frame sits behind a localCheckpoint
+    boundary with unknown size, so without the hint both per-iteration
+    joins fall back to sort-merge. Leave False for billion-node graphs —
+    the loop then uses hash-partitioned joins, the scale-safe default.
+
     The reference (jackpal/SQLiteDataFrame) has no graph surface; part of
     the training-data pipeline extension (SURVEY Tier D).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    ew = e.join(deg, "src").persist()
+    ew = e.join(F.broadcast(deg) if broadcast_ranks else deg, "src").persist()
     nodes = ew.select(F.col("src").alias("node")).union(
         ew.select(F.col("dst").alias("node"))
     ).distinct()
-    ranks = nodes.select("node", F.lit(1.0).alias("pr"))
+    if all_nodes_receive:
+        # node set == src set: seed ranks straight from the degree frame
+        # (no distinct over both sides needed)
+        ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+    else:
+        ranks = nodes.select("node", F.lit(1.0).alias("pr"))
     base = F.lit(round(1.0 - damping, 10))
     for _ in range(iterations):
+        rhs = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            ew.join(ranks, ew.src == ranks.node)
+            ew.join(rhs, ew.src == rhs.node)
             .groupBy("dst")
             .agg(
                 F.round(base + F.lit(damping) * F.sum(F.col("pr") / F.col("_deg")), round_dp).alias("pr")
             )
             .select(F.col("dst").alias("node"), "pr")
         )
-        # nodes with no in-edges fall back to the teleport base rank
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select("node", F.coalesce("pr", base).alias("pr"))
-            .localCheckpoint(eager=False)
-        )
+        if all_nodes_receive:
+            ranks = contrib.localCheckpoint(eager=False)
+        else:
+            # nodes with no in-edges fall back to the teleport base rank
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .select("node", F.coalesce("pr", base).alias("pr"))
+                .localCheckpoint(eager=False)
+            )
     ew.unpersist()
     return ranks

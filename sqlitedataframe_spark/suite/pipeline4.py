@@ -69,6 +69,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 dp *every* iteration on both engines, which makes the
     parallel-summed Spark result bit-identical to the serial DuckDB unroll
     (see pagerank docstring: rounding is the determinism contract).
+
+    Perf shape: the loop runs on compact LONG node ids (customer 2k,
+    supplier 2k+1) so every per-iteration shuffle carries 8-byte keys; the
+    'c<id>'/'s<id>' display labels the oracle uses are attached once,
+    after the last iteration. The graph is undirected, so
+    ``all_nodes_receive=True`` drops the isolated-node re-attach join
+    (one fewer shuffle per iteration).
     """
     from sqlitedataframe_spark.operators.graph import pagerank
 
@@ -77,13 +84,38 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return pagerank(edges, iterations=3, damping=0.85, round_dp=6).orderBy("node")
+    # symmetric expansion map-side (explode), NOT union-of-two-branches:
+    # a union would run the join+distinct subplan twice
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    ranks = pagerank(
+        edges,
+        iterations=3,
+        damping=0.85,
+        round_dp=6,
+        all_nodes_receive=True,
+        # 16k nodes: ranks/degree frames broadcast, so each iteration is a
+        # map-side join over the persisted edges + one 16k-row agg exchange
+        broadcast_ranks=True,
+    )
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("bigint").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("bigint").cast("string"))
+    )
+    return ranks.select(label.alias("node"), "pr").orderBy("node")
 
 
 # ---------------------------------------------------------------------------
