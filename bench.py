@@ -150,6 +150,8 @@ HEADLINE = [
     "multimodal_frames",
     "mixture_token_budget",
     "dedup_semantic",
+    "text_bigram_lm",
+    "dedup_keep_best",
 ]
 
 

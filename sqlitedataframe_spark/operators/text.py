@@ -398,3 +398,65 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document mean bigram log-likelihood under a Laplace-smoothed
+    bigram model trained on the corpus itself — the perplexity-style
+    quality filter (KenLM-shaped): documents whose word transitions are
+    improbable under the corpus model are noise/boilerplate/garbled.
+
+    Model: P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), V = corpus vocabulary
+    size. Score = avg(ln P) over the document's bigrams (docs with < 2
+    tokens drop out — no bigrams to score).
+
+    Plan shape (the part that matters at 100 TB):
+    - bigrams are built MAP-SIDE inside the scan (transform over the
+      token array), so the only data that shuffles is (w1, w2) pairs for
+      counting — never document text;
+    - the model is two count aggregations (bigram, unigram-context) plus
+      a 1-row vocabulary count;
+    - scoring joins doc-bigrams to the model ON THE BIGRAM KEY — a hash
+      join that scales with model size, deliberately NOT a driver-side
+      broadcast of the model (a web-corpus bigram table is billions of
+      rows); Catalyst/AQE may still broadcast when the model is small;
+    - per-document mean = one aggregation by doc id.
+    Rounded to ``round_dp`` so the score is engine-reproducible (the
+    suite oracle re-derives the identical model in SQL).
+    """
+    t = tokens(text_col)
+    cnt = F.size(t)
+    idx = F.sequence(F.lit(1), cnt - 1)
+    bigrams = F.transform(
+        idx, lambda i: F.struct(
+            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+        )
+    )
+    doc_bi = (
+        df.filter(cnt >= 2)
+        .select(F.col(id_col).alias("_id"), F.explode(bigrams).alias("b"))
+        .select("_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    uni = df.select(F.explode(t).alias("w1"))
+    c12 = doc_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    c1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = uni.agg(F.count_distinct("w1").alias("_v"))
+    logp = F.log(
+        (F.col("_c12") + 1).cast("double") / (F.col("_c1") + F.col("_v"))
+    )
+    return (
+        doc_bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), round_dp).alias("avg_logp"),
+        )
+        .select(F.col("_id").alias(id_col), "n_bigrams", "avg_logp")
+    )

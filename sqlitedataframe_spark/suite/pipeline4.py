@@ -382,3 +382,93 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("group_size") > 1)
         .orderBy(F.col("group_size").desc(), "component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality scoring (perplexity-filter shape, corpus-trained).
+# ---------------------------------------------------------------------------
+@query(
+    "text_bigram_lm",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    doc_bi AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 2
+    ),
+    uni AS (SELECT unnest(t) AS w1 FROM toks),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM doc_bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w1) AS v FROM uni)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN((c12 + 1) / CAST(c1 + v AS DOUBLE))), 6) AS avg_logp
+    FROM doc_bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram log-likelihood per document under a corpus-trained
+    Laplace bigram model (operators.text.bigram_lm_scores) — the
+    perplexity-style quality filter. Bigrams built map-side; the model is
+    two count aggregations; scoring is a hash join on the bigram key
+    (model never broadcast by assumption — web-scale bigram tables are
+    huge), then one per-doc aggregation.
+    """
+    from sqlitedataframe_spark.operators.text import bigram_lm_scores
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup keeping the BEST representative (not min-id): longest doc wins.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_sort(list_distinct(
+                 string_split(lower(trim(text)), ' '))), ' ')) AS fingerprint
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, fingerprint,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS group_size
+      FROM fp
+    )
+    SELECT doc_id, fingerprint, CAST(group_size AS BIGINT) AS group_size
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: one survivor per fingerprint group, keeping
+    the LONGEST duplicate (deterministic doc_id tiebreak) instead of the
+    arbitrary min-id — what curation pipelines actually want when near-
+    dups differ in truncation. One hash exchange on the fingerprint;
+    row_number + count over the same window partitioning share it.
+    """
+    from pyspark.sql import Window
+
+    from sqlitedataframe_spark.operators.text import fingerprint
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", fingerprint("text").alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("fingerprint")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint", "group_size")
+        .orderBy("doc_id")
+    )

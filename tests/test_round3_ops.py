@@ -263,3 +263,33 @@ def test_semantic_dedup_hot_cell_guard_bounds_pairs(spark):
         reps = [m for m in members if m.is_representative]
         assert len(reps) == 1 and reps[0].vec_id == comp
     assert 1 < len(comps) < 200  # split, but still grouping within shards
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_scores
+# ---------------------------------------------------------------------------
+def test_bigram_lm_hand_computed(spark):
+    import math
+
+    from sqlitedataframe_spark.operators.text import bigram_lm_scores
+
+    # corpus: "a b a b", "a b" -> c1(a)=3, c1(b)=3, V=2,
+    # c12(a,b)=3, c12(b,a)=1 -> P(b|a)=4/5, P(a|b)=2/5
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b")], ["doc_id", "text"])
+    got = {r.doc_id: (r.n_bigrams, r.avg_logp) for r in bigram_lm_scores(df).collect()}
+    exp1 = round((2 * math.log(0.8) + math.log(0.4)) / 3, 6)
+    exp2 = round(math.log(0.8), 6)
+    assert got == {1: (3, exp1), 2: (1, exp2)}
+
+
+def test_bigram_lm_short_docs_dropped(spark):
+    from sqlitedataframe_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame([(1, "solo"), (2, "two words")], ["doc_id", "text"])
+    got = bigram_lm_scores(df).collect()
+    assert [r.doc_id for r in got] == [2]
+    # the 1-token doc still contributes to unigram counts and vocabulary:
+    # V = {solo, two, words} = 3, c1(two)=1 -> P(words|two) = 2/4
+    import math
+
+    assert got[0].avg_logp == round(math.log(2 / 4), 6)
