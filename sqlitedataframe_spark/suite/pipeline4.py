@@ -373,8 +373,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlitedataframe_spark.operators.dedup import semantic_dedup
 
     e = T(spark, sf_dir, "embeddings")
+    # threshold 0.40: the synthetic embeddings' pairwise cosine tops out
+    # near 0.46, so the production-typical 0.9+ would be a vacuous demo;
+    # k=8 / 1 Lloyd iteration keeps the k-means expression tree (and its
+    # per-row cost) small — cell quality barely matters for a demo corpus
+    # whose "clusters" are noise
     marked = semantic_dedup(
-        e, id_col="vec_id", vec_col="embedding", k=8, threshold=0.9, kmeans_iters=3
+        e, id_col="vec_id", vec_col="embedding", k=8, threshold=0.40, kmeans_iters=1
     )
     return (
         marked.groupBy("component")

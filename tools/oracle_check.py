@@ -8,6 +8,7 @@ and an order-insensitive value hash. Usage:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -60,7 +61,20 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     registry = load_all()
-    spark = get_spark("oracle-check")
+    if os.environ.get("ORACLE_CHECK_VANILLA"):
+        # Replicate the driver's environment: an untuned session (default
+        # 200 shuffle partitions, no session-level confs from session.py) —
+        # queries must self-tune through io.load_table. Catches anything
+        # that silently depends on get_spark's settings.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-vanilla")
+            .master("local[32]")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
 
     con = duckdb.connect()
     for t in TABLES:
