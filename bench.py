@@ -152,6 +152,7 @@ HEADLINE = [
     "dedup_semantic",
     "text_bigram_lm",
     "dedup_keep_best",
+    "stream_quality_ingest",
 ]
 
 

@@ -5,6 +5,7 @@ SQLiteDataFrame.swift:440-530; SURVEY §2 Tier B "Streaming" row).
 
 from sqlitedataframe_spark.streaming.core import (
     read_events_stream,
+    read_table_stream,
     run_available_now,
     stream_dedup,
     stream_session_window,
@@ -15,6 +16,7 @@ from sqlitedataframe_spark.streaming.stateful import stateful_sessionize
 
 __all__ = [
     "read_events_stream",
+    "read_table_stream",
     "run_available_now",
     "stream_dedup",
     "stream_session_window",

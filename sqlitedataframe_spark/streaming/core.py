@@ -42,21 +42,26 @@ def _stream_dir(parquet_file: str) -> str:
     return d
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet.
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``readStream`` over any fixture table's parquet.
 
     File-stream sources need an explicit schema; we take it from a batch
-    read (one footer read, no data scan). The events ``ts`` column is
-    normalized to ``timestamp`` by io.normalize — the SAME boundary the
-    batch path uses — so watermarks always see TimestampType regardless of
-    how this Spark version surfaces parquet TIMESTAMP(NANOS).
+    read (one footer read, no data scan). Columns are normalized by
+    io.normalize — the SAME boundary the batch path uses — so e.g. the
+    events ``ts`` always reaches watermarks as TimestampType regardless
+    of how this Spark version surfaces parquet TIMESTAMP(NANOS).
     """
     tune(spark)
-    batch = spark.read.parquet(table_path(sf_dir, "events"))
+    batch = spark.read.parquet(table_path(sf_dir, name))
     stream = spark.readStream.schema(batch.schema).parquet(
-        _stream_dir(table_path(sf_dir, "events"))
+        _stream_dir(table_path(sf_dir, name))
     )
-    return normalize(stream, "events")
+    return normalize(stream, name)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet (see read_table_stream)."""
+    return read_table_stream(spark, sf_dir, "events")
 
 
 def stream_tumbling_counts(

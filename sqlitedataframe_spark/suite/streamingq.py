@@ -160,3 +160,60 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("session_end").alias("session_end"), F.max("n_events").alias("n_events"))
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "stream_quality_ingest",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             string_split(lower(trim(text)), ' ') AS toks,
+             CAST(LENGTH(text) AS DOUBLE) AS n_char
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             LEAST(n_char / 200.0, 1.0) AS len_score,
+             CAST(len(list_filter(toks, x -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+               / len(toks) AS sw_ratio,
+             CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+               / n_char AS punct_ratio
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             ROUND((len_score + LEAST(sw_ratio * 4, 1.0)
+                    + GREATEST(0.0, 1.0 - punct_ratio * 5)) / 3, 6) AS quality
+      FROM feats
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(quality), 6) AS avg_quality
+    FROM scored WHERE quality >= 0.5
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def stream_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest with a quality gate: documents stream in,
+    each micro-batch is scored map-side (operators.text.quality_score —
+    the same expression the batch path uses), low-quality docs are
+    dropped before they ever reach an aggregation, and the running
+    per-language mixture report updates incrementally (complete mode).
+
+    This is the continuous-ingestion pattern of a training-data pipeline
+    — filter at the edge, aggregate the survivors — and the oracle checks
+    the defining property: the incremental result equals the one-shot
+    batch/DuckDB result over the same files.
+    """
+    from sqlitedataframe_spark.operators.text import quality_score
+    from sqlitedataframe_spark.streaming.core import read_table_stream
+
+    s = read_table_stream(spark, sf_dir, "documents")
+    scored = s.select("lang", quality_score("text").alias("quality")).filter(
+        F.col("quality") >= 0.5
+    )
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+    return run_available_now(agg, output_mode="complete").orderBy("lang")
