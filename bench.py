@@ -153,6 +153,7 @@ HEADLINE = [
     "text_bigram_lm",
     "dedup_keep_best",
     "stream_quality_ingest",
+    "multimodal_resize",
 ]
 
 

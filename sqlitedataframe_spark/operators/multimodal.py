@@ -153,3 +153,40 @@ def extract_features(media: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame
                 start = end
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_bytes", LongType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, stride: int = 4) -> DataFrame:
+    """Resize/downsample stage via mapInPandas: emits a payload decimated
+    by ``stride`` (every stride-th byte) plus its size — the thumbnail/
+    low-res-proxy step of an ingest pipeline.
+
+    The *decode+resample* is the deterministic fake (byte-stride
+    decimation; a real deployment plugs an image/audio resampler into the
+    same stage); the Spark plumbing is the production pattern: payloads
+    cross into Python once per row, Arrow-batched, inside the scan stage
+    (no shuffle), and the output binary is strictly smaller — the job
+    that turns a 100 TB raw-media lake into a few-TB training proxy.
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, blobs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload or b"")[::stride]
+                ids.append(mid)
+                sizes.append(len(data))
+                blobs.append(data)
+            yield pd.DataFrame({"media_id": ids, "out_bytes": sizes, "thumb": blobs})
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)

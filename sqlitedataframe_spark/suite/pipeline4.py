@@ -477,3 +477,41 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fingerprint", "group_size")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize/downsample stage (mapInPandas, exactly oracled).
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(CEIL(n / 4.0) AS BIGINT) AS out_bytes,
+           lower(string_agg(substr(h, i * 2 + 1, 2), '' ORDER BY i)) AS thumb_hex
+    FROM m, UNNEST(generate_series(0, n - 1, 4)) AS r(i)
+    GROUP BY media_id, n
+    ORDER BY media_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample stage (operators.multimodal.resize_media) driven
+    end-to-end: payloads stream through an Arrow-batched mapInPandas that
+    emits stride-4 decimated thumbnails. The deterministic fake resampler
+    makes the stage EXACTLY oracle-checkable — the oracle rebuilds the
+    identical byte selection over the hex encoding (compared as lowercase
+    hex; DuckDB cannot substring BLOBs). No shuffle: runs inside the scan.
+    """
+    from sqlitedataframe_spark.operators.multimodal import attach_media, resize_media
+
+    d = T(spark, sf_dir, "documents")
+    thumbs = resize_media(attach_media(d, id_col="doc_id", text_col="text"), stride=4)
+    return thumbs.select(
+        "media_id",
+        "out_bytes",
+        F.lower(F.hex("thumb")).alias("thumb_hex"),
+    ).orderBy("media_id")

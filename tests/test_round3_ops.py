@@ -336,3 +336,22 @@ def test_zorder_write_tightens_parquet_zone_maps(spark, tmp_path):
     assert f_plain > 0.9
     assert f_z < 0.6
     assert f_z < f_plain / 2
+
+
+def test_resize_media_stride_decimation(spark):
+    from sqlitedataframe_spark.operators.multimodal import attach_media, resize_media
+
+    df = spark.createDataFrame([(1, "abcdefghij"), (2, "xy")], ["doc_id", "text"])
+    media = attach_media(df, "doc_id", "text")
+    got = {r.media_id: (r.out_bytes, bytes(r.thumb)) for r in resize_media(media, 4).collect()}
+    assert got == {1: (3, b"aei"), 2: (1, b"x")}
+
+
+def test_resize_media_rejects_bad_stride(spark):
+    import pytest as _pytest
+
+    from sqlitedataframe_spark.operators.multimodal import attach_media, resize_media
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        resize_media(attach_media(df, "doc_id", "text"), 0)
