@@ -154,6 +154,7 @@ HEADLINE = [
     "dedup_keep_best",
     "stream_quality_ingest",
     "multimodal_resize",
+    "agg_countmin_sketch",
 ]
 
 

@@ -515,3 +515,57 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_bytes",
         F.lower(F.hex("thumb")).alias("thumb_hex"),
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch frequency estimation (exactly oracled sketch).
+# ---------------------------------------------------------------------------
+@query(
+    "agg_countmin_sketch",
+    oracle="""
+    WITH cells AS (
+      SELECT d,
+             CAST('0x' || substr(md5(d || ':' || CAST(l_partkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 1024 AS cell,
+             COUNT(*) AS c
+      FROM lineitem, UNNEST([0, 1, 2, 3]) AS t(d)
+      GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_partkey < 10),
+    est AS (
+      SELECT p.k, MIN(c.c) AS cm_est
+      FROM probes p, UNNEST([0, 1, 2, 3]) AS t(d)
+      JOIN cells c
+        ON c.d = t.d
+       AND c.cell = CAST('0x' || substr(md5(t.d || ':' || CAST(p.k AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 1024
+      GROUP BY p.k
+    ),
+    tru AS (
+      SELECT l_partkey AS k, COUNT(*) AS true_count
+      FROM lineitem WHERE l_partkey < 10 GROUP BY 1
+    )
+    SELECT k AS l_partkey, CAST(cm_est AS BIGINT) AS cm_est,
+           CAST(true_count AS BIGINT) AS true_count
+    FROM est JOIN tru USING (k) ORDER BY l_partkey
+    """,
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4x1024, md5 hashing) over lineitem part keys,
+    probed for ten keys against their exact counts (operators.sketch).
+
+    Scale story in the plan: the sketch exchange carries at most
+    depth*width rows per partition regardless of input size, the built
+    sketch broadcasts for estimation, and shard sketches merge cell-wise
+    without re-reading data. The md5 cell hash makes the whole structure
+    deterministic — the oracle rebuilds the identical sketch in SQL, and
+    the output shows the CM guarantee live (cm_est >= true_count).
+    """
+    from sqlitedataframe_spark.operators.sketch import countmin_build, countmin_estimate
+
+    l = T(spark, sf_dir, "lineitem").select("l_partkey")
+    sketch = countmin_build(l, "l_partkey", depth=4, width=1024)
+    probes = l.filter(F.col("l_partkey") < 10)
+    est = countmin_estimate(sketch, probes, "l_partkey", depth=4, width=1024)
+    tru = probes.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_count"))
+    return est.join(tru, "l_partkey").orderBy("l_partkey")

@@ -355,3 +355,40 @@ def test_resize_media_rejects_bad_stride(spark):
     df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         resize_media(attach_media(df, "doc_id", "text"), 0)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+def test_countmin_upper_bound_and_exactness_when_sparse(spark):
+    from sqlitedataframe_spark.operators.sketch import countmin_build, countmin_estimate
+
+    # 3 keys, few occurrences, wide sketch: no collisions -> estimates exact
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, ["k"])
+    sk = countmin_build(df, "k", depth=4, width=4096)
+    est = {r.k: r.cm_est for r in countmin_estimate(sk, df, "k", 4, 4096).collect()}
+    assert est == {"a": 5, "b": 3, "c": 1}
+
+
+def test_countmin_sketch_size_bounded(spark):
+    from sqlitedataframe_spark.operators.sketch import countmin_build
+
+    df = spark.createDataFrame([(i % 977,) for i in range(20000)], ["k"])
+    sk = countmin_build(df, "k", depth=4, width=64)
+    assert sk.count() <= 4 * 64
+    # total mass per depth row equals the input size (no rows lost)
+    per_d = {r.d: r.s for r in sk.groupBy("d").agg(F.sum("c").alias("s")).collect()}
+    assert per_d == {0: 20000, 1: 20000, 2: 20000, 3: 20000}
+
+
+def test_countmin_never_underestimates(spark):
+    from sqlitedataframe_spark.operators.sketch import countmin_build, countmin_estimate
+
+    # narrow sketch forces collisions: estimates must still be >= truth
+    df = spark.createDataFrame([(i % 50,) for i in range(5000)], ["k"])
+    sk = countmin_build(df, "k", depth=3, width=16)
+    est = countmin_estimate(sk, df, "k", 3, 16)
+    tru = df.groupBy("k").agg(F.count(F.lit(1)).alias("t"))
+    bad = est.join(tru, "k").filter(F.col("cm_est") < F.col("t")).count()
+    assert bad == 0
