@@ -392,3 +392,39 @@ def test_countmin_never_underestimates(spark):
     tru = df.groupBy("k").agg(F.count(F.lit(1)).alias("t"))
     bad = est.join(tru, "k").filter(F.col("cm_est") < F.col("t")).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# driver-contract rotation (__spark_entry__._ordered_names)
+# ---------------------------------------------------------------------------
+def test_rotation_fronts_never_green_queries():
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as e
+
+    names = e._ordered_names()
+    reg_names = set(e.queries())
+    assert list(reg_names) == names or set(names) == reg_names  # same set, reordered
+
+    # reconstruct "seen" exactly as the module does (green rows only)
+    seen = set()
+    import glob
+
+    repo = os.path.dirname(os.path.abspath(e.__file__))
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rows = json.load(open(path))
+        for n, row in rows.items():
+            if isinstance(row, dict) and row.get("err") is None and all(
+                row.get(k) is not False
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                seen.add(n)
+    unseen = [n for n in names if n not in seen]
+    # every unseen query must come before every seen query
+    if unseen and len(unseen) < len(names):
+        last_unseen = max(names.index(n) for n in unseen)
+        first_seen = min(names.index(n) for n in names if n in seen)
+        assert last_unseen < first_seen
