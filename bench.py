@@ -155,6 +155,7 @@ HEADLINE = [
     "stream_quality_ingest",
     "multimodal_resize",
     "agg_countmin_sketch",
+    "agg_countmin_merge",
 ]
 
 

@@ -88,3 +88,18 @@ def countmin_estimate(
         .agg(F.min("c").alias("cm_est"))
         .select(F.col("_k").alias(key), "cm_est")
     )
+
+
+def countmin_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the same (depth, width, hash):
+    cell-wise addition. This is THE operational property at 100 TB — each
+    shard/day/partition builds its sketch once, and any rollup (daily ->
+    monthly, per-shard -> global) is an aggregation over at most
+    depth*width rows per input sketch, never a second pass over raw data.
+    """
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("d", "cell").agg(F.sum("c").alias("c"))

@@ -569,3 +569,41 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = countmin_estimate(sketch, probes, "l_partkey", depth=4, width=1024)
     tru = probes.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_count"))
     return est.join(tru, "l_partkey").orderBy("l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Sketch mergeability, proven live: shard sketches == full-data sketch.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_countmin_merge",
+    oracle="""
+    WITH cells AS (
+      SELECT d,
+             CAST('0x' || substr(md5(d || ':' || CAST(l_partkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 256 AS cell,
+             COUNT(*) AS c
+      FROM lineitem, UNNEST([0, 1, 2]) AS t(d)
+      GROUP BY 1, 2
+    )
+    SELECT d, cell, CAST(c AS BIGINT) AS c
+    FROM cells ORDER BY d, cell
+    """,
+)
+def agg_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build count-min sketches on two DISJOINT halves of lineitem (even /
+    odd order keys — two "shards"), merge them cell-wise
+    (operators.sketch.countmin_merge), and return the merged sketch. The
+    oracle builds the sketch over the FULL table in one pass: equality is
+    the mergeability proof — rollups over shard sketches reproduce the
+    global sketch exactly, without re-reading data.
+    """
+    from sqlitedataframe_spark.operators.sketch import countmin_build, countmin_merge
+
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    even = countmin_build(
+        l.filter(F.col("l_orderkey") % 2 == 0), "l_partkey", depth=3, width=256
+    )
+    odd = countmin_build(
+        l.filter(F.col("l_orderkey") % 2 == 1), "l_partkey", depth=3, width=256
+    )
+    return countmin_merge(even, odd).orderBy("d", "cell")

@@ -428,3 +428,15 @@ def test_rotation_fronts_never_green_queries():
         last_unseen = max(names.index(n) for n in unseen)
         first_seen = min(names.index(n) for n in names if n in seen)
         assert last_unseen < first_seen
+
+
+def test_countmin_merge_equals_full_build(spark):
+    from sqlitedataframe_spark.operators.sketch import countmin_build, countmin_merge
+
+    df = spark.createDataFrame([(i, i % 37) for i in range(4000)], ["id", "k"])
+    full = countmin_build(df, "k", depth=3, width=64)
+    merged = countmin_merge(
+        countmin_build(df.filter(F.col("id") % 2 == 0), "k", 3, 64),
+        countmin_build(df.filter(F.col("id") % 2 == 1), "k", 3, 64),
+    )
+    assert merged.exceptAll(full).isEmpty() and full.exceptAll(merged).isEmpty()
