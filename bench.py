@@ -8,7 +8,10 @@ followed by a COMPACT final stdout line
 
 Each query is timed to completion of a count()-free collect (materializing
 the true result). The session is warmed with one tiny action first so JVM
-startup isn't attributed to the first query.
+startup isn't attributed to the first query. Each query runs
+$SPARK_GRAFT_BENCH_REPS (default 3) INTERLEAVED repetitions; the reported
+per-query value is the median, with min/max spread in the sidecar — the
+sandbox shows 5x same-code swings on single-shot timings (VERDICT r3).
 """
 
 from __future__ import annotations
@@ -191,6 +194,7 @@ def _warm(spark) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     registry = load_all()
@@ -202,28 +206,56 @@ def main() -> None:
     spark.range(1).count()
     _warm(spark)
 
-    timings: dict[str, float] = {}
+    # Noise protocol (VERDICT r3 #3): the sandbox shows same-code swings up
+    # to 5x on single queries, so a single-shot bench cannot support
+    # cross-round comparisons. Each query is run `reps` times INTERLEAVED
+    # (full passes over the suite, not back-to-back repeats, so a noisy
+    # window lands on different queries in different reps) and the per-query
+    # value is the MEDIAN of its successful reps; min/max spread is recorded
+    # in the sidecar. Median (not min) is used because the headline is a
+    # suite total — medians sum to a representative wall figure, while
+    # min-of-3 would report an unachievable best-case composite.
+    rep_times: dict[str, list[float]] = {name: [] for name in HEADLINE}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        # Per-query isolation: one broken query must never abort the suite
-        # (r02's bench died mid-run on a single analysis error and the whole
-        # round went unscored). Failures are recorded and the run continues.
-        t0 = time.time()
-        try:
-            q = registry[name]
-            n = len(q.spark_fn(spark, sf_dir).collect())
-            timings[name] = round(time.time() - t0, 3)
-            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        except Exception as exc:  # noqa: BLE001 — bench must always finish
-            errors[name] = f"{type(exc).__name__}: {exc}"[:400]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-        finally:
-            # drop any persist() a query left behind: queries stay
-            # independent and cached blocks don't build memory pressure
+    for rep in range(reps):
+        for name in HEADLINE:
+            # Per-query isolation: one broken query must never abort the
+            # suite (r02's bench died mid-run on a single analysis error and
+            # the whole round went unscored).
+            t0 = time.time()
             try:
-                spark.catalog.clearCache()
-            except Exception:
-                pass
+                q = registry[name]
+                n = len(q.spark_fn(spark, sf_dir).collect())
+                dt = round(time.time() - t0, 3)
+                rep_times[name].append(dt)
+                print(f"# [{rep + 1}/{reps}] {name}: {dt:.3f}s ({n} rows)",
+                      file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001 — bench must always finish
+                errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+                print(f"# [{rep + 1}/{reps}] {name}: ERROR {errors[name]}",
+                      file=sys.stderr)
+            finally:
+                # drop any persist() a query left behind: queries stay
+                # independent and cached blocks don't build memory pressure
+                try:
+                    spark.catalog.clearCache()
+                except Exception:
+                    pass
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+        return round(mid, 3)
+
+    timings = {k: _median(v) for k, v in rep_times.items() if v}
+    spread = {
+        k: {"min": min(v), "max": max(v), "n": len(v)}
+        for k, v in rep_times.items()
+        if v
+    }
+    # a query is an error only if EVERY rep failed
+    errors = {k: v for k, v in errors.items() if not rep_times.get(k)}
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -231,9 +263,15 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "reps": reps,
         "errors": errors,
         "sf": sf,
     }
+    if errors:
+        # the total excludes failed queries, so a cross-round comparison
+        # must not read a lower value as an improvement (ADVICE r3)
+        full["incomplete"] = True
     # Full per-query detail: written to a sidecar file AND printed as an
     # EARLIER stdout line. The driver's tail capture is ~2 KB, so the FINAL
     # line must be compact enough to survive it — keep it to the headline
@@ -244,20 +282,22 @@ def main() -> None:
             json.dump(full, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(full))
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "n_errors": len(errors),
-                "detail": "bench_detail.json",
-            }
-        )
-    )
+    compact_full = dict(full)
+    compact_full.pop("spread", None)  # keep the full-line print bounded
+    print(json.dumps(compact_full))
+    tail = {
+        "metric": "suite_total_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "reps": reps,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "detail": "bench_detail.json",
+    }
+    if errors:
+        tail["incomplete"] = True
+    print(json.dumps(tail))
 
 
 if __name__ == "__main__":

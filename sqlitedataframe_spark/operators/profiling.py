@@ -79,14 +79,24 @@ def profile(df: DataFrame, cols: list[str] | None = None, exact: bool = True) ->
     # exact distinct via melt + two-level hash dedup (COUNT(DISTINCT)
     # ignores NULLs, hence the filter; an all-NULL column melts to zero
     # rows and coalesces to 0 below — the COUNT(DISTINCT) value).
+    from pyspark.sql.types import FractionalType
+
+    def _melt_val(c: str):
+        # Aggregation keys normalize -0.0 to 0.0; a plain string cast does
+        # not ('-0.0' != '0.0'), so floating columns must fold signed zero
+        # before casting or the exact path over-counts by one vs
+        # COUNT(DISTINCT) semantics. `col == 0` matches both zeros and is
+        # false for NaN/NULL, so only the zeros are rewritten.
+        col = F.col(c)
+        if isinstance(by_name[c], FractionalType):
+            col = F.when(col == 0, F.lit(0).cast(by_name[c])).otherwise(col)
+        return col.cast("string").alias("v")
+
     melted = df.select(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(c).cast("string").alias("v"),
-                    )
+                    F.struct(F.lit(c).alias("column"), _melt_val(c))
                     for c in cols
                 ]
             )

@@ -151,15 +151,14 @@ def cap_per_class_approx(
         raise ValueError(f"cap must be >= 1, got {cap}")
     counts = df.groupBy(*class_cols).agg(F.count(F.lit(1)).alias("_cnt"))
     space = F.lit(float(_SPACE))
-    cut = F.when(F.col("_cnt") <= cap, F.lit("g000")).otherwise(
-        F.lpad(
-            F.lower(
-                F.hex(F.round(space * cap / F.col("_cnt")).cast("int"))
-            ),
-            4,
-            "0",
-        )
-    )
+    # Integer cut first, then clamp: keep-rates within ~1/131072 of 1.0
+    # round to _SPACE itself, whose hex is 5 digits — lpad(...,4) would
+    # TRUNCATE '10000' to '1000' and silently collapse the rate to ~6%.
+    # Mirror hex_threshold's `cut >= _SPACE -> 'g000'` clamp instead.
+    cut_int = F.round(space * cap / F.col("_cnt")).cast("int")
+    cut = F.when(
+        (F.col("_cnt") <= cap) | (cut_int >= F.lit(_SPACE)), F.lit("g000")
+    ).otherwise(F.lpad(F.lower(F.hex(cut_int)), 4, "0"))
     thresholds = counts.select(*class_cols, cut.alias("_cut"))
     return (
         df.join(F.broadcast(thresholds), on=class_cols)
@@ -243,15 +242,14 @@ def allocate_token_budget(
         (F.lit(budget_fraction) * F.col("_all_toks") / F.col("_n_classes"))
         / F.col("_class_toks"),
     )
-    cut = F.when(rate >= 1.0, F.lit("g000")).otherwise(
-        F.lpad(
-            F.lower(
-                F.hex(F.round(rate * _SPACE + F.lit(1e-9)).cast("int"))
-            ),
-            4,
-            "0",
-        )
-    )
+    # Same clamp as hex_threshold / cap_per_class_approx: a keep-rate in
+    # [~0.9999924, 1.0) rounds to _SPACE, whose 5-digit hex would be
+    # truncated by lpad(...,4) to '1000' (~6.25%). Clamp cut >= _SPACE to
+    # the keep-everything sentinel before formatting.
+    cut_int = F.round(rate * _SPACE + F.lit(1e-9)).cast("int")
+    cut = F.when(
+        (rate >= 1.0) | (cut_int >= F.lit(_SPACE)), F.lit("g000")
+    ).otherwise(F.lpad(F.lower(F.hex(cut_int)), 4, "0"))
     thresholds = totals.crossJoin(F.broadcast(grand)).select(
         class_col, cut.alias("_cut")
     )

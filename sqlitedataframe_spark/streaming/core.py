@@ -164,15 +164,28 @@ def stream_stream_attribution(
     ).select("conv_id", "user_id", "conv_ts", "attr_id", "attr_ts")
 
 
+#: Hard cap on rows run_available_now will pull to the driver. The memory
+#: sink is driver-resident by definition; this harness exists for
+#: batch-equivalence TESTING of (bounded) aggregated results only. The
+#: production path for unbounded streams is stream_to_sqlite /
+#: stream_upsert_to_sqlite (foreachBatch — executor-side, incremental).
+AVAILABLE_NOW_MAX_ROWS = 1_000_000
+
+
 def run_available_now(
-    stream_df: DataFrame, output_mode: str = "complete", name: str | None = None
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+    max_rows: int = AVAILABLE_NOW_MAX_ROWS,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion over all currently-available
     input (``Trigger.AvailableNow``) into a memory sink; return the result
     as a batch DataFrame.
 
     This is the batch-equivalence harness: the incremental plan must produce
-    the same rows the one-shot batch plan does.
+    the same rows the one-shot batch plan does. It collects the memory sink
+    to the driver, so it refuses (ValueError) result sets above ``max_rows``
+    — point production streams at ``stream_to_sqlite`` instead.
     """
     sink = name or f"mem_{uuid.uuid4().hex[:12]}"
     with tempfile.TemporaryDirectory() as ckpt:
@@ -186,6 +199,13 @@ def run_available_now(
         )
         q.awaitTermination()
     spark = stream_df.sparkSession
+    n = spark.table(sink).count()
+    if n > max_rows:
+        raise ValueError(
+            f"run_available_now is a driver-side test harness: sink holds "
+            f"{n} rows > max_rows={max_rows}. Use stream_to_sqlite / "
+            f"foreachBatch for production-size streams."
+        )
     # Materialize before the temp view disappears with the next query reusing
     # the name; memory sink tables are tiny (aggregated results).
     return spark.createDataFrame(spark.table(sink).collect(), spark.table(sink).schema)

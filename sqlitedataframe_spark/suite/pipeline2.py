@@ -683,7 +683,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
     cut AS (
       SELECT lang,
-             CASE WHEN c <= 40 THEN 'g000'
+             CASE WHEN c <= 40
+                       OR CAST(round(65536.0 * 40 / c) AS INT) >= 65536
+                  THEN 'g000'
                   ELSE printf('%04x', CAST(round(65536.0 * 40 / c) AS INT))
              END AS cut
       FROM cnt)

@@ -185,13 +185,20 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     hits = exact.join(approx, ["qid", "vec_id"], "left_semi")
+    hit_counts = hits.groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits"))
+    # Every probe must report a row: a query whose LSH buckets returned
+    # nothing would otherwise VANISH from the report (inner semantics of
+    # semi-join + groupBy), silently overstating aggregate recall. Left-join
+    # the counts back onto the full probe set and coalesce misses to 0.
     return (
-        hits.groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        qs.select("qid")
+        .join(F.broadcast(hit_counts), "qid", "left")
         .select(
             "qid",
-            "n_hits",
-            F.round(F.col("n_hits") / F.lit(k), 2).alias("recall_at_10"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(k), 2).alias(
+                "recall_at_10"
+            ),
         )
         .orderBy("qid")
     )

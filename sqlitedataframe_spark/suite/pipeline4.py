@@ -315,7 +315,9 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cuts AS (
       SELECT lang,
-             CASE WHEN rate >= 1.0 THEN 'g000'
+             CASE WHEN rate >= 1.0
+                       OR CAST(ROUND(rate * 65536 + 1e-9, 0) AS INT) >= 65536
+                  THEN 'g000'
                   ELSE lpad(lower(hex(CAST(ROUND(rate * 65536 + 1e-9, 0)
                                            AS INT))), 4, '0')
              END AS cut

@@ -1,0 +1,102 @@
+"""Round-4 regression tests for the VERDICT r3 / ADVICE r3 findings:
+
+- hex-threshold clamp in allocate_token_budget / cap_per_class_approx
+  (keep-rates within ~1/131072 of 1.0 must keep everything, not ~6%);
+- profiling exact n_distinct folds signed zero like COUNT(DISTINCT);
+- minhash_lsh_pairs leaves NO persistent RDDs behind (r3 persist leak);
+- run_available_now refuses oversized memory-sink collects;
+- sim_ann_recall reports a row for every probe.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.io import load_table
+
+
+def test_allocate_token_budget_near_unit_rate_keeps_all(spark):
+    """A keep-rate in [~0.9999924, 1.0) rounds to 65536, whose 5-digit hex
+    lpad(...,4) would TRUNCATE to '1000' (~6.25%). The clamp must map it to
+    the keep-everything sentinel instead (ADVICE r3, medium)."""
+    from sqlitedataframe_spark.operators.sampling import allocate_token_budget
+
+    # single class => rate == budget_fraction exactly
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"), F.lit(7).alias("toks")
+    )
+    kept = allocate_token_budget(
+        df, class_col="lang", tokens_col="toks", budget_fraction=0.999995, key="doc_id"
+    )
+    assert kept.count() == 200
+
+
+def test_cap_per_class_approx_near_unit_rate_keeps_all(spark):
+    """Same truncation hazard in cap_per_class_approx: count 262143 with cap
+    262142 gives 65536*(1 - 1/262143) = 65535.75, which rounds to 65536."""
+    from sqlitedataframe_spark.operators.sampling import cap_per_class_approx
+
+    n = 262_143
+    df = spark.range(n).select(F.col("id").alias("k"), F.lit("c").alias("cls"))
+    kept = cap_per_class_approx(df, ["cls"], "k", n - 1)
+    assert kept.count() == n
+
+
+def test_profile_exact_distinct_folds_signed_zero(spark):
+    """COUNT(DISTINCT) treats -0.0 and 0.0 as one value (aggregation keys
+    normalize signed zero); the melt-based exact path must match
+    (ADVICE r3)."""
+    from sqlitedataframe_spark.operators.profiling import profile
+
+    df = spark.createDataFrame(
+        [(0.0,), (-0.0,), (1.0,), (None,)], "x double"
+    )
+    row = {r["column"]: r for r in profile(df, ["x"], exact=True).collect()}
+    assert row["x"]["n_distinct"] == 2
+    # cross-check against Spark's own COUNT(DISTINCT)
+    assert df.agg(F.countDistinct("x")).collect()[0][0] == 2
+
+
+def test_minhash_lsh_pairs_leaves_no_persistent_rdds(spark, sf_dir):
+    """VERDICT r3 defect #1: the signature persist() was never unpersisted.
+    The exchange-reuse formulation must leave the storage pool empty."""
+    from sqlitedataframe_spark.operators.dedup import minhash_lsh_pairs
+
+    spark.catalog.clearCache()
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d)
+    plan = pairs._jdf.queryExecution().executedPlan()
+    assert pairs.count() >= 0
+    # signature pipeline is shared via ReuseExchange, not cache
+    final_plan = plan.toString()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0, (
+        "minhash_lsh_pairs pinned executor storage; final plan:\n" + final_plan
+    )
+
+
+def test_run_available_now_refuses_oversized_sink(spark, sf_dir):
+    """run_available_now is a driver-side batch-equivalence harness; it must
+    refuse to collect result sets above max_rows (VERDICT r3 #6)."""
+    import tempfile
+
+    from sqlitedataframe_spark.streaming import run_available_now
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    src = tempfile.mkdtemp(prefix="rand_guard_")
+    e.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    with pytest.raises(ValueError, match="max_rows"):
+        run_available_now(stream, output_mode="append", max_rows=5)
+
+
+def test_sim_ann_recall_reports_every_probe(spark, sf_dir):
+    """Every probe vector must produce a recall row, even at recall 0 — a
+    probe with no LSH hits must not vanish from the report (ADVICE r3)."""
+    from sqlitedataframe_spark.suite import load_all
+
+    q = load_all()["sim_ann_recall"]
+    rows = q.spark_fn(spark, sf_dir).collect()
+    assert [r["qid"] for r in rows] == list(range(8))
+    assert all(r["n_hits"] is not None and r["recall_at_10"] is not None for r in rows)
