@@ -75,19 +75,52 @@ def shingles(text_col: Column | str, k: int = 3) -> Column:
     )
 
 
+#: Modulus of the portable affine MinHash family (Mersenne prime 2^61 - 1).
+_MINHASH_P = (1 << 61) - 1
+
+
+def minhash_params(n_hashes: int = 64, seed: int = 7) -> tuple[list[int], list[int]]:
+    """The (a_i, b_i) coefficients of the universal affine hash family
+    ``g_i(h) = (a_i * h + b_i) mod P`` — fixed by ``seed`` so signatures
+    are a pure function of the data. a_i < 2^30 bounds ``a_i * h`` (h is a
+    32-bit md5 prefix) at 2^62: no bigint overflow under ANSI arithmetic
+    in ANY engine, which is what makes the family portable to SQL oracles.
+    """
+    import random
+
+    rng = random.Random(seed)
+    a = [rng.randrange(1, 1 << 30) for _ in range(n_hashes)]
+    b = [rng.randrange(0, 1 << 30) for _ in range(n_hashes)]
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, shingle_col: str, n_hashes: int = 64
 ) -> DataFrame:
     """MinHash signatures computed entirely SCAN-SIDE, one nested
-    higher-order expression per row: hash each shingle once (xxhash64),
-    then for each of n seeds fold the running min of the seeded long-input
-    remixes ``xxhash64(seed_i, h)`` — the one-base-hash MinHash
-    construction, with no per-seed remix array materialized. No explode,
-    no groupBy, ZERO shuffle: signatures fall out of the scan stage
-    itself, and the nested ``transform`` evaluates as an internal loop
-    (tiny codegen — no 64-column aggregate to compile). (Affine ``a*h+b``
-    remixes would be cheaper still but overflow under ANSI arithmetic.)"""
-    hashed = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
+    higher-order expression per row: hash each shingle once (32-bit md5
+    prefix), then for each of n seeds fold the running min of the affine
+    remixes ``(a_i * h + b_i) mod P`` — the classic one-base-hash MinHash
+    with a universal family. No explode, no groupBy, ZERO shuffle:
+    signatures fall out of the scan stage itself, and the nested
+    ``transform`` evaluates as an internal loop (tiny codegen — no
+    64-column aggregate to compile).
+
+    md5 (not xxhash64) is deliberate — the count-min recipe: every engine
+    has md5, so the signature matrix, band buckets, and candidate pairs
+    are EXACTLY reproducible in a SQL oracle (sketch.py proved the
+    pattern). The affine coefficients are sized so no remix overflows
+    (see :func:`minhash_params`)."""
+    a_coef, b_coef = minhash_params(n_hashes)
+    a_arr = F.array(*[F.lit(a).cast("bigint") for a in a_coef])
+    b_arr = F.array(*[F.lit(b).cast("bigint") for b in b_coef])
+    p = F.lit(_MINHASH_P).cast("bigint")
+    hashed = F.transform(
+        F.col(shingle_col),
+        lambda s: F.conv(
+            F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10
+        ).cast("bigint"),
+    )
     # Let-binding via a 1-element transform: the string-hash array is the
     # ARGUMENT of the outer transform, so it is evaluated exactly once per
     # row; the seed loop reads the bound lambda variable `hs`. Without this,
@@ -103,8 +136,12 @@ def minhash_signatures(
                 F.sequence(F.lit(0), F.lit(n_hashes - 1)),
                 lambda i: F.aggregate(
                     hs,
-                    F.lit((1 << 63) - 1).cast("bigint"),
-                    lambda acc, h: F.least(acc, F.xxhash64(i, h)),
+                    p,
+                    lambda acc, h: F.least(
+                        acc,
+                        (F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1))
+                        % p,
+                    ),
                 ),
             ),
         ),
@@ -158,15 +195,28 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda h: h.cast("string"),
+                    # 60-bit md5 bucket of the band's signature slice:
+                    # portable (any engine reproduces it — 15 hex digits fit
+                    # a signed bigint) and collision-safe at corpus scale
+                    # (~2^-60 per pair; false candidates would anyway be
+                    # dropped by the est_jaccard verify below).
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.array_join(
+                                    F.transform(
+                                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                                        lambda h: h.cast("string"),
+                                    ),
+                                    ",",
+                                ).cast("binary")
                             ),
-                            ",",
-                        )
-                    ).alias("bucket"),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint").alias("bucket"),
                 ),
             )
         ).alias("bb"),
@@ -212,27 +262,45 @@ def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:
     """SimHash signatures (bigint) computed entirely SCAN-SIDE: hash each
-    distinct token once into a long array, then count every bit position
-    with SWAR packed lanes (below) and take 64 majority votes. No explode,
-    no groupBy, zero shuffle — the signature falls out of the scan stage.
-    The hashed array is a separate projection referenced by every lane fold
-    so CollapseProject keeps it materialized once per row."""
-    with_h = _spread(df, id_col).select(
+    distinct token once into two 32-bit md5 lanes, then count every bit
+    position with SWAR packed lanes (below) and take 64 majority votes.
+    No explode, no groupBy, zero shuffle — the signature falls out of the
+    scan stage. The hashed arrays are a separate projection referenced by
+    every lane fold so CollapseProject keeps them materialized once per row.
+
+    The token hash is the md5 prefix split into (hi, lo) 32-bit lanes —
+    the count-min recipe: every engine reproduces md5, so the signature
+    (and the banded candidate pairs downstream) is EXACTLY
+    oracle-checkable. Bit b of the conceptual 64-bit hash is bit b of
+    ``lo`` for b < 32, bit b-32 of ``hi`` otherwise."""
+    # md5 once per distinct token (own projection — referenced by both lane
+    # derivations below, so CollapseProject keeps it materialized once).
+    with_x = _spread(df, id_col).select(
         F.col(id_col),
         F.transform(
-            F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)
-        ).alias("_hs"),
+            F.array_distinct(tokens(text_col)), lambda t: F.md5(t.cast("binary"))
+        ).alias("_hx"),
     )
-    n = F.size(F.col("_hs"))
 
-    # SWAR packed-lane bit counting: accumulator k (k=0..15) holds FOUR
-    # 16-bit counters in one bigint — the popcounts of bits k, k+16, k+32,
-    # k+48 across all token hashes. One fold per k = 16 cheap shift/and/add
-    # evals per token instead of 64 filter passes over the hash array.
-    # Lane width 16 bits caps distinct tokens at 65535 per document before
-    # counter overflow (far above any real document's distinct-token count).
-    # Arithmetic shift sign-extension only touches bits > 48+k, which the
-    # lane mask discards, so negative hashes count correctly.
+    def _lane(start):
+        return F.transform(
+            F.col("_hx"),
+            lambda x: F.conv(F.substring(x, start, 8), 16, 10).cast("bigint"),
+        )
+
+    with_h = with_x.select(
+        F.col(id_col), _lane(1).alias("_hi"), _lane(9).alias("_lo")
+    )
+    n = F.size(F.col("_hi"))
+
+    # SWAR packed-lane bit counting: accumulator k (k=0..15) holds TWO
+    # 16-bit counters in one bigint per 32-bit lane array — the popcounts
+    # of bits k and k+16 across all token hashes. One fold per (k, lane) =
+    # 32 cheap shift/and/add evals per token instead of 64 filter passes
+    # over the hash array. Lane width 16 bits caps distinct tokens at
+    # 65535 per document before counter overflow (far above any real
+    # document's distinct-token count). Values are non-negative 32-bit, so
+    # shifts never sign-extend.
     LANE = 0x0001000100010001
 
     def _lane_adder(k: int):
@@ -240,27 +308,34 @@ def simhash_signatures(
         # arg (lambda acc, h, k=k) would be seen as arity 3 and mis-bind
         return lambda acc, h: acc + F.shiftright(h, k).bitwiseAND(F.lit(LANE))
 
-    # The accumulators live in their OWN projection: each is referenced 4
-    # times by the unpack step below, and a Column object reused in Python
+    # The accumulators live in their OWN projection: each is referenced
+    # twice by the unpack step below, and a Column object reused in Python
     # duplicates its expression subtree — only an intermediate projection
     # (kept by CollapseProject because the folds are non-cheap and
     # multiply-referenced) guarantees each fold runs once per row.
     lanes = with_h.select(
         F.col(id_col),
-        F.col("_hs"),
         *[
-            F.aggregate(F.col("_hs"), F.lit(0).cast("bigint"), _lane_adder(k)).alias(
-                f"_a{k}"
+            F.aggregate(F.col("_lo"), F.lit(0).cast("bigint"), _lane_adder(k)).alias(
+                f"_lo{k}"
             )
             for k in range(16)
         ],
+        *[
+            F.aggregate(F.col("_hi"), F.lit(0).cast("bigint"), _lane_adder(k)).alias(
+                f"_hi{k}"
+            )
+            for k in range(16)
+        ],
+        n.alias("_n"),
     )
 
     sig = F.lit(0).cast("bigint")
     for b in range(bits):
-        k, p = b % 16, b // 16
-        ones = F.shiftright(F.col(f"_a{k}"), 16 * p).bitwiseAND(F.lit(0xFFFF))
-        vote = (ones * 2 > n).cast("bigint")
+        lane = "_lo" if b < 32 else "_hi"
+        k, p = b % 16, (b % 32) // 16
+        ones = F.shiftright(F.col(f"{lane}{k}"), 16 * p).bitwiseAND(F.lit(0xFFFF))
+        vote = (ones * 2 > F.col("_n")).cast("bigint")
         # bit 63 is the sign bit in a 64-bit long: two's-complement value
         weight = (1 << b) if b < 63 else -(1 << 63)
         sig = sig + vote * F.lit(weight).cast("bigint")
@@ -384,7 +459,23 @@ def semantic_dedup(
         train_centroids,
     )
 
-    cents = train_centroids(df, k=k, iters=kmeans_iters, vec_col=vec_col)
+    # Deterministic init (the k min-id vectors) + engine-side 6-dp rounding
+    # of every centroid mean: the whole k-means trajectory — and therefore
+    # the cells, the intra-cell pair set, and the final components — is a
+    # pure function of the data, reproducible by a SQL oracle replaying
+    # the same iterations (the count-min recipe applied to Lloyd's).
+    init = [
+        list(r._iv)
+        for r in df.select(
+            F.col(id_col).alias("_id"), as_double(vec_col).alias("_iv")
+        )
+        .orderBy("_id")
+        .limit(k)
+        .collect()
+    ]
+    cents = train_centroids(
+        df, k=k, iters=kmeans_iters, vec_col=vec_col, init_vectors=init, round_dp=6
+    )
     # L2-normalize ONCE per row (two projections so the norm is a bound
     # attribute, not re-evaluated per element): the quadratic intra-cell
     # comparison then needs only a dot product per pair — 3x fewer

@@ -174,39 +174,55 @@ def train_centroids(
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
     seed: int = 42,
+    init_vectors: list[list[float]] | None = None,
+    round_dp: int | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means over the embedding column, as DataFrame ops: assign
     (ivf_assign) -> per-cell mean (groupBy + element-wise array agg) ->
-    repeat. Init = k deterministic samples. Each iteration is one shuffle
-    on the cell id; the centroid matrix (k x dim floats) collects to the
-    driver between iterations — the standard iterative-algorithm shape on
-    Spark (only the tiny model state crosses the driver boundary).
+    repeat. Init = k deterministic samples (or caller-supplied
+    ``init_vectors``). Each iteration is one shuffle on the cell id; the
+    centroid matrix (k x dim floats) collects to the driver between
+    iterations — the standard iterative-algorithm shape on Spark (only
+    the tiny model state crosses the driver boundary).
 
     ``sample_fraction`` trains on a sample (plenty for IVF bucketing at
     100 TB; assignment still covers every row downstream).
+
+    ``round_dp`` rounds each centroid mean (engine-side F.round, AFTER
+    the division) — with deterministic ``init_vectors`` this makes the
+    whole training trajectory reproducible across engines to the rounding
+    granularity, which is what lets a SQL oracle replay the iterations.
     """
     data = df.select(as_double(vec_col).alias("_v"))
     if sample_fraction:
         data = data.sample(fraction=sample_fraction, seed=seed)
     data = data.persist()
     try:
-        init = data.limit(k).collect()
-        cents = [list(r._v) for r in init]
+        if init_vectors is not None:
+            cents = [[float(x) for x in v] for v in init_vectors]
+        else:
+            cents = [list(r._v) for r in data.limit(k).collect()]
         if len(cents) < k:
             raise ValueError(f"need at least {k} vectors, got {len(cents)}")
         dim = len(cents[0])
         for _ in range(iters):
             assigned = ivf_assign(data, cents, "_v")
+            n = F.count(F.lit(1))
+            mean = lambda i: F.sum(F.element_at("_v", i + 1)) / n  # noqa: E731
             sums = assigned.groupBy("ivf_cell").agg(
-                F.count(F.lit(1)).alias("_n"),
+                n.alias("_n"),
                 *[
-                    F.sum(F.element_at("_v", i + 1)).alias(f"_s{i}")
+                    (
+                        F.round(mean(i), round_dp)
+                        if round_dp is not None
+                        else mean(i)
+                    ).alias(f"_m{i}")
                     for i in range(dim)
                 ],
             )
             rows = {r.ivf_cell: r for r in sums.collect()}
             cents = [
-                [rows[c][f"_s{i}"] / rows[c]["_n"] for i in range(dim)]
+                [rows[c][f"_m{i}"] for i in range(dim)]
                 if c in rows
                 else cents[c]  # empty cell keeps its old centroid
                 for c in range(k)

@@ -90,6 +90,70 @@ def countmin_estimate(
     )
 
 
+#: HyperLogLog bias-correction constant for m buckets (Flajolet et al. 2007).
+def _hll_alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, key: str, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """HyperLogLog register table per group: ``(group_cols..., bucket, r)``
+    with r = max over keys of (leading zeros of the 32-bit md5 suffix) + 1.
+
+    Same determinism recipe as the count-min sketch: md5 is the hash, so
+    the registers — and therefore every estimate — are a pure function of
+    the data, bit-identical across engines (EXACTLY oracle-checkable,
+    unlike engine-internal HLL sketches). At most ``2**p`` rows per group
+    cross the exchange per map partition (map-side partial max), and
+    register tables MERGE by bucket-wise max without re-reading data —
+    the distinct-count rollup hierarchy costs one raw pass total.
+    """
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
+    hexd = F.md5(F.col(key).cast("string").cast("binary"))
+    bucket = F.conv(F.substring(hexd, 1, p // 4), 16, 10).cast("int")
+    v = F.conv(F.substring(hexd, p // 4 + 1, 8), 16, 10).cast("bigint")
+    # rho = (# leading zeros in the 32-bit value) + 1; bin() has no leading
+    # zeros in either engine, so rho = 33 - len(bin(v)), with v=0 -> 33.
+    rho = F.when(v == 0, F.lit(33)).otherwise(F.lit(33) - F.length(F.bin(v)))
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register tables (same p): bucket-wise max. Re-grouping to a
+    coarser key (or to a grand total) never touches raw data again."""
+    return registers.groupBy(*group_cols, "bucket").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 8, out: str = "approx_distinct"
+) -> DataFrame:
+    """Distinct-count estimate per group from a register table.
+
+    Classic HLL estimator with the small-range (linear-counting)
+    correction. Engine-reproducible arithmetic: the 2^-r terms are exact
+    dyadic rationals whose sum fits the double mantissa exactly, so the
+    raw estimate is bit-identical across engines; ln() may differ in the
+    last ulp, absorbed by the 4-dp round.
+    """
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_sp"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    s = F.col("_sp") + (F.lit(m) - F.col("_nb"))  # empty buckets add 2^0 = 1
+    v = F.lit(m) - F.col("_nb")  # empty-bucket count
+    e = F.lit(alpha * m * m) / s
+    est = F.when((e <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)).otherwise(e)
+    return agg.select(*group_cols, F.round(est, 4).alias(out))
+
+
 def countmin_merge(*sketches: DataFrame) -> DataFrame:
     """Merge count-min sketches built with the same (depth, width, hash):
     cell-wise addition. This is THE operational property at 100 TB — each

@@ -122,20 +122,125 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# MinHash LSH and SimHash candidate generation — not SQL-expressible
-# (seeded xxhash64 signatures); rows-only checks.
+# MinHash LSH and SimHash candidate generation — md5-keyed hash families
+# (the count-min recipe), so the signatures, band buckets, candidate sets
+# and estimates are pure functions of the data and EXACTLY oracle-checked.
 # --------------------------------------------------------------------------
-@query("dedup_minhash_lsh", oracle=None)
+_MH_A, _MH_B = D.minhash_params(64)
+_MH_SEEDS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+)
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 2)),
+                           i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+      FROM t),
+    hs AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h
+      FROM sh, UNNEST(sh) AS u(s)
+      WHERE len(sh) > 0),
+    seeds(i, a, b) AS (VALUES {_MH_SEEDS}),
+    sig AS (
+      SELECT doc_id, i, MIN((a * h + b) % 2305843009213693951) AS mh
+      FROM hs CROSS JOIN seeds GROUP BY doc_id, i),
+    banded AS (
+      SELECT doc_id, i // 4 AS band,
+             CAST('0x' || substr(md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)),
+                                 1, 15) AS BIGINT) AS bucket
+      FROM sig GROUP BY doc_id, i // 4),
+    live AS (
+      SELECT * FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 10000),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM live a JOIN live b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0, 6)
+               AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b, est_jaccard FROM est
+    WHERE est_jaccard >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (est. Jaccard >= 0.3)."""
+    """MinHash+LSH near-dup candidate pairs (est. Jaccard >= 0.3).
+
+    Exactly oracle-checked: the md5+affine hash family (operators.dedup.
+    minhash_params) makes the 64-wide signature matrix, the 16 band
+    buckets, the hot-bucket guard, the candidate set and the agreement
+    estimate all pure functions of the data — the DuckDB twin rebuilds
+    the identical structure relationally (seeds inlined as a VALUES
+    table) and must produce the same pairs bit-for-bit."""
     d = T(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(d, min_jaccard=0.3).orderBy("id_a", "id_b")
 
 
-@query("dedup_simhash", oracle=None)
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents),
+    th AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hi,
+             CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS lo
+      FROM t, UNNEST(t) AS u(tok)),
+    nn AS (SELECT doc_id, COUNT(*) AS n FROM th GROUP BY doc_id),
+    ones AS (
+      SELECT th.doc_id, r.b,
+             SUM(((CASE WHEN r.b < 32 THEN lo ELSE hi END) >> (r.b % 32)) & 1)
+               AS ones
+      FROM th, UNNEST(generate_series(0, 63)) AS r(b)
+      GROUP BY th.doc_id, r.b),
+    bits AS (
+      SELECT o.doc_id, o.b,
+             CASE WHEN 2 * o.ones > nn.n THEN 1 ELSE 0 END AS bit
+      FROM ones o JOIN nn USING (doc_id)),
+    bands AS (
+      SELECT doc_id, b // 16 AS band,
+             CAST(SUM(bit * (1 << (b % 16))) AS BIGINT) AS bucket
+      FROM bits GROUP BY doc_id, b // 16),
+    live AS (
+      SELECT * FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 10000),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM live a JOIN live b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INT)
+               AS hamming
+      FROM cand c
+      JOIN bits ba ON ba.doc_id = c.id_a
+      JOIN bits bb ON bb.doc_id = c.id_b AND bb.b = ba.b
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs (Hamming <= 3 on 64-bit signatures —
-    the 4-band/16-bit pigeonhole guarantees recall only up to distance 3)."""
+    the 4-band/16-bit pigeonhole guarantees recall only up to distance 3).
+
+    Exactly oracle-checked: token hashes are md5 (hi, lo) 32-bit lanes
+    (operators.dedup.simhash_signatures), so the 64 majority votes, band
+    buckets, candidate set and Hamming distances are pure functions of
+    the data — the DuckDB twin recomputes them bit-for-bit."""
     d = T(spark, sf_dir, "documents")
     return D.simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
 
@@ -192,18 +297,89 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, qdf, k=10)
 
 
-@query("sim_ann_lsh", oracle=None)
+# The 16 x 64 seeded Gaussian hyperplanes are constants of the query
+# (pure function of seed=42): inline them in the oracle as a VALUES table
+# so DuckDB recomputes the same sign signatures. Sign flips from
+# cross-engine float-sum noise would need |dot| ~ 1e-13 — vanishing for
+# Gaussian planes against unit-scale embeddings.
+_LSH_PLANES = S.random_hyperplanes(64, 16, seed=42)
+_LSH_VALUES = ",\n      ".join(
+    "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in p))
+    for i, p in enumerate(_LSH_PLANES)
+)
+
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(pid, p) AS (VALUES
+      {_LSH_VALUES}),
+    sb AS (
+      SELECT e.vec_id, pl.pid // 4 AS band,
+             string_agg(CASE WHEN list_dot_product(e.v, pl.p) >= 0
+                             THEN '1' ELSE '0' END, '' ORDER BY pl.pid) AS bucket
+      FROM e CROSS JOIN planes pl
+      GROUP BY e.vec_id, pl.pid // 4),
+    qb AS (SELECT band, bucket FROM sb WHERE vec_id = 0),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT sb.vec_id FROM sb JOIN qb USING (band, bucket))
+    SELECT c.vec_id,
+           ROUND(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 6) AS cos_sim
+    FROM cand c JOIN e ON e.vec_id = c.vec_id CROSS JOIN q
+    ORDER BY cos_sim DESC, c.vec_id
+    LIMIT 10
+    """,
+)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via sign-LSH buckets + exact re-rank (scale path)."""
+    """Approximate NN via sign-LSH buckets + exact re-rank (scale path).
+
+    Exactly oracle-checked: the seeded hyperplanes are constants, so the
+    sign signatures, band buckets, candidate set and re-rank are pure
+    functions of the data — the DuckDB twin carries the planes as an
+    inlined VALUES table and rebuilds the identical structure."""
     e = T(spark, sf_dir, "embeddings")
     qdf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     return S.lsh_topk(e, qdf, dim=64, k=10)
 
 
-@query("sim_ivf_topk", oracle=None)
+@query(
+    "sim_ivf_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cell,
+             list_sum(list_transform(range(1, 65),
+                      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+      FROM e CROSS JOIN c),
+    assign AS (
+      SELECT vec_id, v, cell FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+    probe AS (SELECT cell FROM scored WHERE vec_id = 0 ORDER BY d, cell LIMIT 2),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT a.vec_id,
+           ROUND(list_dot_product(a.v, q.qv)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 6) AS cos_sim
+    FROM assign a CROSS JOIN q
+    WHERE a.cell IN (SELECT cell FROM probe)
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: 8 deterministic centroids (the first 8 corpus
-    vectors), query probes its 2 nearest cells, exact re-rank inside."""
+    vectors), query probes its 2 nearest cells, exact re-rank inside.
+
+    Exactly oracle-checked (the count-min recipe generalized): with
+    deterministic centroids the whole IVF structure — assignment argmin,
+    probe-cell choice, candidate set, re-rank — is a pure function of the
+    data, so the DuckDB twin recomputes it end-to-end in SQL. Cross-engine
+    float risk is confined to exact ties in the argmin (squared distances
+    are O(1) apart; both engines tie-break on cell id)."""
     e = T(spark, sf_dir, "embeddings")
     cents = [
         [float(x) for x in r.embedding]
@@ -347,10 +523,29 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features", oracle=None)
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'application/fake' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY media_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (stubbed decode,
-    real Arrow plumbing + bytes-bounded batching)."""
+    real Arrow plumbing + bytes-bounded batching).
+
+    Exactly oracle-checked: the fake decode is a deterministic function of
+    the payload bytes (width/height/n_frames = byte-length arithmetic,
+    operators/multimodal.py fake_decode_dims), so the whole mapInPandas
+    surface — schema, batching, row alignment — is verified against a SQL
+    twin recomputing the identical arithmetic."""
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return extract_features(attach_media(d, "doc_id", "text")).orderBy("media_id")
 

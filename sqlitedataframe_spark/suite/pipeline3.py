@@ -94,12 +94,63 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # ANN quality evaluation: recall@10 of the sign-LSH path vs exact top-10.
 # ---------------------------------------------------------------------------
-@query("sim_ann_recall", oracle=None)
+def _lsh_plane_values() -> str:
+    """The seeded 16 x 64 hyperplanes as a DuckDB VALUES literal (same
+    constants the Spark query bakes in — pure function of seed 42)."""
+    from sqlitedataframe_spark.operators.similarity import random_hyperplanes
+
+    return ",\n      ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in p))
+        for i, p in enumerate(random_hyperplanes(64, 16, seed=42))
+    )
+
+
+@query(
+    "sim_ann_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id AS qid, v AS q FROM e WHERE vec_id < 8),
+    planes(pid, p) AS (VALUES
+      {_lsh_plane_values()}),
+    scored AS (
+      SELECT qs.qid, e.vec_id,
+             ROUND(list_dot_product(e.v, qs.q)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.q, qs.q))),
+                   6) AS cos_sim
+      FROM e CROSS JOIN qs),
+    exact AS (
+      SELECT qid, vec_id FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) <= 10),
+    sb AS (
+      SELECT e.vec_id, pl.pid // 4 AS band,
+             string_agg(CASE WHEN list_dot_product(e.v, pl.p) >= 0
+                             THEN '1' ELSE '0' END, '' ORDER BY pl.pid) AS bucket
+      FROM e CROSS JOIN planes pl
+      GROUP BY e.vec_id, pl.pid // 4),
+    qb AS (SELECT vec_id AS qid, band, bucket FROM sb WHERE vec_id < 8),
+    cand AS (
+      SELECT DISTINCT qb.qid, sb.vec_id
+      FROM sb JOIN qb USING (band, bucket)),
+    approx AS (
+      SELECT s.qid, s.vec_id FROM scored s JOIN cand c USING (qid, vec_id)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.cos_sim DESC, s.vec_id) <= 10),
+    hits AS (
+      SELECT ex.qid, COUNT(*) AS n_hits
+      FROM exact ex JOIN approx ap USING (qid, vec_id)
+      GROUP BY ex.qid)
+    SELECT q.qid,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / 10.0, 2) AS recall_at_10
+    FROM (SELECT DISTINCT qid FROM qs) q LEFT JOIN hits h USING (qid)
+    ORDER BY q.qid
+    """,
+)
 def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the banded sign-LSH candidate path against exact
     brute-force cosine, over 8 query vectors at once — the evaluation
-    harness that justifies shipping an ANN index at 100 TB (rows-only:
-    recall of a seeded LSH has no SQL oracle by nature).
+    harness that justifies shipping an ANN index at 100 TB. Exactly
+    oracle-checked: the seeded hyperplanes are inlined constants, so both
+    the exact and the LSH top-10 sets are pure functions of the data.
 
     Multi-query formulation: the 8 queries broadcast everywhere, the
     corpus is scanned twice (once scored exactly, once bucket-joined);
