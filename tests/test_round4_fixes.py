@@ -64,15 +64,26 @@ def test_minhash_lsh_pairs_leaves_no_persistent_rdds(spark, sf_dir):
     The exchange-reuse formulation must leave the storage pool empty."""
     from sqlitedataframe_spark.operators.dedup import minhash_lsh_pairs
 
-    spark.catalog.clearCache()
+    def _persistent_ids():
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    # delta-based: other tests in the shared session may hold
+    # localCheckpoint blocks; THIS call must not add any lasting ones
+    before = _persistent_ids()
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d)
     plan = pairs._jdf.queryExecution().executedPlan()
     assert pairs.count() >= 0
     # signature pipeline is shared via ReuseExchange, not cache
     final_plan = plan.toString()
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0, (
-        "minhash_lsh_pairs pinned executor storage; final plan:\n" + final_plan
+    leaked = _persistent_ids() - before
+    assert not leaked, (
+        f"minhash_lsh_pairs pinned executor storage (RDD ids {leaked}); "
+        "final plan:\n" + final_plan
     )
 
 
