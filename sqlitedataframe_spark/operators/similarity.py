@@ -310,6 +310,67 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embe
     return df.withColumn("ivf_cell", cell.cast("int") - 1)
 
 
+def gram_matrix(
+    df: DataFrame, vec_col: str = "embedding", round_dp: int = 3
+) -> DataFrame:
+    """Gram (uncentered covariance) matrix of an embedding column as
+    ``(i, j, c)`` cells, c = round(sum_rows(v[i] * v[j]), round_dp).
+
+    Scale shape: the two chained posexplodes emit dim^2 slim rows per
+    input row INSIDE the scan stage, and map-side partial aggregation
+    collapses them to at most dim^2 cells per partition before the
+    exchange — input-size-independent shuffle, the same operational story
+    as the count-min/HLL/histogram sketches. No driver involvement until
+    a consumer collects the dim x dim result.
+
+    ``round_dp`` makes the cells engine-reproducible: cross-engine
+    partial-sum ordering perturbs the raw sums by ~1e-12, and rounding at
+    a coarse granularity (3 dp) makes a boundary straddle vanishingly
+    unlikely while leaving PCA-grade precision.
+    """
+    v = as_double(vec_col)
+    e = df.select(F.posexplode(v).alias("i", "xi"), v.alias("_v"))
+    return (
+        e.select("i", "xi", F.posexplode("_v").alias("j", "xj"))
+        .groupBy("i", "j")
+        .agg(F.round(F.sum(F.col("xi") * F.col("xj")), round_dp).alias("c"))
+    )
+
+
+def top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding cloud via
+    power iteration: build the Gram matrix distributed (one pass,
+    bounded shuffle — see :func:`gram_matrix`), collect the dim x dim
+    model (32 KB at dim 64) to the driver, iterate
+    ``v <- round(Cv / ||Cv||, round_dp)`` from the uniform start, and
+    return 64 (pos, loading) rows.
+
+    This is the whitening/PCA step of embedding-curation recipes
+    (SemDeDup et al.). Determinism: the rounded Gram cells and the
+    per-iteration rounding make the trajectory a pure function of the
+    data — a SQL oracle replays the same iterations as CTEs. Only the
+    tiny model state crosses the driver boundary (train_centroids'
+    pattern); at 100 TB the heavy pass is the one distributed aggregate.
+    """
+    cells = {(r["i"], r["j"]): float(r["c"]) for r in gram_matrix(df, vec_col).collect()}
+    c = [[cells.get((i, j), 0.0) for j in range(dim)] for i in range(dim)]
+    v = [1.0 / 8.0] * dim
+    for _ in range(iters):
+        w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        nn = math.sqrt(sum(x * x for x in w))
+        v = [round(x / nn, round_dp) for x in w]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, v[i]) for i in range(dim)], "pos int, loading double"
+    )
+
+
 def label_centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

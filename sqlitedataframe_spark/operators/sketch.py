@@ -154,6 +154,87 @@ def hll_estimate(
     return agg.select(*group_cols, F.round(est, 4).alias(out))
 
 
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    nbins: int = 64,
+) -> DataFrame:
+    """Fixed-boundary histogram sketch of ``value_col`` per group:
+    ``(group_cols..., bin, c)`` rows, at most ``nbins`` per group.
+
+    The quantile-sketch sibling of the count-min/HLL family: bin
+    boundaries are CONSTANTS, so the sketch is a pure function of the
+    data (exactly oracle-checkable — the approximation lives entirely in
+    the estimate-vs-truth gap, never in nondeterminism), it merges by
+    bin-wise addition across shards/days, and the shuffle per map
+    partition is bounded at nbins rows per group regardless of input
+    size. Values outside [lo, hi) clamp to the edge bins.
+    """
+    if nbins < 1 or not lo < hi:
+        raise ValueError(f"need nbins >= 1 and lo < hi, got {nbins}, [{lo}, {hi})")
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(value_col).cast("double") - lo) / F.lit(width))
+    b = F.least(F.lit(nbins - 1), F.greatest(F.lit(0), raw.cast("int")))
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histogram sketches with the same boundaries: bin-wise sum."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    key = [c for c in merged.columns if c != "c"]
+    return merged.groupBy(*key).agg(F.sum("c").alias("c"))
+
+
+def hist_quantile(
+    sketch: DataFrame,
+    group_cols: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    nbins: int = 64,
+    out: str = "q_est",
+) -> DataFrame:
+    """Quantile estimate from a histogram sketch: the first bin whose
+    cumulative count reaches ``q * total``, linearly interpolated inside
+    the bin (error bounded by one bin width). Pure arithmetic on exact
+    integer counts — engine-reproducible, rounded to 4 dp.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    width = (hi - lo) / nbins
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    wt = Window.partitionBy(*group_cols)
+    cum = sketch.select(
+        *group_cols,
+        "bin",
+        "c",
+        F.sum("c").over(w).alias("_cum"),
+        F.sum("c").over(wt).alias("_tot"),
+    )
+    target = F.lit(q) * F.col("_tot")
+    hit = (
+        cum.filter(F.col("_cum") >= target)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    frac = (target - (F.col("_cum") - F.col("c"))) / F.col("c")
+    est = F.lit(lo) + (F.col("bin") + frac) * F.lit(width)
+    return hit.select(*group_cols, F.round(est, 4).alias(out))
+
+
 def countmin_merge(*sketches: DataFrame) -> DataFrame:
     """Merge count-min sketches built with the same (depth, width, hash):
     cell-wise addition. This is THE operational property at 100 TB — each

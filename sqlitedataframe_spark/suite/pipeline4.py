@@ -226,6 +226,129 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Mergeable distinct-count sketches (Apache DataSketches HLL).
 # ---------------------------------------------------------------------------
+_PCA_ITER = """
+    w{n} AS (
+      SELECT c.i AS j, SUM(c.c * v.val) AS wv
+      FROM cells c JOIN v{p} v ON v.j = c.j GROUP BY c.i),
+    n{n} AS (SELECT sqrt(SUM(wv * wv)) AS nn FROM w{n}),
+    v{n} AS (SELECT w.j, ROUND(w.wv / n.nn, 6) AS val FROM w{n} w, n{n} n)"""
+
+@query(
+    "embed_pca_power",
+    oracle=f"""
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    cells AS (
+      SELECT ii.i AS i, jj.j AS j,
+             ROUND(SUM(e.v[ii.i + 1] * e.v[jj.j + 1]), 3) AS c
+      FROM e,
+           UNNEST(generate_series(0, 63)) ii(i),
+           UNNEST(generate_series(0, 63)) jj(j)
+      GROUP BY ii.i, jj.j),
+    v0 AS (SELECT t.j, CAST(0.125 AS DOUBLE) AS val
+           FROM UNNEST(generate_series(0, 63)) t(j)),
+    {_PCA_ITER.format(n=1, p=0)},
+    {_PCA_ITER.format(n=2, p=1)},
+    {_PCA_ITER.format(n=3, p=2)}
+    SELECT CAST(j + 1 AS INT) AS pos, val AS loading FROM v3 ORDER BY pos
+    """,
+)
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by distributed
+    Gram-matrix build + driver-side power iteration (operators.
+    similarity.gram_matrix / top_component) — the whitening/PCA step of
+    embedding-curation recipes.
+
+    Scale story: the only data-sized pass is ONE aggregation whose
+    map-side partials collapse to dim^2 cells per partition before the
+    exchange (input-size-independent shuffle, the sketch pattern); the
+    64x64 model iterates on the driver like train_centroids. Exactly
+    oracle-checked: rounded Gram cells + rounded iterates make the
+    trajectory a pure function of the data; the DuckDB twin replays the
+    3 iterations as CTEs.
+    """
+    from sqlitedataframe_spark.operators.similarity import top_component
+
+    e = T(spark, sf_dir, "embeddings")
+    return top_component(e, "embedding", dim=64, iters=3).orderBy("pos")
+
+
+#: histogram-quantile sketch constants, inlined identically in both engines.
+_HQ_LO, _HQ_HI, _HQ_NB = 900.0, 105000.0, 64
+_HQ_W = (_HQ_HI - _HQ_LO) / _HQ_NB
+
+@query(
+    "agg_hist_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_returnflag AS g,
+             LEAST({_HQ_NB - 1}, GREATEST(0,
+               CAST(floor((CAST(l_extendedprice AS DOUBLE) - {_HQ_LO!r}) / {_HQ_W!r})
+                    AS INT))) AS bin
+      FROM lineitem),
+    counts AS (SELECT g, bin, COUNT(*) AS c FROM b GROUP BY g, bin),
+    u AS (
+      SELECT g, bin, c FROM counts
+      UNION ALL
+      SELECT 'ALL' AS g, bin, SUM(c) AS c FROM counts GROUP BY bin),
+    cum AS (
+      SELECT g, bin, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY g) AS tot
+      FROM u),
+    hit AS (
+      SELECT g, qq, bin, c, cum, tot,
+             ROW_NUMBER() OVER (PARTITION BY g, qq ORDER BY bin) AS rn
+      FROM cum
+      CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE)),
+                         (CAST(0.99 AS DOUBLE))) t(qq)
+      WHERE cum >= qq * tot),
+    est AS (
+      SELECT g, qq,
+             ROUND({_HQ_LO!r} + (bin + (qq * tot - (cum - c)) / c) * {_HQ_W!r}, 4)
+               AS v
+      FROM hit WHERE rn = 1)
+    SELECT g AS l_returnflag,
+           MAX(CASE WHEN qq = 0.5 THEN v END) AS p50,
+           MAX(CASE WHEN qq = 0.95 THEN v END) AS p95,
+           MAX(CASE WHEN qq = 0.99 THEN v END) AS p99
+    FROM est GROUP BY g ORDER BY l_returnflag
+    """,
+)
+def agg_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: fixed-boundary histogram of
+    l_extendedprice per return flag (operators.sketch.hist_build), p50/
+    p95/p99 read off the cumulative counts with in-bin interpolation,
+    plus a bin-wise-MERGED grand total row.
+
+    The deterministic sibling of agg_approx's engine-internal KLL: bin
+    boundaries are constants, so the sketch is a pure function of the
+    data and EXACTLY oracle-checked (the count-min recipe for
+    quantiles); approximation error is bounded by one bin width. Scale:
+    at most nbins rows per group cross the exchange per map partition,
+    and shard histograms roll up by addition without re-reading data —
+    the same operational story as the HLL and count-min rollups. Exact
+    twin: agg_percentile_exact.
+    """
+    from sqlitedataframe_spark.operators.sketch import (
+        hist_build,
+        hist_merge,
+        hist_quantile,
+    )
+
+    l = T(spark, sf_dir, "lineitem")
+    sk = hist_build(l, "l_extendedprice", ["l_returnflag"], _HQ_LO, _HQ_HI, _HQ_NB)
+    allk = hist_merge(sk.withColumn("l_returnflag", F.lit("ALL")))
+    u = sk.unionByName(allk)
+    args = (["l_returnflag"],)
+    kw = {"lo": _HQ_LO, "hi": _HQ_HI, "nbins": _HQ_NB}
+    p50 = hist_quantile(u, *args, q=0.5, out="p50", **kw)
+    p95 = hist_quantile(u, *args, q=0.95, out="p95", **kw)
+    p99 = hist_quantile(u, *args, q=0.99, out="p99", **kw)
+    return (
+        p50.join(p95, "l_returnflag").join(p99, "l_returnflag").orderBy("l_returnflag")
+    )
+
+
 #: alpha_m for m=256 buckets, inlined identically in Spark and the oracle.
 _HLL_ALPHA_256 = 0.7213 / (1.0 + 1.079 / 256)
 
