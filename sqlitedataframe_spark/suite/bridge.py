@@ -235,6 +235,47 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-file ingestion via Spark's ``binaryFile`` source — THE
+    pattern for reading raw media (images/audio/video) off object storage
+    at 100 TB: each file becomes one (path, length, content) row, files
+    split across tasks by count, and the binary column stays opaque
+    through the plan (feeds the multimodal mapInPandas stages). Fixture
+    setup materializes one file per document; the measured pattern is the
+    distributed read + metadata extraction, verified byte-exactly via
+    content md5 against the source table."""
+    import shutil
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"sdfspark_bin_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    for r in d.select("doc_id", "text").collect():
+        with open(os.path.join(out, f"{r.doc_id:08d}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    back = spark.read.format("binaryFile").load(out)
+    return back.select(
+        F.regexp_extract(
+            F.element_at(F.split("path", "/"), -1), r"(\d+)", 1
+        )
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
     "source_text_gz",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,

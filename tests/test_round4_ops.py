@@ -1,0 +1,108 @@
+"""Round-4 operator tests: histogram quantile sketch, from-scratch HLL,
+Gram-matrix PCA — the mergeability and accuracy properties that make these
+structures usable as 100 TB rollups.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.io import load_table
+from sqlitedataframe_spark.operators.sketch import (
+    hist_build,
+    hist_merge,
+    hist_quantile,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+_HB = dict(lo=900.0, hi=105000.0, nbins=64)
+
+
+def test_hist_merge_equals_full(spark, sf_dir):
+    """Shard histograms must merge to exactly the full-data histogram —
+    the property that makes per-day/per-shard rollups free."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    full = hist_build(l, "l_extendedprice", ["l_returnflag"], **_HB)
+    s1 = hist_build(
+        l.filter(F.col("l_extendedprice") < 50000), "l_extendedprice", ["l_returnflag"], **_HB
+    )
+    s2 = hist_build(
+        l.filter(F.col("l_extendedprice") >= 50000), "l_extendedprice", ["l_returnflag"], **_HB
+    )
+    merged = hist_merge(s1, s2)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hist_quantile_within_bin_width(spark, sf_dir):
+    """Interpolated estimates sit within one bin width of exact percentiles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    sk = hist_build(l, "l_extendedprice", ["l_returnflag"], **_HB)
+    width = (_HB["hi"] - _HB["lo"]) / _HB["nbins"]
+    for q in (0.5, 0.95):
+        est = {
+            r["l_returnflag"]: r["q_est"]
+            for r in hist_quantile(sk, ["l_returnflag"], q, **_HB).collect()
+        }
+        exact = {
+            r["l_returnflag"]: r["p"]
+            for r in l.groupBy("l_returnflag")
+            .agg(F.expr(f"percentile(l_extendedprice, {q})").alias("p"))
+            .collect()
+        }
+        for g, e in exact.items():
+            assert abs(est[g] - e) <= width, (q, g, est[g], e)
+
+
+def test_hll_merge_equals_full(spark, sf_dir):
+    """Register tables merge by bucket-max to exactly the full-data
+    registers; the merged estimate equals the full-data estimate."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    tagged = l.withColumn("g", F.lit("all"))
+    full = hll_registers(tagged, "l_partkey", ["g"])
+    s1 = hll_registers(
+        tagged.filter(F.col("l_partkey") % 2 == 0), "l_partkey", ["g"]
+    )
+    s2 = hll_registers(
+        tagged.filter(F.col("l_partkey") % 2 == 1), "l_partkey", ["g"]
+    )
+    merged = hll_merge(s1.unionByName(s2), ["g"])
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, merged.collect()))
+    e_full = hll_estimate(full, ["g"]).collect()[0][1]
+    e_merged = hll_estimate(merged, ["g"]).collect()[0][1]
+    assert e_full == e_merged
+
+
+def test_hll_estimate_accuracy(spark):
+    """m=256 gives ~6.5% standard error; require within 20% on 5000 keys."""
+    df = spark.range(5000).select(F.col("id").alias("k"), F.lit("g").alias("g"))
+    regs = hll_registers(df, "k", ["g"])
+    est = hll_estimate(regs, ["g"]).collect()[0][1]
+    assert abs(est - 5000) / 5000 < 0.20, est
+
+
+def test_top_component_rayleigh_near_lambda_max(spark, sf_dir):
+    """The synthetic embeddings have a near-degenerate spectrum
+    (lambda2/lambda1 ~ 0.93), so eigenVECTOR comparison is ill-posed at
+    any practical iteration count; the well-posed convergence property is
+    the Rayleigh quotient, which converges at the squared rate: after 30
+    iterations v'Cv must be within 1% of numpy's lambda_max."""
+    import numpy as np
+
+    from sqlitedataframe_spark.operators.similarity import top_component
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = {
+        r["pos"]: r["loading"]
+        for r in top_component(e, "embedding", dim=64, iters=30).collect()
+    }
+    got = np.array([v[i + 1] for i in range(64)])
+    got /= np.linalg.norm(got)
+    x = np.array([list(r.embedding) for r in e.collect()], dtype=np.float64)
+    c = x.T @ x
+    lam = float(np.linalg.eigvalsh(c)[-1])
+    rayleigh = float(got @ c @ got)
+    assert rayleigh > 0.99 * lam, (rayleigh, lam)
