@@ -161,6 +161,7 @@ HEADLINE = [
     "agg_countmin_merge",
     "agg_hist_quantiles",
     "embed_pca_power",
+    "stream_hll_rollup",
 ]
 
 

@@ -743,7 +743,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cells AS (
       SELECT d,
-             CAST('0x' || substr(md5(d || ':' || CAST(l_partkey AS VARCHAR)), 1, 8)
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1 + 8 * d, 8)
                   AS BIGINT) % 1024 AS cell,
              COUNT(*) AS c
       FROM lineitem, UNNEST([0, 1, 2, 3]) AS t(d)
@@ -755,7 +755,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM probes p, UNNEST([0, 1, 2, 3]) AS t(d)
       JOIN cells c
         ON c.d = t.d
-       AND c.cell = CAST('0x' || substr(md5(t.d || ':' || CAST(p.k AS VARCHAR)), 1, 8)
+       AND c.cell = CAST('0x' || substr(md5(CAST(p.k AS VARCHAR)), 1 + 8 * t.d, 8)
                          AS BIGINT) % 1024
       GROUP BY p.k
     ),
@@ -797,7 +797,7 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cells AS (
       SELECT d,
-             CAST('0x' || substr(md5(d || ':' || CAST(l_partkey AS VARCHAR)), 1, 8)
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1 + 8 * d, 8)
                   AS BIGINT) % 256 AS cell,
              COUNT(*) AS c
       FROM lineitem, UNNEST([0, 1, 2]) AS t(d)

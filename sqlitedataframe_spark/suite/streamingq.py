@@ -217,3 +217,83 @@ def stream_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
     return run_available_now(agg, output_mode="complete").orderBy("lang")
+
+
+@query(
+    "stream_hll_rollup",
+    oracle="""
+    WITH h AS (
+      SELECT event_type AS g,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS INT) AS bucket,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8) AS BIGINT) AS v
+      FROM events),
+    regs AS (
+      SELECT g, bucket,
+             MAX(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS r
+      FROM h GROUP BY g, bucket),
+    agg AS (
+      SELECT g,
+             SUM(power(2.0, -r)) + (256 - COUNT(*)) AS s,
+             256 - COUNT(*) AS v
+      FROM regs GROUP BY g)
+    SELECT g AS event_type,
+           ROUND(CASE WHEN (CAST(0.7182725932495458 AS DOUBLE) * 65536 / s) <= 640.0
+                           AND v > 0
+                      THEN 256.0 * ln(256.0 / v)
+                      ELSE CAST(0.7182725932495458 AS DOUBLE) * 65536 / s END, 4)
+             AS approx_users
+    FROM agg ORDER BY event_type
+    """,
+)
+def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user rollup via mergeable HLL registers and the
+    SQLite bridge: each micro-batch builds its per-event-type register
+    table (operators.sketch.hll_registers — bounded at 256 rows/group),
+    APPENDS it through the foreachBatch SQLite sink (an append-only
+    register log — the idempotent-merge store shape), and the final
+    answer re-reads the log, merges by bucket-max and estimates.
+
+    This is the 100 TB continuous-rollup pattern: raw events are touched
+    once, per-batch sketches are tiny, and any re-aggregation (hourly ->
+    daily -> all-time) folds registers without replaying the stream.
+    Exactly oracle-checked (md5 registers are a pure function of the
+    data): the incremental register log must merge to the one-shot batch
+    registers bit-for-bit.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from sqlitedataframe_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from sqlitedataframe_spark.sources.sqlite import read_sql, table_exists, write_sql
+    from sqlitedataframe_spark.streaming.core import read_table_stream
+
+    db = _os.path.join(
+        _tempfile.gettempdir(), f"sdfspark_hll_{_os.path.basename(sf_dir)}.db"
+    )
+    if _os.path.exists(db):
+        _os.remove(db)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch_df, "user_id", ["event_type"], p=8)
+        mode = "append" if table_exists(db, "hll_regs") else "replace"
+        write_sql(regs, db, table="hll_regs", if_exists=mode)
+
+    s = read_table_stream(spark, sf_dir, "events").select("event_type", "user_id")
+    with _tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            s.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    log = read_sql(spark, db, table="hll_regs").select("event_type", "bucket", "r")
+    merged = hll_merge(log, ["event_type"])
+    return hll_estimate(merged, ["event_type"], p=8, out="approx_users").orderBy(
+        "event_type"
+    )

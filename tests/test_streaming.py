@@ -220,3 +220,60 @@ def test_stream_upsert_incremental_restart(spark, tmp_path):
     assert rows == {"a": (7, 3), "b": (10, 1), "c": (7, 1)}
     # upsert, not append: exactly one row per key
     assert len(rows) == 3
+
+
+def test_hll_register_log_across_batches(spark, sf_dir, split_events_dir):
+    """Per-micro-batch HLL register logs must merge (bucket-max) to exactly
+    the one-shot batch registers — the property that makes the streaming
+    rollup (suite stream_hll_rollup) correct across any batch split."""
+    from sqlitedataframe_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    batch_events = load_table(spark, sf_dir, "events")
+    expected = sorted(
+        map(tuple, hll_registers(batch_events, "user_id", ["event_type"]).collect())
+    )
+
+    log_rows = []
+
+    def sink(batch_df, batch_id):
+        log_rows.extend(
+            hll_registers(batch_df, "user_id", ["event_type"]).collect()
+        )
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_events_dir)
+        .select("event_type", "user_id")
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    assert len({r["event_type"] for r in log_rows}) > 0
+    log = spark.createDataFrame(log_rows)
+    merged = sorted(map(tuple, hll_merge(log, ["event_type"]).collect()))
+    assert merged == expected
+    est = {
+        r[0]: r[1]
+        for r in hll_estimate(
+            hll_merge(log, ["event_type"]), ["event_type"]
+        ).collect()
+    }
+    exact = {
+        r[0]: r[1]
+        for r in batch_events.groupBy("event_type")
+        .agg(F.countDistinct("user_id"))
+        .collect()
+    }
+    for g, e in exact.items():
+        assert abs(est[g] - e) / e < 0.25, (g, est[g], e)
