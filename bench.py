@@ -162,6 +162,7 @@ HEADLINE = [
     "agg_hist_quantiles",
     "embed_pca_power",
     "stream_hll_rollup",
+    "dedup_simhash128",
 ]
 
 

