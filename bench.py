@@ -163,6 +163,8 @@ HEADLINE = [
     "embed_pca_power",
     "stream_hll_rollup",
     "dedup_simhash128",
+    "dedup_bloom_decontaminate",
+    "sample_temperature_mix",
 ]
 
 

@@ -243,6 +243,7 @@ def allocate_token_budget(
         / F.col("_class_toks"),
     )
     # Same clamp as hex_threshold / cap_per_class_approx: a keep-rate in
+    # (see also sample_temperature, which shares this threshold machinery)
     # [~0.9999924, 1.0) rounds to _SPACE, whose 5-digit hex would be
     # truncated by lpad(...,4) to '1000' (~6.25%). Clamp cut >= _SPACE to
     # the keep-everything sentinel before formatting.
@@ -251,6 +252,60 @@ def allocate_token_budget(
         (rate >= 1.0) | (cut_int >= F.lit(_SPACE)), F.lit("g000")
     ).otherwise(F.lpad(F.lower(F.hex(cut_int)), 4, "0"))
     thresholds = totals.crossJoin(F.broadcast(grand)).select(
+        class_col, cut.alias("_cut")
+    )
+    return (
+        df.join(F.broadcast(thresholds), on=class_col)
+        .filter(_hex4(key) < F.col("_cut"))
+        .drop("_cut")
+    )
+
+
+def sample_temperature(
+    df: DataFrame,
+    class_col: str,
+    tokens_col: str,
+    budget_fraction: float,
+    temperature: float,
+    key: str,
+) -> DataFrame:
+    """Temperature-based mixture re-sampling (the multilingual-corpus
+    rebalancing rule of XLM-R and friends): class i's share of a
+    ``budget_fraction * total_tokens`` budget is
+    ``q_i = w_i^(1/T) / sum_j w_j^(1/T)`` where ``w_i`` is the class's
+    token mass. T = 1 reproduces natural proportions, T -> infinity
+    approaches the uniform split of :func:`allocate_token_budget`, and
+    intermediate T up-weights the tail without flattening the head.
+
+    Same two-phase scale shape as the other mixture operators: one
+    aggregate (one row per class crosses the exchange), then a
+    broadcast-joined map-side md5-threshold predicate — no per-class
+    serialization point, deterministic under repartitioning, and
+    engine-reproducible (the cut uses hex_threshold's integer rounding
+    and >= 2^16 clamp; pow/ln differ across engines by <= 1 ulp,
+    absorbed by the 1/65536 threshold granularity).
+    """
+    if not 0.0 < budget_fraction <= 1.0:
+        raise ValueError(f"budget_fraction must be in (0, 1], got {budget_fraction}")
+    if temperature <= 0.0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    totals = df.groupBy(class_col).agg(F.sum(tokens_col).alias("_w"))
+    powed = totals.withColumn(
+        "_wp", F.pow(F.col("_w").cast("double"), F.lit(1.0 / temperature))
+    )
+    grand = powed.agg(
+        F.sum("_wp").alias("_z"), F.sum("_w").alias("_tot")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(budget_fraction) * F.col("_tot") * (F.col("_wp") / F.col("_z")))
+        / F.col("_w"),
+    )
+    cut_int = F.round(rate * _SPACE + F.lit(1e-9)).cast("int")
+    cut = F.when(
+        (rate >= 1.0) | (cut_int >= F.lit(_SPACE)), F.lit("g000")
+    ).otherwise(F.lpad(F.lower(F.hex(cut_int)), 4, "0"))
+    thresholds = powed.crossJoin(F.broadcast(grand)).select(
         class_col, cut.alias("_cut")
     )
     return (

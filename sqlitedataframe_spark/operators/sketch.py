@@ -160,6 +160,78 @@ def hll_estimate(
     return agg.select(*group_cols, F.round(est, 4).alias(out))
 
 
+def _bloom_bits(key_col: Column, k: int, m: int) -> Column:
+    """The k bit positions of ``key`` as an array<int>: disjoint 8-hex md5
+    windows mod m (k <= 4, same digest-slicing trick as the count-min
+    cells) — deterministic, portable, exactly oracle-checkable."""
+    if not 1 <= k <= 4:
+        raise ValueError(f"k must be in [1, 4] (md5 has 4 windows), got {k}")
+    h = F.md5(key_col.cast("string").cast("binary"))
+    return F.array(
+        *[
+            (F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("bigint") % m).cast(
+                "int"
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_build(df: DataFrame, key: str, m: int = 1 << 16, k: int = 4) -> DataFrame:
+    """Bloom filter of ``df[key]`` as the SET of set-bit positions —
+    one ``(bit)`` row per set bit, at most ``m`` rows.
+
+    The membership sketch of the md5 family: deterministic (exactly
+    oracle-checkable), mergeable by plain union+distinct (shard blooms
+    OR together), and the shuffle is bounded at m rows per map partition
+    regardless of input size. At m = 2^16 the materialized filter is a
+    few hundred KB — always broadcastable, which is what makes the probe
+    side embarrassingly parallel at 100 TB (the classic use: broadcast
+    the test-set bloom and scrub a whole training corpus map-side-ish in
+    one pass, with false-positive rate (1 - e^(-kn/m))^k and NO false
+    negatives).
+    """
+    return (
+        df.select(F.explode(_bloom_bits(F.col(key), k, m)).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """OR shard blooms built with the same (m, k): union + distinct."""
+    if not blooms:
+        raise ValueError("need at least one bloom")
+    merged = blooms[0]
+    for b in blooms[1:]:
+        merged = merged.unionByName(b)
+    return merged.distinct()
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key: str,
+    m: int = 1 << 16,
+    k: int = 4,
+    out: str = "bloom_hit",
+) -> DataFrame:
+    """Membership test: ``out`` is true iff ALL k bit positions of the key
+    are set in ``bloom``. The bloom side broadcasts (<= m slim rows); the
+    probe side explodes to k rows per key and re-aggregates — candidates
+    are a SUPERSET of true members (no false negatives), so callers
+    verify hits exactly downstream when exactness matters.
+    """
+    exploded = probes.select(key).distinct().select(
+        F.col(key), F.explode(_bloom_bits(F.col(key), k, m)).alias("bit")
+    )
+    hits = (
+        exploded.join(F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit", "left")
+        .groupBy(key)
+        .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k).alias(out))
+    )
+    return probes.join(hits, key, "left")
+
+
 def hist_build(
     df: DataFrame,
     value_col: str,

@@ -825,3 +825,126 @@ def agg_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_orderkey") % 2 == 1), "l_partkey", depth=3, width=256
     )
     return countmin_merge(even, odd).orderBy("d", "cell")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (mergeable membership sketch, exactly oracled).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_bloom_decontaminate",
+    oracle="""
+    WITH test AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 = 0),
+    bloom AS (
+      SELECT DISTINCT CAST('0x' || substr(md5(fp), 1 + 8 * j, 8) AS BIGINT)
+               % 512 AS bit
+      FROM test, UNNEST([0, 1, 2, 3]) AS t(j)),
+    train AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0),
+    probe AS (
+      SELECT p.doc_id, SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS nb
+      FROM (SELECT doc_id,
+                   CAST('0x' || substr(md5(fp), 1 + 8 * j, 8) AS BIGINT)
+                     % 512 AS bit
+            FROM train, UNNEST([0, 1, 2, 3]) AS t(j)) p
+      LEFT JOIN bloom b USING (bit)
+      GROUP BY p.doc_id)
+    SELECT f.doc_id,
+           (t2.fp IS NOT NULL) AS is_true_match
+    FROM (SELECT doc_id FROM probe WHERE nb = 4) f
+    JOIN train tr USING (doc_id)
+    LEFT JOIN test t2 ON t2.fp = tr.fp
+    ORDER BY f.doc_id
+    """,
+)
+def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB front door to exact
+    decontamination: build a Bloom filter over the held-out set's text
+    fingerprints (every 5th doc plays the test set), BROADCAST the
+    few-hundred-KB bit set, and flag training docs whose fingerprint hits
+    all k bits. Candidates are a superset of true contamination (no false
+    negatives); the query reports each flagged doc with its exact-match
+    verdict, surfacing the false-positive behavior the m/k choice buys.
+
+    operators.sketch.bloom_build/bloom_probe: deterministic md5-window
+    bits (exactly oracle-checked), shard blooms OR-merge without
+    re-reading data, and the train-side probe is one broadcast join —
+    the corpus never shuffles."""
+    from sqlitedataframe_spark.operators.sketch import bloom_build, bloom_probe
+
+    d = T(spark, sf_dir, "documents")
+    fp = F.md5(F.encode("text", "UTF-8")).alias("fp")
+    test = d.filter(F.col("doc_id") % 5 == 0).select(fp).distinct()
+    train = d.filter(F.col("doc_id") % 5 != 0).select("doc_id", fp)
+    # m = 512 (deliberately small for the demo corpus) so the
+    # false-positive behavior is visible in the output; production sizes m
+    # for the target FP rate ((1 - e^(-kn/m))^k) and stays broadcastable
+    bloom = bloom_build(test, "fp", m=512)
+    probed = bloom_probe(train, bloom, "fp", m=512)
+    return (
+        probed.filter(F.col("bloom_hit"))
+        .join(test.withColumn("_t", F.lit(True)), "fp", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_t"), F.lit(False)).alias("is_true_match"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture sampling (XLM-R-style multilingual rebalancing).
+# ---------------------------------------------------------------------------
+@query(
+    "sample_temperature_mix",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars // 4 AS toks FROM documents),
+    tot AS (SELECT lang, SUM(toks) AS w FROM d GROUP BY lang),
+    p AS (SELECT lang, w, power(CAST(w AS DOUBLE), 0.5) AS wp FROM tot),
+    g AS (SELECT SUM(wp) AS z, SUM(w) AS tot FROM p),
+    r AS (
+      SELECT lang, w,
+             LEAST(1.0, (0.5 * tot * (wp / z)) / w) AS rate
+      FROM p, g),
+    cuts AS (
+      SELECT lang,
+             CASE WHEN rate >= 1.0
+                       OR CAST(ROUND(rate * 65536 + 1e-9, 0) AS INT) >= 65536
+                  THEN 'g000'
+                  ELSE lpad(lower(hex(CAST(ROUND(rate * 65536 + 1e-9, 0)
+                                           AS INT))), 4, '0')
+             END AS cut
+      FROM r),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.toks
+      FROM d JOIN cuts USING (lang)
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < cut)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (T = 2, 50% token budget):
+    class shares follow w^(1/T)/Z, up-weighting tail languages without
+    flattening the head — the XLM-R multilingual rebalancing rule
+    (operators.sampling.sample_temperature; same broadcast-threshold
+    scale shape as the other mixture operators, exactly oracle-checked).
+    """
+    from sqlitedataframe_spark.operators.sampling import sample_temperature
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("n_chars") / 4).cast("bigint").alias("toks")
+    )
+    kept = sample_temperature(
+        d, class_col="lang", tokens_col="toks",
+        budget_fraction=0.5, temperature=2.0, key="doc_id",
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )

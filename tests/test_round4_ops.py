@@ -150,3 +150,58 @@ def test_simhash128_bands_agree_with_signatures(spark):
     bands = [s0 & 0xFFFFFFFF, (s0 >> 32) & 0xFFFFFFFF,
              s1 & 0xFFFFFFFF, (s1 >> 32) & 0xFFFFFFFF]
     assert all(0 <= b < 2**32 for b in bands)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted key must probe true (no false negatives), and shard
+    blooms OR-merged must equal the full-data bloom."""
+    from sqlitedataframe_spark.operators.sketch import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    full = bloom_build(df, "k", m=4096)
+    s1 = bloom_build(df.filter(F.col("k").cast("long") % 2 == 0), "k", m=4096)
+    s2 = bloom_build(df.filter(F.col("k").cast("long") % 2 == 1), "k", m=4096)
+    merged = bloom_merge(s1, s2)
+    assert sorted(r.bit for r in full.collect()) == sorted(
+        r.bit for r in merged.collect()
+    )
+    probed = bloom_probe(df, full, "k", m=4096)
+    assert probed.filter(~F.col("bloom_hit")).count() == 0
+
+
+def test_bloom_probe_rejects_most_nonmembers(spark):
+    """Non-members must mostly miss: with n=500, m=4096, k=4 the FP rate is
+    ~ (1 - e^(-kn/m))^4 ~ 2.4% — require < 10% observed."""
+    from sqlitedataframe_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    others = spark.range(10_000, 12_000).select(F.col("id").cast("string").alias("k"))
+    bloom = bloom_build(members, "k", m=4096)
+    fp = bloom_probe(others, bloom, "k", m=4096).filter(F.col("bloom_hit")).count()
+    assert fp / 2000 < 0.10, fp
+
+
+def test_sample_temperature_limits(spark):
+    """T=1 reproduces natural proportions (keep-rate == budget for every
+    class); very large T approaches the uniform per-class budget of
+    allocate_token_budget."""
+    from sqlitedataframe_spark.operators.sampling import (
+        allocate_token_budget,
+        sample_temperature,
+    )
+
+    rows = [(i, "big" if i % 10 else "small", 10) for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, cls string, toks long")
+    # T=1: every class keeps ~budget_fraction of its docs
+    t1 = sample_temperature(df, "cls", "toks", 0.5, 1.0, "doc_id")
+    by = {r.cls: r.n for r in t1.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert abs(by["big"] / 4500 - 0.5) < 0.05
+    assert abs(by["small"] / 500 - 0.5) < 0.10
+    # T -> inf: equals the uniform token-budget split exactly (same cuts)
+    hot = sample_temperature(df, "cls", "toks", 0.5, 1e9, "doc_id")
+    uni = allocate_token_budget(df, "cls", "toks", 0.5, "doc_id")
+    assert sorted(map(tuple, hot.collect())) == sorted(map(tuple, uni.collect()))
