@@ -29,7 +29,12 @@ from sqlitedataframe_spark.session import tune
 def _stream_dir(parquet_file: str) -> str:
     """File-stream sources require a *directory*; the fixtures are single
     parquet files. Stage a stable per-file symlink directory (idempotent —
-    the path is derived from the source path, so repeated calls reuse it)."""
+    the path is derived from the source path, so repeated calls reuse it).
+    A source that is ALREADY a directory (Spark-written multi-part tables,
+    e.g. the scale-check replicas) streams as-is — symlinking a directory
+    would hide its part files from the non-recursive file listing."""
+    if os.path.isdir(parquet_file):
+        return parquet_file
     key = hashlib.sha1(parquet_file.encode()).hexdigest()[:16]
     d = os.path.join(tempfile.gettempdir(), f"sdf_stream_{key}")
     os.makedirs(d, exist_ok=True)

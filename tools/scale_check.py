@@ -71,6 +71,12 @@ QUERIES = [
     "agg_countmin_sketch",
     "events_sessionize",
     "window_topk_per_group",
+    "agg_hist_quantiles",
+    "embed_pca_power",
+    "dedup_simhash128",
+    "dedup_bloom_decontaminate",
+    "sample_temperature_mix",
+    "stream_hll_rollup",
 ]
 
 #: per-copy letter permutations: rewrite document text so copies are not
