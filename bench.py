@@ -165,6 +165,7 @@ HEADLINE = [
     "dedup_simhash128",
     "dedup_bloom_decontaminate",
     "sample_temperature_mix",
+    "pipeline_near_dedup_lsh",
 ]
 
 

@@ -657,3 +657,103 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "pipeline_near_dedup_lsh",
+    oracle=f"""
+    WITH RECURSIVE d0 AS (
+      SELECT doc_id, lang, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '6666'),
+    dd AS (SELECT doc_id, lang, source, len(t) AS n_tokens FROM d0),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 2)),
+                           i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+      FROM d0),
+    hs AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h
+      FROM sh, UNNEST(sh) AS u(s)
+      WHERE len(sh) > 0),
+    seeds(i, a, b) AS (VALUES {{seeds}}),
+    sig AS (
+      SELECT doc_id, i, MIN((a * h + b) % 2305843009213693951) AS mh
+      FROM hs CROSS JOIN seeds GROUP BY doc_id, i),
+    banded AS (
+      SELECT doc_id, i // 4 AS band,
+             CAST('0x' || substr(md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)),
+                                 1, 15) AS BIGINT) AS bucket
+      FROM sig GROUP BY doc_id, i // 4),
+    live AS (
+      SELECT * FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 10000),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM live a JOIN live b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0 AS ej
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      GROUP BY c.id_a, c.id_b),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM est WHERE ej >= 0.8),
+    sym AS (SELECT src, dst FROM edges
+            UNION ALL SELECT dst AS src, src AS dst FROM edges),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM dd
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b),
+    comp AS (SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a)
+    SELECT d.lang, d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.comp = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN c.comp = d.doc_id THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN c.comp = d.doc_id THEN d.n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_kept
+    FROM dd d JOIN comp c USING (doc_id)
+    GROUP BY d.lang, d.source
+    ORDER BY d.lang, d.source
+    """.replace("{seeds}", _MH_SEEDS),
+)
+def pipeline_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL with the 100 TB edge generator:
+    banded MinHash LSH candidate pairs (est. Jaccard >= 0.8) -> connected
+    components -> min-id representative -> per-(lang, source) corpus
+    stats, on the same deterministic 40% sample as pipeline_near_dedup.
+
+    This is the documented scale path of pipeline_near_dedup made
+    concrete: that query's exact-Jaccard blocking grows quadratically in
+    block size (its 100x scale run exceeded the time cap, as predicted),
+    while the LSH edge generator's candidate volume tracks true
+    duplicate density — measured 9.6x wall at 100x data. With the
+    md5+affine MinHash family the WHOLE chain — signatures, bands,
+    candidates, estimates, clustering, representative choice, final
+    stats — is exactly oracle-checked (recursive-CTE transitive closure
+    on the DuckDB side)."""
+    from sqlitedataframe_spark.operators import sampling as SM
+    from sqlitedataframe_spark.operators.graph import connected_components
+
+    d = SM.sample_by_hash(T(spark, sf_dir, "documents"), "doc_id", 0.4).select(
+        "doc_id", "lang", "source", "text", X.token_count_ws("text").alias("n_tokens")
+    )
+    pairs = D.minhash_lsh_pairs(d.select("doc_id", "text"), min_jaccard=0.8)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = connected_components(edges, nodes=d.select("doc_id"), node_col="doc_id")
+    joined = d.join(labels, d.doc_id == labels.node)
+    kept = F.col("comp") == F.col("doc_id")
+    return (
+        joined.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.sum((~kept).cast("bigint")).alias("n_removed"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
+        )
+        .orderBy("lang", "source")
+    )
