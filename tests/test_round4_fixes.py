@@ -111,3 +111,43 @@ def test_sim_ann_recall_reports_every_probe(spark, sf_dir):
     rows = q.spark_fn(spark, sf_dir).collect()
     assert [r["qid"] for r in rows] == list(range(8))
     assert all(r["n_hits"] is not None and r["recall_at_10"] is not None for r in rows)
+
+
+def test_hex_threshold_clamp_property():
+    """For EVERY fraction, hex_threshold returns either the keep-everything
+    sentinel or exactly 4 hex chars — the invariant whose violation (5-digit
+    hex silently lpad-truncated) caused the ADVICE r3 sampling bug."""
+    from hypothesis import given, strategies as st
+
+    from sqlitedataframe_spark.operators.sampling import hex_threshold
+
+    @given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+    def check(f):
+        cut = hex_threshold(f)
+        assert cut == "g000" or (
+            len(cut) == 4 and all(c in "0123456789abcdef" for c in cut)
+        )
+        # monotone: larger fractions never yield lexicographically smaller cuts
+        assert hex_threshold(min(1.0, f)) >= hex_threshold(max(0.0, f - 0.01)) or f < 0.01
+
+    check()
+
+
+def test_engine_cut_expressions_match_hex_threshold(spark):
+    """The Column-side cut expressions (cap_per_class_approx /
+    allocate_token_budget / sample_temperature) must agree with the Python
+    hex_threshold for rates across the whole range, including the
+    near-1.0 truncation zone."""
+    from pyspark.sql import functions as F
+
+    from sqlitedataframe_spark.operators.sampling import _SPACE, hex_threshold
+
+    rates = [0.0, 1 / 65536, 0.25, 0.5, 0.9, 0.999, 0.9999923, 0.9999995, 1.0]
+    df = spark.createDataFrame([(r,) for r in rates], "rate double")
+    cut_int = F.round(F.col("rate") * _SPACE).cast("int")
+    cut = F.when(
+        (F.col("rate") >= 1.0) | (cut_int >= F.lit(_SPACE)), F.lit("g000")
+    ).otherwise(F.lpad(F.lower(F.hex(cut_int)), 4, "0"))
+    got = {r["rate"]: r["cut"] for r in df.select("rate", cut.alias("cut")).collect()}
+    for r in rates:
+        assert got[r] == hex_threshold(r), (r, got[r], hex_threshold(r))
