@@ -28,7 +28,7 @@ from sqlitedataframe_spark.io import load_table  # noqa: E402
 from sqlitedataframe_spark.session import get_spark  # noqa: E402
 from sqlitedataframe_spark.suite import load_all  # noqa: E402
 
-SRC = "/root/testdata/sf0.1"
+SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 DST = os.environ.get("SPARK_GRAFT_SCALE_DST", f"/tmp/sf{COPIES // 10}_scaled")
 OUT = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BENCH_r04_sf1.json")
@@ -94,9 +94,20 @@ def _rot(i: int) -> tuple[str, str]:
     return _ALPHA, "".join(letters)
 
 
+#: multiply every per-copy key shift (needed when stacking builds: a
+#: second-level build from an already-scaled dir must shift past its keys).
+SHIFT_MULT = int(os.environ.get("SPARK_GRAFT_SCALE_SHIFT_MULT", "1"))
+#: optional comma-separated table subset to build.
+TABLES = [t for t in os.environ.get("SPARK_GRAFT_SCALE_TABLES", "").split(",") if t]
+
+
 def build(spark) -> None:
     os.makedirs(DST, exist_ok=True)
     for table, (keys, shift) in KEY_SHIFTS.items():
+        if TABLES and table not in TABLES:
+            continue
+        if shift is not None:
+            shift *= SHIFT_MULT
         out = os.path.join(DST, f"{table}.parquet")
         if os.path.exists(os.path.join(out, "_SUCCESS")):
             continue
