@@ -166,6 +166,7 @@ HEADLINE = [
     "dedup_bloom_decontaminate",
     "sample_temperature_mix",
     "pipeline_near_dedup_lsh",
+    "sim_knn_join",
 ]
 
 

@@ -167,6 +167,100 @@ def lsh_topk(
     return cand.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
+def knn_join_lsh(
+    df: DataFrame,
+    dim: int,
+    k: int = 1,
+    n_planes: int = 32,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Approximate kNN SELF-join: for EVERY vector, its top-k nearest
+    neighbors among sign-LSH bucket mates, exact-cosine re-ranked —
+    the all-pairs neighbor primitive behind SemDeDup-style analyses and
+    duplicate-graph construction (lsh_topk's query-vs-corpus sibling).
+
+    Scale shape: candidates come from band-bucket equality on slim
+    (id, band, bucket) rows — the self-join never sees vectors; pair
+    volume is sum-of-bucket-squares, bounded by the band width choice
+    (width = n_planes/bands sign bits per bucket; more planes => smaller
+    buckets => fewer candidates, lower recall) and by the same hot-bucket
+    suppression guard as the dedup paths. Vectors whose buckets yield NO
+    candidate still emit a row (null neighbor) — a silent drop would
+    overstate coverage (the sim_ann_recall lesson).
+
+    Returns (id_col, nn_id, cos_sim, rank), rank 1..k, nullable
+    neighbor columns.
+    """
+    from sqlitedataframe_spark.operators.dedup import _suppress_hot_buckets
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+
+    def banded_sig(vec: Column) -> Column:
+        sig = signature_bits(vec, planes)
+        return F.element_at(
+            F.transform(
+                F.array(sig),
+                lambda s: F.array(
+                    *[
+                        F.array_join(
+                            F.transform(
+                                F.slice(s, b * width + 1, width),
+                                lambda x: x.cast("string"),
+                            ),
+                            "",
+                        )
+                        for b in range(bands)
+                    ]
+                ),
+            ),
+            1,
+        )
+
+    base = _spread(df.select(id_col, vec_col), id_col)
+    banded = base.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(banded_sig(F.col(vec_col))).alias("band", "bucket"),
+    )
+    banded = _suppress_hot_buckets(banded, ["band", "bucket"], max_bucket)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("_qid"), F.col("b._id").alias("_nid"))
+        .dropDuplicates(["_qid", "_nid"])
+    )
+    va = base.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_va"))
+    vb = base.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_vb"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos_sim"), F.col("_nid"))
+    topk = (
+        cand.join(va, "_qid")
+        .join(vb, "_nid")
+        .select(
+            "_qid",
+            "_nid",
+            F.round(cosine(as_double("_va"), as_double("_vb")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(topk, F.col(id_col) == F.col("_qid"), "left")
+        .select(id_col, F.col("_nid").alias("nn_id"), "cos_sim", "rank")
+    )
+
+
 def train_centroids(
     df: DataFrame,
     k: int = 8,

@@ -757,3 +757,56 @@ def pipeline_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# 32-plane variant for the SELF-join (width-8 buckets keep the candidate
+# volume at sum-of-bucket-squares over 256 buckets/band, not 16).
+_KNN_VALUES = ",\n      ".join(
+    "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in p))
+    for i, p in enumerate(S.random_hyperplanes(64, 32, seed=42))
+)
+
+@query(
+    "sim_knn_join",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(pid, p) AS (VALUES
+      {_KNN_VALUES}),
+    sb AS (
+      SELECT e.vec_id, pl.pid // 8 AS band,
+             string_agg(CASE WHEN list_dot_product(e.v, pl.p) >= 0
+                             THEN '1' ELSE '0' END, '' ORDER BY pl.pid) AS bucket
+      FROM e CROSS JOIN planes pl
+      GROUP BY e.vec_id, pl.pid // 8),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+      FROM sb a JOIN sb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    scored AS (
+      SELECT c.qid, c.nid,
+             ROUND(list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+                   6) AS cos_sim
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.qid
+      JOIN e eb ON eb.vec_id = c.nid),
+    top1 AS (
+      SELECT qid, nid, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+      FROM scored
+      QUALIFY rank <= 1)
+    SELECT e.vec_id, t.nid AS nn_id, t.cos_sim, CAST(t.rank AS INT) AS rank
+    FROM e LEFT JOIN top1 t ON t.qid = e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest-neighbor SELF-join: every embedding's top-1
+    neighbor among its sign-LSH bucket mates, exact-cosine re-ranked
+    (operators.similarity.knn_join_lsh) — the all-pairs neighbor
+    primitive behind SemDeDup-style duplicate-graph analyses, as opposed
+    to the query-vs-corpus shape of sim_ann_lsh. Vectors with no bucket
+    mate report a null neighbor instead of vanishing. Exactly
+    oracle-checked via the inlined 32-plane VALUES table."""
+    e = T(spark, sf_dir, "embeddings")
+    return S.knn_join_lsh(e, dim=64, k=1, n_planes=32, bands=4).orderBy("vec_id")

@@ -110,3 +110,28 @@ def test_label_centroids_small(spark):
     )
     got = {(r.label, r.pos): r.centroid for r in label_centroids(df).collect()}
     assert got == {(0, 1): 2.0, (0, 2): 4.0, (1, 1): 10.0, (1, 2): 0.0}
+
+
+def test_knn_join_lsh_finds_planted_neighbor(spark):
+    """A vector and its tiny perturbation must be each other's top-1
+    neighbor; every input id must appear in the output (null neighbor
+    rather than a dropped row)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sqlitedataframe_spark.operators.similarity import knn_join_lsh
+
+    rng = random.Random(5)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + 0.001 for x in base]
+    far1 = [rng.gauss(0, 1) for _ in range(64)]
+    far2 = [rng.gauss(0, 1) for _ in range(64)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far1), (3, far2)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in knn_join_lsh(df, dim=64, k=1).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0].nn_id == 1 and out[1].nn_id == 0
+    assert out[0].cos_sim > 0.999
