@@ -679,3 +679,61 @@ def semantic_dedup(
         F.col("comp").alias("component"),
         (F.col("node") == F.col("comp")).alias("is_representative"),
     )
+
+
+# --------------------------------------------------------------------------
+# Substring-level duplicate spans (ExactSubstr approximation)
+# --------------------------------------------------------------------------
+def substring_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+    stride: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate-span detection — the shingle approximation
+    of suffix-array ExactSubstr dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): the memorization-relevant
+    unit at web scale is the repeated SPAN, not the whole near-duplicate
+    document. A distributed suffix array is impractical on Spark, so this
+    samples length-``k`` character windows every ``stride`` characters,
+    hashes them, and marks any window whose hash occurs in >= ``min_docs``
+    distinct documents as a duplicated span.
+
+    Scale shape: windows are generated MAP-SIDE (sequence + Column.substr
+    over the scan — no Python, no UDF), and what shuffles is
+    (id, pos, digest) — never text. The duplicated-hash set comes from one
+    count-distinct aggregate with map-side partial combine; re-joining it to
+    the slim shingle stream is a hash join on the digest. Output is the
+    per-document cut list summary: duplicated-span count + first offset.
+    md5 keeps the digest portable/oracle-checkable; a production run would
+    swap in xxhash64 for an 8-byte shuffle key (same plan shape).
+
+    The reference has no span-dedup surface (SQLiteDataFrame.swift delegates
+    relational ops to SQLite and has no text pipeline); Tier-D extension.
+    """
+    base = df.filter(F.length(text_col) >= k).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    )
+    pos = F.sequence(F.lit(1), F.length("_t") - (k - 1), F.lit(stride))
+    sh = base.select("_id", "_t", F.explode(pos).alias("pos")).select(
+        "_id",
+        "pos",
+        F.md5(F.col("_t").substr(F.col("pos"), F.lit(k)).cast("binary")).alias("_h"),
+    )
+    dup = (
+        sh.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    return (
+        sh.join(dup, "_h")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+        .select(F.col("_id").alias(id_col), "n_dup_spans", "first_pos")
+    )

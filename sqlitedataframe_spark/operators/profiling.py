@@ -122,3 +122,52 @@ def profile(df: DataFrame, cols: list[str] | None = None, exact: bool = True) ->
             "max_s",
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: list[str],
+    thresh: float = 5.0,
+    round_dp: int = 4,
+    exact: bool = True,
+) -> DataFrame:
+    """Robust per-group anomaly detection: flag rows whose
+    ``|value - median|`` exceeds ``thresh`` x MAD (median absolute
+    deviation). Median/MAD, unlike mean/stddev, are not dragged toward the
+    outliers they are supposed to measure — the standard robust yardstick
+    for telemetry / label-noise / sensor-glitch screens.
+
+    Two aggregation passes (median, then MAD of deviations), each a tiny
+    per-group table broadcast back onto the fact stream, so the fact side
+    is scanned twice but NEVER shuffled — only the group key crosses an
+    exchange. With ``exact=True`` Spark's exact interpolated median buffers
+    each group's values in one aggregator (fine for bounded groups, and
+    bit-matches the SQL oracle); at 100 TB per group set ``exact=False``
+    for the fixed-memory approx-percentile sketch — identical plan shape,
+    mergeable state instead of a buffer.
+
+    Rows in a group whose MAD is 0 (constant-majority) flag on ANY
+    deviation and report a NULL score: deliberately loud, because a value
+    deviating from an otherwise-constant group is the strongest anomaly
+    signal there is.
+    """
+    med_fn = F.median if exact else (lambda c: F.percentile_approx(c, 0.5))
+    v = F.col(value_col)
+    med = df.groupBy(group_col).agg(med_fn(v).alias("_med"))
+    with_med = df.join(F.broadcast(med), group_col)
+    dev = F.abs(v - F.col("_med"))
+    mad = with_med.groupBy(group_col).agg(med_fn(dev).alias("_mad"))
+    return (
+        with_med.join(F.broadcast(mad), group_col)
+        .filter(dev > F.lit(thresh) * F.col("_mad"))
+        .select(
+            *id_cols,
+            group_col,
+            value_col,
+            F.round(dev / F.nullif(F.col("_mad"), F.lit(0.0)), round_dp).alias(
+                "mad_score"
+            ),
+        )
+    )

@@ -267,3 +267,47 @@ def merge_into(
         .filter((F.col("_rn") == 1) & (~F.col("_del")))
         .select(*sel)
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build: per key, collapse consecutive
+    rows with unchanged tracked attributes, then version the survivors with
+    half-open validity intervals ``[valid_from, valid_to)`` (``valid_to``
+    NULL = current). The standard warehouse shape for "what did this
+    dimension look like on date X" joins.
+
+    Scale shape: ONE shuffle on the dimension key. Change detection
+    (lag-compare, null-safe) and re-versioning (row_number + lead) are two
+    window passes over the SAME partitioning spec; the filter between them
+    preserves the hash partitioning, so Spark plans the second window
+    without a new exchange. Nothing collects; attribute payloads ride along
+    untouched.
+
+    The reference has no temporal surface (SQLiteDataFrame.swift:295-304
+    delegates SQL to SQLite, which also lacks SCD tooling); Tier-D
+    extension.
+    """
+    order = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in order])
+    unchanged = F.lit(True)
+    for a in attr_cols:
+        unchanged = unchanged & F.col(a).eqNullSafe(F.lag(a).over(w))
+    chg = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_same", unchanged)
+        .filter((F.col("_rn") == 1) | ~F.col("_same"))
+        .drop("_rn", "_same")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in order])
+    return (
+        chg.withColumn("version", F.row_number().over(w2).cast("bigint"))
+        .withColumn("valid_from", F.col(order_col))
+        .withColumn("valid_to", F.lead(order_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

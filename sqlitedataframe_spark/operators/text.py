@@ -467,3 +467,39 @@ def bigram_lm_scores(
         )
         .select(F.col("_id").alias(id_col), "n_bigrams", "avg_logp")
     )
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 50,
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-wide top-``k`` most frequent word ``n``-grams — the
+    boilerplate radar (repeated navigation chrome, cookie banners, license
+    headers surface instantly) and the counting primitive behind vocabulary
+    induction. Counts every occurrence (unlike ``ngram_set``, which dedups
+    per document for contamination checks).
+
+    Scale shape: grams expand map-side from the token array (scan-stage
+    ``transform``/``slice`` expressions, no Python); the only shuffle is the
+    gram-count aggregate with map-side partial combine, so what crosses the
+    exchange is bounded by DISTINCT grams per partition, not corpus size;
+    the global top-k plans as TakeOrderedAndProject (per-partition heaps,
+    k rows to the driver), not a full sort. Ties break on the gram text so
+    the row set is engine-reproducible.
+    """
+    t = F.split(_c(text_col), sep)
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), sep)),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(k)
+    )

@@ -59,6 +59,7 @@ def load_all() -> dict[str, Query]:
         pipeline2,
         pipeline3,
         pipeline4,
+        pipeline5,
         eventstream,
         streamingq,
         bridge,

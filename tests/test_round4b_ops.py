@@ -1,0 +1,129 @@
+"""Unit tests for the round-4b operators: substring-span dedup, corpus
+n-gram top-k, SCD2 history, MAD outliers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.operators.dedup import substring_span_stats
+from sqlitedataframe_spark.operators.profiling import mad_outliers
+from sqlitedataframe_spark.operators.relational import scd2_history
+from sqlitedataframe_spark.operators.text import frequent_ngrams
+
+
+# ---------------------------------------------------------------------------
+# substring_span_stats
+# ---------------------------------------------------------------------------
+def test_substring_spans_finds_planted_duplicate(spark):
+    shared = "x" * 12 + "the quick brown fox jumps over it" + "y" * 12
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one"),
+            (2, "different head text " + shared),
+            (3, "no overlap with anything here at all, promise!"),
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_span_stats(docs, k=20, stride=1, min_docs=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    # both sharers report at least one duplicated window
+    assert rows[1]["n_dup_spans"] >= 1 and rows[2]["n_dup_spans"] >= 1
+    # doc 1's shared region starts at its head; doc 2's after its unique head
+    assert rows[1]["first_pos"] < rows[2]["first_pos"]
+
+
+def test_substring_spans_short_docs_drop_out(spark):
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny")], "doc_id long, text string"
+    )
+    assert substring_span_stats(docs, k=30, stride=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# frequent_ngrams
+# ---------------------------------------------------------------------------
+def test_frequent_ngrams_counts_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c d"), (3, "z z")],
+        "doc_id long, text string",
+    )
+    out = frequent_ngrams(docs, n=3, k=3).collect()
+    # "a b c" occurs 3x (twice in doc1 via overlap? no: positions 1 and 4 -> 2x, once in doc2 -> 3)
+    assert out[0]["gram"] == "a b c" and out[0]["n"] == 3
+    # remaining grams all count 1; ties must come back in lexicographic order
+    rest = [r["gram"] for r in out[1:]]
+    assert rest == sorted(rest)
+    # doc 3 (2 tokens) contributes no trigram
+    all_grams = [r["gram"] for r in frequent_ngrams(docs, n=3, k=100).collect()]
+    assert not any("z" in g for g in all_grams)
+
+
+# ---------------------------------------------------------------------------
+# scd2_history
+# ---------------------------------------------------------------------------
+def test_scd2_collapses_unchanged_and_versions(spark):
+    rows = [
+        # key 1: A, A, B, A  -> versions A, B, A (middle A collapses)
+        (1, 10, "A"),
+        (1, 20, "A"),
+        (1, 30, "B"),
+        (1, 40, "A"),
+        # key 2: constant -> single current row
+        (2, 10, "C"),
+        (2, 20, "C"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, attr string")
+    out = scd2_history(
+        df, key_cols=["k"], order_col="t", attr_cols=["attr"], tiebreak_col="t"
+    )
+    k1 = [r.asDict() for r in out.filter("k = 1").orderBy("version").collect()]
+    assert [(r["attr"], r["valid_from"], r["valid_to"]) for r in k1] == [
+        ("A", 10, 30),
+        ("B", 30, 40),
+        ("A", 40, None),
+    ]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    k2 = out.filter("k = 2").collect()
+    assert len(k2) == 1 and k2[0]["is_current"] and k2[0]["valid_from"] == 10
+
+
+def test_scd2_null_attr_is_a_state(spark):
+    # NULL -> NULL is "unchanged" (null-safe compare); NULL -> value is a change
+    df = spark.createDataFrame(
+        [(1, 10, None), (1, 20, None), (1, 30, "X")], "k long, t long, attr string"
+    )
+    out = scd2_history(df, ["k"], "t", ["attr"], tiebreak_col="t")
+    got = [(r["attr"], r["version"]) for r in out.orderBy("version").collect()]
+    assert got == [(None, 1), ("X", 2)]
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------------
+def test_mad_flags_only_the_outlier(spark):
+    vals = [(i, "g", float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 1000])]
+    df = spark.createDataFrame(vals, "id long, grp string, v double")
+    out = mad_outliers(df, "grp", "v", ["id"], thresh=5.0).collect()
+    assert [r["id"] for r in out] == [5]
+    # median 12.5, MAD 1.5 -> score (1000-12.5)/1.5
+    assert abs(out[0]["mad_score"] - round((1000 - 12.5) / 1.5, 4)) < 1e-9
+
+
+def test_mad_zero_flags_any_deviation_with_null_score(spark):
+    df = spark.createDataFrame(
+        [(i, "g", 5.0) for i in range(6)] + [(9, "g", 5.1)],
+        "id long, grp string, v double",
+    )
+    out = mad_outliers(df, "grp", "v", ["id"], thresh=5.0).collect()
+    assert [r["id"] for r in out] == [9]
+    assert out[0]["mad_score"] is None
+
+
+def test_mad_approx_mode_runs(spark):
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(20)] + [(99, "g", 1e6)],
+        "id long, grp string, v double",
+    )
+    out = mad_outliers(df, "grp", "v", ["id"], thresh=5.0, exact=False).collect()
+    assert any(r["id"] == 99 for r in out)
