@@ -167,6 +167,10 @@ HEADLINE = [
     "sample_temperature_mix",
     "pipeline_near_dedup_lsh",
     "sim_knn_join",
+    "dedup_substring_spans",
+    "text_ngram_topk",
+    "scd2_order_history",
+    "events_anomaly_mad",
 ]
 
 
