@@ -684,6 +684,34 @@ def semantic_dedup(
 # --------------------------------------------------------------------------
 # Substring-level duplicate spans (ExactSubstr approximation)
 # --------------------------------------------------------------------------
+def _char_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int, stride: int
+) -> DataFrame:
+    """(_id, pos, _h) rows: md5 digests of the length-``k`` character
+    windows sampled every ``stride`` chars. Pure scan-stage expressions
+    (sequence + Column.substr) — windows never exist as shuffled text."""
+    base = df.filter(F.length(text_col) >= k).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    )
+    pos = F.sequence(F.lit(1), F.length("_t") - (k - 1), F.lit(stride))
+    return base.select("_id", "_t", F.explode(pos).alias("pos")).select(
+        "_id",
+        "pos",
+        F.md5(F.col("_t").substr(F.col("pos"), F.lit(k)).cast("binary")).alias("_h"),
+    )
+
+
+def _dup_hashes(sh: DataFrame, min_docs: int) -> DataFrame:
+    """Window digests occurring in >= ``min_docs`` distinct documents
+    (one partially-combined aggregate on the digest)."""
+    return (
+        sh.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+
+
 def substring_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -713,27 +741,71 @@ def substring_span_stats(
     The reference has no span-dedup surface (SQLiteDataFrame.swift delegates
     relational ops to SQLite and has no text pipeline); Tier-D extension.
     """
-    base = df.filter(F.length(text_col) >= k).select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
-    )
-    pos = F.sequence(F.lit(1), F.length("_t") - (k - 1), F.lit(stride))
-    sh = base.select("_id", "_t", F.explode(pos).alias("pos")).select(
-        "_id",
-        "pos",
-        F.md5(F.col("_t").substr(F.col("pos"), F.lit(k)).cast("binary")).alias("_h"),
-    )
-    dup = (
-        sh.groupBy("_h")
-        .agg(F.count_distinct("_id").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_h")
-    )
+    sh = _char_shingles(df, id_col, text_col, k, stride)
     return (
-        sh.join(dup, "_h")
+        sh.join(_dup_hashes(sh, min_docs), "_h")
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
             F.min("pos").cast("bigint").alias("first_pos"),
         )
         .select(F.col("_id").alias(id_col), "n_dup_spans", "first_pos")
+    )
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+    stride: int = 10,
+    min_docs: int = 2,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-document COVERAGE of cross-corpus duplicated spans: overlapping
+    duplicated windows are unioned into maximal islands (the classic
+    merge-intervals shape, done distributed), yielding how many characters
+    of each document are boilerplate shared with other documents — the
+    actionable cut list ExactSubstr-style dedup acts on, and the per-doc
+    "duplication ratio" quality signal on its own.
+
+    Scale shape: shingling and the duplicated-digest set are shared with
+    :func:`substring_span_stats` (slim (id, pos, digest) rows only). The
+    interval union is two window passes + two aggregates ALL partitioned by
+    document id — one hash exchange total: the running-max-end window marks
+    island starts, a running sum numbers the islands, and the (id, island)
+    aggregate reuses the id-partitioning (grouping on a superset of the
+    partition key needs no new exchange). Finally the per-doc summary joins
+    document lengths back on the same key.
+    """
+    sh = _char_shingles(df, id_col, text_col, k, stride)
+    spans = sh.join(_dup_hashes(sh, min_docs), "_h").select(
+        "_id", "pos", (F.col("pos") + (k - 1)).alias("_end")
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_max = F.max("_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = prev_max.isNull() | (F.col("pos") > prev_max)
+    islands = (
+        spans.withColumn("_new", is_new.cast("int"))
+        .withColumn(
+            "_island",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("_id", "_island")
+        .agg(F.min("pos").alias("_s"), F.max("_end").alias("_e"))
+    )
+    per_doc = islands.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("bigint").alias("n_dup_chars"),
+    )
+    lengths = df.select(
+        F.col(id_col).alias("_id"), F.length(text_col).alias("_len")
+    )
+    return per_doc.join(lengths, "_id").select(
+        F.col("_id").alias(id_col),
+        "n_islands",
+        "n_dup_chars",
+        F.round(F.col("n_dup_chars") / F.col("_len") + 1e-9, round_dp).alias(
+            "dup_ratio"
+        ),
     )

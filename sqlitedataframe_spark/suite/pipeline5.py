@@ -165,3 +165,112 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_cols=["event_id"],
         thresh=5.0,
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span coverage (interval union of cross-doc repeated windows).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_span_coverage",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 30),
+    sh AS (
+      SELECT doc_id, i AS pos, md5(substr(text, i, 30)) AS h
+      FROM d, UNNEST(generate_series(1, length(text) - 29, 10)) AS r(i)),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    sp AS (SELECT doc_id, pos, pos + 29 AS e FROM sh JOIN dup USING (h)),
+    m AS (
+      SELECT doc_id, pos, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM sp),
+    isl AS (
+      SELECT doc_id, pos, e,
+             SUM(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+      FROM m),
+    agg AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e
+      FROM isl GROUP BY doc_id, island),
+    per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+             CAST(SUM(e - s + 1) AS BIGINT) AS n_dup_chars
+      FROM agg GROUP BY doc_id)
+    SELECT per.doc_id, n_islands, n_dup_chars,
+           ROUND(n_dup_chars / length(d.text) + 1e-9, 4) AS dup_ratio
+    FROM per JOIN d ON per.doc_id = d.doc_id
+    ORDER BY per.doc_id
+    """,
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each document is cross-corpus boilerplate: duplicated
+    30-char windows unioned into maximal islands (merge-intervals), with
+    per-doc island count, covered chars, and duplication ratio.
+
+    operators.dedup.duplicate_span_coverage: the whole interval union —
+    two windows + two aggregates — runs under ONE hash exchange on doc_id
+    (grouping on (doc, island) reuses the doc partitioning).
+    """
+    return D.duplicate_span_coverage(
+        T(spark, sf_dir, "documents"), k=30, stride=10, min_docs=2
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: assign by GROUP (source), not by row.
+# ---------------------------------------------------------------------------
+def _split_case_sql() -> str:
+    """The oracle-side CASE matching sampling.split_assign on `source` —
+    thresholds derived from the same hex_threshold so the twins can't
+    drift."""
+    from sqlitedataframe_spark.operators.sampling import hex_threshold
+
+    t80, t90 = hex_threshold(0.8), hex_threshold(0.9)
+    return f"""CASE WHEN substr(md5(source), 1, 4) < '{t80}' THEN 'train'
+             WHEN substr(md5(source), 1, 4) < '{t90}' THEN 'val'
+             ELSE 'test' END"""
+
+
+@query(
+    "sample_split_by_group",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             {_split_case_sql()} AS split
+      FROM documents)
+    SELECT split,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+def sample_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split assigned at the SOURCE level, not the document
+    level: every document of a source lands in the same split, so
+    within-source near-duplicates can never leak across the train/test
+    boundary — the leakage-safe split a curation pipeline actually wants
+    (row-level splitting puts one copy of a boilerplate family in train
+    and another in test).
+
+    sampling.split_assign keyed on the group column: a pure map-side CASE
+    over a 4-hex md5 prefix — deterministic, disjoint, exhaustive, stable
+    under corpus growth; no shuffle until the tiny report aggregate.
+    """
+    from sqlitedataframe_spark.operators.sampling import split_assign
+
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "split",
+            split_assign(F.col("source"), {"train": 0.8, "val": 0.1, "test": 0.1}),
+        )
+        .groupBy("split")
+        .agg(
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )

@@ -127,3 +127,81 @@ def test_mad_approx_mode_runs(spark):
     )
     out = mad_outliers(df, "grp", "v", ["id"], thresh=5.0, exact=False).collect()
     assert any(r["id"] == 99 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_span_coverage
+# ---------------------------------------------------------------------------
+def test_span_coverage_merges_overlapping_windows(spark):
+    shared = "abcdefghij" * 6  # 60 chars shared by docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, shared + "UNIQUE-TAIL-ONE-" + "q" * 30),
+            (2, shared + "other tail entirely different!!"),
+            (3, "t" * 80),
+        ],
+        "doc_id long, text string",
+    )
+    from sqlitedataframe_spark.operators.dedup import duplicate_span_coverage
+
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_coverage(
+            docs, k=20, stride=10, min_docs=2
+        ).collect()
+    }
+    # windows at pos 1,11,21,31,41 of the shared 60-char prefix collide
+    # (pos 41 spans chars 41-60, inside the shared region for both docs);
+    # they overlap, so they must union into ONE island covering chars 1-60
+    # doc3's windows repeat only WITHIN itself; min_docs=2 counts distinct
+    # documents per digest, so self-repeats alone never flag
+    assert 1 in out and 2 in out and 3 not in out
+    assert out[1]["n_islands"] == 1
+    assert out[1]["n_dup_chars"] == 60
+    assert abs(out[1]["dup_ratio"] - round(60 / len(shared + "UNIQUE-TAIL-ONE-" + "q" * 30), 4)) < 1e-6
+
+
+def test_span_coverage_counts_disjoint_islands(spark):
+    blockA = "A" * 25
+    blockB = "B" * 25
+    gap1 = "x1y2z3u4v5w6p7q8r9s0t1a2b"  # 25 unique chars
+    gap2 = "m1n2o3j4k5l6g7h8i9d0e1f2c"
+    docs = spark.createDataFrame(
+        [
+            (1, blockA + gap1 + blockB),
+            (2, blockA + gap2 + blockB),
+        ],
+        "doc_id long, text string",
+    )
+    from sqlitedataframe_spark.operators.dedup import duplicate_span_coverage
+
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_coverage(docs, k=20, stride=5, min_docs=2).collect()
+    }
+    # the shared A-block and B-block are separated by 25 unique chars:
+    # two disjoint islands per doc
+    assert out[1]["n_islands"] == 2
+    assert out[2]["n_islands"] == 2
+
+
+# ---------------------------------------------------------------------------
+# sample_split_by_group: the leakage property
+# ---------------------------------------------------------------------------
+def test_group_split_never_straddles(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from sqlitedataframe_spark.io import load_table
+    from sqlitedataframe_spark.operators.sampling import split_assign
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "split",
+        split_assign(F2.col("source"), {"train": 0.8, "val": 0.1, "test": 0.1}),
+    )
+    straddlers = (
+        d.groupBy("source")
+        .agg(F2.count_distinct("split").alias("n"))
+        .filter(F2.col("n") > 1)
+        .count()
+    )
+    assert straddlers == 0
