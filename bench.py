@@ -171,6 +171,10 @@ HEADLINE = [
     "text_ngram_topk",
     "scd2_order_history",
     "events_anomaly_mad",
+    "dedup_span_coverage",
+    "sample_split_by_group",
+    "embed_label_outliers",
+    "text_bpe_pairs",
 ]
 
 

@@ -529,3 +529,57 @@ def quantize_int8(
         F.col("_qz.q").alias(out_col),
         F.col("_qz.scale").alias(f"{out_col}_scale"),
     ).drop("_qz")
+
+
+def label_centroid_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    per_label: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Label-noise screening: per label, the ``per_label`` vectors FARTHEST
+    (lowest cosine) from their own label's centroid — the standard
+    cheap mislabel/outlier detector run before training a classifier or
+    curating a labeled corpus (confident-learning lite).
+
+    Scale shape: the centroid table is n_labels x dim — bounded model
+    state — built by :func:`label_centroids`' slim posexplode aggregate,
+    reassembled to arrays only AFTER the aggregate (sort_array of
+    (pos, value) structs: collect_list order is undefined under parallel
+    merge, sorting by pos restores it deterministically), and broadcast
+    back; the 100-TB embedding side joins map-side and never shuffles
+    until the tiny per-label top-k window on (label, cos) — which
+    partitions on the label key, the bounded dimension. Centroid means are
+    rounded (same 6-dp contract as ``label_centroids``) so the whole
+    report is a pure function of the data.
+    """
+    cent = label_centroids(df, label_col, vec_col)
+    carr = (
+        cent.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))).alias("_pc")
+        )
+        .select(
+            "label", F.transform("_pc", lambda s: s["centroid"]).alias("_c")
+        )
+    )
+    base = df.select(
+        F.col(id_col), F.col(label_col).alias("label"), as_double(vec_col).alias("_v")
+    ).join(F.broadcast(carr), "label")
+    scored = base.select(
+        id_col,
+        "label",
+        F.round(cosine(F.col("_v"), F.col("_c")), round_dp).alias("cos_to_centroid"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_to_centroid").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank_in_label", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank_in_label") <= per_label)
+        .select("label", "rank_in_label", id_col, "cos_to_centroid")
+    )

@@ -503,3 +503,40 @@ def frequent_ngrams(
         .orderBy(F.col("n").desc(), F.col("gram"))
         .limit(k)
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies within words — the
+    counting step of a BPE merge iteration (the argmax row IS the next
+    merge). Word boundaries are respected (pairs never span the
+    separator), matching standard BPE pre-tokenization.
+
+    Scale shape: both explodes (words, then in-word pairs) are map-side
+    scan-stage expressions; the only shuffle is the pair-count aggregate,
+    partially combined map-side so at most |alphabet|^2 rows per partition
+    cross the exchange — input-size-independent, like the sketches. Top-k
+    via TakeOrderedAndProject with the pair text as tiebreak.
+
+    A full BPE trainer iterates merge->re-segment; that loop is driver-
+    orchestrated (like pagerank/k-means here) with this operator as the
+    per-iteration kernel.
+    """
+    words = df.select(
+        F.explode(F.split(_c(text_col), sep)).alias("_w")
+    ).filter(F.length("_w") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("_w") - 1),
+        lambda i: F.col("_w").substr(i, F.lit(2)),
+    )
+    return (
+        words.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(k)
+    )

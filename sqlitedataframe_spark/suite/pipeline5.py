@@ -274,3 +274,79 @@ def sample_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-noise screening: farthest-from-own-centroid embeddings per label.
+# ---------------------------------------------------------------------------
+@query(
+    "embed_label_outliers",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT label, pos, ROUND(AVG(x) + 1e-9, 6) AS c
+      FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+            FROM e)
+      GROUP BY label, pos),
+    carr AS (
+      SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND(list_dot_product(e.v, carr.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(carr.cv, carr.cv))),
+                   6) AS cos_to_centroid
+      FROM e JOIN carr USING (label)),
+    ranked AS (
+      SELECT label,
+             CAST(ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY cos_to_centroid, vec_id) AS BIGINT) AS rank_in_label,
+             vec_id, cos_to_centroid
+      FROM scored)
+    SELECT label, rank_in_label, vec_id, cos_to_centroid
+    FROM ranked WHERE rank_in_label <= 5
+    ORDER BY label, rank_in_label
+    """,
+)
+def embed_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5 vectors per label farthest (lowest cosine) from their own
+    label centroid — the cheap mislabel/outlier screen run over labeled
+    corpora before training.
+
+    operators.similarity.label_centroid_outliers: bounded centroid model
+    broadcast back; the embedding side never shuffles until the per-label
+    top-k window on the bounded label key.
+    """
+    from sqlitedataframe_spark.operators.similarity import label_centroid_outliers
+
+    return label_centroid_outliers(
+        T(spark, sf_dir, "embeddings"), per_label=5
+    ).orderBy("label", "rank_in_label")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-step kernel: corpus-wide adjacent char-pair counts.
+# ---------------------------------------------------------------------------
+@query(
+    "text_bpe_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    p AS (
+      SELECT substr(word, i, 2) AS pair
+      FROM w, UNNEST(generate_series(1, length(word) - 1)) AS r(i)
+      WHERE length(word) >= 2)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent character pairs within words — the counting kernel
+    of a BPE merge iteration (the argmax row is the next merge).
+
+    operators.text.bpe_pair_counts: map-side double explode; at most
+    |alphabet|^2 partially-combined rows per partition cross the exchange.
+    """
+    return X.bpe_pair_counts(T(spark, sf_dir, "documents"), k=50)

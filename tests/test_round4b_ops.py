@@ -205,3 +205,65 @@ def test_group_split_never_straddles(spark, sf_dir):
         .count()
     )
     assert straddlers == 0
+
+
+# ---------------------------------------------------------------------------
+# label_centroid_outliers
+# ---------------------------------------------------------------------------
+def test_label_outliers_flags_planted_flip(spark):
+    from sqlitedataframe_spark.operators.similarity import label_centroid_outliers
+
+    # label 0 clusters near +x, label 1 near +y; vec 99 is a label-0 row
+    # sitting in label-1 territory -> must rank as label 0's worst outlier
+    rows = (
+        [(i, 0, [1.0, 0.05 * i, 0.0]) for i in range(5)]
+        + [(10 + i, 1, [0.05 * i, 1.0, 0.0]) for i in range(5)]
+        + [(99, 0, [0.0, 1.0, 0.0])]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = label_centroid_outliers(df, per_label=1).collect()
+    worst = {r["label"]: r for r in out}
+    assert worst[0]["vec_id"] == 99
+    # the planted flip is far from its centroid; genuine members are close
+    assert worst[0]["cos_to_centroid"] < 0.7
+    assert worst[1]["cos_to_centroid"] > 0.7
+
+
+def test_label_outliers_rank_is_dense_and_bounded(spark):
+    from sqlitedataframe_spark.operators.similarity import label_centroid_outliers
+
+    rows = [(i, i % 3, [float(i % 7), 1.0, float(i % 5)]) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = label_centroid_outliers(df, per_label=4).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r["rank_in_label"])
+    for label, ranks in by_label.items():
+        assert sorted(ranks) == list(range(1, 5)), (label, ranks)
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_counts
+# ---------------------------------------------------------------------------
+def test_bpe_pairs_counts_within_words_only(spark):
+    from sqlitedataframe_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "xy")], "doc_id long, text string"
+    )
+    out = {r["pair"]: r["n"] for r in bpe_pair_counts(docs, k=10).collect()}
+    # "ab" appears in all three words of doc1 -> 3; "bc" once; "xy" once
+    assert out == {"ab": 3, "bc": 1, "xy": 1}
+    # no pair spans the space ("b a" must not exist)
+    assert "b a" not in out
+
+
+def test_bpe_pairs_single_char_words_contribute_nothing(spark):
+    from sqlitedataframe_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert bpe_pair_counts(docs, k=10).count() == 0

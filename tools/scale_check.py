@@ -77,6 +77,13 @@ QUERIES = [
     "dedup_bloom_decontaminate",
     "sample_temperature_mix",
     "stream_hll_rollup",
+    "dedup_substring_spans",
+    "dedup_span_coverage",
+    "text_ngram_topk",
+    "text_bpe_pairs",
+    "scd2_order_history",
+    "events_anomaly_mad",
+    "embed_label_outliers",
 ]
 
 #: per-copy letter permutations: rewrite document text so copies are not
