@@ -177,11 +177,21 @@ def knn_join_lsh(
     vec_col: str = "embedding",
     seed: int = 42,
     max_bucket: int | None = 10_000,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Approximate kNN SELF-join: for EVERY vector, its top-k nearest
     neighbors among sign-LSH bucket mates, exact-cosine re-ranked —
     the all-pairs neighbor primitive behind SemDeDup-style analyses and
     duplicate-graph construction (lsh_topk's query-vs-corpus sibling).
+
+    With ``label_col`` set, neighbors are restricted to a DIFFERENT label
+    than the query vector — hard-negative mining for contrastive
+    training: the nearest cross-label neighbor is exactly the
+    most-confusable negative a triplet/contrastive objective wants, and
+    the LSH bucketing finds it without the O(n^2) cross join a naive
+    miner runs. Null-labeled rows mine no negatives (strict inequality
+    is null-falsy — deliberately conservative). Output then gains
+    ``label`` and ``nn_label`` columns.
 
     Scale shape: candidates come from band-bucket equality on slim
     (id, band, bucket) rows — the self-join never sees vectors; pair
@@ -221,7 +231,8 @@ def knn_join_lsh(
             1,
         )
 
-    base = _spread(df.select(id_col, vec_col), id_col)
+    keep = [id_col, vec_col] + ([label_col] if label_col else [])
+    base = _spread(df.select(*keep), id_col)
     banded = base.select(
         F.col(id_col).alias("_id"),
         F.posexplode(banded_sig(F.col(vec_col))).alias("band", "bucket"),
@@ -238,22 +249,46 @@ def knn_join_lsh(
         .select(F.col("a._id").alias("_qid"), F.col("b._id").alias("_nid"))
         .dropDuplicates(["_qid", "_nid"])
     )
-    va = base.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_va"))
-    vb = base.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_vb"))
+    va = base.select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).alias("_va"),
+        *([F.col(label_col).alias("_la")] if label_col else []),
+    )
+    vb = base.select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).alias("_vb"),
+        *([F.col(label_col).alias("_lb")] if label_col else []),
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("_qid").orderBy(F.desc("cos_sim"), F.col("_nid"))
+    scored = cand.join(va, "_qid").join(vb, "_nid")
+    if label_col:
+        # strict != is null-falsy: null-labeled rows mine no negatives
+        scored = scored.filter(F.col("_la") != F.col("_lb"))
     topk = (
-        cand.join(va, "_qid")
-        .join(vb, "_nid")
-        .select(
+        scored.select(
             "_qid",
             "_nid",
+            *([F.col("_lb")] if label_col else []),
             F.round(cosine(as_double("_va"), as_double("_vb")), 6).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+    if label_col:
+        return (
+            df.select(F.col(id_col), F.col(label_col).alias("label"))
+            .join(topk, F.col(id_col) == F.col("_qid"), "left")
+            .select(
+                id_col,
+                "label",
+                F.col("_nid").alias("nn_id"),
+                F.col("_lb").alias("nn_label"),
+                "cos_sim",
+                "rank",
+            )
+        )
     return (
         df.select(F.col(id_col))
         .join(topk, F.col(id_col) == F.col("_qid"), "left")

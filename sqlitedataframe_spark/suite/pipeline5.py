@@ -350,3 +350,72 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |alphabet|^2 partially-combined rows per partition cross the exchange.
     """
     return X.bpe_pair_counts(T(spark, sf_dir, "documents"), k=50)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: nearest CROSS-label neighbor per vector.
+# ---------------------------------------------------------------------------
+def _knn_plane_values() -> str:
+    from sqlitedataframe_spark.operators.similarity import random_hyperplanes
+
+    return ",\n      ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in p))
+        for i, p in enumerate(random_hyperplanes(64, 32, seed=42))
+    )
+
+
+@query(
+    "embed_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(pid, p) AS (VALUES
+      {{planes}}),
+    sb AS (
+      SELECT e.vec_id, pl.pid // 8 AS band,
+             string_agg(CASE WHEN list_dot_product(e.v, pl.p) >= 0
+                             THEN '1' ELSE '0' END, '' ORDER BY pl.pid) AS bucket
+      FROM e CROSS JOIN planes pl
+      GROUP BY e.vec_id, pl.pid // 8),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+      FROM sb a JOIN sb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    scored AS (
+      SELECT c.qid, c.nid, eb.label AS nn_label,
+             ROUND(list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v))
+                      * sqrt(list_dot_product(eb.v, eb.v))),
+                   6) AS cos_sim
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.qid
+      JOIN e eb ON eb.vec_id = c.nid
+      WHERE ea.label <> eb.label),
+    top1 AS (
+      SELECT qid, nid, nn_label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid)
+               AS rank
+      FROM scored
+      QUALIFY rank <= 1)
+    SELECT e.vec_id, e.label, t.nid AS nn_id, t.nn_label, t.cos_sim,
+           CAST(t.rank AS INT) AS rank
+    FROM e LEFT JOIN top1 t ON t.qid = e.vec_id
+    ORDER BY e.vec_id
+    """.replace("{planes}", _knn_plane_values()),
+)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: every vector's
+    single most-similar neighbor with a DIFFERENT label, found through
+    sign-LSH buckets + exact re-rank instead of an O(n^2) cross join.
+    Vectors with no cross-label bucket mate keep a null row (coverage is
+    visible, not silently overstated).
+
+    operators.similarity.knn_join_lsh(label_col=...): same slim
+    (id, band, bucket) candidate machinery as sim_knn_join; the label
+    inequality filters candidates before the top-k window.
+    """
+    from sqlitedataframe_spark.operators.similarity import knn_join_lsh
+
+    e = T(spark, sf_dir, "embeddings")
+    return knn_join_lsh(
+        e, dim=64, k=1, n_planes=32, bands=4, label_col="label"
+    ).orderBy("vec_id")

@@ -267,3 +267,42 @@ def test_bpe_pairs_single_char_words_contribute_nothing(spark):
 
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     assert bpe_pair_counts(docs, k=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# knn_join_lsh(label_col=...): hard-negative mining
+# ---------------------------------------------------------------------------
+def test_hard_negatives_are_cross_label_only(spark):
+    from sqlitedataframe_spark.operators.similarity import knn_join_lsh
+
+    # two tight clusters; labels split WITHIN each cluster so every vector
+    # has a same-bucket cross-label neighbor
+    rows = []
+    for i in range(8):
+        rows.append((i, i % 2, [1.0 + 0.01 * i, 0.0, 0.0, 0.0]))
+    for i in range(8, 16):
+        rows.append((i, i % 2, [0.0, 1.0 + 0.01 * i, 0.0, 0.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = knn_join_lsh(
+        df, dim=4, k=1, n_planes=8, bands=4, label_col="label"
+    ).collect()
+    assert len(out) == 16  # every vector reports (null row if no candidate)
+    for r in out:
+        if r["nn_id"] is not None:
+            assert r["nn_label"] != r["label"], r
+            # nearest cross-label neighbor lives in the SAME cluster
+            same_cluster = (r["vec_id"] < 8) == (r["nn_id"] < 8)
+            assert same_cluster, r
+
+
+def test_knn_join_default_schema_unchanged(spark):
+    from sqlitedataframe_spark.operators.similarity import knn_join_lsh
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    out = knn_join_lsh(df, dim=4, k=1, n_planes=8, bands=4)
+    assert out.columns == ["vec_id", "nn_id", "cos_sim", "rank"]
