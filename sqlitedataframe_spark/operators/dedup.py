@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from sqlitedataframe_spark.operators.text import tokens
+from sqlitedataframe_spark.operators.text import ngram_set, tokens
 from sqlitedataframe_spark.operators.util import spread as _spread
 
 
@@ -808,4 +808,72 @@ def duplicate_span_coverage(
         F.round(F.col("n_dup_chars") / F.col("_len") + 1e-9, round_dp).alias(
             "dup_ratio"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment (excerpt / quote / subset detection)
+# --------------------------------------------------------------------------
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    max_df: int = 20,
+    min_containment: float = 0.2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Directional containment pairs: C(A in B) = |grams(A) & grams(B)| /
+    |grams(A)| over distinct word ``n``-grams. The ASYMMETRIC counterpart
+    of Jaccard resemblance (Broder's original containment measure):
+    an excerpt, quote, or syndicated fragment inside a larger document
+    scores near 1.0 on containment while its Jaccard stays low — exactly
+    the duplicates resemblance-based dedup misses.
+
+    Scale shape: grams expand map-side (``ngram_set`` dedups per doc in
+    the scan stage), and candidates come from a gram-equality self-join
+    with a DOC-FREQUENCY CAP: grams present in more than ``max_df``
+    documents are dropped before pairing (the blocking analogue of the
+    LSH hot-bucket guard), which bounds candidate volume at
+    ``max_df`` per gram occurrence instead of quadratic in corpus size.
+    Shuffles carry (id, gram) and (id_a, id_b) rows only — never text.
+    Recall is traded exactly where it is safe: a gram shared by the whole
+    corpus identifies nothing.
+
+    Returns (id_a, id_b, containment): A's grams covered by B, both
+    directions reported independently.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"), F.explode(ngram_set(text_col, n)).alias("gram")
+    )
+    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .filter(F.col("_d") <= max_df)
+        .select("gram")
+    )
+    kept = grams.join(rare, "gram")
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("_id", "id_a"), "id_a")
+        .filter(F.col("_c") / F.col("_n") >= min_containment)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_c") / F.col("_n") + 1e-9, round_dp).alias(
+                "containment"
+            ),
+        )
     )

@@ -419,3 +419,45 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_lsh(
         e, dim=64, k=1, n_planes=32, bands=4, label_col="label"
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment: excerpt/subset detection resemblance misses.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS r(i)),
+    dfreq AS (SELECT gram, COUNT(*) AS d FROM grams GROUP BY gram),
+    kept AS (
+      SELECT g.doc_id, g.gram FROM grams g JOIN dfreq USING (gram)
+      WHERE dfreq.d <= 20),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM kept a JOIN kept b USING (gram)
+      WHERE a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT s.id_a, s.id_b,
+           ROUND(s.c * 1.0 / za.n + 1e-9, 6) AS containment
+    FROM shared s JOIN sizes za ON za.doc_id = s.id_a
+    WHERE s.c * 1.0 / za.n >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment pairs (Broder's containment, the
+    asymmetric sibling of Jaccard): excerpts/quotes/subsets score near 1.0
+    here while their resemblance stays low. Candidates blocked on word
+    4-grams with a doc-frequency cap (<= 20 docs) — the blocking analogue
+    of the LSH hot-bucket guard.
+
+    operators.dedup.containment_pairs.
+    """
+    return D.containment_pairs(
+        T(spark, sf_dir, "documents"), n=4, max_df=20, min_containment=0.2
+    ).orderBy("id_a", "id_b")

@@ -306,3 +306,40 @@ def test_knn_join_default_schema_unchanged(spark):
     )
     out = knn_join_lsh(df, dim=4, k=1, n_planes=8, bands=4)
     assert out.columns == ["vec_id", "nn_id", "cos_sim", "rank"]
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+def test_containment_detects_excerpt_asymmetrically(spark):
+    from sqlitedataframe_spark.operators.dedup import containment_pairs
+
+    big = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(10, 20))  # 10 of big's words
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, big), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            docs, n=4, max_df=10, min_containment=0.1
+        ).collect()
+    }
+    # excerpt-in-big: all 7 of the excerpt's 4-grams appear in big -> 1.0
+    assert out[(2, 1)] == 1.0
+    # big-in-excerpt: only 7 of big's 37 4-grams are covered -> low
+    assert out[(1, 2)] < 0.25
+    # unrelated doc pairs with nothing shared never appear
+    assert (3, 1) not in out and (1, 3) not in out
+
+
+def test_containment_df_cap_suppresses_universal_grams(spark):
+    from sqlitedataframe_spark.operators.dedup import containment_pairs
+
+    # the same gram in every doc: with max_df=2 it can't block any pair
+    docs = spark.createDataFrame(
+        [(i, "common gram shared everywhere") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    assert containment_pairs(docs, n=4, max_df=2, min_containment=0.1).count() == 0
