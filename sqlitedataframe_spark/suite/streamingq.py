@@ -297,3 +297,58 @@ def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(merged, ["event_type"], p=8, out="approx_users").orderBy(
         "event_type"
     )
+
+
+@query(
+    "stream_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS m FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, median(abs(e.value - med.m)) AS mad
+      FROM events e JOIN med USING (event_type) GROUP BY e.event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_anomalies,
+           ROUND(MAX(abs(e.value - med.m) / NULLIF(mad.mad, 0)), 4)
+             AS max_score
+    FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+    WHERE abs(e.value - med.m) > 5 * mad.mad
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def stream_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly screen: the per-type median/MAD model is computed
+    OFFLINE from the historical batch table, broadcast onto the live
+    event stream, and each micro-batch flags its outliers at the edge —
+    the standard deploy shape for the robust screen (model refreshes on a
+    schedule; the stream itself never shuffles, the threshold join is a
+    map-side broadcast).
+
+    The oracle is the batch twin over the same files — the defining
+    incremental-equals-batch property, as with every streaming query here.
+    """
+    from sqlitedataframe_spark.io import load_table
+    from sqlitedataframe_spark.streaming.core import read_events_stream
+
+    hist = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    med = hist.groupBy("event_type").agg(F.median(v).alias("_med"))
+    dev_hist = F.abs(v - F.col("_med"))
+    mad = (
+        hist.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(dev_hist).alias("_mad"))
+    )
+    thr = med.join(mad, "event_type")
+
+    s = read_events_stream(spark, sf_dir).join(F.broadcast(thr), "event_type")
+    dev = F.abs(F.col("value") - F.col("_med"))
+    flagged = s.filter(dev > F.lit(5.0) * F.col("_mad"))
+    agg = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_anomalies"),
+        F.round(
+            F.max(dev / F.nullif(F.col("_mad"), F.lit(0.0))), 4
+        ).alias("max_score"),
+    )
+    return run_available_now(agg, output_mode="complete").orderBy("event_type")

@@ -277,3 +277,39 @@ def test_hll_register_log_across_batches(spark, sf_dir, split_events_dir):
     }
     for g, e in exact.items():
         assert abs(est[g] - e) / e < 0.25, (g, est[g], e)
+
+
+def test_stream_anomaly_matches_batch(spark, sf_dir):
+    """Incremental-equals-batch for the streaming MAD screen: the stream
+    result over AvailableNow micro-batches must equal the one-shot batch
+    computation over the same files."""
+    from pyspark.sql import functions as F
+
+    from sqlitedataframe_spark.io import load_table
+    from sqlitedataframe_spark.suite import load_all
+
+    got = {
+        r["event_type"]: (r["n_anomalies"], r["max_score"])
+        for r in load_all()["stream_anomaly_mad"].spark_fn(spark, sf_dir).collect()
+    }
+
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    med = e.groupBy("event_type").agg(F.median(v).alias("_med"))
+    j = e.join(med, "event_type")
+    dev = F.abs(v - F.col("_med"))
+    mad = j.groupBy("event_type").agg(F.median(dev).alias("_mad"))
+    batch = {
+        r["event_type"]: (r["n"], r["mx"])
+        for r in (
+            j.join(mad, "event_type")
+            .filter(dev > 5.0 * F.col("_mad"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(F.max(dev / F.nullif(F.col("_mad"), F.lit(0.0))), 4).alias("mx"),
+            )
+            .collect()
+        )
+    }
+    assert got == batch
