@@ -175,6 +175,9 @@ HEADLINE = [
     "sample_split_by_group",
     "embed_label_outliers",
     "text_bpe_pairs",
+    "embed_hard_negatives",
+    "dedup_containment",
+    "stream_anomaly_mad",
 ]
 
 
