@@ -461,3 +461,67 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         T(spark, sf_dir, "documents"), n=4, max_df=20, min_containment=0.2
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Drift monitoring: PSI between two time slices of the event stream.
+# ---------------------------------------------------------------------------
+@query(
+    "events_drift_psi",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                  THEN 'ref' ELSE 'cur' END AS period
+      FROM events),
+    binned AS (
+      SELECT event_type, period,
+             LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS INT), 0), 19) AS bin
+      FROM base),
+    grid AS (
+      SELECT g.event_type, s.bin
+      FROM (SELECT DISTINCT event_type FROM binned) g,
+           (SELECT UNNEST(generate_series(0, 19)) AS bin) s),
+    cnt AS (
+      SELECT event_type, period, bin, COUNT(*) AS c
+      FROM binned GROUP BY 1, 2, 3),
+    dense AS (
+      SELECT grid.event_type, grid.bin,
+             COALESCE(r.c, 0) + 0.5 AS c_ref,
+             COALESCE(u.c, 0) + 0.5 AS c_cur
+      FROM grid
+      LEFT JOIN (SELECT * FROM cnt WHERE period = 'ref') r
+        USING (event_type, bin)
+      LEFT JOIN (SELECT * FROM cnt WHERE period = 'cur') u
+        USING (event_type, bin)),
+    tot AS (
+      SELECT event_type, SUM(c_ref) AS tr, SUM(c_cur) AS tc
+      FROM dense GROUP BY event_type)
+    SELECT d.event_type,
+           ROUND(SUM((d.c_cur / t.tc - d.c_ref / t.tr)
+                     * ln((d.c_cur / t.tc) / (d.c_ref / t.tr))) + 1e-9, 6)
+             AS psi
+    FROM dense d JOIN tot t USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event value distribution per
+    type, first half of January (reference) vs the rest (current) — the
+    standard train-vs-serve drift monitor.
+
+    operators.profiling.psi_drift: each snapshot collapses to a
+    |types| x 20 count grid map-side (input-size-independent exchange);
+    the PSI arithmetic runs on the tiny dense grid.
+    """
+    e = T(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return P.psi_drift(
+        e.filter(F.col("ts") < cut),
+        e.filter(F.col("ts") >= cut),
+        group_col="event_type",
+        value_col="value",
+        bin_width=25.0,
+        n_bins=20,
+    ).orderBy("event_type")

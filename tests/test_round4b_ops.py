@@ -343,3 +343,38 @@ def test_containment_df_cap_suppresses_universal_grams(spark):
         "doc_id long, text string",
     )
     assert containment_pairs(docs, n=4, max_df=2, min_containment=0.1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+def test_psi_near_zero_for_identical_distributions(spark):
+    from sqlitedataframe_spark.operators.profiling import psi_drift
+
+    rows = [("g", float(v % 50)) for v in range(200)]
+    ref = spark.createDataFrame(rows, "grp string, v double")
+    out = psi_drift(ref, ref, "grp", "v", bin_width=5.0, n_bins=10).collect()
+    assert len(out) == 1 and abs(out[0]["psi"]) < 1e-6
+
+
+def test_psi_large_for_shifted_distribution(spark):
+    from sqlitedataframe_spark.operators.profiling import psi_drift
+
+    ref = spark.createDataFrame(
+        [("g", float(v % 20)) for v in range(200)], "grp string, v double"
+    )
+    cur = spark.createDataFrame(
+        [("g", 30.0 + float(v % 20)) for v in range(200)], "grp string, v double"
+    )
+    out = psi_drift(ref, cur, "grp", "v", bin_width=5.0, n_bins=10).collect()
+    assert out[0]["psi"] > 0.25  # "act" territory for a full shift
+
+
+def test_psi_one_sided_group_still_reports(spark):
+    from sqlitedataframe_spark.operators.profiling import psi_drift
+
+    ref = spark.createDataFrame([("a", 1.0), ("b", 1.0)], "grp string, v double")
+    cur = spark.createDataFrame([("a", 1.0)], "grp string, v double")
+    got = {r["grp"]: r["psi"] for r in psi_drift(ref, cur, "grp", "v", 1.0, 5).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["b"] > 0  # vanished group drifts by definition
