@@ -384,3 +384,41 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink parity (built into Spark 4): the interchange format
+    enterprise feeds still arrive in. Documents round-trip through
+    row-tagged XML with an EXPLICIT read schema — schema inference over
+    XML costs a second full scan and guesses types, the same reason the
+    CSV query pins its schema — and must aggregate to the parquet
+    original's values. Text content survives entity-escaping byte-exactly
+    (the aggregate covers n_chars for every row).
+    """
+    out = os.path.join(tempfile.gettempdir(), "sdfspark_docs_xml")
+    d = T(spark, sf_dir, "documents")
+    d.write.mode("overwrite").format("xml").option("rowTag", "doc").save(out)
+    back = (
+        spark.read.schema(d.schema)
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(out)
+    )
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang", "source")
+    )
