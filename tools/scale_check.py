@@ -84,6 +84,11 @@ QUERIES = [
     "scd2_order_history",
     "events_anomaly_mad",
     "embed_label_outliers",
+    "embed_hard_negatives",
+    "dedup_containment",
+    "stream_anomaly_mad",
+    "events_drift_psi",
+    "source_xml_roundtrip",
 ]
 
 #: per-copy letter permutations: rewrite document text so copies are not
