@@ -1,0 +1,103 @@
+"""Sequential-pattern and co-occurrence mining: frequent event paths
+within sessions, market-basket item pairs.
+
+The reference (jackpal/SQLiteDataFrame) has no mining surface; these are
+Tier-D training/analytics extensions in the same scale discipline as the
+dedup family: per-group work bounded by group size, hot-group guards, and
+shuffles that carry slim key rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.operators.relational import sessionize
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    n: int = 3,
+    k: int = 20,
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Most frequent ``n``-step event-type paths within user sessions —
+    the sequential-pattern view of a clickstream (what do users actually
+    DO, in order), the input to funnel design and next-action models.
+
+    Scale shape: sessionize shuffles once on the user key; the path
+    window partitions by (user, session) — a superset of that
+    partitioning, so no second exchange — and emits one path string per
+    event with ``n-1`` LEADs (paths never span sessions; rows whose
+    lookahead runs off the session end are filtered by the LAST lead's
+    null, which implies all shorter leads exist). Path counting is a
+    partially-combined aggregate on the path string; top-k compiles to
+    TakeOrderedAndProject with the path text as tiebreak.
+    """
+    s = sessionize(df, user_col, ts_col, gap_seconds)
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(user_col, "session_id").orderBy(
+        *[F.col(c).asc() for c in order]
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    return (
+        s.select(
+            F.concat_ws(">", *steps).alias("path"),
+            F.lead(type_col, n - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(k)
+    )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 20,
+    max_basket: int | None = 10_000,
+) -> DataFrame:
+    """Market-basket 2-itemset support: the ``k`` item pairs most often
+    present together in the same basket/group — the co-occurrence kernel
+    behind "frequently bought together", co-citation, and tag-affinity
+    analyses.
+
+    Scale shape: baskets dedup to distinct (group, item) rows first
+    (support counts a pair once per basket), ONE exchange on the group
+    key that the self-join then reuses on both sides (same frame, same
+    partitioning — ReuseExchange). Pair volume is sum-of-basket-sizes
+    squared, so ``max_basket`` drops degenerate mega-baskets before the
+    join (the basket analogue of the LSH hot-bucket guard — a basket
+    containing half the catalog identifies nothing). ``item < item``
+    keeps each unordered pair once; the support aggregate partially
+    combines map-side and top-k compiles to TakeOrderedAndProject.
+    """
+    slim = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    if max_basket is not None:
+        wb = Window.partitionBy("_g")
+        slim = (
+            slim.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bn") <= max_basket)
+            .drop("_bn")
+        )
+    a = slim.select(F.col("_g"), F.col("_i").alias("item_a"))
+    b = slim.select(F.col("_g"), F.col("_i").alias("item_b"))
+    return (
+        a.join(b, on="_g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("item_a"), F.col("item_b"))
+        .limit(k)
+    )

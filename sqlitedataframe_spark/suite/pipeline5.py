@@ -525,3 +525,78 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width=25.0,
         n_bins=20,
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Sequential-pattern mining: frequent in-session event paths.
+# ---------------------------------------------------------------------------
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o),
+    tr AS (
+      SELECT event_type || '>' || LEAD(event_type, 1) OVER w2
+               || '>' || LEAD(event_type, 2) OVER w2 AS path,
+             LEAD(event_type, 2) OVER w2 AS last_step
+      FROM s WINDOW w2 AS (PARTITION BY user_id, sess ORDER BY ts, event_id))
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tr WHERE last_step IS NOT NULL
+    GROUP BY path ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step event-type paths within 30-minute user sessions
+    — the sequential-pattern view of the clickstream.
+
+    operators.mining.top_paths: sessionize shuffles once on user_id; the
+    path window reuses that partitioning ((user, session) is a superset);
+    counting is a partially-combined aggregate on the path string with
+    TakeOrderedAndProject top-k.
+    """
+    from sqlitedataframe_spark.operators.mining import top_paths
+
+    e = T(spark, sf_dir, "events")
+    return top_paths(
+        e, "user_id", "ts", "event_type", n=3, k=20, tiebreak_col="event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket mining: part pairs most often co-ordered.
+# ---------------------------------------------------------------------------
+@query(
+    "basket_part_pairs",
+    oracle="""
+    WITH slim AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM slim a JOIN slim b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n DESC, item_a, item_b
+    LIMIT 20
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs co-occurring in the same order — the
+    "frequently bought together" 2-itemset support kernel.
+
+    operators.mining.cooccurrence_pairs: one exchange on the basket key
+    reused by both self-join sides; pairs bounded by basket size with a
+    mega-basket guard; support partially combines map-side.
+    """
+    from sqlitedataframe_spark.operators.mining import cooccurrence_pairs
+
+    li = T(spark, sf_dir, "lineitem")
+    return cooccurrence_pairs(li, "l_orderkey", "l_partkey", k=20)

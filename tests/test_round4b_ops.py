@@ -378,3 +378,53 @@ def test_psi_one_sided_group_still_reports(spark):
     got = {r["grp"]: r["psi"] for r in psi_drift(ref, cur, "grp", "v", 1.0, 5).collect()}
     assert set(got) == {"a", "b"}
     assert got["b"] > 0  # vanished group drifts by definition
+
+
+# ---------------------------------------------------------------------------
+# mining: top_paths / cooccurrence_pairs
+# ---------------------------------------------------------------------------
+def test_top_paths_respects_session_boundaries(spark):
+    import datetime as dt
+
+    from sqlitedataframe_spark.operators.mining import top_paths
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1, session 1: A B C  (one A>B>C path)
+        (1, t0, 1, "A"), (1, t0 + m, 2, "B"), (1, t0 + 2 * m, 3, "C"),
+        # user 1, session 2 (2h later): A B C again
+        (1, t0 + dt.timedelta(hours=2), 4, "A"),
+        (1, t0 + dt.timedelta(hours=2) + m, 5, "B"),
+        (1, t0 + dt.timedelta(hours=2) + 2 * m, 6, "C"),
+        # user 2: only 2 events -> no 3-path; must NOT bridge into user 1
+        (2, t0, 7, "B"), (2, t0 + m, 8, "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r["path"]: r["n"] for r in top_paths(df, "user_id", "ts", "event_type", n=3, k=10, tiebreak_col="event_id").collect()}
+    assert out == {"A>B>C": 2}
+
+
+def test_cooccurrence_counts_once_per_basket(spark):
+    from sqlitedataframe_spark.operators.mining import cooccurrence_pairs
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "y"),  # duplicate item in basket counts once
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r["item_a"], r["item_b"]): r["n"] for r in cooccurrence_pairs(df, "basket", "item", k=10).collect()}
+    assert out == {("x", "y"): 2, ("x", "z"): 1}
+
+
+def test_cooccurrence_mega_basket_guard(spark):
+    from sqlitedataframe_spark.operators.mining import cooccurrence_pairs
+
+    rows = [(1, f"i{j}") for j in range(50)] + [(2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = cooccurrence_pairs(df, "basket", "item", k=100, max_basket=10).collect()
+    # the 50-item basket is suppressed; only the small basket's pair remains
+    assert [(r["item_a"], r["item_b"]) for r in out] == [("a", "b")]
