@@ -178,6 +178,10 @@ HEADLINE = [
     "embed_hard_negatives",
     "dedup_containment",
     "stream_anomaly_mad",
+    "events_drift_psi",
+    "source_xml_roundtrip",
+    "events_top_paths",
+    "basket_part_pairs",
 ]
 
 
