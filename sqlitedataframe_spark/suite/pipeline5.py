@@ -600,3 +600,62 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = T(spark, sf_dir, "lineitem")
     return cooccurrence_pairs(li, "l_orderkey", "l_partkey", k=20)
+
+
+# ---------------------------------------------------------------------------
+# Media near-dup: perceptual-hash banded candidate pairs.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_phash_pairs",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text, length(text) AS n
+      FROM documents WHERE length(text) >= 2),
+    arr AS (
+      SELECT media_id,
+             [ord(substr(text, 1 + CAST((i * (n - 1)) // 64 AS INT), 1))
+              FOR i IN generate_series(0, 64)] AS s
+      FROM m),
+    bits AS (
+      SELECT media_id, r.b,
+             CASE WHEN s[r.b + 1] < s[r.b + 2] THEN 1 ELSE 0 END AS bit
+      FROM arr, UNNEST(generate_series(0, 63)) AS r(b)),
+    bands AS (
+      SELECT media_id, b // 16 AS band,
+             CAST(SUM(bit * (1 << (b % 16))) AS BIGINT) AS bucket
+      FROM bits GROUP BY media_id, b // 16),
+    live AS (
+      SELECT * FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 10000),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM live a JOIN live b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.media_id < b.media_id),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INT)
+               AS hamming
+      FROM cand c
+      JOIN bits ba ON ba.media_id = c.id_a
+      JOIN bits bb ON bb.media_id = c.id_b AND bb.b = ba.b
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, hamming FROM ham ORDER BY id_a, id_b
+    """,
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup candidates: banded LSH over a 64-bit dHash-shaped
+    perceptual hash of each payload (the fake decode's fixed-grid byte
+    sample stands in for the downsampled grayscale row), every candidate
+    scored with its full Hamming distance — the image-pipeline twin of
+    text SimHash dedup.
+
+    operators.multimodal.phash_pairs: hashes compute scan-side, payloads
+    never shuffle; banding/hot-bucket/pair machinery shared in shape with
+    the text path and exactly re-derived by the oracle at bit level.
+    """
+    from sqlitedataframe_spark.operators.multimodal import attach_media, phash_pairs
+
+    d = T(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    media = attach_media(d, "doc_id", "text")
+    return phash_pairs(media).orderBy("id_a", "id_b")

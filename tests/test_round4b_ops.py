@@ -428,3 +428,33 @@ def test_cooccurrence_mega_basket_guard(spark):
     out = cooccurrence_pairs(df, "basket", "item", k=100, max_basket=10).collect()
     # the 50-item basket is suppressed; only the small basket's pair remains
     assert [(r["item_a"], r["item_b"]) for r in out] == [("a", "b")]
+
+
+# ---------------------------------------------------------------------------
+# phash_bits / phash_pairs
+# ---------------------------------------------------------------------------
+def test_phash_identical_payloads_distance_zero(spark):
+    from sqlitedataframe_spark.operators.multimodal import attach_media, phash_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "exactly the same media payload bytes here"),
+         (2, "exactly the same media payload bytes here"),
+         (3, "completely different content with other letters")],
+        "doc_id long, text string",
+    )
+    media = attach_media(docs, "doc_id", "text")
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in phash_pairs(media).collect()}
+    assert out[(1, 2)] == 0  # identical bytes -> identical hash, all bands collide
+
+
+def test_phash_bits_shape_and_determinism(spark):
+    from pyspark.sql import functions as F2
+
+    from sqlitedataframe_spark.operators.multimodal import phash_bits
+
+    df = spark.createDataFrame([("some payload text",)], "t string").select(
+        F2.encode("t", "UTF-8").alias("p")
+    )
+    a = df.select(phash_bits(F2.col("p")).alias("b")).collect()[0]["b"]
+    b = df.select(phash_bits(F2.col("p")).alias("b")).collect()[0]["b"]
+    assert len(a) == 64 and set(a) <= {0, 1} and a == b
