@@ -659,3 +659,67 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").filter(F.length("text") >= 2)
     media = attach_media(d, "doc_id", "text")
     return phash_pairs(media).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap: exact Jaccard between event-type user sets.
+# ---------------------------------------------------------------------------
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, COUNT(*) AS n FROM s GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS i
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT inter.type_a, inter.type_b,
+           CAST(inter.i AS BIGINT) AS n_shared,
+           ROUND(inter.i * 1.0 / (za.n + zb.n - inter.i) + 1e-9, 6) AS jaccard
+    FROM inter
+    JOIN sz za ON za.event_type = inter.type_a
+    JOIN sz zb ON zb.event_type = inter.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how many
+    users both audiences share and their exact Jaccard — the
+    segment-overlap analysis behind campaign planning and the exact twin
+    of what theta/HLL sketches estimate at planetary scale.
+
+    Plan shape: ONE distinct over slim (type, user) rows, then a
+    self-join on user_id — both sides the same frame and partitioning
+    (ReuseExchange) — aggregated to at most |types|^2 rows with map-side
+    combine; set sizes broadcast back onto the tiny pair matrix.
+    """
+    e = T(spark, sf_dir, "events")
+    s = e.select("event_type", "user_id").distinct()
+    sz = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    a = s.select(F.col("event_type").alias("type_a"), "user_id")
+    b = s.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    za = F.broadcast(sz.select(F.col("event_type").alias("type_a"), F.col("_n").alias("_na")))
+    zb = F.broadcast(sz.select(F.col("event_type").alias("type_b"), F.col("_n").alias("_nb")))
+    return (
+        inter.join(za, "type_a")
+        .join(zb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared"))
+                + 1e-9,
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
