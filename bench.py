@@ -182,6 +182,8 @@ HEADLINE = [
     "source_xml_roundtrip",
     "events_top_paths",
     "basket_part_pairs",
+    "multimodal_phash_pairs",
+    "events_audience_overlap",
 ]
 
 

@@ -1,5 +1,7 @@
-"""Round-4 additions: substring-span dedup, corpus n-gram top-k, SCD2
-dimension history, MAD-based robust anomaly detection.
+"""Round-4 additions: substring-span dedup and span coverage, corpus
+n-gram/BPE counting, SCD2 history, MAD anomaly screens, leakage-safe
+splits, hard-negative mining, containment pairs, PSI drift, media
+perceptual-hash near-dup, and audience overlap.
 
 Like every suite module, each query pairs an idiomatic-Spark plan with a
 DuckDB oracle the driver hash-compares at sf0.01.
