@@ -89,6 +89,10 @@ QUERIES = [
     "stream_anomaly_mad",
     "events_drift_psi",
     "source_xml_roundtrip",
+    "events_top_paths",
+    "basket_part_pairs",
+    "multimodal_phash_pairs",
+    "events_audience_overlap",
 ]
 
 #: per-copy letter permutations: rewrite document text so copies are not
