@@ -89,3 +89,77 @@ def test_through_real_sqlite(i, s, f):
     assert decode_cell(row[1], SQLiteType.TEXT) == s
     assert decode_cell(row[2], SQLiteType.FLOAT) == f
     conn.close()
+
+
+# ---------------------------------------------------------------------------
+# Round-4b operator invariants
+# ---------------------------------------------------------------------------
+def test_psi_is_symmetric(spark):
+    """(p-q)ln(p/q) == (q-p)ln(q/p): swapping ref and cur must not change
+    the statistic."""
+    from pyspark.sql import functions as F
+
+    from sqlitedataframe_spark.operators.profiling import psi_drift
+
+    ref = spark.createDataFrame(
+        [("g", float(v % 17)) for v in range(120)], "grp string, v double"
+    )
+    cur = spark.createDataFrame(
+        [("g", float((v * 3) % 23)) for v in range(90)], "grp string, v double"
+    )
+    a = psi_drift(ref, cur, "grp", "v", 2.0, 12).collect()[0]["psi"]
+    b = psi_drift(cur, ref, "grp", "v", 2.0, 12).collect()[0]["psi"]
+    assert abs(a - b) < 1e-9
+    assert a >= 0  # PSI is a sum of (p-q)ln(p/q) terms, each non-negative
+
+
+def test_containment_bounded_and_directional(spark):
+    from sqlitedataframe_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 25}" for j in range(30))) for i in range(12)],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, n=3, max_df=12, min_containment=0.0).collect()
+    assert rows, "rotating windows over a 25-word vocab must overlap"
+    for r in rows:
+        assert 0.0 <= r["containment"] <= 1.0 + 1e-9, r
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    import random
+
+    from sqlitedataframe_spark.operators.relational import scd2_history
+
+    rng = random.Random(11)
+    rows = []
+    for k in range(6):
+        for t in range(10):
+            rows.append((k, t, rng.choice(["A", "B", "C"])))
+    df = spark.createDataFrame(rows, "k long, t long, attr string")
+    out = scd2_history(df, ["k"], "t", ["attr"], tiebreak_col="t").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r["version"])
+        assert vs[0]["valid_from"] == 0  # first interval starts at min order
+        assert vs[-1]["valid_to"] is None and vs[-1]["is_current"]
+        for prev, nxt in zip(vs, vs[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]  # half-open chain
+            assert prev["attr"] != nxt["attr"]  # versions only on change
+
+
+def test_phash_hamming_symmetric_and_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from sqlitedataframe_spark.operators.multimodal import attach_media, phash_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"payload number {i} with shared prefix content") for i in range(8)],
+        "doc_id long, text string",
+    )
+    media = attach_media(docs, "doc_id", "text")
+    for r in phash_pairs(media, max_bucket=None).collect():
+        assert 0 <= r["hamming"] <= 64
+        assert r["id_a"] < r["id_b"]
