@@ -311,3 +311,55 @@ def scd2_history(
         .withColumn("valid_to", F.lead(order_col).over(w2))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def scd2_apply_changes(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Incremental SCD2 merge: apply a batch of change events to an
+    existing :func:`scd2_history` dimension. Touched keys are rebuilt
+    from their VERSION-START events plus the new changes; untouched keys
+    pass through — merge cost scales with the batch, not the dimension.
+
+    Correctness argument (the suite oracle checks it end-to-end): SCD2
+    collapse depends only on each key's ordered attribute sequence, and a
+    version-start list IS that sequence with consecutive duplicates
+    already removed — so rebuilding from (version starts ∪ new events)
+    equals rebuilding from all original events. A change carrying the
+    same attribute as the key's current version collapses away, exactly
+    as in the batch build. ``tiebreak_col`` must ride through both inputs
+    when order values can tie (scd2_history keeps it on the dim rows).
+
+    Plan shape: the touched-key set (bounded by the batch) drives a
+    semi/anti split of the dimension; the rebuild is scd2_history over
+    version-start + change rows only — per key that is one row per
+    historical CHANGE, not per source row.
+    """
+    sel = [*key_cols, order_col, *attr_cols] + (
+        [tiebreak_col] if tiebreak_col and tiebreak_col != order_col else []
+    )
+    touched = changes.select(*key_cols).distinct()
+    dim_events = (
+        dim.join(touched, key_cols, "left_semi")
+        .withColumn(order_col, F.col("valid_from"))
+        .select(*sel)
+    )
+    events = dim_events.unionByName(changes.select(*sel))
+    rebuilt = scd2_history(
+        events, key_cols, order_col, attr_cols, tiebreak_col=tiebreak_col
+    )
+    out_cols = [
+        *key_cols,
+        *attr_cols,
+        "version",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    ]
+    untouched = dim.join(touched, key_cols, "left_anti").select(*out_cols)
+    return untouched.unionByName(rebuilt.select(*out_cols))

@@ -725,3 +725,148 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time lookup: the join the history table exists for.
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_point_in_time",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+             LAG(o_orderpriority) OVER w AS prev_p,
+             ROW_NUMBER() OVER w AS rn
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    chg AS (
+      SELECT * FROM o WHERE rn = 1 OR prev_p IS DISTINCT FROM o_orderpriority),
+    dim AS (
+      SELECT o_custkey, o_orderpriority AS priority,
+             CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+             o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER w2 AS valid_to
+      FROM chg
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    facts AS (
+      SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+    SELECT f.o_orderkey, f.o_custkey, f.o_orderdate,
+           d.priority AS effective_priority, d.version
+    FROM facts f JOIN dim d
+      ON d.o_custkey = f.o_custkey
+     AND d.valid_from <= f.o_orderdate
+     AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to)
+    ORDER BY f.o_orderkey
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the join an SCD2 history table
+    exists for: every fact row picks the dimension version whose
+    ``[valid_from, valid_to)`` interval covers the fact timestamp.
+    Exactly one match per fact, because the intervals PARTITION each
+    key's timeline (property-tested in test_properties.py).
+
+    Plan shape: equi-join on the dimension key with the interval bounds
+    as a residual predicate — co-partitioned hash join, never a range
+    blowup (per-key version counts are small by construction: versions
+    exist only where the attribute changed).
+    """
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    dim = R.scd2_history(
+        o.select("o_custkey", "o_orderkey", "o_orderpriority", "o_orderdate"),
+        key_cols=["o_custkey"],
+        order_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+        tiebreak_col="o_orderkey",
+    ).select(
+        F.col("o_custkey").alias("_ck"),
+        F.col("o_orderpriority").alias("effective_priority"),
+        "version",
+        "valid_from",
+        "valid_to",
+    )
+    facts = o.select("o_orderkey", "o_custkey", "o_orderdate")
+    return (
+        facts.join(
+            dim,
+            (F.col("o_custkey") == F.col("_ck"))
+            & (F.col("valid_from") <= F.col("o_orderdate"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("o_orderdate") < F.col("valid_to"))
+            ),
+        )
+        .select(
+            "o_orderkey", "o_custkey", "o_orderdate",
+            "effective_priority", "version",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental SCD2 merge: oracle checks incremental == full rebuild.
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_merge_changes",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+             LAG(o_orderpriority) OVER w AS prev_p,
+             ROW_NUMBER() OVER w AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    chg AS (
+      SELECT * FROM o WHERE rn = 1 OR prev_p IS DISTINCT FROM o_orderpriority)
+    SELECT o_custkey,
+           o_orderpriority AS priority,
+           CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w2 AS valid_to,
+           (LEAD(o_orderdate) OVER w2 IS NULL) AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, version
+    """,
+)
+def scd2_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: the pre-1997 history dimension plus
+    the 1997+ orders applied as a change batch. The ORACLE is the
+    one-shot full-history build over ALL orders — so the hash compare
+    proves the defining merge property: incremental apply equals full
+    rebuild, including cross-cutoff collapse of unchanged attributes.
+
+    operators.relational.scd2_apply_changes: touched keys rebuilt from
+    version-start events + changes; untouched keys pass through; cost
+    scales with the batch, not the dimension.
+    """
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    dim = R.scd2_history(
+        o.filter(F.col("o_orderdate") < cut),
+        key_cols=["o_custkey"],
+        order_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+        tiebreak_col="o_orderkey",
+    )
+    merged = R.scd2_apply_changes(
+        dim,
+        o.filter(F.col("o_orderdate") >= cut),
+        key_cols=["o_custkey"],
+        order_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+        tiebreak_col="o_orderkey",
+    )
+    return merged.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        "version",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    ).orderBy("o_custkey", "version")

@@ -458,3 +458,34 @@ def test_phash_bits_shape_and_determinism(spark):
     a = df.select(phash_bits(F2.col("p")).alias("b")).collect()[0]["b"]
     b = df.select(phash_bits(F2.col("p")).alias("b")).collect()[0]["b"]
     assert len(a) == 64 and set(a) <= {0, 1} and a == b
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply_changes
+# ---------------------------------------------------------------------------
+def test_scd2_apply_changes_matches_full_rebuild(spark):
+    from sqlitedataframe_spark.operators.relational import (
+        scd2_apply_changes,
+        scd2_history,
+    )
+
+    all_rows = [
+        (1, 10, "A"), (1, 20, "A"), (1, 30, "B"),   # history
+        (1, 40, "B"), (1, 50, "C"),                 # batch: B collapses, C versions
+        (2, 10, "X"),                                # untouched key
+        (3, 60, "N"),                                # brand-new key in the batch
+    ]
+    df = spark.createDataFrame(all_rows, "k long, t long, attr string")
+    hist = scd2_history(df.filter("t < 40"), ["k"], "t", ["attr"], tiebreak_col="t")
+    merged = scd2_apply_changes(
+        hist, df.filter("t >= 40"), ["k"], "t", ["attr"], tiebreak_col="t"
+    )
+    full = scd2_history(df, ["k"], "t", ["attr"], tiebreak_col="t")
+    cols = ["k", "attr", "version", "valid_from", "valid_to", "is_current"]
+    got = sorted(tuple(r[c] for c in cols) for r in merged.select(*cols).collect())
+    want = sorted(tuple(r[c] for c in cols) for r in full.select(*cols).collect())
+    assert got == want
+    # spot-check semantics: t=40 "B" collapsed into the existing B version,
+    # and key 3 appears with a single current row
+    k3 = [g for g in got if g[0] == 3]
+    assert len(k3) == 1 and k3[0][5] is True
