@@ -164,12 +164,23 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
     max_bucket: int | None = 10_000,
+    new_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH, with the
     estimated Jaccard (fraction of agreeing minhashes) attached and
     thresholded. Returns (id_a, id_b, est_jaccard), id_a < id_b.
     Buckets larger than ``max_bucket`` are suppressed (skew guard, see
-    ``_suppress_hot_buckets``)."""
+    ``_suppress_hot_buckets``).
+
+    ``new_ids`` (a 1-column frame of ids) switches to INCREMENTAL mode —
+    the production shape for continuous ingestion: only pairs touching a
+    new-batch document are generated (one banded side semi-joins to the
+    batch), so the historical corpus is never re-paired with itself.
+    Signatures still compute over the full input (new docs must compare
+    against old ones), but the skew-prone self-join cost scales with the
+    BATCH, not the corpus. The candidate set equals the full run's pairs
+    filtered to those touching the batch (the suite oracle checks exactly
+    that equivalence)."""
     rows_per_band = n_hashes // bands
     # spread BEFORE shingling so the (rare, local-only) repartition shuffles
     # raw text, not the ~3x-larger shingle arrays
@@ -228,18 +239,38 @@ def minhash_lsh_pairs(
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     banded = _suppress_hot_buckets(banded, ["band", "bucket"], max_bucket)
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
+    if new_ids is None:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    else:
+        batch = new_ids.toDF("_id")
+        a = banded.join(batch, "_id", "left_semi").alias("a")
+        b = banded.alias("b")
+        # asymmetric join: orientation normalized afterwards, so a pair of
+        # two NEW docs (found from both sides) dedups to one row
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a._id") != F.col("b._id")),
+            )
+            .select(
+                F.least(F.col("a._id"), F.col("b._id")).alias("id_a"),
+                F.greatest(F.col("a._id"), F.col("b._id")).alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
     sa = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
     sb = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
     est = (

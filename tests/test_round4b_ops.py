@@ -489,3 +489,28 @@ def test_scd2_apply_changes_matches_full_rebuild(spark):
     # and key 3 appears with a single current row
     k3 = [g for g in got if g[0] == 3]
     assert len(k3) == 1 and k3[0][5] is True
+
+
+# ---------------------------------------------------------------------------
+# minhash_lsh_pairs incremental mode
+# ---------------------------------------------------------------------------
+def test_incremental_lsh_equals_filtered_full_run(spark):
+    from sqlitedataframe_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = spark.createDataFrame(
+        [(i, base + f" tail {i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    full = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, min_jaccard=0.3).collect()
+    }
+    batch_ids = {0, 5, 10}
+    batch = docs.filter(F.col("doc_id").isin(*batch_ids)).select("doc_id")
+    inc = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, min_jaccard=0.3, new_ids=batch).collect()
+    }
+    want = {k: v for k, v in full.items() if k[0] in batch_ids or k[1] in batch_ids}
+    assert inc == want and inc  # non-trivial and exactly the touching subset
