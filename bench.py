@@ -184,6 +184,9 @@ HEADLINE = [
     "basket_part_pairs",
     "multimodal_phash_pairs",
     "events_audience_overlap",
+    "scd2_point_in_time",
+    "scd2_merge_changes",
+    "dedup_incremental_lsh",
 ]
 
 
