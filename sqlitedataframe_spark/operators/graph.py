@@ -201,3 +201,58 @@ def pagerank(
             )
     ew.unpersist()
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count via the degree-ordered wedge join
+    (compact-forward / node-iterator++): orient every undirected edge from
+    its lower (degree, id) endpoint to the higher one, join wedges through
+    the middle vertex, close them against the oriented edge list.
+
+    The orientation is the scale story: on ANY graph the oriented
+    out-degree is O(sqrt(m)), so the wedge stage is bounded even on
+    power-law graphs — a hub with 10^7 neighbors would emit ~10^14 wedges
+    under naive id-ordering if it had a low id, but emits only its
+    few higher-degree neighbors' wedges when ordered by degree. Every
+    triangle is counted exactly once (it has a unique (degree, id)-minimal
+    vertex), so the total equals the naive id-ordered count — which is
+    what the SQL oracle computes.
+
+    Shuffles carry (long, long) edge rows only; the two joins key on
+    single vertex columns; the result is one row (n_edges, n_triangles).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("_db"))
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .filter(lower_first)
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("m"))
+    w2 = oriented.select(F.col("u").alias("m"), F.col("v").alias("w"))
+    wedges = w1.join(w2, "m").select("u", "w", "m")
+    closing = oriented.select(
+        F.col("u").alias("u"), F.col("v").alias("w"), F.lit(1).alias("_c")
+    ).union(
+        # the closing edge may be oriented either way between u and w
+        oriented.select(
+            F.col("v").alias("u"), F.col("u").alias("w"), F.lit(1).alias("_c")
+        )
+    )
+    tri = wedges.join(closing, ["u", "w"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    n_edges = oriented.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return n_edges.crossJoin(tri)

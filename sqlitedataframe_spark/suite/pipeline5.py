@@ -944,3 +944,49 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
         d, min_jaccard=0.3, new_ids=batch
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-order graph.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH slim AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM slim a JOIN slim b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the part co-order graph (edges = part pairs
+    co-ordered at least twice) — the clustering-coefficient primitive of
+    graph analytics.
+
+    operators.graph.triangle_count: degree-ordered wedge join, so the
+    wedge stage stays O(m^1.5) even on power-law graphs. Every triangle
+    has a unique (degree, id)-minimal vertex, so the total matches the
+    oracle's naive id-ordered count exactly.
+    """
+    from sqlitedataframe_spark.operators.graph import triangle_count
+
+    li = T(spark, sf_dir, "lineitem")
+    slim = li.select("l_orderkey", "l_partkey").distinct()
+    a = slim.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("src"))
+    b = slim.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "_o")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges)

@@ -514,3 +514,29 @@ def test_incremental_lsh_equals_filtered_full_run(spark):
     }
     want = {k: v for k, v in full.items() if k[0] in batch_ids or k[1] in batch_ids}
     assert inc == want and inc  # non-trivial and exactly the touching subset
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+def test_triangle_count_hand_checked_graphs(spark):
+    from sqlitedataframe_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; a square (4-cycle) has 0; one extra pendant edge
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    sq = [(10, 11), (11, 12), (12, 13), (13, 10), (13, 14)]
+    df = spark.createDataFrame(k4 + sq, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == 4
+    assert row["n_edges"] == len(k4) + len(sq)
+
+
+def test_triangle_count_orientation_invariant_to_edge_direction(spark):
+    from sqlitedataframe_spark.operators.graph import triangle_count
+
+    # same triangle given with mixed/reversed/duplicated directions
+    df = spark.createDataFrame(
+        [(1, 2), (3, 2), (1, 3), (2, 1)], "src long, dst long"
+    )
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == 1 and row["n_edges"] == 3
