@@ -187,6 +187,7 @@ HEADLINE = [
     "scd2_point_in_time",
     "scd2_merge_changes",
     "dedup_incremental_lsh",
+    "graph_triangles",
 ]
 
 
