@@ -93,6 +93,10 @@ QUERIES = [
     "basket_part_pairs",
     "multimodal_phash_pairs",
     "events_audience_overlap",
+    "scd2_point_in_time",
+    "scd2_merge_changes",
+    "dedup_incremental_lsh",
+    "graph_triangles",
 ]
 
 #: per-copy letter permutations: rewrite document text so copies are not
