@@ -877,6 +877,13 @@ def containment_pairs(
     grams = df.select(
         F.col(id_col).alias("_id"), F.explode(ngram_set(text_col, n)).alias("gram")
     )
+    # The gram stream feeds FOUR subtrees (sizes, doc-frequency, both join
+    # sides). A forced exchange on the join key makes them share ONE
+    # identical shuffle (ReuseExchange — the minhash_lsh_pairs pattern), so
+    # the scan + n-gram expansion runs once per action instead of four
+    # times, and the df-filter join plus the pair self-join are already
+    # co-partitioned on gram. Measured ~2x at sf0.1.
+    grams = grams.repartition("gram")
     sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     rare = (
         grams.groupBy("gram")
