@@ -6,7 +6,7 @@ long-form, and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -242,5 +242,70 @@ def psi_drift(
             F.round(
                 F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)) + 1e-9, round_dp
             ).alias("psi")
+        )
+    )
+
+
+def ab_ztest(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    variant_col,
+    round_dp: int = 4,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Two-sample Welch z-test per group: is the metric's mean different
+    between variant A (``variant_col`` false/0) and B (true/1)? The
+    experiment-analysis primitive (A/B readout, canary comparison,
+    guardrail metric check).
+
+    z = (mean_a - mean_b) / sqrt(v_a/n_a + v_b/n_b) with sample
+    variances — Welch's unequal-variance form, the safe default. The
+    normal approximation is what you want at data-platform sample sizes
+    (every per-variant n here is >> 30); no t-distribution table needed.
+
+    Scale shape: ONE aggregation pass over the fact stream computes
+    (n, mean, variance) per (group, variant) — map-side partial moments,
+    a |groups| x 2 result — and the test statistic is arithmetic on that
+    tiny frame after a self-join on the group key.
+    """
+    v = F.col(metric_col)
+    variant = variant_col if isinstance(variant_col, Column) else F.col(variant_col)
+    s = (
+        df.select(
+            F.col(group_col).alias("_g"), variant.cast("int").alias("_b"), v.alias("_v")
+        )
+        .groupBy("_g", "_b")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg("_v").alias("_mean"),
+            F.var_samp("_v").alias("_var"),
+        )
+    )
+    a = s.filter(F.col("_b") == 0).select(
+        "_g",
+        F.col("_n").alias("n_a"),
+        F.col("_mean").alias("_ma"),
+        F.col("_var").alias("_va"),
+    )
+    b = s.filter(F.col("_b") == 1).select(
+        "_g",
+        F.col("_n").alias("n_b"),
+        F.col("_mean").alias("_mb"),
+        F.col("_var").alias("_vb"),
+    )
+    z = (F.col("_ma") - F.col("_mb")) / F.sqrt(
+        F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b")
+    )
+    return (
+        a.join(b, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(F.col("_ma") + 1e-9, round_dp).alias("mean_a"),
+            F.round(F.col("_mb") + 1e-9, round_dp).alias("mean_b"),
+            F.round(z + 1e-9, round_dp).alias("z"),
+            (F.abs(z) > z_crit).alias("significant"),
         )
     )

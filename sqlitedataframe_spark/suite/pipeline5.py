@@ -990,3 +990,45 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Experiment readout: Welch z-test per event type between user halves.
+# ---------------------------------------------------------------------------
+@query(
+    "events_ab_ztest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, user_id % 2 AS grp, value FROM events),
+    s AS (
+      SELECT event_type, grp, COUNT(*) AS n, AVG(value) AS mean,
+             var_samp(value) AS v
+      FROM g GROUP BY 1, 2)
+    SELECT a.event_type,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           ROUND(a.mean + 1e-9, 4) AS mean_a,
+           ROUND(b.mean + 1e-9, 4) AS mean_b,
+           ROUND((a.mean - b.mean) / sqrt(a.v / a.n + b.v / b.n) + 1e-9, 4)
+             AS z,
+           (abs((a.mean - b.mean) / sqrt(a.v / a.n + b.v / b.n)) > 1.96)
+             AS significant
+    FROM s a JOIN s b
+      ON a.event_type = b.event_type AND a.grp = 0 AND b.grp = 1
+    ORDER BY a.event_type
+    """,
+)
+def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample z-test of the event value per type, variant =
+    user_id parity (a stand-in experiment assignment): the A/B-readout
+    primitive. Random assignment over the synthetic data correctly reads
+    out non-significant everywhere.
+
+    operators.profiling.ab_ztest: one moments pass over the fact stream
+    (map-side partials, |types| x 2 rows out), then arithmetic on the
+    tiny frame.
+    """
+    e = T(spark, sf_dir, "events")
+    return P.ab_ztest(
+        e, metric_col="value", group_col="event_type",
+        variant_col=(F.col("user_id") % 2 == 1),
+    ).orderBy("event_type")

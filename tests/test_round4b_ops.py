@@ -540,3 +540,26 @@ def test_triangle_count_orientation_invariant_to_edge_direction(spark):
     )
     row = triangle_count(df).collect()[0]
     assert row["n_triangles"] == 1 and row["n_edges"] == 3
+
+
+# ---------------------------------------------------------------------------
+# ab_ztest
+# ---------------------------------------------------------------------------
+def test_ab_ztest_detects_planted_effect(spark):
+    import random
+
+    from sqlitedataframe_spark.operators.profiling import ab_ztest
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(400):
+        b = i % 2
+        # variant B shifted by +5 in group "hot"; no shift in "cold"
+        rows.append(("hot", b, rng.gauss(50 + 5 * b, 3.0)))
+        rows.append(("cold", b, rng.gauss(50, 3.0)))
+    df = spark.createDataFrame(rows, "grp string, b int, v double")
+    out = {r["grp"]: r for r in ab_ztest(df, "v", "grp", F.col("b") == 1).collect()}
+    assert out["hot"]["significant"] is True
+    assert out["cold"]["significant"] is False
+    assert out["hot"]["mean_b"] - out["hot"]["mean_a"] > 3
+    assert out["hot"]["n_a"] == out["hot"]["n_b"] == 200
