@@ -298,3 +298,73 @@ def stream_upsert_to_sqlite(
 def load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of read_events_stream (for equivalence tests)."""
     return load_table(spark, sf_dir, "events")
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    min_jaccard: float = 0.3,
+    max_files_per_trigger: int | None = None,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Streaming near-dedup — the continuous-ingestion pipeline end to
+    end: each micro-batch of documents is MinHash/LSH-checked against the
+    corpus accumulated so far (``minhash_lsh_pairs(new_ids=batch)``), so
+    the historical corpus is never re-paired with itself; flagged pairs
+    append to the result store and the batch joins the corpus.
+
+    Every pair is discovered exactly once — in the micro-batch of its
+    LATER-arriving document — so the union over batches equals the
+    one-shot batch run over the same files; the suite oracle (the full
+    LSH SQL) checks exactly that, and a pytest drives a multi-file
+    3-batch split through the same assertion.
+
+    foreachBatch is the idiomatic adapter here: the per-batch work is a
+    full batch plan (signatures + banded join), checkpoint + append give
+    the usual exactly-once story, and state (the accumulated corpus and
+    the pair log) lives in parquet — executor-writable, restart-safe —
+    never in driver memory.
+    """
+    import shutil
+
+    from sqlitedataframe_spark.operators.dedup import minhash_lsh_pairs
+
+    base = work_dir or os.path.join(
+        tempfile.gettempdir(), f"sdfspark_incdedup_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    acc = os.path.join(base, "corpus")
+    out = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+
+    src = read_table_stream(spark, sf_dir, "documents").select("doc_id", "text")
+    if max_files_per_trigger is not None:
+        batch = spark.read.parquet(table_path(sf_dir, "documents"))
+        src = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(_stream_dir(table_path(sf_dir, "documents")))
+        )
+        src = normalize(src, "documents").select("doc_id", "text")
+
+    def handle(b: DataFrame, batch_id: int) -> None:
+        if os.path.exists(os.path.join(acc, "_SUCCESS")) or (
+            os.path.isdir(acc) and any(f.endswith(".parquet") for f in os.listdir(acc))
+        ):
+            corpus = b.sparkSession.read.parquet(acc).unionByName(b)
+        else:
+            corpus = b
+        pairs = minhash_lsh_pairs(
+            corpus, min_jaccard=min_jaccard, new_ids=b.select("doc_id")
+        )
+        pairs.write.mode("append").parquet(out)
+        b.write.mode("append").parquet(acc)
+
+    (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out)

@@ -313,3 +313,38 @@ def test_stream_anomaly_matches_batch(spark, sf_dir):
         )
     }
     assert got == batch
+
+
+def test_stream_incremental_dedup_multi_batch(spark, tmp_path):
+    """3 parquet files driven one per micro-batch: the streamed union of
+    per-batch (new-vs-corpus) pairs must equal the one-shot batch LSH run
+    over all documents."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sqlitedataframe_spark.operators.dedup import minhash_lsh_pairs
+    from sqlitedataframe_spark.streaming.core import stream_incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [(i, base + f" tail {i % 4}") for i in range(18)]
+    sf_dir = str(tmp_path / "sf")
+    ddir = os.path.join(sf_dir, "documents.parquet")
+    full_df = spark.createDataFrame(rows, "doc_id long, text string")
+    # three explicit files -> three micro-batches under maxFilesPerTrigger=1
+    for j in range(3):
+        chunk = full_df.filter((F.col("doc_id") % 3) == j)
+        chunk.coalesce(1).write.mode("append").parquet(ddir)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in stream_incremental_dedup(
+            spark, sf_dir, min_jaccard=0.3, max_files_per_trigger=1,
+            work_dir=str(tmp_path / "work"),
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(full_df, min_jaccard=0.3).collect()
+    }
+    assert got == want and len(want) > 10
