@@ -188,6 +188,8 @@ HEADLINE = [
     "scd2_merge_changes",
     "dedup_incremental_lsh",
     "graph_triangles",
+    "events_ab_ztest",
+    "stream_incremental_dedup",
 ]
 
 
