@@ -6,7 +6,7 @@ long-form, and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -307,5 +307,43 @@ def ab_ztest(
             F.round(F.col("_mb") + 1e-9, round_dp).alias("mean_b"),
             F.round(z + 1e-9, round_dp).alias("z"),
             (F.abs(z) > z_crit).alias("significant"),
+        )
+    )
+
+
+def forecast_baseline_eval(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each day's total by the
+    value ``season`` days earlier and report MAE/MAPE per group — the
+    baseline every real forecasting model must beat, and the monitoring
+    primitive for "is this week shaped like last week".
+
+    Scale shape: the fact stream collapses to a (group, day) daily total
+    with map-side partial aggregation — input-size-independent exchange —
+    and the lag window + error aggregate run on that bounded calendar
+    frame (one small re-exchange on the group key). Days without a
+    ``season``-back reference are excluded from the error means.
+    """
+    d = df.groupBy(
+        F.col(group_col).alias("_g"), F.to_date(ts_col).alias("_day")
+    ).agg(F.sum(value_col).alias("_y"))
+    w = Window.partitionBy("_g").orderBy("_day")
+    l = d.withColumn("_yhat", F.lag("_y", season).over(w)).filter(
+        F.col("_yhat").isNotNull()
+    )
+    err = F.abs(F.col("_y") - F.col("_yhat"))
+    return (
+        l.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.avg(err) + 1e-9, 2).alias("mae"),
+            F.round(
+                F.avg(err / F.nullif(F.col("_y"), F.lit(0.0))) + 1e-9, 4
+            ).alias("mape"),
         )
     )

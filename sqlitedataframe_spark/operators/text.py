@@ -546,3 +546,52 @@ def bpe_pair_counts(
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(k)
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    k: int = 50,
+    sep: str = " ",
+) -> DataFrame:
+    """Top-``k`` skip-gram (center, context) pair counts within a
+    ``window``-token lookahead — the co-occurrence counting step behind
+    word2vec/GloVe-style embedding training and PMI collocation mining.
+    Pairs are ordered (context follows center), each occurrence counted.
+
+    Scale shape: pair expansion is a scan-stage nested transform over the
+    let-bound token array (window * n pairs per doc, built map-side); the
+    only shuffle is the pair-count aggregate with map-side partial
+    combine, bounded per partition by the distinct-pair count; top-k is
+    TakeOrderedAndProject with the pair as tiebreak.
+    """
+    pairs_of = lambda t: F.flatten(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(window)),
+                    lambda d: F.when(
+                        i + d <= F.size(t),
+                        F.struct(
+                            F.element_at(t, i.cast("int")).alias("w1"),
+                            F.element_at(t, (i + d).cast("int")).alias("w2"),
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    pairs = F.element_at(
+        F.transform(F.array(F.split(_c(text_col), sep)), pairs_of), 1
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w1"), F.col("w2"))
+        .limit(k)
+    )

@@ -1032,3 +1032,68 @@ def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, metric_col="value", group_col="event_type",
         variant_col=(F.col("user_id") % 2 == 1),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram co-occurrence counts (embedding-training data prep).
+# ---------------------------------------------------------------------------
+@query(
+    "text_skipgram_pairs",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    p AS (
+      SELECT t[i] AS w1, t[i + d] AS w2
+      FROM toks,
+           UNNEST(generate_series(1, len(t) - 1)) AS r(i),
+           UNNEST(generate_series(1, 2)) AS s(d)
+      WHERE i + d <= len(t))
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+    ORDER BY n DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 skip-gram (center, context) pairs within a 2-token
+    lookahead — the co-occurrence counting step behind word2vec/GloVe
+    training data and PMI collocation mining.
+
+    operators.text.skipgram_pairs: map-side nested-transform pair
+    expansion over the let-bound token array; one partially-combined
+    count aggregate; TakeOrderedAndProject top-k.
+    """
+    return X.skipgram_pairs(T(spark, sf_dir, "documents"), window=2, k=50)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast baseline evaluation.
+# ---------------------------------------------------------------------------
+@query(
+    "events_forecast_baseline",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS y
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, day, y,
+             LAG(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS yhat
+      FROM d)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(abs(y - yhat)) + 1e-9, 2) AS mae,
+           ROUND(AVG(abs(y - yhat) / NULLIF(y, 0)) + 1e-9, 4) AS mape
+    FROM l WHERE yhat IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-7) forecast error per event type — the
+    baseline every forecasting model must beat and the "is this week
+    shaped like last week" monitor.
+
+    operators.profiling.forecast_baseline_eval: fact stream collapses to
+    the (type, day) calendar map-side; lag window + error means run on
+    that bounded frame.
+    """
+    return P.forecast_baseline_eval(
+        T(spark, sf_dir, "events"), "event_type", "ts", "value", season=7
+    ).orderBy("event_type")

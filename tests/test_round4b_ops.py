@@ -563,3 +563,31 @@ def test_ab_ztest_detects_planted_effect(spark):
     assert out["cold"]["significant"] is False
     assert out["hot"]["mean_b"] - out["hot"]["mean_a"] > 3
     assert out["hot"]["n_a"] == out["hot"]["n_b"] == 200
+
+
+# ---------------------------------------------------------------------------
+# skipgram_pairs / forecast_baseline_eval
+# ---------------------------------------------------------------------------
+def test_skipgram_window_and_order(spark):
+    from sqlitedataframe_spark.operators.text import skipgram_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r["n"] for r in skipgram_pairs(docs, window=2, k=100).collect()}
+    # lookahead-2 pairs of "a b c d": (a,b),(a,c),(b,c),(b,d),(c,d) — ordered, no (b,a)
+    assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1, ("b", "d"): 1, ("c", "d"): 1}
+
+
+def test_forecast_baseline_perfect_seasonality_zero_mae(spark):
+    import datetime as dt
+
+    from sqlitedataframe_spark.operators.profiling import forecast_baseline_eval
+
+    rows = []
+    d0 = dt.datetime(2024, 1, 1)
+    for day in range(21):
+        # weekly-periodic signal: lag-7 prediction is exact -> MAE 0
+        rows.append(("g", d0 + dt.timedelta(days=day), float(10 + (day % 7))))
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+    out = forecast_baseline_eval(df, "grp", "ts", "v", season=7).collect()[0]
+    assert out["n_days"] == 14  # first 7 days have no reference
+    assert out["mae"] == 0.0 and out["mape"] == 0.0
