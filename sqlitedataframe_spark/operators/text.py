@@ -595,3 +595,71 @@ def skipgram_pairs(
         .orderBy(F.col("n").desc(), F.col("w1"), F.col("w2"))
         .limit(k)
     )
+
+
+def tfidf_cosine_pairs(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int = 50,
+    min_term_len: int = TFIDF_MIN_TERM_LEN,
+    round_dp: int = 6,
+):
+    """Sparse TF-IDF cosine similarity join via the inverted index — the
+    all-pairs document-similarity primitive over TEXT weights (the sparse
+    sibling of the dense-embedding cosine join): postings self-join on
+    the term, partial dot products accumulate per pair, norms divide at
+    the end.
+
+    Scale shape: the pair generator is the postings join, and its cost is
+    sum over terms of df^2 — so terms with document frequency above
+    ``max_df`` are pruned from the JOIN (the DISCO/df-cut idea, same
+    policy family as the LSH hot-bucket guard): a corpus-wide stopword
+    pairs everything with everything and contributes almost nothing to
+    any cosine. Norms still use ALL terms, so retained scores are exact,
+    not approximated — pruning only loses pairs whose similarity lives
+    in their common terms. Shuffles carry (doc, term-hash, weight) rows.
+    The threshold compares the ROUNDED cosine (+1e-9) so last-ulp
+    parallel-sum drift cannot flip membership across engines.
+    """
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), WORD_SPLIT_PATTERN)).alias("term"),
+    ).filter(F.length("term") >= min_term_len)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    # shared shuffle (ReuseExchange): norms, and both sides of the join
+    w = w.repartition("term")
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_nrm"))
+    keep = w.filter(F.col("df") <= max_df)
+    a = keep.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("_wa"))
+    b = keep.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("_wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("_nrm").alias("_na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("_nrm").alias("_nb"))
+    cos = F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")) + 1e-9, round_dp)
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

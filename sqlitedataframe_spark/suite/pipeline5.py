@@ -1097,3 +1097,54 @@ def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.forecast_baseline_eval(
         T(spark, sf_dir, "events"), "event_type", "ts", "value", season=7
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine similarity join (inverted index).
+# ---------------------------------------------------------------------------
+@query(
+    "text_cosine_pairs",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, u.term
+      FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS t
+            FROM documents),
+           UNNEST(t) AS u(term)
+      WHERE length(u.term) >= 3),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term, dfreq.df,
+             tf.tf * ln(n.n_docs * 1.0 / dfreq.df) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+    keep AS (SELECT * FROM w WHERE df <= 50),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+      FROM keep a JOIN keep b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT d.id_a, d.id_b,
+             ROUND(d.dot / (na.nrm * nb.nrm) + 1e-9, 6) AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.doc_id = d.id_a
+      JOIN norms nb ON nb.doc_id = d.id_b)
+    SELECT id_a, id_b, cos_sim FROM scored
+    WHERE cos_sim >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with TF-IDF cosine >= 0.5 via the inverted-index
+    similarity join — the sparse-text sibling of the dense-embedding
+    cosine near-dup.
+
+    operators.text.tfidf_cosine_pairs: postings self-join pruned at
+    document frequency 50 (the DISCO df-cut; norms keep all terms, so
+    retained scores stay exact); one term-keyed shuffle shared across
+    norms and both join sides.
+    """
+    return X.tfidf_cosine_pairs(
+        T(spark, sf_dir, "documents"), threshold=0.5, max_df=50
+    ).orderBy("id_a", "id_b")

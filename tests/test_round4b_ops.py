@@ -591,3 +591,41 @@ def test_forecast_baseline_perfect_seasonality_zero_mae(spark):
     out = forecast_baseline_eval(df, "grp", "ts", "v", season=7).collect()[0]
     assert out["n_days"] == 14  # first 7 days have no reference
     assert out["mae"] == 0.0 and out["mape"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# tfidf_cosine_pairs
+# ---------------------------------------------------------------------------
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from sqlitedataframe_spark.operators.text import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in tfidf_cosine_pairs(docs, threshold=0.1, max_df=3).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_tfidf_cosine_df_cut_keeps_scores_exact(spark):
+    from sqlitedataframe_spark.operators.text import tfidf_cosine_pairs
+
+    # "common" appears in every doc -> df-cut prunes it from the JOIN,
+    # but docs 1/2 still pair through their rare shared terms and the
+    # norm still includes the common term (score < 1.0, not rescaled)
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 rare2 rare3"),
+            (2, "common rare1 rare2 rare3"),
+            (3, "common solo1 solo2 solo3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in tfidf_cosine_pairs(docs, threshold=0.1, max_df=2).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 1.0  # identical weight vectors
+    assert (1, 3) not in out  # only the pruned common term is shared
