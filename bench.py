@@ -190,6 +190,9 @@ HEADLINE = [
     "graph_triangles",
     "events_ab_ztest",
     "stream_incremental_dedup",
+    "text_skipgram_pairs",
+    "events_forecast_baseline",
+    "text_cosine_pairs",
 ]
 
 
