@@ -347,3 +347,50 @@ def forecast_baseline_eval(
             ).alias("mape"),
         )
     )
+
+
+def changepoint_cusum(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    round_dp: int = 2,
+) -> DataFrame:
+    """Offline mean-shift evidence per group, CUSUM-style: daily totals'
+    deviations from the group mean accumulate into a prefix-sum path, and
+    the path's maximum drawup (rise above its running minimum) / drawdown
+    (fall below its running maximum) measure the strongest sustained
+    upward / downward shift anywhere in the window — the changepoint
+    screen behind "did this metric's level change, not just spike".
+
+    The classic recursive CUSUM ``s_t = max(0, s_{t-1} + dev_t)`` is not
+    window-expressible, but its supremum IS: max drawup of the deviation
+    prefix sums equals the max over t of (P_t - min_{s<=t} P_s) — two
+    stacked running windows, no recursion.
+
+    Scale shape: the fact stream collapses to the (group, day) calendar
+    map-side (input-size-independent exchange); the mean join and all
+    three windows run on that bounded frame, partitioned by group.
+    """
+    d = df.groupBy(
+        F.col(group_col).alias("_g"), F.to_date(ts_col).alias("_day")
+    ).agg(F.sum(value_col).alias("_y"))
+    mu = d.groupBy("_g").agg(F.avg("_y").alias("_mu"))
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = d.join(F.broadcast(mu), "_g").withColumn(
+        "_ps", F.sum(F.col("_y") - F.col("_mu")).over(w)
+    )
+    dr = p.select(
+        "_g",
+        (F.col("_ps") - F.min("_ps").over(w)).alias("_up"),
+        (F.max("_ps").over(w) - F.col("_ps")).alias("_down"),
+    )
+    return dr.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.max("_up") + 1e-9, round_dp).alias("max_drawup"),
+        F.round(F.max("_down") + 1e-9, round_dp).alias("max_drawdown"),
+    )

@@ -1148,3 +1148,45 @@ def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.tfidf_cosine_pairs(
         T(spark, sf_dir, "documents"), threshold=0.5, max_df=50
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Changepoint screen: CUSUM drawup/drawdown of daily deviation paths.
+# ---------------------------------------------------------------------------
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS y
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, AVG(y) AS mu FROM d GROUP BY 1),
+    p AS (
+      SELECT d.event_type, d.day,
+             SUM(d.y - m.mu) OVER (PARTITION BY d.event_type ORDER BY d.day
+               ROWS UNBOUNDED PRECEDING) AS ps
+      FROM d JOIN m USING (event_type)),
+    dr AS (
+      SELECT event_type,
+             ps - MIN(ps) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS up,
+             MAX(ps) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) - ps AS down
+      FROM p)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MAX(up) + 1e-9, 2) AS max_drawup,
+           ROUND(MAX(down) + 1e-9, 2) AS max_drawdown
+    FROM dr GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongest sustained upward/downward level shift per event type —
+    the CUSUM changepoint screen, expressed as the max drawup/drawdown of
+    the deviation prefix-sum path (two stacked running windows; the
+    recursive CUSUM supremum without the recursion).
+
+    operators.profiling.changepoint_cusum: fact stream collapses to the
+    (type, day) calendar map-side; windows run on the bounded frame.
+    """
+    return P.changepoint_cusum(
+        T(spark, sf_dir, "events"), "event_type", "ts", "value"
+    ).orderBy("event_type")

@@ -629,3 +629,25 @@ def test_tfidf_cosine_df_cut_keeps_scores_exact(spark):
     out = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in tfidf_cosine_pairs(docs, threshold=0.1, max_df=2).collect()}
     assert (1, 2) in out and out[(1, 2)] == 1.0  # identical weight vectors
     assert (1, 3) not in out  # only the pruned common term is shared
+
+
+# ---------------------------------------------------------------------------
+# changepoint_cusum
+# ---------------------------------------------------------------------------
+def test_cusum_detects_level_shift_direction(spark):
+    import datetime as dt
+
+    from sqlitedataframe_spark.operators.profiling import changepoint_cusum
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for day in range(30):
+        # "up": level jumps 10 -> 30 at day 15; "flat": constant
+        rows.append(("up", d0 + dt.timedelta(days=day), 10.0 if day < 15 else 30.0))
+        rows.append(("flat", d0 + dt.timedelta(days=day), 20.0))
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+    out = {r["grp"]: r for r in changepoint_cusum(df, "grp", "ts", "v").collect()}
+    # the shifted series: mean is 20, so each half deviates by 10/day for
+    # 15 days -> max drawup = 150 (and by symmetry drawdown 150)
+    assert abs(out["up"]["max_drawup"] - 150.0) < 1e-6
+    assert out["flat"]["max_drawup"] == 0.0 and out["flat"]["max_drawdown"] == 0.0
