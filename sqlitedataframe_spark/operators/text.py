@@ -602,7 +602,8 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    max_df: int = 50,
+    max_df_frac: float = 0.1,
+    max_df_cap: int = 500,
     min_term_len: int = TFIDF_MIN_TERM_LEN,
     round_dp: int = 6,
 ):
@@ -613,9 +614,18 @@ def tfidf_cosine_pairs(
     the end.
 
     Scale shape: the pair generator is the postings join, and its cost is
-    sum over terms of df^2 — so terms with document frequency above
-    ``max_df`` are pruned from the JOIN (the DISCO/df-cut idea, same
-    policy family as the LSH hot-bucket guard): a corpus-wide stopword
+    sum over terms of df^2 — so terms whose document frequency exceeds
+    ``max_df_frac`` of the corpus are pruned from the JOIN (the
+    DISCO/df-cut idea, same policy family as the LSH hot-bucket guard).
+    The cut is ``min(max_df_frac * N, max_df_cap)`` — two failure modes,
+    two knobs, both caught by the 10x scale check: a purely ABSOLUTE cut
+    silently empties the result as df values grow with the corpus, and a
+    purely RELATIVE cut lets per-term pair work (df^2) grow quadratically
+    until the join explodes. The absolute cap bounds per-term work at
+    cap^2 exactly like the LSH hot-bucket / mega-basket guards; recall is
+    traded only on terms commoner than the cap, whose IDF contribution is
+    smallest. Norms keep ALL terms either way
+    (retained scores stay exact): a corpus-wide stopword
     pairs everything with everything and contributes almost nothing to
     any cosine. Norms still use ALL terms, so retained scores are exact,
     not approximated — pruning only loses pairs whose similarity lives
@@ -644,7 +654,12 @@ def tfidf_cosine_pairs(
     # shared shuffle (ReuseExchange): norms, and both sides of the join
     w = w.repartition("term")
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_nrm"))
-    keep = w.filter(F.col("df") <= max_df)
+    keep = w.join(F.broadcast(n_docs)).filter(
+        F.col("df")
+        <= F.least(
+            F.floor(F.col("n_docs") * F.lit(max_df_frac)), F.lit(max_df_cap)
+        )
+    )
     a = keep.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("_wa"))
     b = keep.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("_wb"))
     dots = (

@@ -1115,11 +1115,12 @@ def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     w AS (
-      SELECT tf.doc_id, tf.term, dfreq.df,
+      SELECT tf.doc_id, tf.term, dfreq.df, n.n_docs,
              tf.tf * ln(n.n_docs * 1.0 / dfreq.df) AS w
       FROM tf JOIN dfreq USING (term) CROSS JOIN n),
     norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
-    keep AS (SELECT * FROM w WHERE df <= 50),
+    keep AS (SELECT * FROM w
+      WHERE df <= LEAST(CAST(FLOOR(n_docs * 0.1) AS BIGINT), 500)),
     dots AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
       FROM keep a JOIN keep b ON a.term = b.term AND a.doc_id < b.doc_id
@@ -1141,12 +1142,13 @@ def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine near-dup.
 
     operators.text.tfidf_cosine_pairs: postings self-join pruned at
-    document frequency 50 (the DISCO df-cut; norms keep all terms, so
+    document frequency 10% of the corpus (the DISCO df-cut, RELATIVE so
+    it means the same thing at any scale; norms keep all terms, so
     retained scores stay exact); one term-keyed shuffle shared across
     norms and both join sides.
     """
     return X.tfidf_cosine_pairs(
-        T(spark, sf_dir, "documents"), threshold=0.5, max_df=50
+        T(spark, sf_dir, "documents"), threshold=0.5, max_df_frac=0.1
     ).orderBy("id_a", "id_b")
 
 

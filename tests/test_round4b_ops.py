@@ -607,7 +607,7 @@ def test_tfidf_cosine_identical_docs_score_one(spark):
         ],
         "doc_id long, text string",
     )
-    out = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in tfidf_cosine_pairs(docs, threshold=0.1, max_df=3).collect()}
+    out = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in tfidf_cosine_pairs(docs, threshold=0.1, max_df_frac=1.0).collect()}
     assert out[(1, 2)] == 1.0
     assert (1, 3) not in out and (2, 3) not in out
 
@@ -626,7 +626,7 @@ def test_tfidf_cosine_df_cut_keeps_scores_exact(spark):
         ],
         "doc_id long, text string",
     )
-    out = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in tfidf_cosine_pairs(docs, threshold=0.1, max_df=2).collect()}
+    out = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in tfidf_cosine_pairs(docs, threshold=0.1, max_df_frac=0.67).collect()}
     assert (1, 2) in out and out[(1, 2)] == 1.0  # identical weight vectors
     assert (1, 3) not in out  # only the pruned common term is shared
 

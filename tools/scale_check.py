@@ -97,6 +97,12 @@ QUERIES = [
     "scd2_merge_changes",
     "dedup_incremental_lsh",
     "graph_triangles",
+    "events_ab_ztest",
+    "stream_incremental_dedup",
+    "text_skipgram_pairs",
+    "events_forecast_baseline",
+    "text_cosine_pairs",
+    "events_changepoint_cusum",
 ]
 
 #: per-copy letter permutations: rewrite document text so copies are not
