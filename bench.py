@@ -193,6 +193,7 @@ HEADLINE = [
     "text_skipgram_pairs",
     "events_forecast_baseline",
     "text_cosine_pairs",
+    "events_changepoint_cusum",
 ]
 
 
