@@ -363,3 +363,53 @@ def scd2_apply_changes(
     ]
     untouched = dim.join(touched, key_cols, "left_anti").select(*out_cols)
     return untouched.unionByName(rebuilt.select(*out_cols))
+
+
+def snapshot_diff(
+    base: DataFrame,
+    cur: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Symmetric diff of two snapshots of the same table: one summary row
+    per compared column with (n_added, n_removed, n_changed) — the data
+    regression report run between pipeline versions, vendor drops, or
+    backfill attempts ("what did the rerun actually change?").
+
+    A full-outer join on the key classifies every row once: key only in
+    ``cur`` = added, only in ``base`` = removed, in both = changed per
+    column where values differ null-safely. One shuffle per side on the
+    key; the per-column comparison is map-side arithmetic post-join, and
+    the output is |compare_cols| rows — a driver-safe summary no matter
+    the table size (row-level drill-down is the same join minus the
+    aggregate).
+    """
+    b = base.select(
+        *key_cols, *[F.col(c).alias(f"_b_{c}") for c in compare_cols]
+    ).withColumn("_in_b", F.lit(1))
+    c = cur.select(
+        *key_cols, *[F.col(x).alias(f"_c_{x}") for x in compare_cols]
+    ).withColumn("_in_c", F.lit(1))
+    j = b.join(c, key_cols, "full_outer")
+    added = F.col("_in_b").isNull()
+    removed = F.col("_in_c").isNull()
+    per_col = [
+        F.struct(
+            F.lit(col).alias("column"),
+            F.sum(added.cast("bigint")).alias("n_added"),
+            F.sum(removed.cast("bigint")).alias("n_removed"),
+            F.sum(
+                (
+                    ~added
+                    & ~removed
+                    & ~F.col(f"_b_{col}").eqNullSafe(F.col(f"_c_{col}"))
+                ).cast("bigint")
+            ).alias("n_changed"),
+        )
+        for col in compare_cols
+    ]
+    return (
+        j.agg(F.array(*per_col).alias("_r"))
+        .select(F.explode("_r").alias("r"))
+        .select("r.column", "r.n_added", "r.n_removed", "r.n_changed")
+    )

@@ -1192,3 +1192,82 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.changepoint_cusum(
         T(spark, sf_dir, "events"), "event_type", "ts", "value"
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: what did the rerun change?
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH cur AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'P' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN ROUND(o_totalprice * 1.1 + 1e-9, 2)
+                  ELSE ROUND(o_totalprice, 2) END AS o_totalprice
+      FROM orders WHERE o_orderkey % 37 <> 1
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', 1.0
+      FROM orders WHERE o_orderkey % 1000 = 1),
+    base AS (
+      SELECT o_orderkey, o_orderstatus,
+             ROUND(o_totalprice, 2) AS o_totalprice
+      FROM orders),
+    j AS (
+      SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS k,
+             b.o_orderkey IS NULL AS added,
+             c.o_orderkey IS NULL AS removed,
+             b.o_orderstatus AS bs, c.o_orderstatus AS cs,
+             b.o_totalprice AS bp, c.o_totalprice AS cp
+      FROM base b FULL JOIN cur c ON b.o_orderkey = c.o_orderkey)
+    SELECT col AS column,
+           CAST(SUM(CASE WHEN added THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN NOT added AND NOT removed AND (
+                  CASE WHEN col = 'o_orderstatus'
+                       THEN bs IS DISTINCT FROM cs
+                       ELSE bp IS DISTINCT FROM cp END)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+    FROM j, (SELECT UNNEST(['o_orderstatus', 'o_totalprice']) AS col)
+    GROUP BY col
+    ORDER BY col
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between the orders table and a mutated rerun (10%
+    repriced/status-flipped, some deleted, some inserted — the
+    merge_upsert fixture's mutation recipe): per compared column, how
+    many rows were added, removed, and changed.
+
+    operators.relational.snapshot_diff: one full-outer join on the key,
+    map-side null-safe comparisons, |columns|-row output.
+    """
+    o = T(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    mutated = F.col("o_orderkey") % 10 == 0
+    cur = (
+        o.filter(F.col("o_orderkey") % 37 != 1)
+        .select(
+            "o_orderkey",
+            F.when(mutated, F.lit("P")).otherwise(F.col("o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.when(mutated, F.round(F.col("o_totalprice") * 1.1 + 1e-9, 2))
+            .otherwise(F.round("o_totalprice", 2))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 1000 == 1).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    return R.snapshot_diff(
+        base, cur, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    ).orderBy("column")

@@ -651,3 +651,35 @@ def test_cusum_detects_level_shift_direction(spark):
     # 15 days -> max drawup = 150 (and by symmetry drawdown 150)
     assert abs(out["up"]["max_drawup"] - 150.0) < 1e-6
     assert out["flat"]["max_drawup"] == 0.0 and out["flat"]["max_drawdown"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+def test_snapshot_diff_classifies_each_change_kind(spark):
+    from sqlitedataframe_spark.operators.relational import snapshot_diff
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, p double",
+    )
+    cur = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)],
+        "k long, s string, p double",
+    )
+    out = {r["column"]: r for r in snapshot_diff(base, cur, ["k"], ["s", "p"]).collect()}
+    for col in ("s", "p"):
+        assert out[col]["n_added"] == 1  # key 4
+        assert out[col]["n_removed"] == 1  # key 3
+    assert out["s"]["n_changed"] == 1  # key 2's status flip
+    assert out["p"]["n_changed"] == 0  # no price changed
+
+
+def test_snapshot_diff_null_safe_comparison(spark):
+    from sqlitedataframe_spark.operators.relational import snapshot_diff
+
+    base = spark.createDataFrame([(1, None), (2, "x")], "k long, s string")
+    cur = spark.createDataFrame([(1, None), (2, None)], "k long, s string")
+    out = {r["column"]: r for r in snapshot_diff(base, cur, ["k"], ["s"]).collect()}
+    # NULL == NULL is "unchanged"; value -> NULL is a change
+    assert out["s"]["n_changed"] == 1
