@@ -194,6 +194,7 @@ HEADLINE = [
     "events_forecast_baseline",
     "text_cosine_pairs",
     "events_changepoint_cusum",
+    "snapshot_diff_orders",
 ]
 
 
