@@ -8,14 +8,20 @@ followed by a COMPACT final stdout line
 
 Each query is timed to completion of a count()-free collect (materializing
 the true result). The session is warmed with one tiny action first so JVM
-startup isn't attributed to the first query. Each query runs
-$SPARK_GRAFT_BENCH_REPS (default 3) INTERLEAVED repetitions; the reported
-per-query value is the median, with min/max spread in the sidecar — the
-sandbox shows 5x same-code swings on single-shot timings (VERDICT r3).
+startup isn't attributed to the first query. Each query runs up to
+$SPARK_GRAFT_BENCH_REPS (default 3) INTERLEAVED passes inside a
+$SPARK_GRAFT_BENCH_BUDGET-second budget (default 1100 s — sized so a full
+driver-environment pass fits ~3x; the r4 420 s budget was smaller than one
+driver pass and degraded every query to n=1); the reported per-query value
+is the median, with min/max/n spread in the sidecar — the sandbox shows up
+to 33x same-code swings on single-shot timings (VERDICT r3/r4). Pass 1 is
+always complete; later passes run expensive-first and the artifact is
+re-emitted after every pass, so a driver kill can never erase the run.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -242,53 +248,32 @@ def main() -> None:
     spark.range(1).count()
     _warm(spark)
 
-    # Noise protocol (VERDICT r3 #3): the sandbox shows same-code swings up
-    # to 5x on single queries, so a single-shot bench cannot support
-    # cross-round comparisons. Each query is run `reps` times INTERLEAVED
-    # (full passes over the suite, not back-to-back repeats, so a noisy
-    # window lands on different queries in different reps) and the per-query
-    # value is the MEDIAN of its successful reps; min/max spread is recorded
-    # in the sidecar. Median (not min) is used because the headline is a
-    # suite total — medians sum to a representative wall figure, while
-    # min-of-3 would report an unachievable best-case composite.
-    # Time budget: full COVERAGE (rep 1 over every query) always runs;
-    # later reps only start a query while the budget holds, so the bench
-    # can never be killed by a driver timeout chasing precision. Medians
-    # use however many reps each query completed.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    # Noise protocol (VERDICT r3 #3, re-sized per VERDICT r4 #1): the
+    # sandbox shows same-code swings up to 33x on single-shot timings, so
+    # the per-query value is the MEDIAN of up to `reps` INTERLEAVED passes
+    # (full passes, not back-to-back repeats, so a noisy window lands on
+    # different queries in different passes). Median (not min) because the
+    # headline is a suite total — medians sum to a representative wall
+    # figure; min-of-N would report an unachievable best-case composite.
+    #
+    # Budget protocol (r4: the 420 s budget was smaller than one driver
+    # pass, so every query degraded to n=1 exactly when reps mattered):
+    # - Pass 1 (coverage) ALWAYS runs in full, budget ignored.
+    # - Later passes run EXPENSIVE-FIRST (descending pass-1 median): the
+    #   queries whose single shots can be 30x outliers are the ones that
+    #   need replication; sub-second queries are the only ones allowed to
+    #   end at n=1 if the budget runs dry.
+    # - A rep only starts if its projected time (median so far x1.3) fits
+    #   the remaining budget, so the bench overruns the budget by at most
+    #   one mis-estimated query, never unboundedly.
+    # - The full artifact (sidecar + compact stdout line) is REWRITTEN
+    #   after every pass: if the driver kills the process mid-pass, the
+    #   last flushed line is still a complete, parseable artifact of the
+    #   passes that finished.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1100"))
     bench_t0 = time.time()
     rep_times: dict[str, list[float]] = {name: [] for name in HEADLINE}
     errors: dict[str, str] = {}
-    for rep in range(reps):
-        if rep > 0 and time.time() - bench_t0 > budget:
-            print(f"# budget {budget}s reached after rep {rep}; stopping",
-                  file=sys.stderr)
-            break
-        for name in HEADLINE:
-            if rep > 0 and time.time() - bench_t0 > budget:
-                break
-            # Per-query isolation: one broken query must never abort the
-            # suite (r02's bench died mid-run on a single analysis error and
-            # the whole round went unscored).
-            t0 = time.time()
-            try:
-                q = registry[name]
-                n = len(q.spark_fn(spark, sf_dir).collect())
-                dt = round(time.time() - t0, 3)
-                rep_times[name].append(dt)
-                print(f"# [{rep + 1}/{reps}] {name}: {dt:.3f}s ({n} rows)",
-                      file=sys.stderr)
-            except Exception as exc:  # noqa: BLE001 — bench must always finish
-                errors[name] = f"{type(exc).__name__}: {exc}"[:400]
-                print(f"# [{rep + 1}/{reps}] {name}: ERROR {errors[name]}",
-                      file=sys.stderr)
-            finally:
-                # drop any persist() a query left behind: queries stay
-                # independent and cached blocks don't build memory pressure
-                try:
-                    spark.catalog.clearCache()
-                except Exception:
-                    pass
 
     def _median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -296,56 +281,112 @@ def main() -> None:
         mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
         return round(mid, 3)
 
-    timings = {k: _median(v) for k, v in rep_times.items() if v}
-    spread = {
-        k: {"min": min(v), "max": max(v), "n": len(v)}
-        for k, v in rep_times.items()
-        if v
-    }
-    # a query is an error only if EVERY rep failed
-    errors = {k: v for k, v in errors.items() if not rep_times.get(k)}
+    def _run_one(name: str, rep: int) -> None:
+        # Per-query isolation: one broken query must never abort the
+        # suite (r02's bench died mid-run on a single analysis error and
+        # the whole round went unscored).
+        t0 = time.time()
+        try:
+            q = registry[name]
+            n = len(q.spark_fn(spark, sf_dir).collect())
+            dt = round(time.time() - t0, 3)
+            rep_times[name].append(dt)
+            print(f"# [{rep + 1}/{reps}] {name}: {dt:.3f}s ({n} rows)",
+                  file=sys.stderr, flush=True)
+        except Exception as exc:  # noqa: BLE001 — bench must always finish
+            errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+            print(f"# [{rep + 1}/{reps}] {name}: ERROR {errors[name]}",
+                  file=sys.stderr, flush=True)
+        finally:
+            # drop any persist() a query left behind, and let Python GC
+            # release localCheckpoint block references promptly: queries
+            # stay independent and blocks don't build memory pressure
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+            gc.collect()
 
-    total = round(sum(timings.values()), 3)
-    full = {
-        "metric": "suite_total_wall_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "spread": spread,
-        "reps": reps,
-        "errors": errors,
-        "sf": sf,
-    }
-    if errors:
-        # the total excludes failed queries, so a cross-round comparison
-        # must not read a lower value as an improvement (ADVICE r3)
-        full["incomplete"] = True
-    # Full per-query detail: written to a sidecar file AND printed as an
-    # EARLIER stdout line. The driver's tail capture is ~2 KB, so the FINAL
-    # line must be compact enough to survive it — keep it to the headline
-    # metric only (per-round grading reads `metric`/`value` from this line).
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_detail.json"), "w") as f:
-            json.dump(full, f, indent=1)
-    except OSError:
-        pass
-    compact_full = dict(full)
-    compact_full.pop("spread", None)  # keep the full-line print bounded
-    print(json.dumps(compact_full))
-    tail = {
-        "metric": "suite_total_wall_seconds",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "reps": reps,
-        "n_queries": len(timings),
-        "n_errors": len(errors),
-        "detail": "bench_detail.json",
-    }
-    if errors:
-        tail["incomplete"] = True
-    print(json.dumps(tail))
+    def _emit(final: bool) -> dict:
+        timings = {k: _median(v) for k, v in rep_times.items() if v}
+        spread = {
+            k: {"min": min(v), "max": max(v), "n": len(v)}
+            for k, v in rep_times.items()
+            if v
+        }
+        # a query is an error only if EVERY rep failed
+        errs = {k: v for k, v in errors.items() if not rep_times.get(k)}
+        total = round(sum(timings.values()), 3)
+        full = {
+            "metric": "suite_total_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "spread": spread,
+            "reps": reps,
+            "errors": errs,
+            "sf": sf,
+        }
+        if errs:
+            # the total excludes failed queries, so a cross-round
+            # comparison must not read a lower value as an improvement
+            full["incomplete"] = True
+        # Full per-query detail: sidecar file + an EARLIER stdout line.
+        # The driver's tail capture is ~2 KB, so the FINAL line must stay
+        # compact (per-round grading reads `metric`/`value` from it).
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "bench_detail.json"), "w") as f:
+                json.dump(full, f, indent=1)
+        except OSError:
+            pass
+        if final:
+            compact_full = dict(full)
+            compact_full.pop("spread", None)  # keep the print bounded
+            print(json.dumps(compact_full), flush=True)
+        tail = {
+            "metric": "suite_total_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "reps": reps,
+            "n_queries": len(timings),
+            "n_errors": len(errs),
+            "detail": "bench_detail.json",
+        }
+        if errs:
+            tail["incomplete"] = True
+        print(json.dumps(tail), flush=True)
+        return full
+
+    for name in HEADLINE:  # pass 1: full coverage, unconditional
+        _run_one(name, 0)
+    _emit(final=False)
+
+    for rep in range(1, reps):
+        if time.time() - bench_t0 > budget:
+            print(f"# budget {budget}s reached before pass {rep + 1}",
+                  file=sys.stderr, flush=True)
+            break
+        # expensive-first; sub-second queries yield the budget to the ones
+        # whose outliers actually move the headline
+        order = sorted(
+            (n for n in HEADLINE if rep_times[n]),
+            key=lambda n: -_median(rep_times[n]),
+        )
+        started = 0
+        for name in order:
+            remaining = budget - (time.time() - bench_t0)
+            if remaining <= 0:
+                break
+            if _median(rep_times[name]) * 1.3 > remaining:
+                continue  # later (cheaper) queries may still fit
+            _run_one(name, rep)
+            started += 1
+        if started:
+            _emit(final=False)
+
+    _emit(final=True)
 
 
 if __name__ == "__main__":

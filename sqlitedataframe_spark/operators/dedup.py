@@ -180,7 +180,14 @@ def minhash_lsh_pairs(
     against old ones), but the skew-prone self-join cost scales with the
     BATCH, not the corpus. The candidate set equals the full run's pairs
     filtered to those touching the batch (the suite oracle checks exactly
-    that equivalence)."""
+    that equivalence). Caveat when CALLING THIS REPEATEDLY over a growing
+    corpus (the streaming wrapper): ``max_bucket`` suppression is
+    evaluated against the corpus-so-far each call, so a bucket that only
+    crosses the threshold once the full corpus arrives would emit pairs
+    in early calls that a one-shot run suppresses — pass
+    ``max_bucket=None`` there (the batch side of the semi-join already
+    bounds the join cost) to keep the union-equals-one-shot equivalence
+    unconditional (ADVICE r4)."""
     rows_per_band = n_hashes // bands
     # spread BEFORE shingling so the (rare, local-only) repartition shuffles
     # raw text, not the ~3x-larger shingle arrays
@@ -190,16 +197,28 @@ def minhash_lsh_pairs(
         .filter(F.size("_sh") > 0)
     )
     # The signature table is consumed three times (banding + both sides of
-    # the verify join). Reuse WITHOUT persist(): a forced exchange on _id
-    # makes the three subtrees share one identical shuffle, which Catalyst's
-    # ReuseExchange dedups — the shingle/hash pipeline runs ONCE per action
-    # and the ~(8 + 8*n_hashes) B/doc signature table is read back from
-    # shuffle files. Unlike the r3 persist() (which was never unpersisted and
-    # pinned executor storage for the session lifetime — VERDICT r3 defect
-    # #1), shuffle files are released by Spark's ContextCleaner when the
-    # query's RDDs are GC'd, so session storage stays bounded at 100 TB.
-    # Bonus: the same exchange co-locates the id-keyed verify joins below.
-    sig = minhash_signatures(with_sh, "_id", "_sh", n_hashes).repartition("_id")
+    # the verify join). It is materialized ONCE, eagerly, via
+    # localCheckpoint: the r4 design relied on a forced exchange on _id and
+    # Catalyst's ReuseExchange to share one shuffle between the subtrees,
+    # but exchange reuse is best-effort — when AQE replans the subtrees
+    # differently (observed under late-session memory pressure: the driver
+    # r4 bench recorded a 246 s single shot vs the 7.4 s committed median
+    # of identical code), the shingle/md5 pipeline silently recomputes up
+    # to 3x. A checkpoint is a guarantee, not a heuristic: the signature
+    # table (~(8 + 8*n_hashes) B/doc — signature-sized, never text-sized)
+    # lands in block storage and every consumer scans those blocks. The
+    # blocks are bounded: released by ContextCleaner as soon as the
+    # returned DataFrame is GC'd (the graph.py iterative pattern), unlike
+    # the r3 session-lifetime persist leak. The repartition before the
+    # checkpoint still co-locates the id-keyed verify joins below. On a
+    # multi-executor cluster localCheckpoint trades executor-loss
+    # recoverability for speed — acceptable for a single derived table
+    # that is cheap to rebuild from the scan.
+    sig = (
+        minhash_signatures(with_sh, "_id", "_sh", n_hashes)
+        .repartition("_id")
+        .localCheckpoint(eager=True)
+    )
     # Candidate generation on SLIM rows (id, band, bucket) only: the banded
     # self-join is the skew-prone step (a hot bucket yields quadratic pairs),
     # so the wide 64-long signature arrays must not ride through it — they

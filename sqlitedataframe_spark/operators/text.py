@@ -584,8 +584,15 @@ def skipgram_pairs(
             ),
         )
     )
+    # Single-token guard: for size(t) == 1, sequence(1, size-1) would be the
+    # DESCENDING sequence [1, 0] and the i=0, d=1 step passes the
+    # i+d <= size test (1 <= 1), so element_at(t, 0) would throw
+    # INVALID_INDEX_OF_ZERO. Documents with < 2 tokens contribute no pairs.
+    guarded = lambda t: F.when(F.size(t) >= 2, pairs_of(t)).otherwise(  # noqa: E731
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
     pairs = F.element_at(
-        F.transform(F.array(F.split(_c(text_col), sep)), pairs_of), 1
+        F.transform(F.array(F.split(_c(text_col), sep)), guarded), 1
     )
     return (
         df.select(F.explode(pairs).alias("p"))

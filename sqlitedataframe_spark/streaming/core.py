@@ -317,22 +317,41 @@ def stream_incremental_dedup(
     LATER-arriving document — so the union over batches equals the
     one-shot batch run over the same files; the suite oracle (the full
     LSH SQL) checks exactly that, and a pytest drives a multi-file
-    3-batch split through the same assertion.
+    3-batch split through the same assertion. Hot-bucket suppression is
+    DISABLED here (``max_bucket=None``): suppression thresholds evaluated
+    against the corpus-so-far could emit pairs in early batches that a
+    one-shot run over the final corpus would suppress, breaking that
+    equivalence; the batch side of the semi-join already bounds the
+    per-batch join cost, which is the skew guard that matters on this
+    path (ADVICE r4).
 
-    foreachBatch is the idiomatic adapter here: the per-batch work is a
-    full batch plan (signatures + banded join), checkpoint + append give
-    the usual exactly-once story, and state (the accumulated corpus and
-    the pair log) lives in parquet — executor-writable, restart-safe —
-    never in driver memory.
+    foreachBatch + plain append is only at-least-once (a retried
+    micro-batch would re-append its rows), so both the pair log and the
+    corpus are written to a ``batch_id=N`` partition directory with
+    per-directory overwrite: a replayed batch overwrites exactly its own
+    partition — idempotent EFFECT, the same recipe as the upsert sink
+    above. The corpus a batch compares against is read as
+    ``batch_id < N``, so a retry sees the identical corpus the first
+    attempt saw.
+
+    ``work_dir=None`` (the default) derives a fresh run directory under
+    the system temp dir and cleans it up front. An EXPLICIT ``work_dir``
+    is the caller's: it is never wiped — it must be empty/nonexistent
+    (fresh run) or hold a previous run's state, which is resumed via the
+    stream checkpoint (ADVICE r4: unconditional rmtree was destructive
+    and contradicted restart-safety).
     """
     import shutil
 
     from sqlitedataframe_spark.operators.dedup import minhash_lsh_pairs
 
-    base = work_dir or os.path.join(
-        tempfile.gettempdir(), f"sdfspark_incdedup_{os.path.basename(sf_dir)}"
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    if work_dir is None:
+        base = os.path.join(
+            tempfile.gettempdir(), f"sdfspark_incdedup_{os.path.basename(sf_dir)}"
+        )
+        shutil.rmtree(base, ignore_errors=True)
+    else:
+        base = work_dir
     acc = os.path.join(base, "corpus")
     out = os.path.join(base, "pairs")
     ckpt = os.path.join(base, "ckpt")
@@ -348,17 +367,34 @@ def stream_incremental_dedup(
         src = normalize(src, "documents").select("doc_id", "text")
 
     def handle(b: DataFrame, batch_id: int) -> None:
-        if os.path.exists(os.path.join(acc, "_SUCCESS")) or (
-            os.path.isdir(acc) and any(f.endswith(".parquet") for f in os.listdir(acc))
-        ):
-            corpus = b.sparkSession.read.parquet(acc).unionByName(b)
+        ss = b.sparkSession
+        prior = [
+            d for d in (os.listdir(acc) if os.path.isdir(acc) else [])
+            if d.startswith("batch_id=")
+            and int(d.split("=", 1)[1]) < batch_id
+        ]
+        if prior:
+            # batch_id < N: a replayed batch N compares against exactly the
+            # corpus its first attempt saw, and its own half-written
+            # partition (if the failure struck mid-write) is excluded.
+            corpus = (
+                ss.read.option("basePath", acc)
+                .parquet(*[os.path.join(acc, d) for d in prior])
+                .drop("batch_id")
+                .unionByName(b)
+            )
         else:
             corpus = b
         pairs = minhash_lsh_pairs(
-            corpus, min_jaccard=min_jaccard, new_ids=b.select("doc_id")
+            corpus, min_jaccard=min_jaccard, new_ids=b.select("doc_id"),
+            max_bucket=None,
         )
-        pairs.write.mode("append").parquet(out)
-        b.write.mode("append").parquet(acc)
+        # overwrite of the batch's OWN partition directory = idempotent
+        # under foreachBatch replay (at-least-once -> exactly-once effect)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}")
+        )
+        b.write.mode("overwrite").parquet(os.path.join(acc, f"batch_id={batch_id}"))
 
     (
         src.writeStream.foreachBatch(handle)
@@ -367,4 +403,4 @@ def stream_incremental_dedup(
         .start()
         .awaitTermination()
     )
-    return spark.read.parquet(out)
+    return spark.read.option("basePath", out).parquet(out).drop("batch_id")

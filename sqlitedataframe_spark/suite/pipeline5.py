@@ -612,7 +612,8 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT doc_id AS media_id, text, length(text) AS n
-      FROM documents WHERE length(text) >= 2),
+      FROM documents
+      WHERE length(text) >= 2 AND octet_length(encode(text)) = length(text)),
     arr AS (
       SELECT media_id,
              [ord(substr(text, 1 + CAST((i * (n - 1)) // 64 AS INT), 1))
@@ -655,10 +656,21 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.multimodal.phash_pairs: hashes compute scan-side, payloads
     never shuffle; banding/hot-bucket/pair machinery shared in shape with
     the text path and exactly re-derived by the oracle at bit level.
+
+    Both sides restrict to ASCII payloads (octet_length == char length):
+    phash_bits samples BYTES of the binary payload while a SQL oracle can
+    only address CHARACTERS of the source text, and the two sampling grids
+    coincide exactly when every character is one byte (ADVICE r4 — on a
+    non-ASCII fixture the hashes would silently diverge). Real media
+    payloads are opaque binary with no oracle at all; this predicate is
+    purely the verification harness's alignment contract.
     """
     from sqlitedataframe_spark.operators.multimodal import attach_media, phash_pairs
 
-    d = T(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    d = T(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 2)
+        & (F.octet_length("text") == F.length("text"))
+    )
     media = attach_media(d, "doc_id", "text")
     return phash_pairs(media).orderBy("id_a", "id_b")
 
