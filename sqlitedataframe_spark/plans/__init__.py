@@ -15,6 +15,7 @@ from sqlitedataframe_spark.plans.introspect import (
     pushed_filters,
     read_schemas,
     scan_count,
+    upstream_global_sort_count,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "pushed_filters",
     "read_schemas",
     "scan_count",
+    "upstream_global_sort_count",
 ]

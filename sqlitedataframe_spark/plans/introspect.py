@@ -130,6 +130,55 @@ def global_window_count(df: DataFrame) -> int:
     return count
 
 
+#: Operators that consume their whole input again (a global sort feeding
+#: one of these is a real serialization point, not result presentation).
+_WIDE_OP = re.compile(
+    r"SortMergeJoin|ShuffledHashJoin|Broadcast(?:Hash|NestedLoop)Join"
+    r"|CartesianProduct|HashAggregate|ObjectHashAggregate|SortAggregate"
+    r"|Window\b|Exchange hashpartitioning"
+)
+#: Nodes that serialize: a GLOBAL sort (`Sort [...], true`), its range
+#: shuffle, or a driver-side CollectLimit.
+_GLOBAL_NODE = re.compile(
+    r"Sort \[[^\]]*\], true|Exchange rangepartitioning|CollectLimit"
+)
+
+
+def upstream_global_sort_count(df: DataFrame) -> int:
+    """Number of global-Sort / range-Exchange / CollectLimit nodes that FEED
+    a wide operator (join/aggregate/window/shuffle) downstream — i.e. the
+    serializing node has a wide ancestor in the plan tree. A global orderBy
+    as the RESULT-PRESENTATION tail is fine (the driver reads it anyway);
+    the same node upstream of more distributed work is a scale bug this
+    guard makes visible (VERDICT r4 #8). Ancestors are recovered from the
+    simple-mode tree's indentation: a line's ancestors are the most recent
+    lines at each smaller depth."""
+    return _upstream_global_sort_count_text(explain_text(df, "simple"))
+
+
+def _upstream_global_sort_count_text(text: str) -> int:
+    """Core of :func:`upstream_global_sort_count` over a simple-mode plan
+    string (separable so the detector itself is unit-testable — Catalyst's
+    EliminateSorts/TakeOrderedAndProject rewrites make the flagged shapes
+    unconstructible from the DataFrame API, which is exactly why only a
+    plan REGRESSION would ever trip this guard)."""
+    count = 0
+    depth_stack: list[tuple[int, str]] = []  # (depth, line) of open ancestors
+    for line in text.splitlines():
+        m = re.search(r"[A-Za-z(]", line)
+        if m is None:
+            continue
+        depth = m.start()
+        while depth_stack and depth_stack[-1][0] >= depth:
+            depth_stack.pop()
+        if _GLOBAL_NODE.search(line) and any(
+            _WIDE_OP.search(anc) for _, anc in depth_stack
+        ):
+            count += 1
+        depth_stack.append((depth, line))
+    return count
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen spans; fewer spans for the same plan
     means wider fused pipelines."""

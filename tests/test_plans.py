@@ -243,3 +243,99 @@ def test_global_window_detector_four_shapes(spark):
     assert global_window_count(
         df.withColumn("c", F.count("*").over(Window.partitionBy()))
     ) == 1
+
+
+def test_upstream_global_sort_detector(spark):
+    """Negative controls on real plans (a presentation-tail orderBy is
+    clean; Catalyst itself erases the bad shapes the DataFrame API could
+    express — EliminateSorts drops a sort below an agg, orderBy+limit
+    fuses to TakeOrderedAndProject); positive controls on plan text, the
+    only place the flagged shapes can exist (a plan REGRESSION)."""
+    from sqlitedataframe_spark.plans import upstream_global_sort_count
+    from sqlitedataframe_spark.plans.introspect import (
+        _upstream_global_sort_count_text,
+    )
+
+    df = spark.range(1000).withColumn("g", F.col("id") % 7)
+    # presentation tail: agg then orderBy -> 0
+    assert upstream_global_sort_count(
+        df.groupBy("g").agg(F.sum("id").alias("s")).orderBy("s")
+    ) == 0
+    # Catalyst removes the mid-plan sort entirely: still 0, and cheap
+    assert upstream_global_sort_count(
+        df.orderBy("id").groupBy("g").agg(F.first("id").alias("f"))
+    ) == 0
+    # text-level positive controls: global sort below an agg; CollectLimit
+    # feeding a join; and the local (false) sort of SMJ must NOT flag
+    flagged = """AdaptiveSparkPlan isFinalPlan=false
++- HashAggregate(keys=[g#1L], functions=[first(id#0L, false)])
+   +- Exchange hashpartitioning(g#1L, 32), ENSURE_REQUIREMENTS, [plan_id=1]
+      +- Sort [id#0L ASC NULLS FIRST], true, 0
+         +- Exchange rangepartitioning(id#0L ASC NULLS FIRST, 32), E, [plan_id=2]
+            +- Range (0, 1000, step=1, splits=32)
+"""
+    assert _upstream_global_sort_count_text(flagged) == 2
+    collect_join = """AdaptiveSparkPlan isFinalPlan=false
++- SortMergeJoin [id#0L], [id2#10L], Inner
+   :- Sort [id#0L ASC NULLS FIRST], false, 0
+   :  +- Exchange hashpartitioning(id#0L, 32), E, [plan_id=3]
+   :     +- Range (0, 1000, step=1, splits=32)
+   +- Sort [id2#10L ASC NULLS FIRST], false, 0
+      +- Exchange hashpartitioning(id2#10L, 32), E, [plan_id=4]
+         +- CollectLimit 5
+            +- Range (0, 1000, step=1, splits=32)
+"""
+    assert _upstream_global_sort_count_text(collect_join) == 1
+    presentation = """AdaptiveSparkPlan isFinalPlan=false
++- Sort [s#2L ASC NULLS FIRST], true, 0
+   +- Exchange rangepartitioning(s#2L ASC NULLS FIRST, 32), E, [plan_id=5]
+      +- HashAggregate(keys=[g#1L], functions=[sum(id#0L)])
+         +- Exchange hashpartitioning(g#1L, 32), E, [plan_id=6]
+            +- Range (0, 1000, step=1, splits=32)
+"""
+    assert _upstream_global_sort_count_text(presentation) == 0
+
+
+def test_pair_generators_no_upstream_global_sort(spark):
+    """The orderBy tails on the pair-generating suite queries are result
+    presentation only; this pins that none of them (nor a future edit)
+    moves a global sort upstream of the wide work (VERDICT r4 #8)."""
+    from sqlitedataframe_spark.plans import upstream_global_sort_count
+    from sqlitedataframe_spark.suite import load_all
+
+    registry = load_all()
+    sf = "/root/testdata/sf0.001"
+    for name in [
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_cosine_pairs",
+        "basket_part_pairs",
+        "text_skipgram_pairs",
+        "multimodal_phash_pairs",
+    ]:
+        q = registry[name].spark_fn(spark, sf)
+        assert upstream_global_sort_count(q) == 0, name
+
+
+def test_cooccurrence_single_group_exchange_reused(spark, sf_dir):
+    """cooccurrence_pairs' docstring claims ONE exchange on the group key
+    shared by both self-join sides. Assert it structurally on the FINAL
+    adaptive plan: the basket-side pipeline (distinct + window) plans its
+    exchanges once and the second join side resolves to ReusedExchange
+    nodes instead of recomputing (VERDICT r4 #5 — protects the
+    exchange-sharing design from silent AQE/plan regressions)."""
+    import re
+
+    from sqlitedataframe_spark.operators.mining import cooccurrence_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = cooccurrence_pairs(li, "l_orderkey", "l_partkey", k=20)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final, final[:200]
+    group_exchanges = len(
+        re.findall(r"\+- Exchange hashpartitioning\(_g#\d+L, 32\)", final)
+    )
+    assert group_exchanges == 1, final
+    assert "ReusedExchange" in final, final

@@ -32,6 +32,7 @@ from sqlitedataframe_spark.plans import (  # noqa: E402
     explain_text,
     global_window_count,
     scan_count,
+    upstream_global_sort_count,
 )
 
 
@@ -46,6 +47,10 @@ def audit_one(df) -> dict:
         ),
         "global_windows": global_window_count(df),
         "python_row_udf": "BatchEvalPython" in plan,
+        # global Sort / range Exchange / CollectLimit feeding a WIDE
+        # downstream operator (presentation-tail orderBys don't count):
+        # would be invisible in the other rows (VERDICT r4 #8)
+        "upstream_global_sorts": upstream_global_sort_count(df),
     }
 
 
@@ -67,7 +72,11 @@ def main() -> None:
         except Exception as e:  # audit must not die on one bad query
             row = {"error": f"{type(e).__name__}: {e}"[:200]}
         out[name] = row
-        if row.get("nested_loop_or_cartesian") or row.get("python_row_udf"):
+        if (
+            row.get("nested_loop_or_cartesian")
+            or row.get("python_row_udf")
+            or row.get("upstream_global_sorts")
+        ):
             flagged.append(name)
         bad = " FLAG" if name in flagged else ""
         print(f"{name}: {row}{bad}", file=sys.stderr)
