@@ -298,10 +298,14 @@ def main() -> None:
             print(f"# [{rep + 1}/{reps}] {name}: ERROR {errors[name]}",
                   file=sys.stderr, flush=True)
         finally:
-            # drop any persist() a query left behind, and let Python GC
-            # release localCheckpoint block references promptly: queries
-            # stay independent and blocks don't build memory pressure
+            # release operator-registered caches (minhash signature tables
+            # etc. — safe: persist keeps lineage) and any persist() a query
+            # left behind: queries stay independent and blocks don't build
+            # memory pressure across the 160+-query session
             try:
+                from sqlitedataframe_spark.operators.util import release_caches
+
+                release_caches()
                 spark.catalog.clearCache()
             except Exception:
                 pass

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sqlitedataframe_spark.operators.text import ngram_set, tokens
+from sqlitedataframe_spark.operators.util import eager_cache as _eager_cache
 from sqlitedataframe_spark.operators.util import spread as _spread
 
 
@@ -198,26 +199,24 @@ def minhash_lsh_pairs(
     )
     # The signature table is consumed three times (banding + both sides of
     # the verify join). It is materialized ONCE, eagerly, via
-    # localCheckpoint: the r4 design relied on a forced exchange on _id and
-    # Catalyst's ReuseExchange to share one shuffle between the subtrees,
-    # but exchange reuse is best-effort — when AQE replans the subtrees
-    # differently (observed under late-session memory pressure: the driver
-    # r4 bench recorded a 246 s single shot vs the 7.4 s committed median
-    # of identical code), the shingle/md5 pipeline silently recomputes up
-    # to 3x. A checkpoint is a guarantee, not a heuristic: the signature
-    # table (~(8 + 8*n_hashes) B/doc — signature-sized, never text-sized)
-    # lands in block storage and every consumer scans those blocks. The
-    # blocks are bounded: released by ContextCleaner as soon as the
-    # returned DataFrame is GC'd (the graph.py iterative pattern), unlike
-    # the r3 session-lifetime persist leak. The repartition before the
-    # checkpoint still co-locates the id-keyed verify joins below. On a
-    # multi-executor cluster localCheckpoint trades executor-loss
-    # recoverability for speed — acceptable for a single derived table
-    # that is cheap to rebuild from the scan.
-    sig = (
-        minhash_signatures(with_sh, "_id", "_sh", n_hashes)
-        .repartition("_id")
-        .localCheckpoint(eager=True)
+    # util.eager_cache: the r4 design relied on a forced exchange on _id
+    # and Catalyst's ReuseExchange to share one shuffle between the
+    # subtrees, but exchange reuse is best-effort — when AQE replans the
+    # subtrees differently (observed under late-session memory pressure:
+    # the driver r4 bench recorded a 246 s single shot vs the 7.4 s
+    # committed median of identical code), the shingle/md5 pipeline
+    # silently recomputes up to 3x. A materialized cache is a guarantee,
+    # not a heuristic: the signature table (~(8 + 8*n_hashes) B/doc —
+    # signature-sized, never text-sized) lands in block storage once and
+    # every consumer reads InMemoryTableScan. Storage stays bounded
+    # because the cache is REGISTERED: harnesses call
+    # util.release_caches() after each query (safe at any time — persist
+    # keeps lineage, unlike localCheckpoint, so a late consumer
+    # recomputes rather than failing; see eager_cache's docstring for why
+    # GC-based cleanup does not exist in practice). The repartition
+    # before the cache co-locates the id-keyed verify joins below.
+    sig = _eager_cache(
+        minhash_signatures(with_sh, "_id", "_sh", n_hashes).repartition("_id")
     )
     # Candidate generation on SLIM rows (id, band, bucket) only: the banded
     # self-join is the skew-prone step (a hot bucket yields quadratic pairs),

@@ -685,3 +685,130 @@ def tfidf_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+):
+    """Top-``k`` documents by BM25 score against a fixed bag of query
+    terms — the classic lexical-retrieval ranking (Robertson/Sparck Jones;
+    the Lucene ``ln(1 + (N-df+0.5)/(df+0.5))`` idf variant), the retrieval
+    half of RAG data pipelines and the usual hard-negative source for
+    embedding training.
+
+    Plan shape at 100 TB — NO per-posting shuffle at all: per-document
+    term frequencies for the |Q| query terms compute SCAN-SIDE as one
+    let-bound array expression (tf vector + doc length per row), a single
+    partial-aggregated 1-row global agg derives (N, avgdl, df_i), which
+    broadcasts back for a scan-side score evaluation; top-k compiles to
+    TakeOrderedAndProject. Compare tfidf_topk, which must shuffle postings
+    because its vocabulary is unbounded — BM25 against a FIXED query only
+    ever carries |Q| counters per document.
+
+    Scores are rounded to 6 dp and ordered (score DESC, id ASC), a total
+    order both engines reproduce; zero-score documents (no query term) are
+    dropped.
+    """
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    # let-bind the token array so length + |Q| filters evaluate one split
+    per_doc = F.element_at(
+        F.transform(
+            F.array(tokens(text_col)),
+            lambda t: F.struct(
+                F.size(t).alias("dl"),
+                F.transform(
+                    qarr, lambda q: F.size(F.filter(t, lambda tok: tok == q))
+                ).alias("tfs"),
+            ),
+        ),
+        1,
+    )
+    base = docs.select(F.col(id_col), per_doc.alias("_s")).select(
+        F.col(id_col), F.col("_s.dl").alias("dl"), F.col("_s.tfs").alias("tfs")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.element_at("tfs", i + 1) > 0).cast("int")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    def term_score(i: int) -> Column:
+        tf = F.element_at("tfs", i + 1)
+        dfreq = F.col(f"df_{i}")
+        idf = F.log(
+            (F.col("n_docs") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        return F.when(tf > 0, idf * tf * F.lit(k1 + 1.0) / denom).otherwise(
+            F.lit(0.0)
+        )
+
+    score = term_score(0)
+    for i in range(1, len(query_terms)):
+        score = score + term_score(i)
+    return (
+        base.join(F.broadcast(stats))
+        .select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def vocab_oov_stats(
+    docs,
+    group_col: str = "source",
+    text_col: str = "text",
+    vocab_size: int = 100,
+):
+    """Per-``group_col`` out-of-vocabulary statistics against the corpus'
+    own top-``vocab_size`` token vocabulary — the tokenizer-coverage
+    screen run before committing a vocab/tokenizer to a training mix
+    (a source whose OOV rate spikes is under-served by the tokenizer).
+
+    Plan shape: token counts are one explode + partially-aggregated
+    groupBy(token) (the only posting-sized shuffle); the top-k vocabulary
+    compiles to TakeOrderedAndProject (count DESC, token ASC — total
+    order) and collapses to a ONE-ROW array via collect_list, which
+    broadcasts to a scan-side membership filter — the corpus is never
+    shuffled for the membership test, and nothing touches the driver
+    (the vocab rides executor-side as a bounded broadcast row, the
+    centroid pattern). avg() of the per-doc OOV ratio partially
+    aggregates map-side.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"), tokens(text_col).alias("_t")
+    )
+    vocab = (
+        toks.select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .agg(F.sort_array(F.collect_list("tok")).alias("_vocab"))
+    )
+    oov = F.size(
+        F.filter("_t", lambda x: ~F.array_contains("_vocab", x))
+    ).cast("double") / F.size("_t")
+    return (
+        toks.join(F.broadcast(vocab))
+        .select("grp", oov.alias("_oov"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("_oov"), 6).alias("avg_oov_rate"),
+        )
+        .withColumnRenamed("grp", "source" if group_col == "source" else group_col)
+        .orderBy("source" if group_col == "source" else group_col)
+    )

@@ -4,6 +4,52 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401
+from pyspark.storagelevel import StorageLevel
+
+#: Live frames materialized by :func:`eager_cache`, released by
+#: :func:`release_caches`. A module-level registry (not per-call handles)
+#: because the frames outlive the operator call that created them — the
+#: caller holds only the derived result DataFrame.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def eager_cache(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` into the block cache NOW and register it for
+    :func:`release_caches`.
+
+    Why persist + eager count, not localCheckpoint: a localCheckpoint
+    TRUNCATES lineage, so releasing its blocks makes any still-unexecuted
+    consumer fail hard with missing checkpoint blocks — and (measured, r5)
+    PySpark never releases them via GC either: the JVM pins the
+    checkpointed RDD even after the Python frame is collected and
+    System.gc() runs, so every call leaks storage for the session
+    lifetime, the exact r3 defect shape. persist keeps lineage, so
+    ``unpersist`` at ANY time is safe — a late consumer silently
+    recomputes instead of failing — and the eager count() gives the same
+    compute-once guarantee while the cache lives. Harnesses (bench,
+    oracle gate, plan audit, the streaming foreachBatch loop) call
+    :func:`release_caches` after each query/batch, which is what keeps a
+    100 TB session's storage bounded; long-lived library users do the
+    same.
+    """
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    _LIVE_CACHES.append(out)
+    return out
+
+
+def release_caches() -> int:
+    """Unpersist every :func:`eager_cache` frame (safe at any time —
+    persist keeps lineage, so late consumers recompute). Returns the
+    number released."""
+    n = len(_LIVE_CACHES)
+    for df in _LIVE_CACHES:
+        try:
+            df.unpersist(False)
+        except Exception:  # a stopped session has nothing to release
+            pass
+    _LIVE_CACHES.clear()
+    return n
 
 
 _BYTE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,

@@ -385,16 +385,25 @@ def stream_incremental_dedup(
             )
         else:
             corpus = b
-        pairs = minhash_lsh_pairs(
-            corpus, min_jaccard=min_jaccard, new_ids=b.select("doc_id"),
-            max_bucket=None,
-        )
-        # overwrite of the batch's OWN partition directory = idempotent
-        # under foreachBatch replay (at-least-once -> exactly-once effect)
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(out, f"batch_id={batch_id}")
-        )
-        b.write.mode("overwrite").parquet(os.path.join(acc, f"batch_id={batch_id}"))
+        from sqlitedataframe_spark.operators.util import release_caches
+
+        try:
+            pairs = minhash_lsh_pairs(
+                corpus, min_jaccard=min_jaccard, new_ids=b.select("doc_id"),
+                max_bucket=None,
+            )
+            # overwrite of the batch's OWN partition directory = idempotent
+            # under foreachBatch replay (at-least-once -> exactly-once effect)
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch_id={batch_id}")
+            )
+            b.write.mode("overwrite").parquet(
+                os.path.join(acc, f"batch_id={batch_id}")
+            )
+        finally:
+            # each batch registers one signature cache; N batches must not
+            # accumulate N caches
+            release_caches()
 
     (
         src.writeStream.foreachBatch(handle)

@@ -57,32 +57,46 @@ def _docs(spark):
     )
 
 
-def test_minhash_signature_checkpointed_once(spark):
-    """The returned plan must read signatures from the checkpointed RDD —
-    zero md5/shingle recompute in ANY consumer subtree. This is the
-    structural guarantee that replaced ReuseExchange (which AQE may
-    decline, recomputing the signature pipeline 3x — the r4 driver's
-    246 s outlier on identical code)."""
+def test_minhash_signature_cached_once(spark):
+    """Every consumer of the signature table must read the materialized
+    cache (InMemoryTableScan) — never recompute the shingle/md5 pipeline.
+    This is the structural guarantee that replaced ReuseExchange (which
+    AQE may decline, recomputing the signature pipeline 3x — the r4
+    driver's 246 s outlier on identical code)."""
+    from sqlitedataframe_spark.operators.util import release_caches
     from sqlitedataframe_spark.operators.dedup import minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(_docs(spark), min_jaccard=0.0)
-    plan = pairs._jdf.queryExecution().executedPlan().toString()
-    # The shingle column `_sh` feeds the expensive md5-per-shingle minhash
-    # fold; after the eager checkpoint no consumer may reference it (the
-    # only surviving md5 is the cheap band-bucket hash over `_sig`).
-    assert "_sh" not in plan, plan
-    assert "ExistingRDD" in plan, plan
+    try:
+        pairs = minhash_lsh_pairs(_docs(spark), min_jaccard=0.0)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+        # the expensive pipeline (shingling feeds the md5-per-shingle
+        # minhash fold) may appear only INSIDE the cached relation's own
+        # printout, never in a consumer subtree: every line mentioning the
+        # shingle recipe must sit below an InMemoryRelation header
+        lines = plan.splitlines()
+        first_imr = min(
+            (i for i, l in enumerate(lines) if "InMemoryRelation" in l),
+            default=len(lines),
+        )
+        for i, line in enumerate(lines[:first_imr]):
+            assert "array_distinct" not in line, (i, line)
+    finally:
+        release_caches()
 
 
-def test_minhash_incremental_plan_checkpointed(spark):
+def test_minhash_incremental_plan_cached(spark):
+    from sqlitedataframe_spark.operators.util import release_caches
     from sqlitedataframe_spark.operators.dedup import minhash_lsh_pairs
 
-    d = _docs(spark)
-    batch = d.filter(F.col("doc_id") % 4 == 0).select("doc_id")
-    pairs = minhash_lsh_pairs(d, min_jaccard=0.0, new_ids=batch)
-    plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "_sh" not in plan, plan
-    assert "ExistingRDD" in plan, plan
+    try:
+        d = _docs(spark)
+        batch = d.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+        pairs = minhash_lsh_pairs(d, min_jaccard=0.0, new_ids=batch)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        release_caches()
 
 
 def test_minhash_pairs_still_correct_after_checkpoint(spark):

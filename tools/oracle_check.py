@@ -93,6 +93,16 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        finally:
+            # operator-registered caches (minhash signature tables etc.)
+            # are per-query state; release so a full 187-query gate run
+            # doesn't accumulate executor storage
+            try:
+                from sqlitedataframe_spark.operators.util import release_caches
+
+                release_caches()
+            except Exception:
+                pass
         if q.oracle is None:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1

@@ -71,6 +71,13 @@ def main() -> None:
             row = audit_one(q.spark_fn(spark, sf_dir))
         except Exception as e:  # audit must not die on one bad query
             row = {"error": f"{type(e).__name__}: {e}"[:200]}
+        finally:
+            try:  # eager_cache frames are per-query state; don't accumulate
+                from sqlitedataframe_spark.operators.util import release_caches
+
+                release_caches()
+            except Exception:
+                pass
         out[name] = row
         if (
             row.get("nested_loop_or_cartesian")

@@ -185,6 +185,11 @@ def run(spark) -> None:
                 row[f"{label}_error"] = f"{type(exc).__name__}: {exc}"[:200]
             finally:
                 try:
+                    from sqlitedataframe_spark.operators.util import (
+                        release_caches,
+                    )
+
+                    release_caches()
                     spark.catalog.clearCache()
                 except Exception:
                     pass
