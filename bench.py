@@ -201,6 +201,9 @@ HEADLINE = [
     "text_cosine_pairs",
     "events_changepoint_cusum",
     "snapshot_diff_orders",
+    "text_bm25_topk",
+    "text_vocab_coverage",
+    "sample_curriculum_buckets",
 ]
 
 

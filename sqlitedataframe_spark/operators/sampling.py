@@ -313,3 +313,51 @@ def sample_temperature(
         .filter(_hex4(key) < F.col("_cut"))
         .drop("_cut")
     )
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 4,
+    agg_cols: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Partition rows into ``n_buckets`` curriculum stages by quantile
+    boundaries of ``score_col`` (easy -> hard ordering for curriculum
+    training schedules), returning per-bucket aggregates.
+
+    NOT ntile(): a global ntile is an unpartitioned window — the whole
+    corpus serialized through one task, the canonical scale bug this
+    repo's own plan audit flags. Instead the (n_buckets - 1) boundaries
+    come from one exact ``percentile`` aggregate (swap in
+    ``percentile_approx`` beyond memory scale — same plan shape), ride
+    back as a 1-row broadcast, and the bucket label is a pure scan-side
+    comparison sum ``1 + sum_i(score > q_i)`` — zero windows, one tiny
+    agg, one broadcast, fully parallel. Both engines interpolate
+    percentiles identically (lower + frac * (upper - lower) on IEEE
+    doubles), so bucket assignment is engine-exact.
+
+    ``agg_cols`` maps output name -> aggregate Column over the bucketed
+    rows (defaults to count + mean score).
+    """
+    ps = [(i + 1) / n_buckets for i in range(n_buckets - 1)]
+    bounds = df.agg(
+        F.expr(
+            f"percentile({score_col}, array({', '.join(str(p) for p in ps)}))"
+        ).alias("_qs")
+    )
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + (
+            F.col(score_col) > F.element_at("_qs", i + 1)
+        ).cast("int")
+    aggs = agg_cols or {
+        "n_rows": F.count(F.lit(1)).cast("bigint"),
+        "avg_score": F.round(F.avg(score_col), 6),
+    }
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+        .orderBy("bucket")
+    )

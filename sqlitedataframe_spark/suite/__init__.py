@@ -60,6 +60,7 @@ def load_all() -> dict[str, Query]:
         pipeline3,
         pipeline4,
         pipeline5,
+        pipeline6,
         eventstream,
         streamingq,
         bridge,

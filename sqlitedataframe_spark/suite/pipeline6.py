@@ -1,0 +1,178 @@
+"""Round-5 additions: BM25 lexical retrieval, tokenizer/vocabulary OOV
+coverage, and quantile-bucketed curriculum staging.
+
+Like every suite module, each query pairs an idiomatic-Spark plan with a
+DuckDB oracle the driver hash-compares at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.suite import query
+from sqlitedataframe_spark.suite.relational import T
+
+#: The fixed retrieval query for text_bm25_topk — terms present in the
+#: synthetic documents vocabulary (TESTDATA.md) at different frequencies.
+BM25_QUERY_TERMS = ["spark", "join", "window"]
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    base AS (
+      SELECT doc_id, len(t) AS dl,
+             [len(list_filter(t, x -> x = 'spark')),
+              len(list_filter(t, x -> x = 'join')),
+              len(list_filter(t, x -> x = 'window'))] AS tfs
+      FROM t),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+             SUM(CASE WHEN tfs[1] > 0 THEN 1 ELSE 0 END) AS df0,
+             SUM(CASE WHEN tfs[2] > 0 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN tfs[3] > 0 THEN 1 ELSE 0 END) AS df2
+      FROM base),
+    scored AS (
+      SELECT doc_id, ROUND(
+        (CASE WHEN tfs[1] > 0 THEN
+           ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+             * tfs[1] * 2.2 / (tfs[1] + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ELSE 0 END)
+        + (CASE WHEN tfs[2] > 0 THEN
+           ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+             * tfs[2] * 2.2 / (tfs[2] + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ELSE 0 END)
+        + (CASE WHEN tfs[3] > 0 THEN
+           ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+             * tfs[3] * 2.2 / (tfs[3] + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ELSE 0 END), 6) AS bm25
+      FROM base, stats)
+    SELECT doc_id, bm25 FROM scored
+    WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 (k1=1.2, b=0.75, Lucene idf) against a
+    fixed 3-term query — the lexical-retrieval ranking behind RAG
+    pipelines and hard-negative mining for embedding training.
+
+    operators.text.bm25_topk: per-doc tf vectors for the |Q| query terms
+    compute scan-side (no per-posting explode/shuffle); one 1-row global
+    agg derives (N, avgdl, df_i) and broadcasts back; top-k is
+    TakeOrderedAndProject. The oracle recomputes the identical closed
+    form; interpolation-free arithmetic keeps both engines hash-equal
+    after 6 dp rounding.
+    """
+    from sqlitedataframe_spark.operators.text import bm25_topk
+
+    return bm25_topk(T(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=20)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    cnt AS (
+      SELECT u.tok, COUNT(*) AS n
+      FROM t, UNNEST(t.t) AS u(tok)
+      GROUP BY u.tok),
+    vocab AS (SELECT tok FROM cnt ORDER BY n DESC, tok LIMIT 100),
+    v AS (SELECT LIST(tok) AS vl FROM vocab),
+    per AS (
+      SELECT source,
+             len(list_filter(t, x -> NOT list_contains(vl, x))) * 1.0
+               / len(t) AS oov
+      FROM t, v)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(oov), 6) AS avg_oov_rate
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus' own top-100
+    token vocabulary — the tokenizer-coverage screen run before fixing a
+    vocab/tokenizer for a training mix (a source with a high OOV rate is
+    under-served and will fragment into long byte-level token runs).
+
+    operators.text.vocab_oov_stats: one posting shuffle for token counts,
+    TakeOrderedAndProject for the top-k vocabulary, which collapses to a
+    1-row array broadcast for a scan-side membership filter — the corpus
+    is never reshuffled for the membership test.
+    """
+    from sqlitedataframe_spark.operators.text import vocab_oov_stats
+
+    return vocab_oov_stats(
+        T(spark, sf_dir, "documents"), group_col="source", vocab_size=100
+    )
+
+
+@query(
+    "sample_curriculum_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_chars,
+             ROUND(len(list_distinct(t)) * 1.0 / len(t), 6) AS q
+      FROM t),
+    b AS (
+      SELECT quantile_cont(q, 0.25) AS q1,
+             quantile_cont(q, 0.50) AS q2,
+             quantile_cont(q, 0.75) AS q3
+      FROM s)
+    SELECT 1 + (CASE WHEN q > q1 THEN 1 ELSE 0 END)
+             + (CASE WHEN q > q2 THEN 1 ELSE 0 END)
+             + (CASE WHEN q > q3 THEN 1 ELSE 0 END) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(AVG(q), 6) AS avg_score,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM s, b
+    GROUP BY 1 ORDER BY bucket
+    """,
+)
+def sample_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile curriculum staging by lexical-diversity score (distinct /
+    total token ratio): per-stage document counts and means — the
+    easy-to-hard scheduling split of curriculum training, built without
+    the global-ntile serialization trap.
+
+    operators.sampling.curriculum_buckets: exact percentile boundaries in
+    one aggregate (percentile_approx at 100 TB — same plan), broadcast
+    back, bucket assigned scan-side by comparison sum. Zero windows; both
+    engines interpolate quantiles with the identical IEEE formula, so
+    assignment is hash-exact.
+    """
+    from sqlitedataframe_spark.operators.sampling import curriculum_buckets
+    from sqlitedataframe_spark.operators.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    t = tokens("text")
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        F.round(
+            F.size(F.array_distinct(t)).cast("double") / F.size(t), 6
+        ).alias("q"),
+    )
+    return curriculum_buckets(
+        scored,
+        "q",
+        n_buckets=4,
+        agg_cols={
+            "n_rows": F.count(F.lit(1)).cast("bigint"),
+            "avg_score": F.round(F.avg("q"), 6),
+            "avg_chars": F.round(F.avg("n_chars"), 2),
+        },
+    )

@@ -1,0 +1,91 @@
+"""Round-5 operators: BM25 retrieval, vocabulary OOV coverage, curriculum
+quantile buckets."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_bm25_hand_checked(spark):
+    """3-doc corpus, 1-term query — verify the closed form by hand:
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1), score = idf*tf*(k1+1)/
+    (tf + k1*(1 - b + b*dl/avgdl))."""
+    from sqlitedataframe_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark fast"),          # tf=2, dl=3
+            (2, "slow engine"),               # tf=0 -> dropped
+            (3, "spark"),                     # tf=1, dl=1
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["bm25"] for r in bm25_topk(df, ["spark"], k=10).collect()}
+    assert set(rows) == {1, 3}
+    n, dfreq, avgdl, k1, b = 3, 2, 2.0, 1.2, 0.75
+    idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+    s1 = idf * 2 * 2.2 / (2 + k1 * (1 - b + b * 3 / avgdl))
+    s3 = idf * 1 * 2.2 / (1 + k1 * (1 - b + b * 1 / avgdl))
+    assert rows[1] == round(s1, 6)
+    assert rows[3] == round(s3, 6)
+
+
+def test_bm25_topk_order_and_limit(spark):
+    from sqlitedataframe_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "term " + "pad " * (i % 5)) for i in range(30)], ["doc_id", "text"]
+    )
+    rows = bm25_topk(df, ["term"], k=7).collect()
+    assert len(rows) == 7
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # equal scores tie-break ascending by id
+    for a, b2 in zip(rows, rows[1:]):
+        if a["bm25"] == b2["bm25"]:
+            assert a["doc_id"] < b2["doc_id"]
+
+
+def test_vocab_oov_known_split(spark):
+    """vocab_size=2 -> the two most frequent tokens are in-vocab; every
+    other token is OOV at an exactly computable rate."""
+    from sqlitedataframe_spark.operators.text import vocab_oov_stats
+
+    df = spark.createDataFrame(
+        [
+            ("a", "top top top second second rare1"),   # 1/6 oov
+            ("b", "top second"),                        # 0/2
+            ("b", "rare2 rare3"),                       # 2/2
+        ],
+        ["source", "text"],
+    )
+    rows = {
+        r["source"]: r
+        for r in vocab_oov_stats(df, group_col="source", vocab_size=2).collect()
+    }
+    assert rows["a"]["n_docs"] == 1
+    assert rows["a"]["avg_oov_rate"] == round(1 / 6, 6)
+    assert rows["b"]["n_docs"] == 2
+    assert rows["b"]["avg_oov_rate"] == 0.5  # mean(0, 1)
+
+
+def test_curriculum_equal_buckets(spark):
+    """1000 distinct uniform scores -> 4 buckets of 250."""
+    from sqlitedataframe_spark.operators.sampling import curriculum_buckets
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") / 1000.0).alias("q")
+    )
+    rows = curriculum_buckets(df, "q", n_buckets=4).collect()
+    assert [r["bucket"] for r in rows] == [1, 2, 3, 4]
+    assert [r["n_rows"] for r in rows] == [250, 250, 250, 250]
+
+
+def test_curriculum_no_global_window(spark):
+    from sqlitedataframe_spark.operators.sampling import curriculum_buckets
+    from sqlitedataframe_spark.plans import global_window_count
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 13).alias("q"))
+    assert global_window_count(curriculum_buckets(df, "q")) == 0

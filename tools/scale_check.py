@@ -103,6 +103,9 @@ QUERIES = [
     "events_forecast_baseline",
     "text_cosine_pairs",
     "events_changepoint_cusum",
+    "text_bm25_topk",
+    "text_vocab_coverage",
+    "sample_curriculum_buckets",
 ]
 
 #: per-copy letter permutations: rewrite document text so copies are not
