@@ -18,11 +18,15 @@ Scale notes (100 TB):
   (src, dst) edge list; nothing wider ever shuffles.
 - Each round = 2 shuffles (neighbour-min aggregation, pointer-jump join),
   both partitioned by node id; AQE coalesces as components collapse.
-- ``localCheckpoint`` truncates lineage each round — iterative joins
-  otherwise nest the plan exponentially and stall the optimizer. On a real
-  cluster use ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``
-  for fault-tolerant truncation; local mode has no DFS, so the
-  executor-local variant is used here.
+- Per-round state is localCheckpoint-truncated (the pointer-jump
+  self-join doubles the plan per round without truncation), with an
+  EXPLICIT block lifecycle (r5): each round unpersists the previous
+  round's checkpoint handles once the witness materializes the new one,
+  and the final round's handles are registered for
+  util.release_caches() — PySpark never releases checkpoint blocks via
+  GC, so without this every call pinned ~rounds block sets for the
+  session. On a real cluster use ``setCheckpointDir`` + ``checkpoint()``
+  for fault-tolerant truncation; the lifecycle is the same.
 - The only driver-side state is the per-round changed-row count (one long).
   This is the standard stopping rule; the label frames never collect.
 
@@ -34,6 +38,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.operators.util import (
+    persistent_rdd_ids as _rdd_ids,
+)
+from sqlitedataframe_spark.operators.util import (
+    register_cache as _register_cache,
+)
+from sqlitedataframe_spark.operators.util import (
+    register_rdd_handles as _register_handles,
+)
+from sqlitedataframe_spark.operators.util import (
+    take_rdd_handles as _take_handles,
+)
 
 
 def connected_components(
@@ -64,7 +81,24 @@ def connected_components(
     # Symmetrized edges are re-joined every round: keep them materialized
     # once instead of recomputing union+distinct per round.
     e = e.persist()
+    # Round state MUST be localCheckpoint, not persist: the pointer-jump
+    # self-join references the round's subtree TWICE, so without lineage
+    # truncation the logical plan doubles per round (2^rounds nodes —
+    # measured 6.8 s -> 55.7 s at sf0.01 when r5 briefly tried persist).
+    # But PySpark never releases checkpoint blocks via GC (see
+    # util.eager_cache), so the blocks are managed EXPLICITLY: each
+    # round's handles are delta-captured after the witness action
+    # materializes them, the previous round's are unpersisted (its blocks
+    # are unreachable — the new checkpoint's plan is just LogicalRDD,
+    # truncated), and the FINAL round's handles are registered for
+    # util.release_caches(). Contract: consume the result before the
+    # harness releases; a checkpoint-backed frame cannot re-execute after
+    # release. On a real cluster use reliable checkpoint() to a DFS dir
+    # for fault tolerance — same lifecycle.
+    spark = labels.sparkSession
+    seen = _rdd_ids(spark)
     labels = labels.localCheckpoint(eager=True)
+    live = _take_handles(spark, seen)
     # Labels are monotone non-increasing, so the label-sum is a complete
     # convergence witness: stable sum <=> no label changed. One tiny
     # aggregate per round — no old-vs-new join, no extra action (the lazy
@@ -92,6 +126,7 @@ def connected_components(
         ptr = relabeled.select(
             F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
         )
+        seen = _rdd_ids(spark)
         jumped = (
             relabeled.join(ptr, relabeled.comp == ptr.p_node, "left")
             .select(
@@ -102,12 +137,17 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        cur = _witness(jumped)
+        cur = _witness(jumped)  # materializes the lazy checkpoint
+        new_handles = _take_handles(spark, seen)
+        for h in live:  # previous round's blocks are unreachable now
+            h.unpersist(False)
+        live = new_handles
         labels = jumped
         if cur == prev:
             break
         prev = cur
     e.unpersist()
+    _register_handles(live)  # released by the harness after consumption
     return labels
 
 
@@ -131,10 +171,12 @@ def pagerank(
       the loop, so each iteration is exactly one join (ranks -> edges on
       ``src``) plus one aggregation (contributions by ``dst``) — two
       hash exchanges on node id, nothing wider than (node, double).
-    - each iteration's rank frame is ``localCheckpoint``-truncated;
-      without truncation the lineage nests one join+agg per iteration and
-      the optimizer re-plans a tree that doubles per round (on a real
-      cluster use ``checkpoint()`` with a DFS checkpoint dir instead).
+    - each iteration's rank frame is persist()ed and materialized, the
+      previous iteration unpersisted (r5 — see connected_components for
+      why persist replaced localCheckpoint); iterations are few and
+      fixed, so the growing-but-bounded lineage is cheap to plan (on a
+      real cluster with many iterations use ``checkpoint()`` with a DFS
+      checkpoint dir for truncation).
     - ranks are rounded to ``round_dp`` decimals each iteration. This is
       a *determinism contract*, not a numeric shortcut: parallel sums add
       contributions in partition order, so two runs (or two engines)
@@ -159,8 +201,8 @@ def pagerank(
     join over the persisted edge list + one small aggregation exchange.
     Use it when the NODE count fits an executor broadcast (edges may
     still be arbitrarily large — node count is what matters). AQE cannot
-    make this call itself: the rank frame sits behind a localCheckpoint
-    boundary with unknown size, so without the hint both per-iteration
+    make this call itself: the rank frame sits behind a cache boundary
+    with unknown size, so without the hint both per-iteration
     joins fall back to sort-merge. Leave False for billion-node graphs —
     the loop then uses hash-partitioned joins, the scale-safe default.
 
@@ -180,6 +222,7 @@ def pagerank(
     else:
         ranks = nodes.select("node", F.lit(1.0).alias("pr"))
     base = F.lit(round(1.0 - damping, 10))
+    prev = None
     for _ in range(iterations):
         rhs = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
@@ -191,15 +234,20 @@ def pagerank(
             .select(F.col("dst").alias("node"), "pr")
         )
         if all_nodes_receive:
-            ranks = contrib.localCheckpoint(eager=False)
+            ranks = contrib.persist()
         else:
             # nodes with no in-edges fall back to the teleport base rank
             ranks = (
                 nodes.join(contrib, "node", "left")
                 .select("node", F.coalesce("pr", base).alias("pr"))
-                .localCheckpoint(eager=False)
+                .persist()
             )
+        ranks.count()  # materialize before dropping the previous round
+        if prev is not None:
+            prev.unpersist(False)
+        prev = ranks
     ew.unpersist()
+    _register_cache(ranks)  # released by the harness after consumption
     return ranks
 
 

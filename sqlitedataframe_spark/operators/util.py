@@ -38,6 +38,47 @@ def eager_cache(df: DataFrame) -> DataFrame:
     return out
 
 
+def register_cache(df: DataFrame) -> DataFrame:
+    """Register an already-persisted frame for :func:`release_caches`
+    (for operators that manage materialization themselves — iterative
+    loops persisting per-round state)."""
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def persistent_rdd_ids(spark) -> set[int]:
+    """Ids of currently-pinned RDDs (cache + localCheckpoint blocks)."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+    ids: set[int] = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def take_rdd_handles(spark, exclude: set[int]) -> list:
+    """Java handles of every pinned RDD whose id is not in ``exclude`` —
+    the delta-capture that lets an iterative operator unpersist a
+    PREVIOUS round's localCheckpoint blocks explicitly (PySpark never
+    releases them via GC; see :func:`eager_cache`). Call with the id
+    snapshot taken before the round materialized."""
+    out = []
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().toList().iterator()
+    while it.hasNext():
+        t = it.next()
+        if t._1() not in exclude:
+            out.append(t._2())
+    return out
+
+
+def register_rdd_handles(handles: list) -> None:
+    """Register java RDD handles (e.g. a result frame's final
+    localCheckpoint) for :func:`release_caches`. NOTE the stronger
+    contract vs persisted frames: a checkpoint-backed frame cannot be
+    re-executed after release (truncated lineage) — harnesses must
+    consume results before releasing, which they do."""
+    _LIVE_CACHES.extend(handles)
+
+
 def release_caches() -> int:
     """Unpersist every :func:`eager_cache` frame (safe at any time —
     persist keeps lineage, so late consumers recompute). Returns the

@@ -209,3 +209,54 @@ def test_agg_approx_error_bounds(spark, sf_dir):
             (a["p99"], q[6], q[8]),
         ]:
             assert lo <= val <= hi, (flag, val, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph ops: explicit checkpoint/cache lifecycle (r5)
+# ---------------------------------------------------------------------------
+def test_connected_components_storage_lifecycle(spark):
+    """Each round unpersists the previous round's checkpoint inline
+    (bounded storage during the call: exactly the final round remains),
+    and release_caches() drains that too. Results stay correct."""
+    from sqlitedataframe_spark.operators.graph import connected_components
+    from sqlitedataframe_spark.operators.util import (
+        persistent_rdd_ids,
+        release_caches,
+    )
+
+    release_caches()
+    before = persistent_rdd_ids(spark)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+    pinned = persistent_rdd_ids(spark) - before
+    assert len(pinned) == 1, pinned  # only the FINAL round's checkpoint
+    release_caches()
+    assert not (persistent_rdd_ids(spark) - before)
+
+
+def test_pagerank_storage_lifecycle(spark):
+    from sqlitedataframe_spark.operators.graph import pagerank
+    from sqlitedataframe_spark.operators.util import (
+        persistent_rdd_ids,
+        release_caches,
+    )
+
+    release_caches()
+    before = persistent_rdd_ids(spark)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], ["src", "dst"]
+    )
+    ranks = pagerank(edges, iterations=3)
+    assert ranks.count() == 3
+    pinned = persistent_rdd_ids(spark) - before
+    assert len(pinned) == 1, pinned  # only the final iteration's cache
+    release_caches()
+    assert not (persistent_rdd_ids(spark) - before)
+    # persist-based (lineage intact): still usable after release
+    assert ranks.count() == 3
