@@ -204,6 +204,8 @@ HEADLINE = [
     "text_bm25_topk",
     "text_vocab_coverage",
     "sample_curriculum_buckets",
+    "events_item2vec_pairs",
+    "source_compact_small_files",
 ]
 
 

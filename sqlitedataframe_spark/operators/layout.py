@@ -71,3 +71,47 @@ def zorder_layout(
         else df.withColumn("_zkey", zk).repartitionByRange("_zkey")
     )
     return ranged.sortWithinPartitions("_zkey")
+
+
+def compact_small_files(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Small-file compaction: rewrite a parquet directory into
+    size-targeted files — the table-maintenance job (Delta OPTIMIZE /
+    Iceberg rewrite_data_files) every streaming or per-batch-append
+    pipeline at 100 TB must run, because a scan of N tiny files pays N
+    footer reads + N task schedules and floods the driver with splits.
+
+    Plan shape: one pass — scan, AQE ``REBALANCE`` hint, write. The
+    rebalance hint lets AQE split oversized shuffle partitions AND
+    coalesce tiny ones to ``spark.sql.adaptive.advisoryPartitionSizeInBytes``
+    (set here to ``target_bytes`` for the write), which beats a
+    hand-computed ``repartition(n)``: no full-width deterministic shuffle
+    into a guessed file count, and skewed input files can't produce
+    skewed outputs. Compaction never changes CONTENT — callers verify
+    row count + content hash, which is what the suite oracle does.
+
+    Returns the compacted frame read back from ``dst_dir``.
+    """
+    prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(target_bytes)
+    )
+    try:
+        (
+            spark.read.parquet(src_dir)
+            .hint("rebalance")
+            .write.mode("overwrite")
+            .parquet(dst_dir)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev
+            )
+    return spark.read.parquet(dst_dir)

@@ -101,3 +101,45 @@ def cooccurrence_pairs(
         .orderBy(F.col("n").desc(), F.col("item_a"), F.col("item_b"))
         .limit(k)
     )
+
+
+def session_item_pairs(
+    events: DataFrame,
+    user_col: str,
+    order_cols: list[str],
+    item_col: str,
+    lookahead: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` (item, following-item) co-occurrence counts within a
+    per-user ordered event stream, looking ahead up to ``lookahead``
+    events — the item2vec/prod2vec pair-generation step of sequential-
+    recommendation training (the event-stream twin of text skip-grams,
+    but partitioned by user and ordered by time, not token position).
+
+    Scale shape: ONE window pass computes all ``lookahead`` lead columns
+    (single hash exchange on the user key, sorted once per partition);
+    the pair expansion is a map-side array explode; the count aggregate
+    partially combines map-side; top-k compiles to
+    TakeOrderedAndProject. ``order_cols`` must end in a unique tiebreak
+    (e.g. event_id) so both engines see one total order.
+    """
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    leads = [
+        F.lead(item_col, d).over(w).alias(f"_n{d}")
+        for d in range(1, lookahead + 1)
+    ]
+    s = events.select(F.col(item_col).alias("a"), *leads)
+    return (
+        s.select(
+            "a",
+            F.explode(
+                F.array(*[F.col(f"_n{d}") for d in range(1, lookahead + 1)])
+            ).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
+        .limit(k)
+    )

@@ -176,3 +176,96 @@ def sample_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars": F.round(F.avg("n_chars"), 2),
         },
     )
+
+
+@query(
+    "events_item2vec_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS n1,
+             lead(event_type, 2) OVER w AS n2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    p AS (
+      SELECT event_type AS a, n1 AS b FROM s WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT event_type AS a, n2 AS b FROM s WHERE n2 IS NOT NULL)
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY a, b
+    ORDER BY n DESC, a, b LIMIT 20
+    """,
+)
+def events_item2vec_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 (event, following-event) transition counts per user stream
+    with a 2-event lookahead — the item2vec/prod2vec pair-generation step
+    of sequential-recommendation training (the event-stream twin of
+    text_skipgram_pairs: user-partitioned, time-ordered).
+
+    operators.mining.session_item_pairs: all lookahead leads in ONE
+    window pass (one exchange on user_id), map-side array explode,
+    partially-combined count, TakeOrderedAndProject top-k. (ts,
+    event_id) gives both engines the same total order.
+    """
+    from sqlitedataframe_spark.operators.mining import session_item_pairs
+
+    return session_item_pairs(
+        T(spark, sf_dir, "events"),
+        user_col="user_id",
+        order_cols=["ts", "event_id"],
+        item_col="event_type",
+        lookahead=2,
+        k=20,
+    )
+
+
+@query(
+    "source_compact_small_files",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST('0x' || substr(
+                 md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8)
+               AS BIGINT)) AS BIGINT) AS content_hash
+    FROM documents
+    """,
+)
+def source_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction with content-preservation proof: the
+    documents table is first shattered into 48 tiny parquet files (the
+    state every per-batch-append pipeline degrades into), compacted via
+    operators.layout.compact_small_files (one scan -> AQE REBALANCE ->
+    write, sized by advisoryPartitionSizeInBytes), and the returned row
+    is (row count, order-insensitive content hash) computed FROM THE
+    COMPACTED OUTPUT — hash-equal to the oracle's view of the original
+    table, proving compaction changed layout and nothing else. The
+    file-count reduction itself is asserted in pytest (an oracle can't
+    see the filesystem).
+    """
+    import tempfile
+
+    from sqlitedataframe_spark.operators.layout import compact_small_files
+
+    base = tempfile.mkdtemp(prefix="sdf_compact_")
+    src = f"{base}/src"
+    dst = f"{base}/dst"
+    T(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        48
+    ).write.mode("overwrite").parquet(src)
+    out = compact_small_files(spark, src, dst, target_bytes=8 << 20)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.col("text")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(h).cast("bigint").alias("content_hash"),
+    )

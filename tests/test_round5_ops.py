@@ -89,3 +89,42 @@ def test_curriculum_no_global_window(spark):
 
     df = spark.range(100).select(F.col("id"), (F.col("id") % 13).alias("q"))
     assert global_window_count(curriculum_buckets(df, "q")) == 0
+
+
+def test_compact_small_files_reduces_count_preserves_content(spark, tmp_path):
+    """48 tiny files -> few size-targeted files; rows and content
+    identical (the filesystem half of source_compact_small_files, which
+    the SQL oracle can't see)."""
+    from sqlitedataframe_spark.operators.layout import compact_small_files
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(10_000).selectExpr("id", "repeat('x', 50) as pad")
+    df.repartition(48).write.mode("overwrite").parquet(src)
+    n_src = len(spark.read.parquet(src).inputFiles())
+    out = compact_small_files(spark, src, dst, target_bytes=64 << 20)
+    n_dst = len(out.inputFiles())
+    assert n_src >= 40 and n_dst < n_src / 4, (n_src, n_dst)
+    assert out.count() == 10_000
+    assert out.exceptAll(df).count() == 0 and df.exceptAll(out).count() == 0
+
+
+def test_session_item_pairs_hand_checked(spark):
+    """One user's stream a b c a: lookahead-2 pairs are (a,b),(a,c),
+    (b,c),(b,a),(c,a); a second user's isolated stream never crosses."""
+    from sqlitedataframe_spark.operators.mining import session_item_pairs
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "a"),
+        (2, 1, "z"), (2, 2, "z"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "event_type"])
+    got = {
+        (r["a"], r["b"]): r["n"]
+        for r in session_item_pairs(
+            df, "user_id", ["event_id"], "event_type", lookahead=2, k=50
+        ).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1, ("b", "a"): 1,
+        ("c", "a"): 1, ("z", "z"): 1,
+    }

@@ -106,6 +106,8 @@ QUERIES = [
     "text_bm25_topk",
     "text_vocab_coverage",
     "sample_curriculum_buckets",
+    "events_item2vec_pairs",
+    "source_compact_small_files",
 ]
 
 #: per-copy letter permutations: rewrite document text so copies are not
