@@ -3,8 +3,8 @@
 - skipgram_pairs single-token crash (ADVICE medium #1)
 - stream_incremental_dedup idempotent batch_id partitions + explicit
   work_dir preservation/resume (ADVICE medium #2, low #3)
-- minhash signature pipeline materialized exactly once via eager
-  localCheckpoint (VERDICT #2/#5 — replaces the best-effort ReuseExchange
+- minhash signature pipeline materialized exactly once via registered
+  eager persist (VERDICT #2/#5 — replaces the best-effort ReuseExchange
   reliance that produced the 246 s driver outlier)
 - agg_approx bounded accuracy contract (VERDICT #4: the one rows-only
   registry query gets a checked relative-error bound instead of nothing)
