@@ -206,6 +206,8 @@ HEADLINE = [
     "sample_curriculum_buckets",
     "events_item2vec_pairs",
     "source_compact_small_files",
+    "text_token_entropy",
+    "orders_rfm_segments",
 ]
 
 

@@ -394,3 +394,66 @@ def changepoint_cusum(
         F.round(F.max("_up") + 1e-9, round_dp).alias("max_drawup"),
         F.round(F.max("_down") + 1e-9, round_dp).alias("max_drawdown"),
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic behavioral-cohort analysis: per customer, days since last
+    order, order count, and total spend, each quartile-coded 1-4, and
+    the population counted per 3-digit segment (rfm = r*100 + f*10 + m;
+    4 = top quartile on every axis).
+
+    Plan shape: one groupBy(customer) aggregate builds the per-customer
+    RFM triple; the anchor date and the nine quartile boundaries ride as
+    TWO 1-row broadcasts (the curriculum_buckets pattern — no global
+    window, no ntile); codes are scan-side comparison sums and the final
+    segment count is a partially-combined aggregate over <= 64 groups.
+    Engine-exact: both engines interpolate percentiles with the same
+    IEEE formula, and ties landing exactly on a boundary compare
+    identically.
+    """
+    anchor = orders.agg(F.max(F.col(date_col).cast("date")).alias("_maxd"))
+    cust = (
+        orders.join(F.broadcast(anchor))
+        .groupBy(F.col(customer_col).alias("cust"))
+        .agg(
+            F.min(
+                F.datediff(F.col("_maxd"), F.col(date_col).cast("date"))
+            ).alias("recency"),
+            F.count(F.lit(1)).cast("double").alias("freq"),
+            # cents-rounded BEFORE the quantiles: parallel-summation ulp
+            # drift must not be able to move a quartile boundary
+            F.round(F.sum(F.col(amount_col)), 2).alias("monetary"),
+        )
+    )
+    bounds = cust.agg(
+        F.expr("percentile(recency, array(0.25, 0.5, 0.75))").alias("_qr"),
+        F.expr("percentile(freq, array(0.25, 0.5, 0.75))").alias("_qf"),
+        F.expr("percentile(monetary, array(0.25, 0.5, 0.75))").alias("_qm"),
+    )
+
+    def code(col: str, qs: str, invert: bool) -> Column:
+        # quartile code 1-4; recency INVERTED (smaller = more recent = 4)
+        c = F.lit(1)
+        for i in range(3):
+            c = c + (F.col(col) > F.element_at(qs, i + 1)).cast("int")
+        return (F.lit(5) - c) if invert else c
+
+    return (
+        cust.join(F.broadcast(bounds))
+        .select(
+            (
+                code("recency", "_qr", True) * 100
+                + code("freq", "_qf", False) * 10
+                + code("monetary", "_qm", False)
+            ).alias("rfm"),
+        )
+        .groupBy("rfm")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("rfm")
+    )

@@ -812,3 +812,35 @@ def vocab_oov_stats(
         .withColumnRenamed("grp", "source" if group_col == "source" else group_col)
         .orderBy("source" if group_col == "source" else group_col)
     )
+
+
+def token_entropy(text_col: Column | str) -> Column:
+    """Shannon entropy (nats) of the document's token distribution —
+    the repetitiveness/diversity quality signal: boilerplate and
+    keyword-stuffed documents score low, natural prose scores near
+    ln(distinct tokens). Entirely scan-side: the token array and its
+    distinct set are let-bound once, then one nested fold sums
+    -(c/n)·ln(c/n) over distinct tokens. Cost is O(|distinct| · n) per
+    document — bounded for natural-language documents, zero shuffles,
+    no posting explode.
+    """
+    inner = F.element_at(
+        F.transform(
+            F.array(tokens(text_col)),
+            lambda t: F.aggregate(
+                F.array_distinct(t),
+                F.lit(0.0),
+                lambda acc, tok: acc
+                - (
+                    F.size(F.filter(t, lambda x: x == tok)).cast("double")
+                    / F.size(t)
+                )
+                * F.log(
+                    F.size(F.filter(t, lambda x: x == tok)).cast("double")
+                    / F.size(t)
+                ),
+            ),
+        ),
+        1,
+    )
+    return inner

@@ -269,3 +269,91 @@ def source_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(h).cast("bigint").alias("content_hash"),
     )
+
+
+@query(
+    "text_token_entropy",
+    oracle="""
+    WITH t AS (
+      SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    e AS (
+      SELECT source,
+             -(list_aggregate(list_transform(list_distinct(t), tok ->
+                 (len(list_filter(t, x -> x = tok)) * 1.0 / len(t))
+                 * ln(len(list_filter(t, x -> x = tok)) * 1.0 / len(t))),
+               'sum')) AS h
+      FROM t)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(h), 6) AS avg_entropy
+    FROM e GROUP BY source ORDER BY source
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean token-distribution Shannon entropy — the
+    repetitiveness/diversity quality signal (boilerplate and
+    keyword-stuffed sources score low; used as a filter feature next to
+    length/stopword ratios in web-corpus curation).
+
+    operators.text.token_entropy: entirely scan-side (token array and
+    distinct set let-bound once, one nested fold) — zero shuffles before
+    the per-source aggregate.
+    """
+    from sqlitedataframe_spark.operators.text import token_entropy
+
+    return (
+        T(spark, sf_dir, "documents")
+        .select("source", token_entropy("text").alias("_h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("_h"), 6).alias("avg_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+    WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS m FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             MIN(date_diff('day', CAST(o_orderdate AS DATE), m)) AS recency,
+             COUNT(*) * 1.0 AS freq,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders, maxd GROUP BY o_custkey, m),
+    b AS (
+      SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS qr,
+             quantile_cont(freq, [0.25, 0.5, 0.75]) AS qf,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS qm
+      FROM cust)
+    SELECT (5 - (1 + (CASE WHEN recency > qr[1] THEN 1 ELSE 0 END)
+                   + (CASE WHEN recency > qr[2] THEN 1 ELSE 0 END)
+                   + (CASE WHEN recency > qr[3] THEN 1 ELSE 0 END))) * 100
+         + (1 + (CASE WHEN freq > qf[1] THEN 1 ELSE 0 END)
+              + (CASE WHEN freq > qf[2] THEN 1 ELSE 0 END)
+              + (CASE WHEN freq > qf[3] THEN 1 ELSE 0 END)) * 10
+         + (1 + (CASE WHEN monetary > qm[1] THEN 1 ELSE 0 END)
+              + (CASE WHEN monetary > qm[2] THEN 1 ELSE 0 END)
+              + (CASE WHEN monetary > qm[3] THEN 1 ELSE 0 END)) AS rfm,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM cust, b GROUP BY 1 ORDER BY rfm
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders: per customer (days since
+    last order, order count, total spend), each quartile-coded 1-4
+    (recency inverted — recent = 4), counted per 3-digit segment. The
+    classic behavioral cohort readout of a customer-analytics stack.
+
+    operators.profiling.rfm_segments: one customer aggregate, anchor
+    date + nine quantile boundaries as two 1-row broadcasts, scan-side
+    comparison-sum codes (no ntile window). Monetary is rounded to
+    cents BEFORE the quantiles so parallel-summation ulp drift cannot
+    move a boundary.
+    """
+    from sqlitedataframe_spark.operators.profiling import rfm_segments
+
+    return rfm_segments(T(spark, sf_dir, "orders"))

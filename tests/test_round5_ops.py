@@ -128,3 +128,46 @@ def test_session_item_pairs_hand_checked(spark):
         ("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1, ("b", "a"): 1,
         ("c", "a"): 1, ("z", "z"): 1,
     }
+
+
+def test_token_entropy_hand_checked(spark):
+    """'a a b b' -> ln 2; 'a a a a' -> 0; 'a b c d' -> ln 4."""
+    import math
+
+    from sqlitedataframe_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a b b"), (2, "a a a a"), (3, "a b c d")], ["i", "text"]
+    )
+    got = {
+        r["i"]: round(r["h"], 9)
+        for r in df.select("i", token_entropy("text").alias("h")).collect()
+    }
+    assert got[1] == round(math.log(2), 9)
+    assert got[2] == 0.0
+    assert got[3] == round(math.log(4), 9)
+
+
+def test_rfm_segments_shape(spark):
+    """8 customers engineered into distinct quartiles: recency inversion
+    holds (most recent + most orders + most spend -> 444) and counts sum
+    to the customer count."""
+    import datetime as dt
+
+    from sqlitedataframe_spark.operators.profiling import rfm_segments
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for c in range(8):
+        for o in range(c + 1):  # customer c has c+1 orders
+            rows.append(
+                (c * 100 + o, c, base + dt.timedelta(days=10 * c + o),
+                 100.0 * (c + 1))
+            )
+    df = spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    out = {r["rfm"]: r["n_customers"] for r in rfm_segments(df).collect()}
+    assert sum(out.values()) == 8
+    assert out.get(444) == 2  # customers 6 and 7: latest, most, biggest
+    assert min(out) >= 111 and max(out) <= 444

@@ -108,6 +108,8 @@ QUERIES = [
     "sample_curriculum_buckets",
     "events_item2vec_pairs",
     "source_compact_small_files",
+    "text_token_entropy",
+    "orders_rfm_segments",
 ]
 
 #: per-copy letter permutations: rewrite document text so copies are not
