@@ -137,10 +137,16 @@ _WIDE_OP = re.compile(
     r"|CartesianProduct|HashAggregate|ObjectHashAggregate|SortAggregate"
     r"|Window\b|Exchange hashpartitioning"
 )
-#: Nodes that serialize: a GLOBAL sort (`Sort [...], true`), its range
-#: shuffle, or a driver-side CollectLimit.
+#: Nodes that serialize: a GLOBAL sort (`Sort [...], true`), a
+#: planner-inserted range shuffle (ENSURE_REQUIREMENTS — the shuffle a
+#: global orderBy plants), or a driver-side CollectLimit. An EXPLICIT
+#: repartitionByRange (origin REPARTITION_BY_NUM/COL) is excluded: that is
+#: a deliberate partition-parallel layout choice (zipWithIndex, range
+#: bucketing), not an ordering the planner had to satisfy.
 _GLOBAL_NODE = re.compile(
-    r"Sort \[[^\]]*\], true|Exchange rangepartitioning|CollectLimit"
+    r"Sort \[[^\]]*\], true"
+    r"|Exchange rangepartitioning(?![^\n]*REPARTITION_BY)"
+    r"|CollectLimit"
 )
 
 
