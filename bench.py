@@ -208,6 +208,8 @@ HEADLINE = [
     "source_compact_small_files",
     "text_token_entropy",
     "orders_rfm_segments",
+    "events_activity_streaks",
+    "events_minhash_audience",
 ]
 
 

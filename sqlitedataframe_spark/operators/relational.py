@@ -413,3 +413,43 @@ def snapshot_diff(
         .select(F.explode("_r").alias("r"))
         .select("r.column", "r.n_added", "r.n_removed", "r.n_changed")
     )
+
+
+def activity_streaks(
+    events: DataFrame,
+    user_col: str,
+    date_col,
+    min_len: int = 1,
+) -> DataFrame:
+    """Gaps-and-islands: per user, maximal runs of CONSECUTIVE active
+    days -> (user, streak_start, streak_end, streak_days). The classic
+    retention/engagement primitive (login streaks, daily-active runs)
+    and the canonical difference-of-sequences SQL pattern: for distinct
+    active days ranked per user, ``date - rank`` is constant exactly
+    within a consecutive run, so one groupBy on that anchor collapses
+    each island.
+
+    Scale shape: distinct (user, day) then ONE window partitioned by
+    user (rank over day) and one aggregate on (user, anchor) — both
+    shuffle on the user key, no self-joins, no global window. Days,
+    not timestamps, bound the window state.
+    """
+    from pyspark.sql import Window
+
+    d = events.select(
+        F.col(user_col).alias("user"), F.col(date_col).cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user").orderBy("day")
+    anchored = d.withColumn(
+        "_anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        anchored.groupBy("user", "_anchor")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= min_len)
+        .drop("_anchor")
+    )

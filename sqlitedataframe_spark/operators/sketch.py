@@ -326,3 +326,68 @@ def countmin_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         merged = merged.unionByName(s)
     return merged.groupBy("d", "cell").agg(F.sum("c").alias("c"))
+
+
+def minhash_set_signatures(
+    df: DataFrame,
+    group_col: str,
+    member_col: str,
+    n_hashes: int = 64,
+) -> DataFrame:
+    """Per-group MinHash signature of the group's MEMBER SET — the
+    mergeable set sketch for audience/segment overlap: any two groups'
+    estimated Jaccard is the fraction of agreeing signature slots, so
+    all-pairs overlap needs only |groups| x n_hashes numbers instead of
+    re-joining the raw membership table per pair. Mergeable like every
+    sketch here (elementwise min), and built on the same portable
+    md5+affine family as the dedup MinHash, so a SQL oracle reproduces
+    every slot exactly.
+
+    Plan shape: the member hash and its n remixes compute scan-side; ONE
+    partially-aggregated groupBy carries n_hashes running mins per
+    group (map-side combine makes the exchange |groups|-sized, not
+    |members|-sized).
+    """
+    from sqlitedataframe_spark.operators.dedup import _MINHASH_P, minhash_params
+
+    a_coef, b_coef = minhash_params(n_hashes)
+    h = F.conv(
+        F.substring(F.md5(F.col(member_col).cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    p = F.lit(_MINHASH_P).cast("bigint")
+    mins = [
+        F.min((F.lit(a_coef[i]) * h + F.lit(b_coef[i])) % p).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        df.select(F.col(group_col).alias("grp"), F.col(member_col))
+        .groupBy("grp")
+        .agg(*mins)
+    )
+
+
+def minhash_overlap_pairs(
+    sigs: DataFrame,
+    n_hashes: int = 64,
+) -> DataFrame:
+    """All-pairs estimated Jaccard from :func:`minhash_set_signatures`
+    output -> (grp_a, grp_b, est_jaccard), grp_a < grp_b. The pair join
+    runs over the TINY signature table (|groups| rows), never the
+    membership table — the 100 TB win this sketch exists for."""
+    agree = sum(
+        (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int")
+        for i in range(n_hashes)
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, F.col("a.grp") < F.col("b.grp"))
+        .select(
+            F.col("a.grp").alias("grp_a"),
+            F.col("b.grp").alias("grp_b"),
+            F.round(agree.cast("double") / F.lit(float(n_hashes)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )

@@ -357,3 +357,92 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlitedataframe_spark.operators.profiling import rfm_segments
 
     return rfm_segments(T(spark, sf_dir, "orders"))
+
+
+@query(
+    "events_activity_streaks",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    r AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+      FROM d),
+    s AS (
+      SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+             CAST(COUNT(*) AS BIGINT) AS streak_days
+      FROM r GROUP BY user_id, anchor)
+    SELECT user_id AS user, streak_start, streak_end, streak_days
+    FROM s ORDER BY streak_days DESC, user, streak_start LIMIT 20
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 longest consecutive-active-day streaks per user — the
+    gaps-and-islands engagement primitive (login streaks, DAU runs),
+    via the canonical difference-of-sequences pattern: day minus
+    per-user day-rank is constant exactly within a consecutive island.
+
+    operators.relational.activity_streaks: distinct (user, day), one
+    user-partitioned window, one aggregate — two shuffles on the user
+    key, no self-joins, no global window; top-k is
+    TakeOrderedAndProject.
+    """
+    from sqlitedataframe_spark.operators.relational import activity_streaks
+
+    return (
+        activity_streaks(T(spark, sf_dir, "events"), "user_id", "ts")
+        .orderBy(F.col("streak_days").desc(), "user", "streak_start")
+        .limit(20)
+    )
+
+
+def _aud_mh_seeds() -> str:
+    from sqlitedataframe_spark.operators.dedup import minhash_params
+
+    a, b = minhash_params(64)
+    return ", ".join(f"({i}, {x}, {y})" for i, (x, y) in enumerate(zip(a, b)))
+
+
+@query(
+    "events_minhash_audience",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+               AS BIGINT) AS h
+      FROM events),
+    seeds(i, a, b) AS (VALUES {seeds}),
+    sig AS (
+      SELECT event_type, i, MIN((a * h + b) % 2305843009213693951) AS mh
+      FROM h CROSS JOIN seeds GROUP BY event_type, i),
+    est AS (
+      SELECT sa.event_type AS grp_a, sb.event_type AS grp_b,
+             ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0, 6)
+               AS est_jaccard
+      FROM sig sa
+      JOIN sig sb ON sb.i = sa.i AND sa.event_type < sb.event_type
+      GROUP BY 1, 2)
+    SELECT grp_a, grp_b, est_jaccard FROM est ORDER BY grp_a, grp_b
+    """.replace("{seeds}", _aud_mh_seeds()),
+)
+def events_minhash_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs audience overlap via per-segment MinHash SET signatures
+    — the sketch twin of events_audience_overlap: estimated Jaccard from
+    64 slot agreements, so the pair stage joins a |segments| x 64 table
+    instead of re-joining the raw membership per pair (the 100 TB
+    shape). Same portable md5+affine family as the dedup MinHash, so
+    every slot is oracle-exact.
+
+    operators.sketch.minhash_set_signatures + minhash_overlap_pairs:
+    member hash + remixes scan-side, one partially-aggregated groupBy
+    (exchange is |segments|-sized), tiny signature self-join.
+    """
+    from sqlitedataframe_spark.operators.sketch import (
+        minhash_overlap_pairs,
+        minhash_set_signatures,
+    )
+
+    sigs = minhash_set_signatures(
+        T(spark, sf_dir, "events"), "event_type", "user_id", n_hashes=64
+    )
+    return minhash_overlap_pairs(sigs, n_hashes=64).orderBy("grp_a", "grp_b")

@@ -171,3 +171,46 @@ def test_rfm_segments_shape(spark):
     assert sum(out.values()) == 8
     assert out.get(444) == 2  # customers 6 and 7: latest, most, biggest
     assert min(out) >= 111 and max(out) <= 444
+
+
+def test_activity_streaks_hand_checked(spark):
+    """User 1: days 1-3 then 5 -> streaks (3, 1); user 2: one day."""
+    import datetime as dt
+
+    from sqlitedataframe_spark.operators.relational import activity_streaks
+
+    base = dt.datetime(2024, 3, 1, 12, 0)
+    rows = [
+        (1, base), (1, base + dt.timedelta(hours=1)),  # same day dedups
+        (1, base + dt.timedelta(days=1)), (1, base + dt.timedelta(days=2)),
+        (1, base + dt.timedelta(days=4)),
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = sorted(
+        (r["user"], r["streak_days"], str(r["streak_start"]))
+        for r in activity_streaks(df, "user_id", "ts").collect()
+    )
+    assert got == [
+        (1, 1, "2024-03-05"), (1, 3, "2024-03-01"), (2, 1, "2024-03-01")
+    ]
+
+
+def test_minhash_audience_identical_and_disjoint(spark):
+    """Identical member sets -> est_jaccard 1.0; disjoint sets -> ~0."""
+    from sqlitedataframe_spark.operators.sketch import (
+        minhash_overlap_pairs,
+        minhash_set_signatures,
+    )
+
+    rows = [("a", u) for u in range(50)] + [("b", u) for u in range(50)] + [
+        ("c", u) for u in range(1000, 1050)
+    ]
+    df = spark.createDataFrame(rows, ["seg", "member"])
+    sigs = minhash_set_signatures(df, "seg", "member")
+    got = {
+        (r["grp_a"], r["grp_b"]): r["est_jaccard"]
+        for r in minhash_overlap_pairs(sigs).collect()
+    }
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] < 0.2 and got[("b", "c")] < 0.2

@@ -110,6 +110,8 @@ QUERIES = [
     "source_compact_small_files",
     "text_token_entropy",
     "orders_rfm_segments",
+    "events_activity_streaks",
+    "events_minhash_audience",
 ]
 
 #: per-copy letter permutations: rewrite document text so copies are not
