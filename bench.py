@@ -210,6 +210,14 @@ HEADLINE = [
     "orders_rfm_segments",
     "events_activity_streaks",
     "events_minhash_audience",
+    "retrieval_rrf_hybrid",
+    "sample_dsir_importance",
+    "text_pmi_collocations",
+    "events_ks_drift",
+    "profile_benford",
+    "events_cohort_matrix",
+    "orders_time_weighted",
+    "events_markov_transitions",
 ]
 
 

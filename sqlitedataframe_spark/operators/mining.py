@@ -143,3 +143,49 @@ def session_item_pairs(
         .orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
         .limit(k)
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix between event types:
+    (from_type, to_type, n, p) where ``p`` is the row-normalized
+    transition probability. The aggregate view of sequential behavior —
+    next-action models, anomaly screens ("this transition never
+    happens"), and the stationary input to PageRank-style session
+    analysis; complements top_paths, which mines full n-step paths.
+
+    One lead() window partitioned by user (state bounded per user), one
+    count aggregate on the (from, to) pair — |types|^2 output rows via
+    partial map-side combine — and the row normalizer joins back as a
+    broadcast of the tiny per-from totals. No self-joins of the events.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("from_type"),
+            F.lead(F.col(type_col)).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type", "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("_tot"), round_dp).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -457,3 +457,126 @@ def rfm_segments(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
         .orderBy("rfm")
     )
+
+
+def ks_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    bin_width: float,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov statistic between two
+    snapshots of a numeric column: ``D = max_bins |ECDF_a - ECDF_b|``
+    evaluated at fixed equal-width bin edges. The complement to
+    psi_drift: KS reads the CUMULATIVE gap (sensitive to location/shape
+    shifts PSI's per-bin sum can wash out), and the fixed binning makes
+    it deterministic and mergeable — each snapshot bins independently,
+    possibly on different days, exactly like the PSI recipe.
+
+    Scale shape at 100 TB: each snapshot collapses to <= |bins| count
+    rows via partially-combined aggregation (input-size-independent
+    exchange); the ECDFs come from ONE window ordered by bin over the
+    tiny dense bin spine — partitioned by the snapshot tag, so no
+    unpartitioned window over data-sized input anywhere — and the max
+    gap is a 1-row aggregate. The snapshots are never joined row-wise.
+
+    Exact-oracle determinism: ECDF values are ratios of integer counts;
+    the gap rounds to ``round_dp`` before the max so both engines pick
+    the same supremum.
+    """
+    bcol = F.floor(F.col(value_col) / F.lit(bin_width)).cast("bigint")
+
+    def counts(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(bcol.alias("_b"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(F.lit(tag).alias("_g"), "_b", "_n")
+        )
+
+    ca, cb = counts(a, "a"), counts(b, "b")
+    spine = (
+        ca.select("_b").union(cb.select("_b")).distinct()
+        .crossJoin(F.broadcast(
+            ca.sparkSession.createDataFrame([("a",), ("b",)], "_g string")
+        ))
+    )
+    dense = (
+        spine.join(ca.union(cb), ["_g", "_b"], "left")
+        .select("_g", "_b", F.coalesce("_n", F.lit(0)).alias("_n"))
+    )
+    w = Window.partitionBy("_g").orderBy("_b")
+    tot = Window.partitionBy("_g")
+    ecdf = dense.select(
+        "_g", "_b",
+        (F.sum("_n").over(w).cast("double") / F.sum("_n").over(tot)).alias("_f"),
+        F.sum("_n").over(tot).alias("_nt"),
+    )
+    gaps = (
+        ecdf.groupBy("_b")
+        .agg(
+            F.round(
+                F.abs(
+                    F.sum(F.when(F.col("_g") == "a", F.col("_f"))) -
+                    F.sum(F.when(F.col("_g") == "b", F.col("_f")))
+                ),
+                round_dp,
+            ).alias("_gap"),
+            F.max(F.when(F.col("_g") == "a", F.col("_nt"))).alias("_na"),
+            F.max(F.when(F.col("_g") == "b", F.col("_nt"))).alias("_nb"),
+        )
+    )
+    return gaps.agg(
+        F.max("_gap").alias("ks_d"),
+        F.max("_na").cast("bigint").alias("n_a"),
+        F.max("_nb").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+
+
+#: Benford expected first-digit probabilities ln(1 + 1/d) / ln(10).
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric column
+    against Benford's law, with per-digit chi-square contributions — the
+    classic forensic screen for fabricated or truncated numeric data
+    (amounts, populations, counts), and a cheap data-quality profile for
+    any scale-spanning money column.
+
+    The observed side is one partially-combined 9-row aggregate over a
+    scan-side ``substr(cast(floor(value)))`` digit extraction — no
+    shuffle wider than 9 rows, no window. Expected frequencies
+    ``log10(1 + 1/d)`` are literals; the chi-square contribution
+    ``(obs - exp)^2 / exp`` (on proportions, scaled by n) is arithmetic
+    on the tiny grid. Rows where the value is null or <= 0 are excluded
+    scan-side (Benford applies to positive magnitudes).
+    """
+    v = F.col(value_col)
+    digit = F.substring(F.floor(v).cast("bigint").cast("string"), 1, 1).cast("int")
+    obs = (
+        df.filter(v >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    tot = obs.agg(F.sum("_n").alias("_nt"))
+    p_exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    p_obs = F.col("_n").cast("double") / F.col("_nt")
+    return (
+        obs.join(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("_n").cast("bigint").alias("n"),
+            F.round(p_obs, round_dp).alias("p_obs"),
+            F.round(p_exp, round_dp).alias("p_benford"),
+            F.round(
+                (p_obs - p_exp) * (p_obs - p_exp) / p_exp * F.col("_nt"),
+                round_dp,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -453,3 +453,95 @@ def activity_streaks(
         .filter(F.col("streak_days") >= min_len)
         .drop("_anchor")
     )
+
+
+def cohort_matrix(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort-retention matrix: users grouped by their first-activity
+    period (the cohort), counted in each subsequent period offset ->
+    (cohort, period_offset, n_users, pct_of_cohort). THE standard
+    product-analytics view of retention decay, and the generalization of
+    the single-window ``retention`` query this suite already has.
+
+    Scale shape: distinct (user, period) first (one shuffle on the user
+    key, partially combined), a min-aggregate per user for the cohort
+    (same key, same exchange reusable), a key join back on the user, and
+    a final small aggregate on (cohort, offset) — |periods|^2 output
+    rows. No windows, no self-join of the raw events.
+    """
+    per = F.date_trunc(period, F.col(ts_col)).cast("date")
+    active = events.select(
+        F.col(user_col).alias("_u"), per.alias("_p")
+    ).distinct()
+    cohorts = active.groupBy("_u").agg(F.min("_p").alias("_c"))
+    sized = cohorts.groupBy("_c").agg(F.count(F.lit(1)).alias("_size"))
+    step = {"week": 7, "day": 1}[period]
+    return (
+        active.join(cohorts, "_u")
+        .groupBy(
+            F.col("_c").alias("cohort"),
+            (F.datediff(F.col("_p"), F.col("_c")) / step)
+            .cast("bigint")
+            .alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .join(F.broadcast(sized.select(F.col("_c").alias("cohort"), "_size")), "cohort")
+        .select(
+            "cohort", "period_offset", "n_users",
+            F.round(F.col("n_users") / F.col("_size"), 6).alias("pct_of_cohort"),
+        )
+        .orderBy("cohort", "period_offset")
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-key time-weighted average of a value over irregularly-spaced
+    observations: each value is weighted by the time it was "in effect"
+    (until the key's next observation) — the right mean for sampled
+    state (account balances, prices, sensor readings), where the plain
+    AVG over-weights bursts. Keys need >= 2 observations (the last one
+    has no holding period and is excluded, the standard left-Riemann
+    convention).
+
+    One window partitioned by the key (lead over the timestamp; state
+    bounded by the key's own row count), one aggregate on the same key —
+    both land on the same exchange, no self-join, no global window.
+    Weights are epoch-second differences scaled to days as
+    ``(next - cur) / 86400`` — identical arithmetic on both engines.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(value_col))
+    nxt = F.lead(F.unix_timestamp(F.col(ts_col))).over(w)
+    dt_days = (nxt - F.unix_timestamp(F.col(ts_col))).cast("double") / 86400.0
+    staged = df.select(
+        F.col(key_col), F.col(value_col).alias("_v"), dt_days.alias("_w")
+    ).filter(F.col("_w").isNotNull())
+    return (
+        staged.groupBy(key_col)
+        .agg(
+            # the 1e-9 nudge is this repo's standard round-boundary guard:
+            # partial-aggregation sum order differs across engines by ~1 ulp,
+            # which flips ROUND exactly at a .xxxx5 boundary
+            F.round(
+                F.sum(F.col("_v") * F.col("_w")) / F.sum("_w") + 1e-9, round_dp
+            ).alias("twa"),
+            F.round(F.avg("_v") + 1e-9, round_dp).alias("plain_avg"),
+            F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+            F.sum("_w").alias("_sw"),
+        )
+        # all-zero holding time (every observation simultaneous) makes the
+        # weighted mean undefined; engines disagree on 0/0 (NULL vs NaN),
+        # so gate on the weight sum explicitly rather than on the quotient
+        .filter(F.col("_sw") > 0)
+        .drop("_sw")
+        .orderBy(key_col)
+    )

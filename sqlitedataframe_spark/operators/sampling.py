@@ -361,3 +361,65 @@ def curriculum_buckets(
         .agg(*[c.alias(name) for name, c in aggs.items()])
         .orderBy("bucket")
     )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """DSIR-style importance scores: how target-like is each document
+    under hashed-n-gram bag-of-words language models (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    Two unigram LMs are estimated over HASHED token buckets (md5 prefix,
+    ``16^hex_chars`` buckets — the portable count-min recipe this repo
+    uses everywhere hashing must be engine-exact): a TARGET model from
+    the rows where ``target_pred`` holds and a RAW model from the whole
+    pool. Each bucket's add-0.5-smoothed log-likelihood ratio
+    ``ln(((n_t + .5) * (N_r + .5 * B)) / ((n_r + .5) * (N_t + .5 * B)))``
+    is a pure function of integer counts, so both engines compute the
+    identical double. A document's importance is the MEAN ratio over its
+    token occurrences — DSIR's log importance weight normalized by
+    length — rounded for cross-engine stability.
+
+    Scale shape at 100 TB: postings carry (id, 12-bit bucket) only —
+    the text never shuffles. One partial-aggregated groupBy collapses
+    postings to the <= B-row bucket table (input-size-independent, the
+    sketch property), which broadcasts back onto the postings for the
+    per-document mean (second shuffle on the id). Selection downstream
+    is a scan-side filter/top-k on the score — resampling never
+    re-touches the text.
+    """
+    from sqlitedataframe_spark.operators.text import tokens
+
+    n_buckets = 16 ** hex_chars
+    postings = docs.select(
+        F.col(id_col),
+        target_pred.alias("_is_t"),
+        F.explode(tokens(text_col)).alias("_tok"),
+    ).select(
+        id_col,
+        "_is_t",
+        F.substring(F.md5(F.col("_tok").cast("binary")), 1, hex_chars).alias("_b"),
+    )
+    buckets = postings.groupBy("_b").agg(
+        F.sum(F.col("_is_t").cast("bigint")).alias("_nt"),
+        F.count(F.lit(1)).alias("_nr"),
+    )
+    tot = buckets.agg(
+        F.sum("_nt").alias("_tot_t"), F.sum("_nr").alias("_tot_r")
+    )
+    lam = F.log(
+        ((F.col("_nt") + 0.5) * (F.col("_tot_r") + 0.5 * n_buckets))
+        / ((F.col("_nr") + 0.5) * (F.col("_tot_t") + 0.5 * n_buckets))
+    )
+    weighted = buckets.join(F.broadcast(tot)).select("_b", lam.alias("_lam"))
+    return (
+        postings.join(F.broadcast(weighted), "_b")
+        .groupBy(id_col)
+        .agg(F.round(F.avg("_lam"), round_dp).alias("dsir_score"))
+    )

@@ -844,3 +844,65 @@ def token_entropy(text_col: Column | str) -> Column:
         1,
     )
     return inner
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-``k`` adjacent-bigram collocations by pointwise mutual
+    information — ``pmi(x,y) = ln(N * c(xy) / (c(x) * c(y)))`` over
+    corpus token counts with a ``min_count`` support cut (Church & Hanks
+    1990). The standard phrase-detection pass (word2vec-style phrase
+    merging, tokenizer vocab seeding) run before training.
+
+    Everything derives from integer counts, so PMI is a pure function
+    both engines evaluate identically; the output orders by
+    (round(pmi), w1, w2) — a total order.
+
+    Scale shape at 100 TB: bigram and unigram postings both explode
+    scan-side and collapse through partially-combined groupBys whose
+    output is vocabulary-sized, not corpus-sized. The two unigram-count
+    joins onto the bigram table are key joins on the word (shuffle of
+    vocabulary-sized tables only); N rides in as a 1-row broadcast. The
+    ``min_count`` cut applies BEFORE the joins, so rare-pair noise never
+    reaches the exchange.
+    """
+    t = tokens(text_col)
+    bigrams = F.filter(
+        F.zip_with(t, F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+        lambda s: s["w2"].isNotNull(),
+    )
+    bg = (
+        df.select(F.explode(bigrams).alias("_p"))
+        .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    tot = uni.agg(F.sum("c_w").alias("n_tokens"))
+    pmi = F.log(
+        (F.col("c_xy").cast("double") * F.col("n_tokens"))
+        / (F.col("c_x").cast("double") * F.col("c_y"))
+    )
+    return (
+        bg.join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y")), "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1", "w2",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.round(pmi, round_dp).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )

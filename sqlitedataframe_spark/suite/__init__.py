@@ -61,6 +61,7 @@ def load_all() -> dict[str, Query]:
         pipeline4,
         pipeline5,
         pipeline6,
+        pipeline7,
         eventstream,
         streamingq,
         bridge,

@@ -1,0 +1,419 @@
+"""Round-5 continuation: hybrid-retrieval RRF fusion, DSIR importance
+resampling, PMI collocations, KS drift, Benford profiling, cohort
+retention matrix, time-weighted averages, and Markov transitions.
+
+Like every suite module, each query pairs an idiomatic-Spark plan with a
+DuckDB oracle the driver hash-compares at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.suite import query
+from sqlitedataframe_spark.suite.relational import T
+from sqlitedataframe_spark.suite.pipeline6 import BM25_QUERY_TERMS
+
+
+# Shared oracle fragments: the BM25 scorer (identical closed form to
+# text_bm25_topk's oracle) and the brute-force cosine scorer (identical to
+# sim_bruteforce_topk's), each cut to its own top-50 candidate list.
+_BM25_TOP50 = """
+    tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    bmbase AS (
+      SELECT doc_id, len(t) AS dl,
+             [len(list_filter(t, x -> x = 'spark')),
+              len(list_filter(t, x -> x = 'join')),
+              len(list_filter(t, x -> x = 'window'))] AS tfs
+      FROM tok),
+    bmstats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+             SUM(CASE WHEN tfs[1] > 0 THEN 1 ELSE 0 END) AS df0,
+             SUM(CASE WHEN tfs[2] > 0 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN tfs[3] > 0 THEN 1 ELSE 0 END) AS df2
+      FROM bmbase),
+    bmscored AS (
+      SELECT doc_id, ROUND(
+        (CASE WHEN tfs[1] > 0 THEN
+           ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+             * tfs[1] * 2.2 / (tfs[1] + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ELSE 0 END)
+        + (CASE WHEN tfs[2] > 0 THEN
+           ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+             * tfs[2] * 2.2 / (tfs[2] + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ELSE 0 END)
+        + (CASE WHEN tfs[3] > 0 THEN
+           ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+             * tfs[3] * 2.2 / (tfs[3] + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ELSE 0 END), 6) AS score
+      FROM bmbase, bmstats),
+    lex AS (
+      SELECT doc_id AS id, score FROM bmscored WHERE score > 0
+      ORDER BY score DESC, doc_id LIMIT 50)
+"""
+
+_COS_TOP50 = """
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sem AS (
+      SELECT vec_id AS id,
+             ROUND(list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                   6) AS score
+      FROM ev CROSS JOIN q
+      ORDER BY score DESC, vec_id LIMIT 50)
+"""
+
+
+@query(
+    "retrieval_rrf_hybrid",
+    oracle=f"""
+    WITH {_BM25_TOP50},
+    {_COS_TOP50},
+    u AS (
+      SELECT 0 AS r, id, score FROM lex
+      UNION ALL
+      SELECT 1 AS r, id, score FROM sem),
+    rk AS (
+      SELECT id, r,
+             ROW_NUMBER() OVER (PARTITION BY r ORDER BY score DESC, id) AS rnk
+      FROM u)
+    SELECT id AS doc_id,
+           ROUND(SUM(1.0 / (60.0 + rnk)), 6) AS rrf,
+           CAST(COUNT(*) AS BIGINT) AS n_lists
+    FROM rk GROUP BY id
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse the BM25 lexical top-50 and the embedding-
+    cosine top-50 (query = vec_id 0, aligned 1:1 with doc_id) by
+    reciprocal-rank fusion — the standard score-free fusion rule behind
+    RAG retrieval stacks (rrf = sum_r 1/(60 + rank_r)).
+
+    operators.retrieval.rrf_fuse: both candidate lists arrive already
+    k-bounded (TakeOrderedAndProject in each retriever — the corpus is
+    never globally sorted), ranks assign per retriever over the
+    pre-rounded scores (window partitioned by the retriever tag, <= 50
+    rows per partition), and one tiny groupBy fuses. The oracle rebuilds
+    both scorers with the identical closed forms and the same
+    (score DESC, id) rank order.
+    """
+    from sqlitedataframe_spark.operators.retrieval import rrf_fuse
+    from sqlitedataframe_spark.operators.similarity import brute_force_topk
+    from sqlitedataframe_spark.operators.text import bm25_topk
+
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, BM25_QUERY_TERMS, k=50).select(
+        F.col("doc_id").alias("id"), F.col("bm25").alias("score")
+    )
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    sem = brute_force_topk(emb, qdf, k=50).select(
+        F.col("vec_id").alias("id"), F.col("cos_sim").alias("score")
+    )
+    fused = rrf_fuse([lex, sem], id_col="id", score_col="score", k0=60, k=20)
+    return fused.withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "sample_dsir_importance",
+    oracle="""
+    WITH post AS (
+      SELECT d.doc_id, d.lang = 'en' AS is_t,
+             substr(md5(u.tok), 1, 3) AS b
+      FROM (SELECT doc_id, lang,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents) d,
+           UNNEST(d.t) AS u(tok)),
+    bk AS (
+      SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt, COUNT(*) AS nr
+      FROM post GROUP BY b),
+    tt AS (SELECT SUM(nt) AS n_t, SUM(nr) AS n_r FROM bk),
+    lam AS (
+      SELECT b,
+             ln(((nt + 0.5) * (n_r + 2048.0)) / ((nr + 0.5) * (n_t + 2048.0)))
+               AS lam
+      FROM bk, tt),
+    sc AS (
+      SELECT doc_id, ROUND(AVG(lam), 6) AS dsir_score
+      FROM post JOIN lam USING (b) GROUP BY doc_id)
+    SELECT sc.doc_id AS doc_id, d.lang, sc.dsir_score
+    FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+    WHERE d.lang <> 'en'
+    ORDER BY dsir_score DESC, sc.doc_id LIMIT 25
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: score every NON-English document by how
+    English-like its hashed-unigram distribution is (target LM = the
+    lang='en' slice, raw LM = the whole pool; Xie et al. 2023), and take
+    the top 25 — the importance-resampling recipe for targeting a data
+    mixture at a domain without classifier labels.
+
+    operators.sampling.dsir_scores: postings carry (id, 12-bit md5
+    bucket) only — text never shuffles; the bucket LMs collapse to a
+    <= 4096-row table (input-size-independent exchange, the sketch
+    property) that broadcasts back for the per-document mean ratio.
+    """
+    from sqlitedataframe_spark.operators.sampling import dsir_scores
+
+    d = T(spark, sf_dir, "documents")
+    scores = dsir_scores(d, F.col("lang") == "en")
+    return (
+        scores.join(d.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang") != "en")
+        .select("doc_id", "lang", "dsir_score")
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(25)
+    )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle="""
+    WITH tok AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS c_xy
+      FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5),
+    uni AS (
+      SELECT u.tok AS w, COUNT(*) AS c_w
+      FROM tok, UNNEST(tok.t) AS u(tok) GROUP BY 1),
+    tt AS (SELECT SUM(c_w) AS n_tokens FROM uni)
+    SELECT bg.w1, bg.w2, CAST(bg.c_xy AS BIGINT) AS c_xy,
+           ROUND(ln((CAST(bg.c_xy AS DOUBLE) * n_tokens)
+                    / (CAST(u1.c_w AS DOUBLE) * u2.c_w)), 6) AS pmi
+    FROM bg
+    JOIN uni u1 ON u1.w = bg.w1
+    JOIN uni u2 ON u2.w = bg.w2, tt
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations by PMI with min-support 5 —
+    the phrase-detection pass (Church & Hanks) run before fixing a
+    tokenizer vocabulary or word2vec-style phrase merges.
+
+    operators.text.pmi_collocations: bigram and unigram counts collapse
+    scan-side explodes into vocabulary-sized aggregates; the support cut
+    applies before the two key joins; PMI is a pure function of integer
+    counts so both engines compute the identical double.
+    """
+    from sqlitedataframe_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(
+        T(spark, sf_dir, "documents"), min_count=5, k=20
+    )
+
+
+@query(
+    "events_ks_drift",
+    oracle="""
+    WITH ca AS (
+      SELECT 'a' AS g, CAST(floor(value / 5.0) AS BIGINT) AS b, COUNT(*) AS n
+      FROM events WHERE event_type = 'click' GROUP BY 2),
+    cb AS (
+      SELECT 'b' AS g, CAST(floor(value / 5.0) AS BIGINT) AS b, COUNT(*) AS n
+      FROM events WHERE event_type = 'view' GROUP BY 2),
+    spine AS (
+      SELECT DISTINCT b FROM (SELECT b FROM ca UNION ALL SELECT b FROM cb)),
+    grid AS (
+      SELECT g, b FROM spine
+      CROSS JOIN (SELECT 'a' AS g UNION ALL SELECT 'b' AS g)),
+    dense AS (
+      SELECT grid.g, grid.b, COALESCE(u.n, 0) AS n
+      FROM grid LEFT JOIN (SELECT * FROM ca UNION ALL SELECT * FROM cb) u
+        USING (g, b)),
+    ecdf AS (
+      SELECT g, b,
+             CAST(SUM(n) OVER (PARTITION BY g ORDER BY b) AS DOUBLE)
+               / SUM(n) OVER (PARTITION BY g) AS f,
+             SUM(n) OVER (PARTITION BY g) AS nt
+      FROM dense),
+    gaps AS (
+      SELECT b,
+             ROUND(ABS(SUM(CASE WHEN g = 'a' THEN f END)
+                       - SUM(CASE WHEN g = 'b' THEN f END)), 6) AS gap,
+             MAX(CASE WHEN g = 'a' THEN nt END) AS na,
+             MAX(CASE WHEN g = 'b' THEN nt END) AS nb
+      FROM ecdf GROUP BY b)
+    SELECT MAX(gap) AS ks_d,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_bins
+    FROM gaps
+    """,
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS statistic between the value distributions of
+    'click' and 'view' events — the cumulative-gap complement to the
+    per-bin PSI monitor (events_drift_psi), sensitive to location/shape
+    shifts PSI's sum can wash out.
+
+    operators.profiling.ks_drift: each side collapses to <= |bins| count
+    rows map-side; the ECDFs come from one window over the tiny dense
+    bin spine partitioned by the snapshot tag (never an unpartitioned
+    window over data-sized input), and the supremum is a 1-row agg.
+    """
+    from sqlitedataframe_spark.operators.profiling import ks_drift
+
+    e = T(spark, sf_dir, "events")
+    return ks_drift(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "view"),
+        "value",
+        bin_width=5.0,
+    )
+
+
+@query(
+    "profile_benford",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit,
+             COUNT(*) AS n
+      FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+    tt AS (SELECT SUM(n) AS nt FROM obs)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / nt, 6) AS p_obs,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS p_benford,
+           ROUND((CAST(n AS DOUBLE) / nt - log10(1.0 + 1.0 / digit))
+                 * (CAST(n AS DOUBLE) / nt - log10(1.0 + 1.0 / digit))
+                 / log10(1.0 + 1.0 / digit) * nt, 6) AS chi2_term
+    FROM obs, tt ORDER BY digit
+    """,
+)
+def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals against
+    Benford's law with per-digit chi-square contributions — the forensic
+    data-quality screen for fabricated/truncated money columns.
+
+    operators.profiling.benford_digits: one partially-combined 9-row
+    aggregate over a scan-side digit extraction; everything downstream
+    is arithmetic on the 9-row grid against literal expected
+    frequencies.
+    """
+    from sqlitedataframe_spark.operators.profiling import benford_digits
+
+    return benford_digits(T(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@query(
+    "events_cohort_matrix",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(date_trunc('week', ts) AS DATE) AS p
+      FROM events),
+    coh AS (SELECT u, MIN(p) AS c FROM active GROUP BY u),
+    sized AS (SELECT c, COUNT(*) AS size FROM coh GROUP BY c),
+    base AS (
+      SELECT coh.c AS cohort,
+             CAST(date_diff('day', coh.c, a.p) // 7 AS BIGINT)
+               AS period_offset,
+             COUNT(*) AS n_users
+      FROM active a JOIN coh ON coh.u = a.u
+      GROUP BY 1, 2)
+    SELECT b.cohort, b.period_offset, CAST(b.n_users AS BIGINT) AS n_users,
+           ROUND(b.n_users / s.size, 6) AS pct_of_cohort
+    FROM base b JOIN sized s ON s.c = b.cohort
+    ORDER BY cohort, period_offset
+    """,
+)
+def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the events stream: users
+    grouped by first-active week, counted per subsequent week offset
+    with the retained fraction — the standard product-analytics decay
+    view, generalizing the suite's single-window retention query.
+
+    operators.relational.cohort_matrix: distinct (user, week), a
+    min-aggregate and a key join all shuffle on the user key; the final
+    aggregate is |weeks|^2 rows; cohort sizes ride back as a broadcast.
+    """
+    from sqlitedataframe_spark.operators.relational import cohort_matrix
+
+    return cohort_matrix(T(spark, sf_dir, "events"), "user_id", "ts", "week")
+
+
+@query(
+    "orders_time_weighted",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey, o_totalprice AS v,
+             (epoch(LEAD(o_orderdate) OVER
+                      (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_totalprice))
+              - epoch(o_orderdate)) / 86400.0 AS w
+      FROM orders),
+    f AS (SELECT * FROM s WHERE w IS NOT NULL)
+    SELECT o_custkey,
+           ROUND(SUM(v * w) / SUM(w) + 1e-9, 4) AS twa,
+           ROUND(AVG(v) + 1e-9, 4) AS plain_avg,
+           CAST(COUNT(*) AS BIGINT) AS n_periods
+    FROM f GROUP BY o_custkey
+    HAVING SUM(w) > 0
+    ORDER BY o_custkey
+    """,
+)
+def orders_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer time-weighted average order value (each order
+    weighted by the days until the customer's next order, left-Riemann)
+    next to the plain mean — the right mean for irregularly-sampled
+    state, where plain AVG over-weights bursts.
+
+    operators.relational.time_weighted_avg: one lead() window and one
+    aggregate, both on the customer key (same exchange); weights are
+    epoch-second differences scaled identically on both engines; the
+    all-simultaneous edge gates on SUM(w) > 0 explicitly because
+    engines disagree on 0/0.
+    """
+    from sqlitedataframe_spark.operators.relational import time_weighted_avg
+
+    return time_weighted_avg(
+        T(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events),
+    c AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           ROUND(c.n / t.tot, 6) AS p
+    FROM c JOIN t USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between event types
+    (row-normalized probabilities) — the aggregate view of sequential
+    behavior feeding next-action models and never-happens anomaly
+    screens; complements events_top_paths, which mines full n-step
+    paths.
+
+    operators.mining.markov_transitions: one lead() window partitioned
+    by user, one |types|^2 aggregate with map-side combine, and a
+    broadcast of the tiny per-from totals for normalization.
+    """
+    from sqlitedataframe_spark.operators.mining import markov_transitions
+
+    return markov_transitions(
+        T(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        tiebreak_col="event_id",
+    )

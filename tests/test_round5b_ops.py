@@ -1,0 +1,236 @@
+"""Round-5 continuation operators: RRF fusion, DSIR importance scores,
+PMI collocations, KS drift, Benford digits, cohort matrix, time-weighted
+averages, Markov transitions."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_rrf_fuse_hand_checked(spark):
+    """Two 3-item rankings with one shared id — rrf sums 1/(k0+rank)
+    from each list the id appears in."""
+    from sqlitedataframe_spark.operators.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(10, 0.9), (20, 0.8), (30, 0.7)], ["id", "score"]
+    )
+    r2 = spark.createDataFrame(
+        [(20, 0.99), (40, 0.5), (50, 0.4)], ["id", "score"]
+    )
+    rows = {r["id"]: r for r in rrf_fuse([r1, r2], "id", "score", k0=60, k=10).collect()}
+    assert rows[20]["n_lists"] == 2
+    assert rows[20]["rrf"] == round(1 / 62 + 1 / 61, 6)
+    assert rows[10]["rrf"] == round(1 / 61, 6)
+    assert rows[40]["n_lists"] == 1
+    # the doubly-ranked id must fuse above every single-list id
+    best = max(rows.values(), key=lambda r: r["rrf"])
+    assert best["id"] == 20
+
+
+def test_rrf_fuse_rank_ties_break_by_id(spark):
+    from sqlitedataframe_spark.operators.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame([(2, 0.5), (1, 0.5)], ["id", "score"])
+    rows = {r["id"]: r["rrf"] for r in rrf_fuse([r1], "id", "score", k0=60).collect()}
+    # equal scores: rank 1 goes to the smaller id
+    assert rows[1] == round(1 / 61, 6)
+    assert rows[2] == round(1 / 62, 6)
+
+
+def test_dsir_scores_prefer_target_like(spark):
+    """Docs made of target-only vocabulary must outscore docs made of
+    raw-only vocabulary."""
+    from sqlitedataframe_spark.operators.sampling import dsir_scores
+
+    rows = [(i, "alpha beta gamma", 1) for i in range(20)]
+    rows += [(100 + i, "omega psi chi", 0) for i in range(20)]
+    # held-out docs, one target-like, one raw-like
+    rows += [(900, "alpha beta", 0), (901, "omega psi", 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    # 256 buckets: feature-space size matched to the tiny corpus so the
+    # add-0.5-per-bucket smoothing mass doesn't swamp the counts (the
+    # registered query uses 4096 buckets against the real fixtures)
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_scores(df, F.col("is_t") == 1, hex_chars=2).collect()
+    }
+    assert got[900] > 0 > got[901]
+    # in-target docs all share the same token multiset -> identical means
+    assert got[0] == got[19]
+
+
+def test_pmi_collocations_hand_checked(spark):
+    """'new york' always adjacent; 'the the' frequent but independent —
+    PMI must rank the true collocation on top."""
+    from sqlitedataframe_spark.operators.text import pmi_collocations
+
+    corpus = [("new york " * 5).strip()] * 2 + ["the a the b the c the d the e"]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    out = pmi_collocations(df, min_count=2, k=10).collect()
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    # hand-check: c(new york)=10, c(new)=c(york)=10, N=30 tokens
+    n_tokens = 10 + 10 + 10
+    assert top["pmi"] == round(math.log(10 * n_tokens / (10 * 10)), 6)
+    assert top["c_xy"] == 10
+
+
+def test_pmi_min_count_cut(spark):
+    from sqlitedataframe_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame([("rare pair",), ("common common common",)], ["text"])
+    out = pmi_collocations(df, min_count=2, k=10).collect()
+    assert ("rare", "pair") not in {(r["w1"], r["w2"]) for r in out}
+
+
+def test_pmi_single_token_doc_safe(spark):
+    from sqlitedataframe_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame([("solo",), ("a b a b a b",)], ["text"])
+    # must not raise on the 1-token document
+    out = pmi_collocations(df, min_count=2, k=10).collect()
+    assert {(r["w1"], r["w2"]) for r in out} == {("a", "b"), ("b", "a")}
+
+
+def test_ks_drift_identical_and_shifted(spark):
+    from sqlitedataframe_spark.operators.profiling import ks_drift
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)], ["v"])
+    same = ks_drift(a, a, "v", bin_width=1.0).collect()[0]
+    assert same["ks_d"] == 0.0
+    assert same["n_a"] == same["n_b"] == 100
+    # disjoint supports -> D = 1
+    b = spark.createDataFrame([(50.0 + i % 10,) for i in range(80)], ["v"])
+    far = ks_drift(a, b, "v", bin_width=1.0).collect()[0]
+    assert far["ks_d"] == 1.0
+    assert far["n_b"] == 80
+
+
+def test_ks_drift_hand_checked(spark):
+    """a = {0,0,1}, b = {1,1,1}, width 1: ECDF_a = 2/3 at bin 0, 1 at
+    bin 1; ECDF_b = 0, 1 -> D = 2/3."""
+    from sqlitedataframe_spark.operators.profiling import ks_drift
+
+    a = spark.createDataFrame([(0.0,), (0.5,), (1.0,)], ["v"])
+    b = spark.createDataFrame([(1.0,), (1.2,), (1.9,)], ["v"])
+    row = ks_drift(a, b, "v", bin_width=1.0).collect()[0]
+    assert row["ks_d"] == round(2 / 3, 6)
+    assert row["n_bins"] == 2
+
+
+def test_benford_digits_uniform_vs_benford(spark):
+    from sqlitedataframe_spark.operators.profiling import benford_digits
+
+    # exact Benford sample: digit d appears round(1000*log10(1+1/d)) times
+    rows = []
+    v = 0
+    for d in range(1, 10):
+        n = round(1000 * math.log10(1 + 1 / d))
+        rows += [(float(d) * 10 + 0.5,)] * n
+        v += n
+    df = spark.createDataFrame(rows, ["x"])
+    out = benford_digits(df, "x").collect()
+    assert [r["digit"] for r in out] == list(range(1, 10))
+    assert sum(r["n"] for r in out) == v
+    # near-perfect fit -> every chi2 term tiny
+    assert all(abs(r["chi2_term"]) < 0.01 for r in out)
+    # p_benford literals
+    assert out[0]["p_benford"] == round(math.log10(2), 6)
+
+
+def test_benford_excludes_sub_one(spark):
+    from sqlitedataframe_spark.operators.profiling import benford_digits
+
+    df = spark.createDataFrame([(0.5,), (0.0,), (12.0,), (93.0,)], ["x"])
+    out = benford_digits(df, "x").collect()
+    assert sum(r["n"] for r in out) == 2
+    assert {r["digit"] for r in out} == {1, 9}
+
+
+def test_cohort_matrix_hand_checked(spark):
+    """u1 active weeks 0,1; u2 weeks 0; u3 weeks 1 -> cohort w0 size 2
+    retains 1/2 at offset 1."""
+    from sqlitedataframe_spark.operators.relational import cohort_matrix
+
+    t0 = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(days=8)),
+        (2, t0 + dt.timedelta(days=2)),
+        (3, t0 + dt.timedelta(days=7)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(r["cohort"], r["period_offset"]): r for r in cohort_matrix(df, "user_id", "ts", "week").collect()}
+    c0 = dt.date(2024, 1, 1)
+    c1 = dt.date(2024, 1, 8)
+    assert out[(c0, 0)]["n_users"] == 2
+    assert out[(c0, 1)]["n_users"] == 1
+    assert out[(c0, 1)]["pct_of_cohort"] == 0.5
+    assert out[(c1, 0)]["n_users"] == 1
+    assert out[(c1, 0)]["pct_of_cohort"] == 1.0
+
+
+def test_time_weighted_avg_hand_checked(spark):
+    """value 10 held 1 day then 30 held 3 days -> twa 25, plain avg 20."""
+    from sqlitedataframe_spark.operators.relational import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(days=1), 30.0),
+        (1, t0 + dt.timedelta(days=4), 99.0),  # last obs: excluded
+        (2, t0, 5.0),  # single obs: no holding period -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {r["k"]: r for r in time_weighted_avg(df, "k", "ts", "v").collect()}
+    assert set(out) == {1}
+    assert out[1]["twa"] == round((10 * 1 + 30 * 3) / 4 + 1e-9, 4)
+    assert out[1]["plain_avg"] == 20.0
+    assert out[1]["n_periods"] == 2
+
+
+def test_time_weighted_avg_zero_span_dropped(spark):
+    from sqlitedataframe_spark.operators.relational import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame([(1, t0, 1.0), (1, t0, 2.0)], ["k", "ts", "v"])
+    assert time_weighted_avg(df, "k", "ts", "v").count() == 0
+
+
+def test_markov_transitions_hand_checked(spark):
+    from sqlitedataframe_spark.operators.mining import markov_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "a", 1), (1, t0 + dt.timedelta(minutes=1), "b", 2),
+        (1, t0 + dt.timedelta(minutes=2), "a", 3),
+        (2, t0, "a", 4), (2, t0 + dt.timedelta(minutes=1), "b", 5),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "t", "eid"])
+    out = {(r["from_type"], r["to_type"]): r for r in markov_transitions(df, "u", "ts", "t", tiebreak_col="eid").collect()}
+    assert out[("a", "b")]["n"] == 2
+    assert out[("b", "a")]["n"] == 1
+    assert out[("a", "b")]["p"] == 1.0  # both a-transitions go to b
+    assert out[("b", "a")]["p"] == 1.0
+    # transitions never cross users
+    assert ("b", "a") in out and ("a", "a") not in out
+
+
+def test_markov_row_normalization(spark):
+    from sqlitedataframe_spark.operators.mining import markov_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u, seq in [(1, "aab"), (2, "aac"), (3, "aab"), (4, "aab")]:
+        for i, s in enumerate(seq):
+            rows.append((u, t0 + dt.timedelta(minutes=i), s, eid))
+            eid += 1
+    df = spark.createDataFrame(rows, ["u", "ts", "t", "eid"])
+    out = {(r["from_type"], r["to_type"]): r["p"] for r in markov_transitions(df, "u", "ts", "t", tiebreak_col="eid").collect()}
+    assert out[("a", "a")] == 0.5
+    assert out[("a", "b")] == round(3 / 8, 6)
+    assert out[("a", "c")] == round(1 / 8, 6)
