@@ -218,6 +218,10 @@ HEADLINE = [
     "events_cohort_matrix",
     "orders_time_weighted",
     "events_markov_transitions",
+    "part_pareto_classes",
+    "events_attribution",
+    "sample_negative_table",
+    "text_ngram_novelty",
 ]
 
 

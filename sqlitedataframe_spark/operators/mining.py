@@ -189,3 +189,64 @@ def markov_transitions(
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    conversion_type: str,
+    window_days: int = 7,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Last-touch marketing attribution: credit each conversion event to
+    the user's most recent PRECEDING non-conversion touch within
+    ``window_days`` -> per touch type, conversions credited and value
+    attributed. The baseline attribution model every funnel/ROI readout
+    starts from.
+
+    ONE window pass, no self-join of the events (the naive formulation
+    is a range join of conversions x touches): ``last(..., ignorenulls)``
+    over (user, time) with an UNBOUNDED PRECEDING .. 1 PRECEDING frame
+    carries the latest touch type and its timestamp forward; the
+    recency cut is then a scan-side filter. State per window = one
+    (type, ts) pair, independent of user history length.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col) != conversion_type
+    touched = events.select(
+        F.col(user_col),
+        F.col(type_col),
+        F.col(ts_col),
+        F.col(value_col).alias("_v"),
+        F.last(F.when(is_touch, F.col(type_col)), ignorenulls=True)
+        .over(w)
+        .alias("_touch"),
+        F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True)
+        .over(w)
+        .alias("_touch_ts"),
+    )
+    return (
+        touched.filter(
+            (F.col(type_col) == conversion_type)
+            & F.col("_touch").isNotNull()
+            & (
+                F.unix_timestamp(F.col(ts_col))
+                - F.unix_timestamp(F.col("_touch_ts"))
+                <= window_days * 86400
+            )
+        )
+        .groupBy(F.col("_touch").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            F.round(F.sum("_v") + 1e-9, 2).alias("attributed_value"),
+        )
+        .orderBy("touch_type")
+    )

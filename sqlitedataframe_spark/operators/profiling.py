@@ -580,3 +580,85 @@ def benford_digits(
         )
         .orderBy("digit")
     )
+
+
+def pareto_classes(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    bounds: tuple[float, float] = (0.8, 0.95),
+) -> DataFrame:
+    """ABC/Pareto classification: rank keys by total weight descending,
+    cut the CUMULATIVE share at ``bounds`` -> class A (top ~80% of
+    weight), B (next ~15%), C (tail). The classic inventory/revenue
+    concentration screen, and a corpus-curation tool (which sources
+    carry the token mass?).
+
+    The interesting part is the DISTRIBUTED PREFIX SUM: a global
+    running total over keys sorted by weight is the textbook
+    single-partition trap, so the cumulative builds in two levels —
+    (1) keys bucket by floor(log2(weight)); (2) within a bucket, one
+    PARTITIONED window (ordered weight DESC, key) computes the local
+    running sum; (3) the tiny bucket-totals table (<= 64 rows: one per
+    exponent) joins to itself on ``higher-bucket`` to give each bucket
+    its global offset. Total order = (bucket DESC, weight DESC, key) —
+    exactly the single-sort order, recovered without a global sort.
+
+    Weights are summed in exact integer CENTS after one money rounding,
+    so the cumulative and the class cuts are integer arithmetic both
+    engines reproduce bit-for-bit (the RFM cents-rounding recipe).
+    """
+    lo, hi = bounds
+    agg = weight_col if not isinstance(weight_col, str) else F.sum(weight_col)
+    # +1e-9 before the money rounding: the repo's standard guard against
+    # partial-sum ulp drift flipping ROUND at a .xx5 cent boundary
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.round(agg + 1e-9, 2).alias("_w")
+    )
+    cents = per_key.select(
+        "key", F.round(F.col("_w") * 100).cast("bigint").alias("_c")
+    ).filter(F.col("_c") > 0)
+    bucketed = cents.withColumn(
+        "_bkt", F.floor(F.log2(F.col("_c"))).cast("int")
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_c").desc(), F.col("key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("_cum_local", F.sum("_c").over(w))
+    btot = bucketed.groupBy("_bkt").agg(F.sum("_c").alias("_bt"))
+    # per-bucket global offset: total cents in all STRICTLY HIGHER buckets
+    # (tiny inequality self-join over <= 64 exponent rows)
+    a, b = btot.alias("a"), btot.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b._bkt") > F.col("a._bkt"), "left")
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("b._bt"), F.lit(0)).alias("_off"))
+    )
+    total = cents.agg(F.sum("_c").alias("_tot"))
+    cum = (
+        local.join(F.broadcast(offsets), "_bkt")
+        .join(F.broadcast(total))
+        .select(
+            "key",
+            F.col("_c"),
+            (F.col("_off") + F.col("_cum_local")).alias("_cum"),
+            F.col("_tot"),
+        )
+    )
+    cls = (
+        F.when(F.col("_cum") * 100 <= F.col("_tot") * int(lo * 100), "A")
+        .when(F.col("_cum") * 100 <= F.col("_tot") * int(hi * 100), "B")
+        .otherwise("C")
+    )
+    return (
+        cum.withColumn("_cls", cls)
+        .groupBy(F.col("_cls").alias("pareto_class"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.round(F.sum("_c") / 100.0, 2).alias("class_weight"),
+            F.round(F.sum("_c") / F.max("_tot"), 6).alias("weight_share"),
+        )
+        .orderBy("pareto_class")
+    )

@@ -423,3 +423,45 @@ def dsir_scores(
         .groupBy(id_col)
         .agg(F.round(F.avg("_lam"), round_dp).alias("dsir_score"))
     )
+
+
+def negative_sampling_quotas(
+    docs: DataFrame,
+    text_col: str = "text",
+    total: int = 100_000,
+    power: float = 0.75,
+    k: int = 30,
+) -> DataFrame:
+    """word2vec-style negative-sampling table: per token, the number of
+    negative-sample slots out of ``total`` proportional to
+    ``count^power`` (the 3/4-power unigram smoothing of Mikolov et al.
+    that keeps rare words drawable). The precomputation behind skip-gram
+    negative sampling and contrastive-batch construction.
+
+    One vocabulary-sized count aggregate (partial map-side combine), a
+    1-row normalizer broadcast, and scan-side pow/round arithmetic.
+    Quotas are ``floor(total * w / Z + 0.5 + 1e-9)`` — the +1e-9 shifts
+    the half-even boundary identically on both engines so the ~1-ulp
+    normalizer drift can't flip a rounding.
+    """
+    from sqlitedataframe_spark.operators.text import tokens
+
+    cnt = (
+        docs.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", F.pow(F.col("_n").cast("double"), F.lit(power)))
+    )
+    z = cnt.agg(F.sum("_w").alias("_z"))
+    return (
+        cnt.join(F.broadcast(z))
+        .select(
+            "tok",
+            F.col("_n").cast("bigint").alias("n"),
+            F.floor(F.lit(float(total)) * F.col("_w") / F.col("_z") + 0.5 + 1e-9)
+            .cast("bigint")
+            .alias("quota"),
+        )
+        .orderBy(F.col("quota").desc(), F.col("tok"))
+        .limit(k)
+    )

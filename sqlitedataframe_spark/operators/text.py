@@ -906,3 +906,53 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def ngram_novelty_curve(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bucket: int = 50,
+) -> DataFrame:
+    """Corpus novelty curve: for documents in ``id_col`` order, the
+    fraction of each document's DISTINCT n-grams appearing for the first
+    time (no earlier doc contains them), averaged per ``bucket`` of
+    ids — how fast a growing corpus stops contributing new content, the
+    curation signal for "more of this source adds nothing".
+
+    Scale shape: n-grams hash scan-side to 64-bit md5 prefixes (text
+    never shuffles); one groupBy per hashed gram finds the minimal
+    owning id (vocabulary-sized output), which joins back to the slim
+    (id, gram-hash) postings; per-doc and per-bucket means are two more
+    key aggregates. The gram hash is the portable md5 recipe, so the
+    DuckDB twin reproduces first-owner assignment exactly.
+    """
+    g = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(ngram_set(text_col, n)).alias("_gram"),
+    ).select(
+        "_id",
+        F.substring(F.md5(F.col("_gram").cast("binary")), 1, 16).alias("_h"),
+    )
+    first = g.groupBy("_h").agg(F.min("_id").alias("_first"))
+    per_doc = (
+        g.join(first, "_h")
+        .groupBy("_id")
+        .agg(
+            (
+                F.sum((F.col("_first") == F.col("_id")).cast("int"))
+                / F.count(F.lit(1))
+            ).alias("_novel")
+        )
+    )
+    return (
+        per_doc.groupBy(
+            F.floor(F.col("_id") / bucket).cast("bigint").alias("id_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("_novel") + 1e-9, 6).alias("avg_novelty"),
+        )
+        .orderBy("id_bucket")
+    )

@@ -417,3 +417,168 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "events"), "user_id", "ts", "event_type",
         tiebreak_col="event_id",
     )
+
+
+@query(
+    "part_pareto_classes",
+    oracle="""
+    WITH pk AS (
+      SELECT l_partkey AS key,
+             CAST(ROUND(ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9,
+                              2) * 100) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1),
+    f AS (SELECT * FROM pk WHERE c > 0),
+    cum AS (
+      SELECT key, c,
+             SUM(c) OVER (ORDER BY c DESC, key
+                          ROWS UNBOUNDED PRECEDING) AS cm,
+             SUM(c) OVER () AS tot
+      FROM f),
+    cls AS (
+      SELECT key, c, tot,
+             CASE WHEN cm * 100 <= tot * 80 THEN 'A'
+                  WHEN cm * 100 <= tot * 95 THEN 'B'
+                  ELSE 'C' END AS pareto_class
+      FROM cum)
+    SELECT pareto_class, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           ROUND(SUM(c) / 100.0, 2) AS class_weight,
+           ROUND(SUM(c) / CAST(MAX(tot) AS DOUBLE), 6) AS weight_share
+    FROM cls GROUP BY 1 ORDER BY 1
+    """,
+)
+def part_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto revenue concentration over parts: class A = the parts
+    carrying the top 80% of discounted revenue, B to 95%, C the tail —
+    the concentration screen for inventory and for corpus curation
+    (which sources carry the token mass).
+
+    operators.profiling.pareto_classes: the global running total builds
+    as a DISTRIBUTED two-level prefix sum — per-key cents bucket by
+    floor(log2(w)), a PARTITIONED window handles each bucket, and the
+    <= 64-row bucket-totals table self-joins for global offsets — the
+    single-sort order (weight DESC, key) recovered with no global sort
+    or unpartitioned window. Integer-cents arithmetic end-to-end, so
+    the oracle's plain running window agrees bit-for-bit.
+    """
+    from sqlitedataframe_spark.operators.profiling import pareto_classes
+
+    li = T(spark, sf_dir, "lineitem")
+    return pareto_classes(
+        li,
+        "l_partkey",
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+    )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type, ts, value,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT touch AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(SUM(value) + 1e-9, 2) AS attributed_value
+    FROM t
+    WHERE event_type = 'purchase' AND touch IS NOT NULL
+      AND epoch(ts) - epoch(touch_ts) <= 7 * 86400
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: credit each purchase to the user's most
+    recent preceding non-purchase event within 7 days; per touch type,
+    conversions and attributed value — the baseline marketing-ROI
+    readout.
+
+    operators.mining.last_touch_attribution: ONE window pass with an
+    ignorenulls last() over (user, time) carries the latest touch
+    forward — no conversions x touches range self-join; the recency cut
+    is a scan-side filter.
+    """
+    from sqlitedataframe_spark.operators.mining import last_touch_attribution
+
+    return last_touch_attribution(
+        T(spark, sf_dir, "events"), "user_id", "ts", "event_type", "value",
+        conversion_type="purchase", window_days=7, tiebreak_col="event_id",
+    )
+
+
+@query(
+    "sample_negative_table",
+    oracle="""
+    WITH cnt AS (
+      SELECT u.tok, COUNT(*) AS n, pow(COUNT(*), 0.75) AS w
+      FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents) d,
+           UNNEST(d.t) AS u(tok)
+      GROUP BY u.tok),
+    z AS (SELECT SUM(w) AS z FROM cnt)
+    SELECT tok, CAST(n AS BIGINT) AS n,
+           CAST(floor(100000.0 * w / z + 0.5 + 1e-9) AS BIGINT) AS quota
+    FROM cnt, z ORDER BY quota DESC, tok LIMIT 30
+    """,
+)
+def sample_negative_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling quota table: per-token share of 100k
+    negative slots proportional to count^0.75 (Mikolov's 3/4-power
+    unigram smoothing), top-30 — the precomputation behind skip-gram
+    negative sampling and contrastive batches.
+
+    operators.sampling.negative_sampling_quotas: one vocabulary-sized
+    count aggregate, a 1-row normalizer broadcast, scan-side
+    pow/floor; the +1e-9 keeps the half boundary engine-identical.
+    """
+    from sqlitedataframe_spark.operators.sampling import negative_sampling_quotas
+
+    return negative_sampling_quotas(
+        T(spark, sf_dir, "documents"), total=100_000, power=0.75, k=30
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i + 2], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS r(i)),
+    hashed AS (
+      SELECT doc_id, substr(md5(gram), 1, 16) AS h FROM grams),
+    firsts AS (SELECT h, MIN(doc_id) AS fd FROM hashed GROUP BY h),
+    per AS (
+      SELECT g.doc_id,
+             SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END)
+               / COUNT(*) AS novel
+      FROM hashed g JOIN firsts f USING (h) GROUP BY g.doc_id)
+    SELECT CAST(doc_id // 50 AS BIGINT) AS id_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(novel) + 1e-9, 6) AS avg_novelty
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per 50-doc id bucket, the mean fraction of
+    each document's distinct word 3-grams that no earlier document
+    contains — how fast a growing corpus stops contributing new
+    content ("more of this source adds nothing", the diminishing-
+    returns curation signal).
+
+    operators.text.ngram_novelty_curve: grams hash scan-side to 64-bit
+    md5 prefixes so text never shuffles; first-owner is one
+    vocabulary-sized min-aggregate joined back to slim (id, hash)
+    postings; two key aggregates finish.
+    """
+    from sqlitedataframe_spark.operators.text import ngram_novelty_curve
+
+    return ngram_novelty_curve(
+        T(spark, sf_dir, "documents"), n=3, bucket=50
+    )

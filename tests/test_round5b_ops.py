@@ -234,3 +234,91 @@ def test_markov_row_normalization(spark):
     assert out[("a", "a")] == 0.5
     assert out[("a", "b")] == round(3 / 8, 6)
     assert out[("a", "c")] == round(1 / 8, 6)
+
+
+def test_pareto_classes_hand_checked(spark):
+    """Weights 80, 15, 3, 2 -> A={80-part}, B={15-part}, C={3,2}."""
+    from sqlitedataframe_spark.operators.profiling import pareto_classes
+
+    df = spark.createDataFrame(
+        [(1, 80.0), (2, 15.0), (3, 3.0), (4, 2.0)], ["k", "w"]
+    )
+    out = {r["pareto_class"]: r for r in pareto_classes(df, "k", F.sum("w")).collect()}
+    assert out["A"]["n_keys"] == 1 and out["A"]["class_weight"] == 80.0
+    assert out["B"]["n_keys"] == 1 and out["B"]["class_weight"] == 15.0
+    assert out["C"]["n_keys"] == 2 and out["C"]["class_weight"] == 5.0
+    assert out["A"]["weight_share"] == 0.8
+    assert sum(r["n_keys"] for r in out.values()) == 4
+
+
+def test_pareto_matches_single_sort_order(spark):
+    """The two-level prefix sum must equal a plain running total: classes
+    over random-ish weights match a driver-side recomputation."""
+    from sqlitedataframe_spark.operators.profiling import pareto_classes
+
+    rows = [(i, float((i * 37) % 100 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    got = {r["pareto_class"]: r["n_keys"] for r in pareto_classes(df, "k", F.sum("w")).collect()}
+    # driver-side reference
+    cents = sorted(((round(w * 100), k) for k, w in rows), key=lambda t: (-t[0], t[1]))
+    tot = sum(c for c, _ in cents)
+    cum, ref = 0, {"A": 0, "B": 0, "C": 0}
+    for c, _ in cents:
+        cum += c
+        ref["A" if cum * 100 <= tot * 80 else "B" if cum * 100 <= tot * 95 else "C"] += 1
+    assert got == {k: v for k, v in ref.items() if v}
+
+
+def test_last_touch_attribution_hand_checked(spark):
+    from sqlitedataframe_spark.operators.mining import last_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: view -> click -> purchase (credit click)
+        (1, t0, "view", 1.0, 1),
+        (1, t0 + dt.timedelta(hours=1), "click", 1.0, 2),
+        (1, t0 + dt.timedelta(hours=2), "purchase", 50.0, 3),
+        # u2: view then purchase 10 days later -> outside window, dropped
+        (2, t0, "view", 1.0, 4),
+        (2, t0 + dt.timedelta(days=10), "purchase", 70.0, 5),
+        # u3: purchase with no preceding touch -> dropped
+        (3, t0, "purchase", 30.0, 6),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "t", "v", "eid"])
+    out = {r["touch_type"]: r for r in last_touch_attribution(
+        df, "u", "ts", "t", "v", conversion_type="purchase",
+        window_days=7, tiebreak_col="eid").collect()}
+    assert set(out) == {"click"}
+    assert out["click"]["n_conversions"] == 1
+    assert out["click"]["attributed_value"] == 50.0
+
+
+def test_negative_sampling_quotas_power_law(spark):
+    from sqlitedataframe_spark.operators.sampling import negative_sampling_quotas
+
+    df = spark.createDataFrame(
+        [(("common " * 16).strip() + " rare",), (("common " * 15).strip(),)],
+        ["text"],
+    )
+    out = {r["tok"]: r for r in negative_sampling_quotas(df, total=1000, k=10).collect()}
+    # 3/4-power smoothing: quota ratio < count ratio
+    c_common, c_rare = out["common"]["n"], out["rare"]["n"]
+    q_common, q_rare = out["common"]["quota"], out["rare"]["quota"]
+    assert c_common / c_rare > q_common / q_rare > 1
+    # quotas approximately fill the total
+    assert abs((q_common + q_rare) - 1000) <= 2
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark):
+    from sqlitedataframe_spark.operators.text import ngram_novelty_curve
+
+    rows = [
+        (0, "a b c d e"),        # all 3-grams first seen here
+        (1, "a b c d e"),        # exact copy: nothing novel
+        (2, "x y z w"),          # all novel again
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id_bucket"]: r for r in ngram_novelty_curve(df, n=3, bucket=1).collect()}
+    assert out[0]["avg_novelty"] == 1.0
+    assert out[1]["avg_novelty"] == 0.0
+    assert out[2]["avg_novelty"] == 1.0
