@@ -222,6 +222,10 @@ HEADLINE = [
     "events_attribution",
     "sample_negative_table",
     "text_ngram_novelty",
+    "retrieval_mmr_rerank",
+    "events_rolling_dau_wau",
+    "text_zipf_fit",
+    "basket_lift_rules",
 ]
 
 

@@ -250,3 +250,66 @@ def last_touch_attribution(
         )
         .orderBy("touch_type")
     )
+
+
+def association_rules(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 5,
+    k: int = 20,
+    round_dp: int = 6,
+    max_basket: int | None = 10_000,
+) -> DataFrame:
+    """Directed association rules a -> b over baskets with support,
+    confidence (= P(b | a)) and lift (= confidence / P(b)) — the
+    Agrawal/Srikant market-basket completion of cooccurrence_pairs,
+    which stops at raw pair support. Lift > 1 marks genuinely
+    associated items; confidence drives "customers who bought X".
+
+    Scale shape inherits cooccurrence_pairs exactly (distinct basket
+    rows, one reusable exchange on the basket key, the max_basket
+    degenerate-basket guard, pair aggregate partially combined); the
+    two item-frequency lookups are key joins of vocabulary-sized
+    tables, and the basket total rides in as a 1-row broadcast. All
+    inputs to confidence/lift are integer counts -> both engines
+    compute identical doubles.
+    """
+    slim = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    if max_basket is not None:
+        wb = Window.partitionBy("_g")
+        slim = (
+            slim.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bn") <= max_basket)
+            .drop("_bn")
+        )
+    n_baskets = slim.select("_g").distinct().agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    item_n = slim.groupBy("_i").agg(F.count(F.lit(1)).alias("_ni"))
+    a = slim.select(F.col("_g"), F.col("_i").alias("ante"))
+    b = slim.select(F.col("_g"), F.col("_i").alias("cons"))
+    pairs = (
+        a.join(b, on="_g")
+        .filter(F.col("ante") != F.col("cons"))  # directed: both orders
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("_nab"))
+        .filter(F.col("_nab") >= min_support)
+    )
+    conf = F.col("_nab").cast("double") / F.col("_na")
+    lift = conf * F.col("_nb") / F.col("_nc")
+    return (
+        pairs.join(item_n.select(F.col("_i").alias("ante"), F.col("_ni").alias("_na")), "ante")
+        .join(item_n.select(F.col("_i").alias("cons"), F.col("_ni").alias("_nc")), "cons")
+        .join(F.broadcast(n_baskets))
+        .select(
+            "ante", "cons",
+            F.col("_nab").cast("bigint").alias("n_ab"),
+            F.round(conf, round_dp).alias("confidence"),
+            F.round(lift, round_dp).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "ante", "cons")
+        .limit(k)
+    )

@@ -545,3 +545,55 @@ def time_weighted_avg(
         .drop("_sw")
         .orderBy(key_col)
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Daily active users, rolling-window active users (WAU for
+    window_days=7), and the DAU/WAU stickiness ratio per day — the
+    standard engagement dashboard triple.
+
+    The scale trap is the naive "COUNT(DISTINCT user) OVER (RANGE 6
+    PRECEDING)" — distinct-over-window doesn't compose and forces
+    per-day re-scans. Instead each distinct (user, day) row EXPANDS to
+    the ``window_days`` future days it keeps the user active on (a
+    map-side 7-way explode of slim id/day rows), and one distinct +
+    count per day finishes — two key-partitioned aggregates, no
+    windows at all. Days with no activity of their own are excluded
+    (inner join with the DAU side), matching the dashboard convention.
+    """
+    day = F.col(ts_col).cast("date")
+    active = events.select(
+        F.col(user_col).alias("_u"), day.alias("_d")
+    ).distinct()
+    dau = active.groupBy(F.col("_d").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    expanded = (
+        active.select(
+            "_u",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(window_days - 1)),
+                    lambda i: F.date_add(F.col("_d"), i),
+                )
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    wau = expanded.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day", "dau", "wau",
+            F.round(F.col("dau") / F.col("wau"), round_dp).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

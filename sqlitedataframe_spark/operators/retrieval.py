@@ -61,3 +61,86 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    sims: DataFrame,
+    id_col: str,
+    rel_col: str,
+    k: int = 5,
+    lam: float = 0.7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    greedily pick ``k`` items maximizing ``lam * relevance - (1 - lam) *
+    max_similarity_to_already_selected`` — the standard diversity
+    re-rank over a retriever's candidate list (RAG context packing,
+    dedup-aware search results, diverse few-shot example selection).
+
+    ``cand`` is the k-bounded candidate list (id, relevance); ``sims``
+    holds pairwise similarities (id_a, id_b, sim) over those candidates
+    — both bounded by the upstream retriever's top-n, so every frame
+    here is tiny BY CONSTRUCTION; the expensive work (scoring the
+    corpus, the top-n cut) already happened distributedly upstream.
+
+    The greedy loop is inherently sequential in ``k``; it runs as ``k``
+    chained Spark steps (anti-join remaining, max-sim-to-selected
+    aggregate, 1-row top pick) with NO driver-side collect — the loop
+    builds one lazy plan whose every frame is candidate-bounded.
+    Relevance and similarities must arrive pre-rounded so the argmax
+    order (score DESC, id ASC) is engine-reproducible.
+    """
+    c = cand.select(F.col(id_col).alias("_id"), F.col(rel_col).alias("_rel"))
+    s = sims.select(
+        F.col(sims.columns[0]).alias("_ia"),
+        F.col(sims.columns[1]).alias("_ib"),
+        F.col(sims.columns[2]).alias("_sim"),
+    )
+    first = (
+        c.orderBy(F.col("_rel").desc(), F.col("_id"))
+        .limit(1)
+        .select(
+            "_id",
+            F.lit(1).alias("rank"),
+            F.col("_rel"),
+            F.round(F.lit(lam) * F.col("_rel"), round_dp).alias("mmr"),
+        )
+    )
+    selected = first
+    for step in range(2, k + 1):
+        remaining = c.join(selected.select("_id"), "_id", "left_anti")
+        # max similarity of each remaining candidate to the selected set
+        penal = (
+            remaining.join(
+                s, (F.col("_ia") == F.col("_id")), "inner"
+            )
+            .join(
+                selected.select(F.col("_id").alias("_sel")),
+                F.col("_ib") == F.col("_sel"),
+                "inner",
+            )
+            .groupBy("_id", "_rel")
+            .agg(F.max("_sim").alias("_msim"))
+        )
+        pick = (
+            penal.select(
+                "_id",
+                F.lit(step).alias("rank"),
+                "_rel",
+                F.round(
+                    F.lit(lam) * F.col("_rel")
+                    - F.lit(1.0 - lam) * F.col("_msim"),
+                    round_dp,
+                ).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), F.col("_id"))
+            .limit(1)
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        F.col("rank"),
+        F.col("_id").alias(id_col),
+        F.col("_rel").alias(rel_col),
+        F.col("mmr"),
+    ).orderBy("rank")

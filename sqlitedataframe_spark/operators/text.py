@@ -7,7 +7,7 @@ inside the parquet scan stage with zero extra shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 #: Tiny deterministic English stopword list used by the heuristics. The
@@ -955,4 +955,52 @@ def ngram_novelty_curve(
             F.round(F.avg("_novel") + 1e-9, 6).alias("avg_novelty"),
         )
         .orderBy("id_bucket")
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 500,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve: OLS slope of
+    ``ln(freq)`` on ``ln(rank)`` for the top ``top_n`` tokens (natural
+    language sits near -1; strong deviation flags synthetic, templated,
+    or boilerplate-heavy corpora — a cheap corpus-health fingerprint).
+
+    One vocabulary-sized count aggregate, a TakeOrderedAndProject top-n
+    cut, ranks over the BOUNDED top-n list (window partitioned by a
+    constant tag over <= top_n rows — never the corpus), and a 1-row
+    closed-form OLS aggregate. Output: slope, intercept, r2, n_tokens.
+    """
+    cnt = (
+        docs.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(top_n)
+    )
+    w = Window.partitionBy("_tag").orderBy(F.col("n").desc(), F.col("tok"))
+    xy = (
+        cnt.withColumn("_tag", F.lit(1))
+        .withColumn("_x", F.log(F.row_number().over(w).cast("double")))
+        .withColumn("_y", F.log(F.col("n").cast("double")))
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("_x"), F.sum("_y")
+    sxx, syy, sxy = (
+        F.sum(F.col("_x") * F.col("_x")),
+        F.sum(F.col("_y") * F.col("_y")),
+        F.sum(F.col("_x") * F.col("_y")),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r_num = n * sxy - sx * sy
+    r_den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return xy.agg(
+        F.round(slope, round_dp).alias("zipf_slope"),
+        F.round(intercept, round_dp).alias("intercept"),
+        F.round((r_num / r_den) * (r_num / r_den), round_dp).alias("r2"),
+        n.cast("bigint").alias("n_tokens"),
     )

@@ -582,3 +582,210 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty_curve(
         T(spark, sf_dir, "documents"), n=3, bucket=50
     )
+
+
+# MMR greedy selection is sequential in k; the oracle unrolls the k steps
+# as chained CTEs (generated below — a pure function of k and lambda, like
+# the inlined LSH hyperplanes elsewhere in this suite). The 1-lam literal
+# uses repr() so both engines subtract the IDENTICAL double (0.7's
+# complement is 0.30000000000000004, not 0.3).
+_MMR_LAM = 0.7
+_MMR_K = 5
+
+
+def _mmr_oracle(k: int = _MMR_K, lam: float = _MMR_LAM) -> str:
+    lam_s, one_minus = repr(lam), repr(1.0 - lam)
+    steps = []
+    sel_union = "SELECT vec_id FROM sel1"
+    for step in range(2, k + 1):
+        steps.append(f"""
+    selu{step} AS ({sel_union}),
+    pen{step} AS (
+      SELECT c.vec_id, c.rel, MAX(s.sim) AS msim
+      FROM cand c
+      JOIN sims s ON s.ia = c.vec_id
+      JOIN selu{step} u ON s.ib = u.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM selu{step})
+      GROUP BY c.vec_id, c.rel),
+    sel{step} AS (
+      SELECT vec_id, {step} AS rank, rel,
+             ROUND({lam_s} * rel - {one_minus} * msim, 6) AS mmr
+      FROM pen{step} ORDER BY mmr DESC, vec_id LIMIT 1)""")
+        sel_union += f" UNION ALL SELECT vec_id FROM sel{step}"
+    unions = "\n    UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, k + 1)
+    )
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cand AS (
+      SELECT vec_id,
+             ROUND(list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                   6) AS rel
+      FROM ev CROSS JOIN q
+      ORDER BY rel DESC, vec_id LIMIT 20),
+    cv AS (SELECT c.vec_id, c.rel, e.v FROM cand c JOIN ev e USING (vec_id)),
+    sims AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   6) AS sim
+      FROM cv a JOIN cv b ON a.vec_id <> b.vec_id),
+    sel1 AS (
+      SELECT vec_id, 1 AS rank, rel, ROUND({lam_s} * rel, 6) AS mmr
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1),{",".join(steps)}
+    SELECT rank, vec_id, rel AS cos_sim, mmr FROM ({unions})
+    ORDER BY rank
+    """
+
+
+@query("retrieval_mmr_rerank", oracle=_mmr_oracle())
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-rank: from the cosine
+    top-20 against the vec_id=0 query, greedily select 5 items
+    maximizing ``0.7 * relevance - 0.3 * max-sim-to-selected`` — the
+    standard diversity pass over a retriever's candidates (RAG context
+    packing, diverse few-shot selection).
+
+    operators.retrieval.mmr_rerank: the corpus-scale work (scoring +
+    top-20 cut) happens upstream in brute_force_topk; the greedy loop
+    is k chained Spark steps over candidate-bounded frames with no
+    driver collect. The oracle unrolls the same greedy recursion as
+    chained CTEs over the identical rounded inputs.
+    """
+    from sqlitedataframe_spark.operators.retrieval import mmr_rerank
+    from sqlitedataframe_spark.operators import similarity as S
+
+    emb = T(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    cand = S.brute_force_topk(emb, qdf, k=20)
+    cvec = cand.join(emb, "vec_id").select(
+        "vec_id", "cos_sim", S.as_double("embedding").alias("_v")
+    )
+    a = cvec.select(F.col("vec_id").alias("_pa"), F.col("_v").alias("_va"))
+    b = cvec.select(F.col("vec_id").alias("_pb"), F.col("_v").alias("_vb"))
+    sims = a.join(b, F.col("_pa") != F.col("_pb")).select(
+        "_pa", "_pb",
+        F.round(S.cosine(F.col("_va"), F.col("_vb")), 6).alias("_sim"),
+    )
+    return mmr_rerank(
+        cand, sims, id_col="vec_id", rel_col="cos_sim",
+        k=_MMR_K, lam=_MMR_LAM,
+    )
+
+
+@query(
+    "events_rolling_dau_wau",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+    dc AS (SELECT d AS day, COUNT(*) AS n_d FROM act GROUP BY 1),
+    ex AS (
+      SELECT DISTINCT u, d + CAST(r.i AS INTEGER) AS day
+      FROM act, UNNEST(generate_series(0, 6)) AS r(i)),
+    wc AS (SELECT day, COUNT(*) AS n_w FROM ex GROUP BY 1)
+    SELECT dc.day AS day, CAST(n_d AS BIGINT) AS dau,
+           CAST(n_w AS BIGINT) AS wau,
+           ROUND(n_d / CAST(n_w AS DOUBLE), 4) AS stickiness
+    FROM dc JOIN wc USING (day) ORDER BY day
+    """,
+)
+def events_rolling_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives, rolling 7-day actives, and DAU/WAU stickiness per
+    day — the standard engagement dashboard triple.
+
+    operators.relational.rolling_active_users: no COUNT(DISTINCT) over a
+    sliding window (doesn't compose, re-scans per day) — each distinct
+    (user, day) row expands map-side to the 7 future days it covers,
+    then two key aggregates finish. No windows at all.
+    """
+    from sqlitedataframe_spark.operators.relational import rolling_active_users
+
+    return rolling_active_users(
+        T(spark, sf_dir, "events"), "user_id", "ts", window_days=7
+    )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH cnt AS (
+      SELECT u.tok, COUNT(*) AS n
+      FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents) d,
+           UNNEST(d.t) AS u(tok)
+      GROUP BY u.tok ORDER BY n DESC, u.tok LIMIT 500),
+    xy AS (
+      SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS DOUBLE)) AS x,
+             ln(CAST(n AS DOUBLE)) AS y
+      FROM cnt),
+    agg AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM xy)
+    SELECT ROUND((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (nn * sxy - sx * sy) / (nn * sxx - sx * sx) * sx) / nn,
+                 6) AS intercept,
+           ROUND(((nn * sxy - sx * sy)
+                  / sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)))
+                 * ((nn * sxy - sx * sy)
+                    / sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy))),
+                 6) AS r2,
+           CAST(nn AS BIGINT) AS n_tokens
+    FROM agg
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: OLS slope of
+    ln(freq) on ln(rank) over the top-500 tokens, with r^2 — natural
+    text sits near slope -1; strong deviation fingerprints synthetic or
+    boilerplate-heavy corpora.
+
+    operators.text.zipf_fit: vocabulary-sized count aggregate, top-500
+    TakeOrderedAndProject cut, ranks over the BOUNDED list only, 1-row
+    closed-form OLS.
+    """
+    from sqlitedataframe_spark.operators.text import zipf_fit
+
+    return zipf_fit(T(spark, sf_dir, "documents"), top_n=500)
+
+
+@query(
+    "basket_lift_rules",
+    oracle="""
+    WITH slim AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT g) AS n_baskets FROM slim),
+    itemn AS (SELECT i, COUNT(*) AS ni FROM slim GROUP BY 1),
+    pairs AS (
+      SELECT a.i AS ante, b.i AS cons, COUNT(*) AS nab
+      FROM slim a JOIN slim b ON a.g = b.g AND a.i <> b.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+    SELECT ante, cons, CAST(nab AS BIGINT) AS n_ab,
+           ROUND(CAST(nab AS DOUBLE) / na.ni, 6) AS confidence,
+           ROUND(CAST(nab AS DOUBLE) / na.ni * n_baskets / nc.ni, 6) AS lift
+    FROM pairs
+    JOIN itemn na ON na.i = ante
+    JOIN itemn nc ON nc.i = cons, nb
+    ORDER BY lift DESC, ante, cons LIMIT 20
+    """,
+)
+def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules part_a -> part_b over order baskets
+    with confidence and lift (top-20 by lift, support >= 3) — the
+    Agrawal/Srikant completion of the raw pair-support view
+    (basket_part_pairs): lift > 1 marks genuine association.
+
+    operators.mining.association_rules: inherits the cooccurrence
+    scale shape (distinct basket rows, reusable exchange, mega-basket
+    guard); item frequencies join by key and the basket total is a
+    1-row broadcast; all ratio inputs are integer counts.
+    """
+    from sqlitedataframe_spark.operators.mining import association_rules
+
+    return association_rules(
+        T(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        min_support=3, k=20,
+    )

@@ -322,3 +322,94 @@ def test_ngram_novelty_first_doc_is_fully_novel(spark):
     assert out[0]["avg_novelty"] == 1.0
     assert out[1]["avg_novelty"] == 0.0
     assert out[2]["avg_novelty"] == 1.0
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """Three near-identical high-relevance docs + one distinct mid-rel
+    doc: MMR must interleave the distinct doc at rank 2."""
+    from sqlitedataframe_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 0.99), (2, 0.98), (3, 0.97), (4, 0.80)], ["id", "rel"]
+    )
+    # 1,2,3 mutually ~identical; 4 orthogonal to all
+    sims = []
+    for a in (1, 2, 3):
+        for b in (1, 2, 3):
+            if a != b:
+                sims.append((a, b, 0.99))
+    for a in (1, 2, 3):
+        sims += [(a, 4, 0.0), (4, a, 0.0)]
+    sdf = spark.createDataFrame(sims, ["ia", "ib", "sim"])
+    out = [r["id"] for r in mmr_rerank(cand, sdf, "id", "rel", k=3, lam=0.7).collect()]
+    assert out[0] == 1          # pure relevance first
+    assert out[1] == 4          # 0.7*0.8 - 0.3*0 = 0.56 beats 0.7*0.98 - 0.3*0.99
+    assert out[2] == 2          # back to the relevant cluster
+
+
+def test_mmr_rerank_hand_scores(spark):
+    from sqlitedataframe_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame([(1, 0.9), (2, 0.5)], ["id", "rel"])
+    sdf = spark.createDataFrame([(1, 2, 0.4), (2, 1, 0.4)], ["ia", "ib", "sim"])
+    rows = {r["rank"]: r for r in mmr_rerank(cand, sdf, "id", "rel", k=2, lam=0.7).collect()}
+    assert rows[1]["id"] == 1 and rows[1]["mmr"] == round(0.7 * 0.9, 6)
+    assert rows[2]["id"] == 2
+    assert rows[2]["mmr"] == round(0.7 * 0.5 - (1.0 - 0.7) * 0.4, 6)
+
+
+def test_rolling_active_users_hand_checked(spark):
+    """u1 active day 0; u2 active day 0 and 3 -> WAU covers forward."""
+    from sqlitedataframe_spark.operators.relational import rolling_active_users
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0), (2, t0), (2, t0 + dt.timedelta(days=3)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r["day"]: r for r in rolling_active_users(df, "user_id", "ts", window_days=7).collect()}
+    d0, d3 = dt.date(2024, 1, 1), dt.date(2024, 1, 4)
+    # only days with their own activity appear
+    assert set(out) == {d0, d3}
+    assert out[d0]["dau"] == 2 and out[d0]["wau"] == 2
+    # day 3: only u2 active today, but both users active within the
+    # trailing week (u1's day-0 activity covers days 0-6)
+    assert out[d3]["dau"] == 1 and out[d3]["wau"] == 2
+    assert out[d3]["stickiness"] == 0.5
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """freq(rank) = C / rank exactly -> slope -1, r2 1."""
+    from sqlitedataframe_spark.operators.text import zipf_fit
+
+    docs = []
+    for rank in range(1, 11):
+        tok = f"tok{rank:02d}"
+        docs.append((" ".join([tok] * (2520 // rank)),))
+    df = spark.createDataFrame(docs, ["text"])
+    row = zipf_fit(df, top_n=10).collect()[0]
+    assert row["n_tokens"] == 10
+    assert abs(row["zipf_slope"] + 1.0) < 1e-4
+    assert row["r2"] > 0.99999
+
+
+def test_association_rules_hand_checked(spark):
+    """A and B always co-occur (lift > 1); C appears everywhere
+    (lift = 1 vs anything)."""
+    from sqlitedataframe_spark.operators.mining import association_rules
+
+    rows = []
+    for g in range(10):
+        rows += [(g, "C")]
+        if g < 5:
+            rows += [(g, "A"), (g, "B")]
+        else:
+            rows += [(g, "D")]
+    df = spark.createDataFrame(rows, ["g", "i"])
+    out = {(r["ante"], r["cons"]): r for r in association_rules(df, "g", "i", min_support=2, k=50).collect()}
+    ab = out[("A", "B")]
+    assert ab["n_ab"] == 5 and ab["confidence"] == 1.0 and ab["lift"] == 2.0
+    ac = out[("A", "C")]
+    assert ac["confidence"] == 1.0 and ac["lift"] == 1.0  # C is universal
+    # directed: both orders present with their own confidence
+    assert out[("C", "A")]["confidence"] == 0.5
