@@ -226,6 +226,8 @@ HEADLINE = [
     "events_rolling_dau_wau",
     "text_zipf_fit",
     "basket_lift_rules",
+    "agg_bootstrap_ci",
+    "orders_yoy_growth",
 ]
 
 

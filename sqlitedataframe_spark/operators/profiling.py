@@ -662,3 +662,78 @@ def pareto_classes(
         )
         .orderBy("pareto_class")
     )
+
+
+#: Poisson(1) CDF ladder for the bootstrap weight draw — written as exact
+#: decimal literals so both engines compare against IDENTICAL doubles.
+POISSON1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    b_reps: int = 100,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Bootstrap confidence interval for the MEAN of a column via the
+    Poisson bootstrap (the resampling scheme that works on data too big
+    to index: each row independently receives a Poisson(1) multiplicity
+    per replicate, approximating multinomial resampling without any
+    global coordination).
+
+    Determinism: replicate ``b``'s weight for a row is the Poisson(1)
+    inverse CDF applied to a uniform derived from ``md5(key || ':' ||
+    b)`` — the repo's portable count-min recipe, so any engine
+    reproduces the exact same resamples. Weights cap at 6 (CDF there is
+    0.99994; the truncation bias is far below the CI's own Monte Carlo
+    noise).
+
+    Scale shape — the whole point: NO row explosion. The ``2 * B``
+    replicate sums compute as one partially-combined single-pass
+    aggregate (B weighted sums + B weight totals, all scan-side
+    expressions), so the exchange carries ONE row regardless of input
+    size; replicate means and the percentile CI are arithmetic on that
+    row (a B-row explode of the 1-row frame). Compare the naive explode
+    formulation, which multiplies the corpus by B before aggregating.
+    """
+    key = F.col(key_col).cast("string")
+    v = F.col(value_col)
+
+    def weight(b: int):
+        u = F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(f":{b}")).cast("binary")), 1, 8),
+            16, 10,
+        ).cast("bigint") / F.lit(4294967296.0)
+        w = F.lit(6)
+        for i in range(len(POISSON1_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(float(POISSON1_CDF[i])), F.lit(i)).otherwise(w)
+        return w.cast("double")
+
+    aggs = [F.round(F.avg(v) + 1e-9, round_dp).alias("mean"),
+            F.count(F.lit(1)).cast("bigint").alias("n")]
+    for b in range(b_reps):
+        w = weight(b)
+        aggs.append(F.sum(w * v).alias(f"_s{b}"))
+        aggs.append(F.sum(w).alias(f"_w{b}"))
+    one = df.agg(*aggs)
+    means = F.array(*[
+        F.col(f"_s{b}") / F.col(f"_w{b}") for b in range(b_reps)
+    ])
+    exploded = one.select(
+        "mean", "n", F.explode(means).alias("_m")
+    )
+    return exploded.groupBy("mean", "n").agg(
+        F.round(F.expr(f"percentile(_m, {lo})") + 1e-9, round_dp).alias("ci_lo"),
+        F.round(F.expr(f"percentile(_m, {hi})") + 1e-9, round_dp).alias("ci_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("b_reps"),
+    ).select("mean", "ci_lo", "ci_hi", "n", "b_reps")

@@ -597,3 +597,35 @@ def rolling_active_users(
         )
         .orderBy("day")
     )
+
+
+def yoy_growth(
+    df: DataFrame,
+    ts_col: str,
+    value_expr,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Monthly totals with year-over-year growth percentage — the
+    standard finance/ops trend readout.
+
+    The lag-12-months comparison is NOT a lag(12) over one global
+    month-ordered window (an unpartitioned window, the audit's
+    serialization flag): partitioning by MONTH-OF-YEAR makes the
+    same-month-last-year row exactly lag(1) within each of 12 bounded
+    partitions. One aggregate to months, one 12-way partitioned window.
+    """
+    monthly = (
+        df.groupBy(
+            F.year(F.col(ts_col)).alias("year"),
+            F.month(F.col(ts_col)).alias("month"),
+        )
+        .agg(F.round(value_expr + 1e-9, 2).alias("revenue"))
+    )
+    w = Window.partitionBy("month").orderBy("year")
+    prev = F.lag("revenue").over(w)
+    prev_year = F.lag("year").over(w)
+    yoy = F.when(
+        prev_year == F.col("year") - 1,
+        F.round((F.col("revenue") - prev) / prev * 100 + 1e-9, round_dp),
+    )
+    return monthly.withColumn("yoy_pct", yoy).orderBy("year", "month")

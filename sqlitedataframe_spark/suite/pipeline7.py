@@ -789,3 +789,89 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
         min_support=3, k=20,
     )
+
+
+@query(
+    "agg_bootstrap_ci",
+    oracle="""
+    WITH r AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+    x AS (
+      SELECT b.i AS b, v,
+             CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+                                      || CAST(b.i AS VARCHAR)), 1, 8)
+                  AS BIGINT) / 4294967296.0 AS u
+      FROM r, UNNEST(generate_series(0, 99)) AS b(i)),
+    w AS (
+      SELECT b, v,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  ELSE 6 END AS wt
+      FROM x),
+    m AS (SELECT b, SUM(wt * v) / SUM(wt) AS mm FROM w GROUP BY b),
+    base AS (SELECT ROUND(AVG(v) + 1e-9, 4) AS mean,
+                    CAST(COUNT(*) AS BIGINT) AS n FROM r)
+    SELECT base.mean,
+           ROUND(quantile_cont(mm, 0.025) + 1e-9, 4) AS ci_lo,
+           ROUND(quantile_cont(mm, 0.975) + 1e-9, 4) AS ci_hi,
+           base.n, CAST(COUNT(*) AS BIGINT) AS b_reps
+    FROM m, base GROUP BY base.mean, base.n
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value via
+    the POISSON bootstrap (per-row independent Poisson(1) multiplicity
+    per replicate — the resampling scheme that needs no global index,
+    the standard way to bootstrap data too large to enumerate).
+
+    operators.profiling.poisson_bootstrap_ci — the scale point: NO row
+    explosion. All 100 replicates' weighted sums compute in ONE
+    partially-combined aggregate pass (scan-side md5 weight draws), so
+    the exchange carries a single row regardless of input size; the
+    oracle uses the explode formulation (fine at oracle scale) over the
+    IDENTICAL md5 weight draws and CDF-ladder literals.
+    """
+    from sqlitedataframe_spark.operators.profiling import poisson_bootstrap_ci
+
+    return poisson_bootstrap_ci(
+        T(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice", b_reps=100
+    )
+
+
+@query(
+    "orders_yoy_growth",
+    oracle="""
+    WITH m AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS year,
+             EXTRACT(month FROM o_orderdate) AS month,
+             ROUND(SUM(o_totalprice) + 1e-9, 2) AS revenue
+      FROM orders GROUP BY 1, 2),
+    l AS (
+      SELECT year, month, revenue,
+             LAG(revenue) OVER (PARTITION BY month ORDER BY year) AS prev,
+             LAG(year) OVER (PARTITION BY month ORDER BY year) AS py
+      FROM m)
+    SELECT year, month, revenue,
+           CASE WHEN py = year - 1
+                THEN ROUND((revenue - prev) / prev * 100 + 1e-9, 4)
+           END AS yoy_pct
+    FROM l ORDER BY year, month
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth percent (NULL where
+    the prior year's month is missing) — the standard trend readout.
+
+    operators.relational.yoy_growth: the lag-12 comparison partitions
+    the window by MONTH-OF-YEAR, making same-month-last-year exactly
+    lag(1) in each of 12 bounded partitions — no unpartitioned
+    month-ordered window anywhere.
+    """
+    from sqlitedataframe_spark.operators.relational import yoy_growth
+
+    return yoy_growth(
+        T(spark, sf_dir, "orders"), "o_orderdate", F.sum("o_totalprice")
+    )

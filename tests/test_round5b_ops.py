@@ -413,3 +413,47 @@ def test_association_rules_hand_checked(spark):
     assert ac["confidence"] == 1.0 and ac["lift"] == 1.0  # C is universal
     # directed: both orders present with their own confidence
     assert out[("C", "A")]["confidence"] == 0.5
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    """CI must bracket the true mean for a well-behaved sample, and be
+    deterministic across invocations (hash-seeded)."""
+    from sqlitedataframe_spark.operators.profiling import poisson_bootstrap_ci
+
+    rows = [(i, float(50 + (i * 13) % 21)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    r1 = poisson_bootstrap_ci(df, "k", "v", b_reps=60).collect()[0]
+    r2 = poisson_bootstrap_ci(df, "k", "v", b_reps=60).collect()[0]
+    assert r1 == r2  # fully deterministic
+    assert r1["n"] == 400 and r1["b_reps"] == 60
+    assert r1["ci_lo"] < r1["mean"] < r1["ci_hi"]
+    # CI width for n=400, sd~6: a few sigma/20 — sane, not degenerate
+    assert 0.1 < r1["ci_hi"] - r1["ci_lo"] < 5.0
+
+
+def test_poisson_weight_distribution(spark):
+    """Empirical Poisson(1) weights: mean multiplicity ~ 1."""
+    from sqlitedataframe_spark.operators.profiling import poisson_bootstrap_ci
+
+    rows = [(i, 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    r = poisson_bootstrap_ci(df, "k", "v", b_reps=20).collect()[0]
+    # every replicate mean of a constant column is exactly 1
+    assert r["ci_lo"] == r["ci_hi"] == 1.0
+
+
+def test_yoy_growth_hand_checked(spark):
+    from sqlitedataframe_spark.operators.relational import yoy_growth
+
+    rows = [
+        (dt.datetime(2023, 3, 10), 100.0),
+        (dt.datetime(2024, 3, 5), 150.0),
+        (dt.datetime(2024, 4, 1), 80.0),  # no 2023-04 -> NULL yoy
+        (dt.datetime(2026, 3, 1), 300.0),  # gap year -> NULL yoy
+    ]
+    df = spark.createDataFrame(rows, ["ts", "v"])
+    out = {(r["year"], r["month"]): r for r in yoy_growth(df, "ts", F.sum("v")).collect()}
+    assert out[(2024, 3)]["yoy_pct"] == 50.0
+    assert out[(2024, 4)]["yoy_pct"] is None
+    assert out[(2026, 3)]["yoy_pct"] is None  # 2025-03 missing
+    assert out[(2023, 3)]["yoy_pct"] is None
