@@ -80,67 +80,58 @@ def mmr_rerank(
 
     ``cand`` is the k-bounded candidate list (id, relevance); ``sims``
     holds pairwise similarities (id_a, id_b, sim) over those candidates
-    — both bounded by the upstream retriever's top-n, so every frame
-    here is tiny BY CONSTRUCTION; the expensive work (scoring the
-    corpus, the top-n cut) already happened distributedly upstream.
+    — both bounded by the upstream retriever's top-n. The expensive,
+    data-sized work (scoring the corpus, the top-n cut) happens
+    distributedly upstream; what remains is a greedy recursion over
+    <= n items.
 
-    The greedy loop is inherently sequential in ``k``; it runs as ``k``
-    chained Spark steps (anti-join remaining, max-sim-to-selected
-    aggregate, 1-row top pick) with NO driver-side collect — the loop
-    builds one lazy plan whose every frame is candidate-bounded.
-    Relevance and similarities must arrive pre-rounded so the argmax
-    order (score DESC, id ASC) is engine-reproducible.
+    That recursion is BOUNDED MODEL STATE, so it runs driver-side (the
+    k-means-centroid pattern used throughout this repo): collect the
+    top-n rows + n^2 similarities once, select greedily in Python,
+    return the k-row result. The all-DataFrame alternative was built
+    and measured first — the selected set appears twice in each step's
+    plan, so the lazy tree grows 2^k nodes (~20 s of Catalyst planning
+    at k=5), and per-round eager caching trades that for k rounds of
+    job-scheduling overhead (slower still). A driver loop over a
+    provably bounded frame beats both; the collect is <= top_n rows by
+    construction, never data-sized.
+
+    Determinism: relevance and similarities arrive pre-rounded; the mmr
+    score rounds half-away-from-zero (SQL ROUND semantics, not
+    Python's banker rounding) so the DuckDB twin — the same greedy
+    recursion unrolled as chained CTEs — picks identical argmaxes.
     """
-    c = cand.select(F.col(id_col).alias("_id"), F.col(rel_col).alias("_rel"))
-    s = sims.select(
-        F.col(sims.columns[0]).alias("_ia"),
-        F.col(sims.columns[1]).alias("_ib"),
-        F.col(sims.columns[2]).alias("_sim"),
-    )
-    first = (
-        c.orderBy(F.col("_rel").desc(), F.col("_id"))
-        .limit(1)
-        .select(
-            "_id",
-            F.lit(1).alias("rank"),
-            F.col("_rel"),
-            F.round(F.lit(lam) * F.col("_rel"), round_dp).alias("mmr"),
-        )
-    )
-    selected = first
-    for step in range(2, k + 1):
-        remaining = c.join(selected.select("_id"), "_id", "left_anti")
-        # max similarity of each remaining candidate to the selected set
-        penal = (
-            remaining.join(
-                s, (F.col("_ia") == F.col("_id")), "inner"
-            )
-            .join(
-                selected.select(F.col("_id").alias("_sel")),
-                F.col("_ib") == F.col("_sel"),
-                "inner",
-            )
-            .groupBy("_id", "_rel")
-            .agg(F.max("_sim").alias("_msim"))
-        )
-        pick = (
-            penal.select(
-                "_id",
-                F.lit(step).alias("rank"),
-                "_rel",
-                F.round(
-                    F.lit(lam) * F.col("_rel")
-                    - F.lit(1.0 - lam) * F.col("_msim"),
-                    round_dp,
-                ).alias("mmr"),
-            )
-            .orderBy(F.col("mmr").desc(), F.col("_id"))
-            .limit(1)
-        )
-        selected = selected.unionByName(pick)
-    return selected.select(
-        F.col("rank"),
-        F.col("_id").alias(id_col),
-        F.col("_rel").alias(rel_col),
-        F.col("mmr"),
+    import math
+
+    def sql_round(x: float, dp: int) -> float:
+        scale = 10 ** dp
+        return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+    rows = cand.select(F.col(id_col).alias("_id"), F.col(rel_col).alias("_rel")).collect()
+    rel = {r["_id"]: r["_rel"] for r in rows}
+    sim = {}
+    for r in sims.collect():
+        sim[(r[0], r[1])] = r[2]
+    selected: list[tuple] = []
+    chosen: set = set()
+    for step in range(1, min(k, len(rel)) + 1):
+        best = None
+        for i, r in rel.items():
+            if i in chosen:
+                continue
+            if selected:
+                msim = max(sim.get((i, s[1]), 0.0) for s in selected)
+                score = sql_round(lam * r - (1.0 - lam) * msim, round_dp)
+            else:
+                score = sql_round(lam * r, round_dp)
+            # argmax by (score DESC, id ASC) — exact double compare, the
+            # same total order both engines apply
+            if best is None or score > best[0] or (score == best[0] and i < best[1]):
+                best = (score, i)
+        selected.append((step, best[1], rel[best[1]], best[0]))
+        chosen.add(best[1])
+    spark = cand.sparkSession
+    id_type = cand.schema[0].dataType.simpleString()
+    return spark.createDataFrame(
+        selected, f"rank int, {id_col} {id_type}, {rel_col} double, mmr double"
     ).orderBy("rank")

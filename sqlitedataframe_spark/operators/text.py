@@ -970,9 +970,11 @@ def zipf_fit(
     or boilerplate-heavy corpora — a cheap corpus-health fingerprint).
 
     One vocabulary-sized count aggregate, a TakeOrderedAndProject top-n
-    cut, ranks over the BOUNDED top-n list (window partitioned by a
-    constant tag over <= top_n rows — never the corpus), and a 1-row
-    closed-form OLS aggregate. Output: slope, intercept, r2, n_tokens.
+    cut, ranks over the BOUNDED top-n list via a count-of-better
+    self-join (<= top_n^2 bounded comparisons — a window over even the
+    bounded list would read as a single-partition WindowExec, the shape
+    this repo's plan audit bans outright), and a 1-row closed-form OLS
+    aggregate. Output: slope, intercept, r2, n_tokens.
     """
     cnt = (
         docs.select(F.explode(tokens(text_col)).alias("tok"))
@@ -981,11 +983,19 @@ def zipf_fit(
         .orderBy(F.col("n").desc(), F.col("tok"))
         .limit(top_n)
     )
-    w = Window.partitionBy("_tag").orderBy(F.col("n").desc(), F.col("tok"))
-    xy = (
-        cnt.withColumn("_tag", F.lit(1))
-        .withColumn("_x", F.log(F.row_number().over(w).cast("double")))
-        .withColumn("_y", F.log(F.col("n").cast("double")))
+    a = cnt.select(F.col("tok").alias("_ta"), F.col("n").alias("_na"))
+    b = cnt.select(F.col("tok").alias("_tb"), F.col("n").alias("_nb"))
+    better = (F.col("_nb") > F.col("_na")) | (
+        (F.col("_nb") == F.col("_na")) & (F.col("_tb") < F.col("_ta"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), better, "left")
+        .groupBy("_ta", "_na")
+        .agg((F.count("_tb") + 1).alias("_rank"))
+    )
+    xy = ranked.select(
+        F.log(F.col("_rank").cast("double")).alias("_x"),
+        F.log(F.col("_na").cast("double")).alias("_y"),
     )
     n = F.count(F.lit(1)).cast("double")
     sx, sy = F.sum("_x"), F.sum("_y")

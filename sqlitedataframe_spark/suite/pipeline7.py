@@ -649,10 +649,12 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing, diverse few-shot selection).
 
     operators.retrieval.mmr_rerank: the corpus-scale work (scoring +
-    top-20 cut) happens upstream in brute_force_topk; the greedy loop
-    is k chained Spark steps over candidate-bounded frames with no
-    driver collect. The oracle unrolls the same greedy recursion as
-    chained CTEs over the identical rounded inputs.
+    top-20 cut) happens upstream in brute_force_topk; the greedy
+    recursion over the bounded candidates runs driver-side (bounded
+    model state — see the operator docstring for the measured
+    comparison against the all-DataFrame formulations). The oracle
+    unrolls the same greedy recursion as chained CTEs over the
+    identical rounded inputs.
     """
     from sqlitedataframe_spark.operators.retrieval import mmr_rerank
     from sqlitedataframe_spark.operators import similarity as S
