@@ -228,6 +228,10 @@ HEADLINE = [
     "basket_lift_rules",
     "agg_bootstrap_ci",
     "orders_yoy_growth",
+    "orders_seasonal_decompose",
+    "agg_weighted_median",
+    "text_feature_hashing",
+    "sample_kfold_folds",
 ]
 
 

@@ -737,3 +737,78 @@ def poisson_bootstrap_ci(
         F.round(F.expr(f"percentile(_m, {hi})") + 1e-9, round_dp).alias("ci_hi"),
         F.count(F.lit(1)).cast("bigint").alias("b_reps"),
     ).select("mean", "ci_lo", "ci_hi", "n", "b_reps")
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact weighted median: the smallest value whose cumulative weight
+    reaches half the total — e.g. the quantity-weighted median price,
+    where the plain median over line items over-weights small orders.
+
+    No global sort: this reuses the two-level distributed prefix-sum
+    primitive from pareto_classes. Values collapse to integer cents
+    (money-rounded once), weights aggregate per distinct cent value (a
+    value-distinct-sized frame), the cents bucket by floor(log2) with a
+    partitioned within-bucket running sum, and the <= 64-row
+    bucket-totals self-join supplies global offsets — the ascending-
+    value cumulative recovered with no unpartitioned window. The median
+    row is then a 1-row filter + min-aggregate. Integer arithmetic end
+    to end: both engines agree bit-for-bit.
+    """
+    gcols = [group_col] if group_col else []
+    cents = (
+        df.select(
+            *gcols,
+            F.round(F.col(value_col) * 100).cast("bigint").alias("_c"),
+            F.col(weight_col).cast("bigint").alias("_w"),
+        )
+        .groupBy(*gcols, "_c")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    bucketed = cents.withColumn(
+        "_bkt", F.floor(F.log2(F.greatest(F.col("_c"), F.lit(1)))).cast("int")
+    )
+    w = (
+        Window.partitionBy(*gcols, "_bkt")
+        .orderBy(F.col("_c").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("_cum_local", F.sum("_w").over(w))
+    btot = bucketed.groupBy(*gcols, "_bkt").agg(F.sum("_w").alias("_bt"))
+    a = btot.alias("a")
+    b = btot.alias("b")
+    cond = F.col("b._bkt") < F.col("a._bkt")
+    for g in gcols:
+        cond = cond & (F.col(f"b.{g}") == F.col(f"a.{g}"))
+    offsets = (
+        a.join(F.broadcast(b), cond, "left")
+        .groupBy(*[F.col(f"a.{g}").alias(g) for g in gcols],
+                 F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("b._bt"), F.lit(0)).alias("_off"))
+    )
+    total = cents.groupBy(*gcols).agg(F.sum("_w").alias("_tot"))
+    joined = (
+        local.join(offsets, gcols + ["_bkt"])
+        .join(F.broadcast(total), gcols) if gcols else
+        local.join(F.broadcast(offsets), ["_bkt"]).join(F.broadcast(total))
+    )
+    # smallest value whose cumulative weight reaches ceil(total / 2)
+    reached = joined.filter(
+        (F.col("_off") + F.col("_cum_local")) * 2 >= F.col("_tot")
+    )
+    return (
+        reached.groupBy(*gcols)
+        .agg(
+            (F.min("_c") / 100.0).alias("weighted_median"),
+            F.max("_tot").cast("bigint").alias("total_weight"),
+        )
+        .orderBy(*gcols) if gcols else
+        reached.agg(
+            (F.min("_c") / 100.0).alias("weighted_median"),
+            F.max("_tot").cast("bigint").alias("total_weight"),
+        )
+    )

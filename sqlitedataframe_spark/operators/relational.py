@@ -629,3 +629,67 @@ def yoy_growth(
         F.round((F.col("revenue") - prev) / prev * 100 + 1e-9, round_dp),
     )
     return monthly.withColumn("yoy_pct", yoy).orderBy("year", "month")
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_expr,
+    ma_halfwidth: int = 6,
+    round_dp: int = 2,
+) -> DataFrame:
+    """Classical additive decomposition of a monthly series:
+    value = trend (centered moving average) + seasonal (month-of-year
+    mean of the detrended series) + residual — the first diagnostic cut
+    on any business/ops time series.
+
+    The series is MONTHLY — after the first aggregate the frame is
+    #months-sized (bounded: years x 12), so the trend's centered moving
+    average runs as a bounded range SELF-JOIN over month indexes
+    (|months| x (2w+1) comparisons) instead of a month-ordered window —
+    a single-partition WindowExec over even a bounded frame is the
+    plan-audit flag this repo bans. Seasonal means then aggregate BY
+    month-of-year (12 groups) over the detrended rows. Everything after
+    the one data-sized aggregate is arithmetic on the tiny month frame.
+    """
+    monthly = df.groupBy(
+        F.year(F.col(ts_col)).alias("year"),
+        F.month(F.col(ts_col)).alias("month"),
+    ).agg(F.round(value_expr + 1e-9, 2).alias("revenue"))
+    m = monthly.withColumn(
+        "_idx", F.col("year") * 12 + F.col("month")
+    )
+    a = m.alias("a")
+    b = m.select(F.col("_idx").alias("_bidx"), F.col("revenue").alias("_brev"))
+    trend = (
+        a.join(
+            F.broadcast(b),
+            F.abs(F.col("_bidx") - F.col("a._idx")) <= ma_halfwidth,
+        )
+        .groupBy("a.year", "a.month", "a.revenue", "a._idx")
+        .agg(
+            F.count(F.lit(1)).alias("_nw"),
+            F.round(F.avg("_brev") + 1e-9, round_dp).alias("trend"),
+        )
+        # edge months lack a full window; classical decomposition leaves
+        # them without a trend estimate
+        .filter(F.col("_nw") == 2 * ma_halfwidth + 1)
+    )
+    detrended = trend.select(
+        "year", "month", "revenue", "trend",
+        (F.col("revenue") - F.col("trend")).alias("_det"),
+    )
+    seasonal = detrended.groupBy("month").agg(
+        F.round(F.avg("_det") + 1e-9, round_dp).alias("seasonal")
+    )
+    return (
+        detrended.join(F.broadcast(seasonal), "month")
+        .select(
+            "year", "month", "revenue", "trend", "seasonal",
+            F.round(
+                F.col("revenue") - F.col("trend") - F.col("seasonal") + 1e-9,
+                round_dp,
+            ).alias("residual"),
+        )
+        .orderBy("year", "month")
+    )

@@ -465,3 +465,27 @@ def negative_sampling_quotas(
         .orderBy(F.col("quota").desc(), F.col("tok"))
         .limit(k)
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    key: str,
+    n_folds: int = 5,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    md5-uniform(key) scaled to ``n_folds`` — reproducible across
+    engines, reruns, and repartitioning, like every sampler here. With
+    ``group_col``, the GROUP is hashed instead (leakage-safe folds: all
+    rows of a group land in one fold, the group-split rule applied to
+    CV).
+
+    Pure map-side column arithmetic — zero shuffles to assign; fold
+    statistics downstream are one small aggregate.
+    """
+    hash_col = group_col if group_col else key
+    u = (
+        F.conv(_hex4(hash_col), 16, 10).cast("bigint")
+        * n_folds / F.lit(float(_SPACE))
+    )
+    return df.withColumn("fold", F.floor(u).cast("int"))

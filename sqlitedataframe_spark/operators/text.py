@@ -1014,3 +1014,70 @@ def zipf_fit(
         F.round((r_num / r_den) * (r_num / r_den), round_dp).alias("r2"),
         n.cast("bigint").alias("n_tokens"),
     )
+
+
+def hashed_tfidf_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Feature hashing ("the hashing trick", Weinberger et al. 2009):
+    fixed-``dim`` TF-IDF document vectors with no vocabulary dictionary
+    — token -> md5 bucket, value = tf * ln(N / df) summed per bucket.
+    The classical scalable featurization for clustering/classification/
+    near-dup over text when training an embedding model is overkill;
+    the output array plugs directly into this repo's cosine/ANN/k-means
+    operators.
+
+    Scale shape: postings carry (id, bucket-int, 1) — text never
+    shuffles; df counts collapse to a <= dim... no: df is per-BUCKET
+    (bucketed df, the hashing trick's collision semantics), so the df
+    table is dim-sized and broadcasts; one groupBy per (id, bucket) and
+    a map-side array_agg-by-position (pivot via sequence + sum) build
+    the dense vector without a per-component shuffle. Signed hashing
+    (the +/- trick) is omitted deliberately: the oracle twin and the
+    cosine consumers want non-negative tf-idf.
+    """
+    n_docs = docs.select(F.count(F.lit(1)).alias("_nd"))
+    postings = docs.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("_tok"),
+    ).select(
+        id_col,
+        (
+            F.conv(F.substring(F.md5(F.col("_tok").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint") % dim
+        ).alias("_b"),
+    )
+    tf = postings.groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("_b").agg(F.count(F.lit(1)).alias("_df"))
+    weighted = (
+        tf.join(F.broadcast(dfreq), "_b")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col, "_b",
+            F.round(
+                F.col("_tf") * F.log(F.col("_nd").cast("double") / F.col("_df")),
+                round_dp,
+            ).alias("_v"),
+        )
+    )
+    # dense vector: map of present buckets -> array over 0..dim-1
+    dense = (
+        weighted.groupBy(id_col)
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_v")))
+        ).alias("_m"))
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i.cast("bigint")), F.lit(0.0)
+                ),
+            ).alias("features"),
+        )
+    )
+    return dense

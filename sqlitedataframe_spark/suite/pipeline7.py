@@ -877,3 +877,161 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yoy_growth(
         T(spark, sf_dir, "orders"), "o_orderdate", F.sum("o_totalprice")
     )
+
+
+@query(
+    "orders_seasonal_decompose",
+    oracle="""
+    WITH m AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS year,
+             EXTRACT(month FROM o_orderdate) AS month,
+             ROUND(SUM(o_totalprice) + 1e-9, 2) AS revenue
+      FROM orders GROUP BY 1, 2),
+    mi AS (SELECT *, year * 12 + month AS idx FROM m),
+    tr AS (
+      SELECT a.year, a.month, a.revenue,
+             ROUND(AVG(b.revenue) + 1e-9, 2) AS trend
+      FROM mi a JOIN mi b ON abs(b.idx - a.idx) <= 6
+      GROUP BY 1, 2, 3 HAVING COUNT(*) = 13),
+    dt AS (SELECT year, month, revenue, trend,
+                  revenue - trend AS det FROM tr),
+    se AS (SELECT month, ROUND(AVG(det) + 1e-9, 2) AS seasonal
+           FROM dt GROUP BY 1)
+    SELECT dt.year, dt.month, dt.revenue, dt.trend, se.seasonal,
+           ROUND(dt.revenue - dt.trend - se.seasonal + 1e-9, 2) AS residual
+    FROM dt JOIN se USING (month) ORDER BY year, month
+    """,
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of monthly revenue: centered
+    13-month moving-average trend, month-of-year seasonal means of the
+    detrended series, residual — the first diagnostic cut on any
+    business time series.
+
+    operators.relational.seasonal_decompose: after the one data-sized
+    monthly aggregate the frame is #months-sized, so the centered MA is
+    a bounded range self-join over month indexes (not a month-ordered
+    single-partition window, the audit-banned shape) and the seasonal
+    means are a 12-group aggregate.
+    """
+    from sqlitedataframe_spark.operators.relational import seasonal_decompose
+
+    return seasonal_decompose(
+        T(spark, sf_dir, "orders"), "o_orderdate", F.sum("o_totalprice"),
+        ma_halfwidth=6,
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag AS g,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem),
+    agg AS (SELECT g, c, SUM(w) AS w FROM cents GROUP BY 1, 2),
+    cum AS (
+      SELECT g, c,
+             SUM(w) OVER (PARTITION BY g ORDER BY c) AS cw,
+             SUM(w) OVER (PARTITION BY g) AS tot
+      FROM agg)
+    SELECT g AS l_returnflag, MIN(c) / 100.0 AS weighted_median,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM cum WHERE cw * 2 >= tot GROUP BY g ORDER BY g
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per return flag — the right
+    "typical price" when rows carry different volumes (the plain median
+    over-weights small lines).
+
+    operators.profiling.weighted_median: EXACT, with no global sort —
+    the ascending-value cumulative weight builds with the same
+    two-level distributed prefix sum as pareto_classes (log2 cent
+    buckets -> partitioned running sums -> <= 64-row bucket-offset
+    self-join). Integer cents + integer weights end to end, so the
+    oracle's plain running window agrees bit-for-bit.
+    """
+    from sqlitedataframe_spark.operators.profiling import weighted_median
+
+    return weighted_median(
+        T(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity",
+        group_col="l_returnflag",
+    )
+
+
+@query(
+    "text_feature_hashing",
+    oracle="""
+    WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+    p AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(u.tok), 1, 8) AS BIGINT) % 64 AS b
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents) d,
+           UNNEST(d.t) AS u(tok)),
+    tf AS (SELECT doc_id, b, COUNT(*) AS tf FROM p GROUP BY 1, 2),
+    dfq AS (SELECT b, COUNT(*) AS df FROM tf GROUP BY 1),
+    wv AS (
+      SELECT doc_id, ROUND(tf * ln(CAST(n AS DOUBLE) / df), 6) AS v
+      FROM tf JOIN dfq USING (b), nd)
+    SELECT doc_id,
+           ROUND(sqrt(SUM(v * v)) + 1e-9, 4) AS l2_norm,
+           CAST(COUNT(*) FILTER (WHERE v <> 0) AS BIGINT) AS nnz
+    FROM wv GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-64-dim hashed TF-IDF document vectors (the hashing trick,
+    Weinberger et al.) — vocabulary-free featurization whose output
+    plugs directly into the cosine/ANN/k-means operators; verified here
+    through per-document L2 norm and nonzero count over the dense
+    array.
+
+    operators.text.hashed_tfidf_features: postings carry (id, 6-bit
+    bucket) only; the dim-sized bucketed-df table broadcasts; the dense
+    vector assembles map-side from a bucket->value map. No vocabulary
+    dictionary, no per-component shuffle.
+    """
+    from sqlitedataframe_spark.operators.text import hashed_tfidf_features
+
+    feats = hashed_tfidf_features(T(spark, sf_dir, "documents"), dim=64)
+    v = F.col("features")
+    return feats.select(
+        "doc_id",
+        F.round(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)) + 1e-9,
+            4,
+        ).alias("l2_norm"),
+        F.size(F.filter(v, lambda x: x != 0)).cast("bigint").alias("nnz"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "sample_kfold_folds",
+    oracle="""
+    SELECT CAST(floor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                           AS BIGINT) * 5 / 65536.0) AS INT) AS fold,
+           lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2 ORDER BY fold, lang
+    """,
+)
+def sample_kfold_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment with per-fold
+    language balance — reproducible across engines/reruns/partitioning
+    like every sampler here (md5-hash folds, zero shuffles to assign).
+
+    operators.sampling.kfold_assign; with a group column the fold hash
+    moves to the group for leakage-safe CV (same rule as
+    sample_split_by_group).
+    """
+    from sqlitedataframe_spark.operators.sampling import kfold_assign
+
+    d = kfold_assign(T(spark, sf_dir, "documents"), "doc_id", n_folds=5)
+    return (
+        d.groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("fold", "lang")
+    )

@@ -457,3 +457,92 @@ def test_yoy_growth_hand_checked(spark):
     assert out[(2024, 4)]["yoy_pct"] is None
     assert out[(2026, 3)]["yoy_pct"] is None  # 2025-03 missing
     assert out[(2023, 3)]["yoy_pct"] is None
+
+
+def test_seasonal_decompose_recovers_planted_signal(spark):
+    """trend 1000 + seasonal +120 in June, -120 in December -> the
+    decomposition recovers both components for interior months."""
+    from sqlitedataframe_spark.operators.relational import seasonal_decompose
+
+    rows = []
+    for year in range(2018, 2024):
+        for month in range(1, 13):
+            v = 1000.0 + (120.0 if month == 6 else -120.0 if month == 12 else 0.0)
+            rows.append((dt.datetime(year, month, 15), v))
+    df = spark.createDataFrame(rows, ["ts", "v"])
+    out = {(r["year"], r["month"]): r for r in seasonal_decompose(df, "ts", F.sum("v")).collect()}
+    # interior point: trend ~ series mean. A plain 13-month window spans
+    # 13 months, double-counting one month-of-year (the classical fix is
+    # the 2x12 weighted MA), so the trend carries a ~|120|/13 bias
+    r = out[(2020, 6)]
+    assert abs(r["trend"] - 1000.0) < 10.0
+    assert r["seasonal"] > 100.0
+    assert abs(r["residual"]) < 25.0
+    # December seasonal strongly negative
+    assert out[(2020, 12)]["seasonal"] < -100.0
+    # edge months (first/last half-window) are dropped
+    assert (2018, 1) not in out and (2023, 12) not in out
+
+
+def test_weighted_median_hand_checked(spark):
+    """values 1(w=1), 2(w=1), 100(w=10): weighted median 100; the plain
+    median would say 2."""
+    from sqlitedataframe_spark.operators.profiling import weighted_median
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (100.0, 10)], ["v", "w"]
+    )
+    r = weighted_median(df, "v", "w").collect()[0]
+    assert r["weighted_median"] == 100.0
+    assert r["total_weight"] == 12
+
+
+def test_weighted_median_grouped_matches_sorted_recompute(spark):
+    from sqlitedataframe_spark.operators.profiling import weighted_median
+
+    rows = [("g1", float(i), (i % 3) + 1) for i in range(1, 101)]
+    rows += [("g2", float(i * 2), 1) for i in range(1, 51)]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    got = {r["g"]: r["weighted_median"] for r in weighted_median(df, "v", "w", group_col="g").collect()}
+
+    def ref(items):
+        items = sorted(items)
+        tot = sum(w for _, w in items)
+        cum = 0
+        for v, w in items:
+            cum += w
+            if cum * 2 >= tot:
+                return v
+    assert got["g1"] == ref([(v, w) for g, v, w in rows if g == "g1"])
+    assert got["g2"] == ref([(v, w) for g, v, w in rows if g == "g2"])
+
+
+def test_hashed_tfidf_features_shape_and_idf(spark):
+    from sqlitedataframe_spark.operators.text import hashed_tfidf_features
+
+    rows = [(i, "common unique%d" % i) for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["features"] for r in hashed_tfidf_features(df, dim=16).collect()}
+    assert all(len(v) == 16 for v in out.values())
+    # 'common' appears in every doc -> idf ln(8/8)=0 in its bucket unless
+    # a unique token collides into it; every doc still has >= 1 nonzero
+    # cell from its unique token (idf ln(8/1) > 0)
+    assert all(any(x > 0 for x in v) for v in out.values())
+
+
+def test_kfold_assign_deterministic_and_group_safe(spark):
+    from sqlitedataframe_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(200)], ["id", "grp"]
+    )
+    a = {r["id"]: r["fold"] for r in kfold_assign(df, "id", 5).collect()}
+    b = {r["id"]: r["fold"] for r in kfold_assign(df, "id", 5).collect()}
+    assert a == b
+    assert set(a.values()) <= set(range(5))
+    # every fold populated for 200 keys
+    assert len(set(a.values())) == 5
+    # group mode: one fold per group
+    g = kfold_assign(df, "id", 5, group_col="grp")
+    per_group = g.groupBy("grp").agg(F.countDistinct("fold").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_group)
