@@ -232,6 +232,9 @@ HEADLINE = [
     "agg_weighted_median",
     "text_feature_hashing",
     "sample_kfold_folds",
+    "part_price_elasticity",
+    "graph_degree_stats",
+    "stream_countmin_topk",
 ]
 
 

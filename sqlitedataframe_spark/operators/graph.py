@@ -304,3 +304,50 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     n_edges = oriented.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return n_edges.crossJoin(tri)
+
+
+def degree_stats(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    d_min: int = 2,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Degree-distribution profile of an undirected graph: per
+    floor(log2(degree)) bucket, node counts and mean degree, plus the
+    continuous-MLE power-law exponent (Hill/Clauset estimator,
+    ``alpha = 1 + n / sum(ln(d / (d_min - 0.5)))`` over nodes with
+    degree >= d_min) — the first diagnostic on any co-occurrence or
+    interaction graph (is this power-law? where do the hubs start?),
+    and the input to hub-guard threshold choices like this repo's
+    max_basket / hot-bucket caps.
+
+    Scale shape: degrees are one count aggregate over the (deduped,
+    both-direction) edge list; everything downstream — buckets, the
+    alpha moments — aggregates the node-sized degree table; alpha rides
+    back onto the bucket rows as a 1-row broadcast.
+    """
+    und = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    ).union(
+        edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b"))
+    ).distinct()
+    deg = und.groupBy("_a").agg(F.count(F.lit(1)).alias("_d"))
+    alpha = deg.filter(F.col("_d") >= d_min).agg(
+        F.round(
+            1.0
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("_d") / F.lit(d_min - 0.5))),
+            round_dp,
+        ).alias("alpha"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tail_nodes"),
+    )
+    return (
+        deg.groupBy(F.floor(F.log2("_d")).cast("int").alias("deg_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.round(F.avg("_d") + 1e-9, round_dp).alias("avg_degree"),
+        )
+        .join(F.broadcast(alpha))
+        .orderBy("deg_bucket")
+    )

@@ -812,3 +812,46 @@ def weighted_median(
             F.max("_tot").cast("bigint").alias("total_weight"),
         )
     )
+
+
+def grouped_log_log_slope(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group OLS slope of ``ln(y)`` on ``ln(x)`` with r^2 — the
+    closed-form power-law regression behind price elasticity
+    (d ln(qty) / d ln(price)), Kleiber-style scaling fits, and Zipf-type
+    diagnostics on grouped data.
+
+    One aggregate per group over scan-side ln transforms (rows with
+    non-positive x or y are excluded scan-side — ln is undefined there);
+    the five OLS moments partially combine map-side, so only
+    |groups| rows cross the exchange.
+    """
+    x = F.log(F.col(x_col))
+    y = F.log(F.col(y_col))
+    base = df.filter((F.col(x_col) > 0) & (F.col(y_col) > 0)).select(
+        F.col(group_col), x.alias("_x"), y.alias("_y")
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("_x"), F.sum("_y")
+    sxx, syy, sxy = (
+        F.sum(F.col("_x") * F.col("_x")),
+        F.sum(F.col("_y") * F.col("_y")),
+        F.sum(F.col("_x") * F.col("_y")),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r_num = n * sxy - sx * sy
+    r_den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return (
+        base.groupBy(group_col)
+        .agg(
+            F.round(slope, round_dp).alias("slope"),
+            F.round((r_num / r_den) * (r_num / r_den), round_dp).alias("r2"),
+            n.cast("bigint").alias("n_points"),
+        )
+        .orderBy(group_col)
+    )

@@ -1035,3 +1035,105 @@ def sample_kfold_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("fold", "lang")
     )
+
+
+@query(
+    "part_price_elasticity",
+    oracle="""
+    WITH pp AS (
+      SELECT l_partkey,
+             SUM(l_extendedprice) / SUM(l_quantity) AS unit_price,
+             SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT p.p_brand, ln(unit_price) AS x, ln(total_qty) AS y
+      FROM pp JOIN part p ON p.p_partkey = pp.l_partkey
+      WHERE unit_price > 0 AND total_qty > 0),
+    agg AS (
+      SELECT p_brand, CAST(COUNT(*) AS DOUBLE) AS nn,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM j GROUP BY 1)
+    SELECT p_brand,
+           ROUND((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 6) AS slope,
+           ROUND(((nn * sxy - sx * sy)
+                  / sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)))
+                 * ((nn * sxy - sx * sy)
+                    / sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy))),
+                 6) AS r2,
+           CAST(nn AS BIGINT) AS n_points
+    FROM agg ORDER BY p_brand
+    """,
+)
+def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity: OLS slope of ln(total quantity) on
+    ln(average unit price) across the brand's parts — the classic
+    log-log demand regression (slope ~ elasticity; r^2 says whether the
+    power-law story holds at all).
+
+    operators.profiling.grouped_log_log_slope over a part-level
+    pre-aggregate joined to the part dimension: one fact aggregate
+    (shuffles on partkey), a dimension join, and the five OLS moments
+    partially combined per brand — |brands| rows cross the final
+    exchange.
+    """
+    from sqlitedataframe_spark.operators.profiling import grouped_log_log_slope
+
+    li = T(spark, sf_dir, "lineitem")
+    pp = li.groupBy("l_partkey").agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("unit_price"),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = pp.join(p, pp.l_partkey == p.p_partkey)
+    return grouped_log_log_slope(joined, "p_brand", "unit_price", "total_qty")
+
+
+@query(
+    "graph_degree_stats",
+    oracle="""
+    WITH slim AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.i AS x, b.i AS y
+      FROM slim a JOIN slim b ON a.g = b.g AND a.i <> b.i),
+    deg AS (SELECT x, COUNT(*) AS d FROM e GROUP BY 1),
+    al AS (
+      SELECT ROUND(1.0 + COUNT(*) / SUM(ln(d / 1.5)), 4) AS alpha,
+             CAST(COUNT(*) AS BIGINT) AS n_tail_nodes
+      FROM deg WHERE d >= 2)
+    SELECT CAST(floor(log2(d)) AS INT) AS deg_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           ROUND(AVG(d) + 1e-9, 4) AS avg_degree,
+           al.alpha, al.n_tail_nodes
+    FROM deg, al
+    GROUP BY 1, al.alpha, al.n_tail_nodes ORDER BY 1
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution profile of the part co-purchase graph:
+    log2-degree histogram with node counts and mean degree, plus the
+    continuous-MLE power-law exponent over the d >= 2 tail — the
+    diagnostic that says whether hub guards (max_basket, hot-bucket
+    caps) are needed and where to set them.
+
+    operators.graph.degree_stats: degrees are one aggregate over the
+    deduped both-direction edge list; buckets and the alpha moments
+    aggregate the node-sized degree table; alpha rides back as a 1-row
+    broadcast.
+    """
+    from sqlitedataframe_spark.operators.graph import degree_stats
+
+    li = T(spark, sf_dir, "lineitem")
+    slim = li.select(
+        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("i")
+    ).distinct()
+    a = slim.select("g", F.col("i").alias("item_a"))
+    b = slim.select("g", F.col("i").alias("item_b"))
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .select("item_a", "item_b")
+        .distinct()
+    )
+    return degree_stats(pairs, "item_a", "item_b", d_min=2)

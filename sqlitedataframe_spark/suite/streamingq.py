@@ -418,3 +418,84 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlitedataframe_spark.streaming.core import stream_incremental_dedup as run
 
     return run(spark, sf_dir, min_jaccard=0.3).orderBy("id_a", "id_b")
+
+
+@query(
+    "stream_countmin_topk",
+    oracle="""
+    WITH cells AS (
+      SELECT d,
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1 + 8 * d, 8)
+                  AS BIGINT) % 1024 AS cell,
+             COUNT(*) AS c
+      FROM lineitem, UNNEST([0, 1, 2, 3]) AS t(d)
+      GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+    est AS (
+      SELECT p.k, MIN(c.c) AS cm_est
+      FROM probes p, UNNEST([0, 1, 2, 3]) AS t(d)
+      JOIN cells c
+        ON c.d = t.d
+       AND c.cell = CAST('0x' || substr(md5(CAST(p.k AS VARCHAR)), 1 + 8 * t.d, 8)
+                         AS BIGINT) % 1024
+      GROUP BY p.k)
+    SELECT k AS l_partkey, CAST(cm_est AS BIGINT) AS cm_est
+    FROM est ORDER BY cm_est DESC, l_partkey LIMIT 30
+    """,
+)
+def stream_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: each micro-batch builds its count-min
+    sketch of part keys (operators.sketch.countmin_build — bounded at
+    depth x width rows per batch), APPENDS it through the foreachBatch
+    SQLite sink, and the final answer merges the sketch log by cell-sum
+    (count-min is mergeable) and reports the top-30 parts by estimated
+    frequency.
+
+    The 100 TB continuous-rollup pattern, sketch edition: raw rows are
+    touched once, per-batch state is sketch-sized not data-sized, and
+    any re-aggregation window (hourly -> daily -> all-time) folds cell
+    tables without replaying the stream. Exactly oracle-checked: the
+    md5 cells are a pure function of the data, so the merged
+    incremental sketch must equal the one-shot batch sketch bit-for-bit
+    — the defining incremental-equals-batch property.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from sqlitedataframe_spark.io import load_table
+    from sqlitedataframe_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+    from sqlitedataframe_spark.sources.sqlite import read_sql, table_exists, write_sql
+    from sqlitedataframe_spark.streaming.core import read_table_stream
+
+    db = _os.path.join(
+        _tempfile.gettempdir(), f"sdfspark_cm_{_os.path.basename(sf_dir)}.db"
+    )
+    if _os.path.exists(db):
+        _os.remove(db)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sk = countmin_build(batch_df, "l_partkey")
+        mode = "append" if table_exists(db, "cm_cells") else "replace"
+        write_sql(sk, db, table="cm_cells", if_exists=mode)
+
+    s = read_table_stream(spark, sf_dir, "lineitem").select("l_partkey")
+    with _tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            s.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    log = read_sql(spark, db, table="cm_cells").select("d", "cell", "c")
+    merged = log.groupBy("d", "cell").agg(F.sum("c").alias("c"))
+    probes = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return (
+        countmin_estimate(merged, probes, "l_partkey")
+        .orderBy(F.col("cm_est").desc(), "l_partkey")
+        .limit(30)
+    )

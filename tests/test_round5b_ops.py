@@ -546,3 +546,44 @@ def test_kfold_assign_deterministic_and_group_safe(spark):
     g = kfold_assign(df, "id", 5, group_col="grp")
     per_group = g.groupBy("grp").agg(F.countDistinct("fold").alias("n")).collect()
     assert all(r["n"] == 1 for r in per_group)
+
+
+def test_grouped_log_log_slope_exact_power_law(spark):
+    """y = 3 * x^-2 exactly -> slope -2, r2 = 1; non-positive rows
+    excluded."""
+    from sqlitedataframe_spark.operators.profiling import grouped_log_log_slope
+
+    rows = [("g", float(x), 3.0 * x ** -2.0) for x in range(1, 20)]
+    rows += [("g", 0.0, 5.0), ("g", 2.0, 0.0)]  # excluded scan-side
+    df = spark.createDataFrame(rows, ["grp", "x", "y"])
+    r = grouped_log_log_slope(df, "grp", "x", "y").collect()[0]
+    assert abs(r["slope"] + 2.0) < 1e-6
+    assert r["r2"] > 0.999999
+    assert r["n_points"] == 19
+
+
+def test_degree_stats_star_graph(spark):
+    """Star K1,5: hub degree 5, leaves degree 1."""
+    from sqlitedataframe_spark.operators.graph import degree_stats
+
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)], ["a", "b"])
+    out = {r["deg_bucket"]: r for r in degree_stats(edges, "a", "b", d_min=2).collect()}
+    # bucket 0 = degree 1 leaves (floor(log2(1))=0); bucket 2 = degree 5 hub
+    assert out[0]["n_nodes"] == 5 and out[0]["avg_degree"] == 1.0
+    assert out[2]["n_nodes"] == 1 and out[2]["avg_degree"] == 5.0
+    # alpha computed over the single tail node (degree 5 >= 2)
+    assert out[0]["n_tail_nodes"] == 1
+    import math
+    assert out[0]["alpha"] == round(1.0 + 1.0 / math.log(5 / 1.5), 4)
+
+
+def test_degree_stats_dedupes_directions(spark):
+    from sqlitedataframe_spark.operators.graph import degree_stats
+
+    # same edge in both directions + duplicate: degree must count once
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2)], ["a", "b"]
+    )
+    out = degree_stats(edges, "a", "b", d_min=1).collect()
+    assert all(r["avg_degree"] == 1.0 for r in out)
+    assert sum(r["n_nodes"] for r in out) == 2
