@@ -587,3 +587,54 @@ def test_degree_stats_dedupes_directions(spark):
     out = degree_stats(edges, "a", "b", d_min=1).collect()
     assert all(r["avg_degree"] == 1.0 for r in out)
     assert sum(r["n_nodes"] for r in out) == 2
+
+
+def test_stream_countmin_merge_equals_batch(spark, tmp_path):
+    """3 parquet files driven one per micro-batch: the cell-summed union
+    of per-batch count-min sketches must equal the one-shot sketch
+    bit-for-bit (count-min is mergeable; md5 cells are deterministic)."""
+    import os
+
+    from sqlitedataframe_spark.operators.sketch import countmin_build
+    from sqlitedataframe_spark.sources.sqlite import read_sql, table_exists, write_sql
+
+    rows = [(i % 37,) for i in range(600)]
+    full = spark.createDataFrame(rows, "k long")
+    ddir = str(tmp_path / "tbl.parquet")
+    for j in range(3):
+        full.filter((F.col("k") % 3) == j).coalesce(1).write.mode("append").parquet(ddir)
+
+    db = str(tmp_path / "cm.db")
+
+    def sink(batch_df, batch_id):
+        sk = countmin_build(batch_df, "k", depth=4, width=64)
+        mode = "append" if table_exists(db, "cm") else "replace"
+        write_sql(sk, db, table="cm", if_exists=mode)
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ddir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = {
+        (r["d"], r["cell"]): r["c"]
+        for r in read_sql(spark, db, table="cm")
+        .groupBy("d", "cell")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    oneshot = {
+        (r["d"], r["cell"]): r["c"]
+        for r in countmin_build(
+            spark.read.parquet(ddir), "k", depth=4, width=64
+        ).collect()
+    }
+    assert merged == oneshot and len(oneshot) > 30
