@@ -235,6 +235,8 @@ HEADLINE = [
     "part_price_elasticity",
     "graph_degree_stats",
     "stream_countmin_topk",
+    "text_langid_confusion",
+    "events_funnel_timing",
 ]
 
 

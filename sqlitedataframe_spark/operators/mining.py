@@ -313,3 +313,45 @@ def association_rules(
         .orderBy(F.col("lift").desc(), "ante", "cons")
         .limit(k)
     )
+
+
+def funnel_stage_times(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Per-user strictly-ordered funnel timestamps: for each user, the
+    first occurrence of step[0], the first step[1] AFTER it, the first
+    step[2] after that, ... -> one row per user who completed ALL steps,
+    with a timestamp column per step (``t_<step>``). The per-user basis
+    for conversion timing ("how long from view to purchase"), the
+    complement of the stage-count funnel.
+
+    Each stage is a min-timestamp aggregate keyed on the user, joined to
+    the previous stage — all frames co-partition on the user key (one
+    exchange lineage, the events_funnel plan shape); event-type filters
+    push to the scan.
+    """
+    e = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        F.col(ts_col).alias("_ts"),
+    )
+    stage = (
+        e.filter(F.col("_t") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias(f"t_{steps[0]}"))
+    )
+    prev = f"t_{steps[0]}"
+    for s in steps[1:]:
+        stage = (
+            e.filter(F.col("_t") == s)
+            .join(stage, "_u")
+            .filter(F.col("_ts") > F.col(prev))
+            .groupBy("_u", *[c for c in stage.columns if c != "_u"])
+            .agg(F.min("_ts").alias(f"t_{s}"))
+        )
+        prev = f"t_{s}"
+    return stage.withColumnRenamed("_u", user_col)

@@ -1137,3 +1137,126 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return degree_stats(pairs, "item_a", "item_b", d_min=2)
+
+
+@query(
+    "text_langid_confusion",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS toks
+      FROM documents),
+    feats AS (
+      SELECT doc_id, text,
+             CAST(len(list_filter(toks, x -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it'], x)))
+               AS DOUBLE) / len(toks) AS sw_ratio
+      FROM t),
+    pred AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(regexp_replace(text,
+                      '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+                  WHEN sw_ratio >= 0.08 THEN 'en'
+                  WHEN LENGTH(regexp_replace(text,
+                      '[^\x{e0}-\x{ff}]', '', 'g')) > 0 THEN 'fr'
+                  ELSE 'unknown' END AS lang_pred
+      FROM feats),
+    j AS (
+      SELECT d.lang, p.lang_pred
+      FROM documents d JOIN pred p USING (doc_id)),
+    cm AS (SELECT lang, lang_pred, COUNT(*) AS n FROM j GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(n) AS nt FROM cm GROUP BY 1)
+    SELECT cm.lang, cm.lang_pred, CAST(cm.n AS BIGINT) AS n,
+           ROUND(cm.n / CAST(tot.nt AS DOUBLE), 6) AS frac_of_lang
+    FROM cm JOIN tot USING (lang)
+    ORDER BY lang, lang_pred
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the labeled
+    lang column, with per-true-language fractions — the eval view every
+    classifier-based curation filter needs before it gates data (which
+    languages does the cheap model throw away?).
+
+    Same deterministic predictor as text_langid (so the oracle reuses
+    its SQL twin verbatim); the matrix is one |langs|^2 aggregate and a
+    broadcast of per-language totals.
+    """
+    from sqlitedataframe_spark.operators.text import lang_id
+
+    d = T(spark, sf_dir, "documents")
+    j = d.select("lang", lang_id("text").alias("lang_pred"))
+    cm = j.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    tot = cm.groupBy("lang").agg(F.sum("n").alias("nt"))
+    return (
+        cm.join(F.broadcast(tot), "lang")
+        .select(
+            "lang", "lang_pred",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("nt"), 6).alias("frac_of_lang"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@query(
+    "events_funnel_timing",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id),
+    full_f AS (
+      SELECT v.user_id,
+             (epoch(c.t_click) - epoch(v.t_view)) / 3600.0 AS vc_h,
+             (epoch(p.t_purchase) - epoch(c.t_click)) / 3600.0 AS cp_h
+      FROM v JOIN c USING (user_id) JOIN p USING (user_id))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+           ROUND(quantile_cont(vc_h, 0.5) + 1e-9, 4) AS p50_view_click_h,
+           ROUND(AVG(vc_h) + 1e-9, 4) AS avg_view_click_h,
+           ROUND(quantile_cont(cp_h, 0.5) + 1e-9, 4) AS p50_click_purchase_h,
+           ROUND(AVG(cp_h) + 1e-9, 4) AS avg_click_purchase_h
+    FROM full_f
+    """,
+)
+def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion timing over the strictly-ordered view -> click ->
+    purchase funnel: median and mean hours per transition among users
+    who completed all three steps — the "where does the funnel stall"
+    readout that complements the stage-count view (events_funnel).
+
+    operators.mining.funnel_stage_times: each stage is a min-timestamp
+    aggregate joined to the previous stage, all co-partitioned on the
+    user key; the timing summary is a 1-row aggregate with Spark's
+    exact interpolated percentile (= DuckDB quantile_cont).
+    """
+    from sqlitedataframe_spark.operators.mining import funnel_stage_times
+
+    st = funnel_stage_times(
+        T(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        steps=["view", "click", "purchase"],
+    )
+    # cast("double") keeps the microsecond fraction (= DuckDB epoch());
+    # unix_timestamp() would truncate to whole seconds and drift the
+    # interpolated percentiles by up to 1/3600 h
+    def _s(c):
+        return F.col(c).cast("timestamp").cast("double")
+
+    vc = (_s("t_click") - _s("t_view")) / 3600.0
+    cp = (_s("t_purchase") - _s("t_click")) / 3600.0
+    staged = st.select(vc.alias("vc_h"), cp.alias("cp_h"))
+    return staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        F.round(F.expr("percentile(vc_h, 0.5)") + 1e-9, 4).alias("p50_view_click_h"),
+        F.round(F.avg("vc_h") + 1e-9, 4).alias("avg_view_click_h"),
+        F.round(F.expr("percentile(cp_h, 0.5)") + 1e-9, 4).alias("p50_click_purchase_h"),
+        F.round(F.avg("cp_h") + 1e-9, 4).alias("avg_click_purchase_h"),
+    )

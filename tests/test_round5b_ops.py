@@ -638,3 +638,59 @@ def test_stream_countmin_merge_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert merged == oneshot and len(oneshot) > 30
+
+
+def test_funnel_stage_times_strict_order(spark):
+    from sqlitedataframe_spark.operators.mining import funnel_stage_times
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # u1 completes in order
+        (1, t0, "view"), (1, t0 + h, "click"), (1, t0 + 3 * h, "purchase"),
+        # u2: purchase BEFORE click -> not a completion
+        (2, t0, "view"), (2, t0 + 2 * h, "click"), (2, t0 + h, "purchase"),
+        # u3: no click
+        (3, t0, "view"), (3, t0 + h, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "t"])
+    out = {r["u"]: r for r in funnel_stage_times(df, "u", "ts", "t", ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1}
+    assert out[1]["t_view"] == t0
+    assert out[1]["t_click"] == t0 + h
+    assert out[1]["t_purchase"] == t0 + 3 * h
+
+
+def test_funnel_stage_times_first_after_previous(spark):
+    """The chosen click is the FIRST one after the first view, not the
+    global first click."""
+    from sqlitedataframe_spark.operators.mining import funnel_stage_times
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (1, t0 + h, "view"),
+        (1, t0, "click"),          # before the view: must be skipped
+        (1, t0 + 2 * h, "click"),  # this one counts
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "t"])
+    out = funnel_stage_times(df, "u", "ts", "t", ["view", "click"]).collect()
+    assert out[0]["t_click"] == t0 + 2 * h
+
+
+def test_langid_confusion_fractions_sum_to_one(spark):
+    from sqlitedataframe_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [("en", "the cat and the dog in the house is it"),
+         ("en", "xyz qrs"),
+         ("zh", "中文文本")],
+        ["lang", "text"],
+    )
+    j = df.select("lang", lang_id("text").alias("p"))
+    rows = j.groupBy("lang", "p").count().collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], 0)
+        per_lang[r["lang"]] += r["count"]
+    assert per_lang == {"en": 2, "zh": 1}
