@@ -273,6 +273,15 @@ def _warm(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # optional subset (comma-separated names): spot-bench newly added
+    # queries without re-running the whole suite. The driver never sets
+    # this — its per-round artifact always covers the full HEADLINE.
+    only = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
+    if only:
+        unknown = [q for q in only if q not in HEADLINE]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: {unknown}")
+        HEADLINE[:] = only
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     registry = load_all()
