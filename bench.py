@@ -237,6 +237,7 @@ HEADLINE = [
     "stream_countmin_topk",
     "text_langid_confusion",
     "events_funnel_timing",
+    "supplier_ship_lag",
 ]
 
 

@@ -1260,3 +1260,46 @@ def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(cp_h, 0.5)") + 1e-9, 4).alias("p50_click_purchase_h"),
         F.round(F.avg("cp_h") + 1e-9, 4).alias("avg_click_purchase_h"),
     )
+
+
+@query(
+    "supplier_ship_lag",
+    oracle="""
+    WITH lag_t AS (
+      SELECT l.l_suppkey,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    s AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             ROUND(AVG(lag_days) + 1e-9, 4) AS avg_lag_days,
+             ROUND(quantile_cont(lag_days, 0.9) + 1e-9, 4) AS p90_lag_days
+      FROM lag_t GROUP BY 1)
+    SELECT * FROM s ORDER BY p90_lag_days DESC, l_suppkey LIMIT 25
+    """,
+)
+def supplier_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-25 suppliers by 90th-percentile order-to-ship lag (days),
+    with mean and volume — the supply-chain SLA screen.
+
+    Fact-fact join on the order key (both sides shuffle once on the same
+    key — co-partitioned, broadcast-free at any scale), then one
+    per-supplier aggregate with Spark's exact interpolated percentile
+    (= DuckDB quantile_cont); top-25 is TakeOrderedAndProject.
+    """
+    li = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey", "l_shipdate")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lag_days"),
+    )
+    return (
+        lag.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.avg("lag_days") + 1e-9, 4).alias("avg_lag_days"),
+            F.round(F.expr("percentile(lag_days, 0.9)") + 1e-9, 4).alias("p90_lag_days"),
+        )
+        .orderBy(F.col("p90_lag_days").desc(), "l_suppkey")
+        .limit(25)
+    )

@@ -694,3 +694,19 @@ def test_langid_confusion_fractions_sum_to_one(spark):
         per_lang.setdefault(r["lang"], 0)
         per_lang[r["lang"]] += r["count"]
     assert per_lang == {"en": 2, "zh": 1}
+
+
+def test_supplier_ship_lag_registered(spark):
+    """Registered-query smoke on tiny fixtures: deterministic schema and
+    lag arithmetic (date-level day difference)."""
+    from sqlitedataframe_spark.suite import load_all
+
+    reg = load_all()
+    df = reg["supplier_ship_lag"].spark_fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert df.columns == ["l_suppkey", "n_lines", "avg_lag_days", "p90_lag_days"]
+    assert 0 < len(rows) <= 25
+    assert all(r["p90_lag_days"] >= 0 for r in rows)
+    # descending p90 order with suppkey tiebreak
+    vals = [(r["p90_lag_days"], r["l_suppkey"]) for r in rows]
+    assert vals == sorted(vals, key=lambda t: (-t[0], t[1]))
