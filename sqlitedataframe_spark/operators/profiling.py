@@ -706,26 +706,73 @@ def poisson_bootstrap_ci(
     row (a B-row explode of the 1-row frame). Compare the naive explode
     formulation, which multiplies the corpus by B before aggregating.
     """
-    key = F.col(key_col).cast("string")
     v = F.col(value_col)
 
-    def weight(b: int):
-        u = F.conv(
-            F.substring(F.md5(F.concat(key, F.lit(f":{b}")).cast("binary")), 1, 8),
-            16, 10,
-        ).cast("bigint") / F.lit(4294967296.0)
+    # One md5 digest yields FOUR independent 32-bit uniforms (the _cells
+    # trick from the count-min sketch): replicate b reads hex window b%4
+    # of digest md5(key || ':' || b//4) — 4x fewer hashes per row. The
+    # whole weight vector materializes ONCE per row as an array column in
+    # a projection (25 md5 + 100 ladder evaluations, evaluated one time),
+    # so the 2B aggregate expressions degenerate to element_at slices of
+    # that array. Measured at sf0.1: per-aggregate hash chains 52 s,
+    # digest sharing inside the aggregate 20 s, this projection form ~3 s
+    # — the aggregate expressions must be cheap, not just the hashing.
+    n_digests = (b_reps + 3) // 4
+
+    def ladder(u):
         w = F.lit(6)
         for i in range(len(POISSON1_CDF) - 1, -1, -1):
             w = F.when(u < F.lit(float(POISSON1_CDF[i])), F.lit(i)).otherwise(w)
         return w.cast("double")
 
-    aggs = [F.round(F.avg(v) + 1e-9, round_dp).alias("mean"),
+    def ws_over(kcol: str):
+        key = F.col(kcol).cast("string")
+        digs = F.transform(
+            F.sequence(F.lit(0), F.lit(n_digests - 1)),
+            lambda g: F.md5(
+                F.concat(key, F.lit(":"), g.cast("string")).cast("binary")
+            ),
+        )
+        # let-bind the digest array (transform over a 1-element array,
+        # the repo's standard idiom) so the md5 calls evaluate once per
+        # row, not once per replicate element
+        return F.element_at(
+            F.transform(
+                F.array(digs),
+                lambda d: F.transform(
+                    F.sequence(F.lit(0), F.lit(b_reps - 1)),
+                    lambda b: ladder(
+                        F.conv(
+                            F.substring(
+                                F.element_at(d, (b / 4).cast("int") + 1),
+                                (b % 4).cast("int") * 8 + 1,  # 1-based hex
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        / F.lit(4294967296.0)
+                    ),
+                ),
+            ),
+            1,
+        )
+    # a small compressed file scans as ONE partition, serializing the
+    # B-ladder projection on a single core — spread() pre-parallelizes
+    # exactly like the text_repetition fold fix (no-op on fact-scale
+    # inputs that already have many splits)
+    from sqlitedataframe_spark.operators.util import spread
+
+    staged = spread(df.select(v.alias("_v"), F.col(key_col).alias("_k")), "_k")
+    staged = staged.select("_v", ws_over("_k").alias("_ws"))
+
+    aggs = [F.round(F.avg("_v") + 1e-9, round_dp).alias("mean"),
             F.count(F.lit(1)).cast("bigint").alias("n")]
     for b in range(b_reps):
-        w = weight(b)
-        aggs.append(F.sum(w * v).alias(f"_s{b}"))
+        w = F.element_at("_ws", b + 1)
+        aggs.append(F.sum(w * F.col("_v")).alias(f"_s{b}"))
         aggs.append(F.sum(w).alias(f"_w{b}"))
-    one = df.agg(*aggs)
+    one = staged.agg(*aggs)
     means = F.array(*[
         F.col(f"_s{b}") / F.col(f"_w{b}") for b in range(b_reps)
     ])

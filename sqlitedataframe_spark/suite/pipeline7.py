@@ -800,7 +800,8 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     x AS (
       SELECT b.i AS b, v,
              CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
-                                      || CAST(b.i AS VARCHAR)), 1, 8)
+                                      || CAST(b.i // 4 AS VARCHAR)),
+                                 1 + 8 * CAST(b.i % 4 AS INT), 8)
                   AS BIGINT) / 4294967296.0 AS u
       FROM r, UNNEST(generate_series(0, 99)) AS b(i)),
     w AS (
