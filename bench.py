@@ -238,6 +238,7 @@ HEADLINE = [
     "text_langid_confusion",
     "events_funnel_timing",
     "supplier_ship_lag",
+    "orders_hhi_concentration",
 ]
 
 

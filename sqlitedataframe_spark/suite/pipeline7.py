@@ -1304,3 +1304,56 @@ def supplier_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("p90_lag_days").desc(), "l_suppkey")
         .limit(25)
     )
+
+
+@query(
+    "orders_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name, l.l_suppkey,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2),
+    tot AS (SELECT n_name, SUM(r) AS tr FROM rev GROUP BY 1)
+    SELECT rev.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM((rev.r / tot.tr) * (rev.r / tot.tr)) + 1e-9, 6) AS hhi
+    FROM rev JOIN tot USING (n_name)
+    GROUP BY rev.n_name ORDER BY rev.n_name
+    """,
+)
+def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation: HHI = sum of squared revenue shares (1/n = perfectly
+    even, 1.0 = monopoly) — the standard market-concentration screen,
+    and the single-number complement to the Pareto class view.
+
+    One fact aggregate to (nation, supplier) revenue (shuffles on the
+    supplier key after two broadcast dimension joins), per-nation totals
+    broadcast back, and a |nations|-row final aggregate. Shares are
+    ratios of same-engine sums; the +1e-9 guards the 6 dp rounding.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+        )
+    )
+    tot = rev.groupBy("n_name").agg(F.sum("r").alias("tr"))
+    share = F.col("r") / F.col("tr")
+    return (
+        rev.join(F.broadcast(tot), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(share * share) + 1e-9, 6).alias("hhi"),
+        )
+        .orderBy("n_name")
+    )

@@ -710,3 +710,16 @@ def test_supplier_ship_lag_registered(spark):
     # descending p90 order with suppkey tiebreak
     vals = [(r["p90_lag_days"], r["l_suppkey"]) for r in rows]
     assert vals == sorted(vals, key=lambda t: (-t[0], t[1]))
+
+
+def test_hhi_concentration_bounds(spark):
+    """Registered query at tiny sf: HHI in (1/n_suppliers, 1]."""
+    from sqlitedataframe_spark.suite import load_all
+
+    reg = load_all()
+    rows = reg["orders_hhi_concentration"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 < 1.0 / r["n_suppliers"] <= r["hhi"] <= 1.0 + 1e-9
