@@ -1,0 +1,100 @@
+"""Feature-engineering operators for training-data preparation:
+equal-frequency binning and leakage-free categorical target encoding.
+
+Both are exact, oracle-checkable counterparts of the approximate forms
+you would run at extreme scale (approx percentiles / sampled priors);
+reference parity: the reference exposes no feature-engineering surface
+(its query layer is SQL pass-through, SQLiteDataFrame.swift:295-304) —
+these extend the Tier-D training-pipeline tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    round_dp: int = 2,
+) -> DataFrame:
+    """Equal-frequency (quantile) discretization of a numeric column:
+    compute the n_bins-1 interior exact percentile boundaries, assign
+    each row ``bin = 1 + #(boundaries strictly below value)``, and
+    report per-bin count/min/max/mean — the binning step behind WoE
+    encoding, calibration buckets, and histogram features.
+
+    Plan shape at 100 TB: boundaries are ONE global percentile
+    aggregate (1 row) broadcast back onto the scan; bin assignment is a
+    scan-side array fold (no per-row join, no global NTILE window —
+    NTILE would be the audit-banned single-partition sort); the final
+    rollup is an n_bins-group aggregate. Two scans total. Ties sit in
+    the lower bin in both engines because the comparison is strict
+    ``boundary < value``.
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.agg(
+        F.percentile(value_col, F.array(*[F.lit(q) for q in qs])).alias("_bs")
+    )
+    j = df.select(F.col(value_col).alias("_v")).join(F.broadcast(bounds))
+    bin_idx = F.lit(1) + F.aggregate(
+        "_bs",
+        F.lit(0),
+        lambda acc, b: acc + F.when(b < F.col("_v"), 1).otherwise(0),
+    )
+    return (
+        j.groupBy(bin_idx.cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("_v") + 1e-9, round_dp).alias("bin_min"),
+            F.round(F.max("_v") + 1e-9, round_dp).alias("bin_max"),
+            F.round(F.avg("_v") + 1e-9, round_dp).alias("bin_mean"),
+        )
+        .orderBy("bin")
+    )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Leakage-free (leave-one-out) target encoding of a categorical
+    column against a binary/numeric target with additive smoothing
+    toward the global prior:
+
+        enc_i = (sum_target(cat) - target_i + m * prior) / (n(cat) - 1 + m)
+
+    Excluding each row's own target from its encoding is what keeps the
+    feature honest at training time (plain mean encoding leaks the
+    label). Output is the per-category audit view: n, mean/min/max of
+    the encoded value — the spread shows how much the LOO correction
+    moves individual rows.
+
+    Plan shape at 100 TB: one category-sized aggregate (sum, count) and
+    a 1-row global prior, both broadcast back; the per-row encoding is
+    then scan-side arithmetic and the audit rollup is a category-sized
+    aggregate. No shuffle carries the fact table more than once.
+    """
+    prior = df.agg(F.avg(target_col).alias("_prior"))
+    cat = df.groupBy(cat_col).agg(
+        F.sum(target_col).alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    j = df.join(F.broadcast(cat), cat_col).join(F.broadcast(prior))
+    enc = (
+        F.col("_s") - F.col(target_col) + F.lit(smoothing) * F.col("_prior")
+    ) / (F.col("_n") - 1 + F.lit(smoothing))
+    return (
+        j.groupBy(cat_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg(enc) + 1e-9, round_dp).alias("enc_mean"),
+            F.round(F.min(enc) + 1e-9, round_dp).alias("enc_min"),
+            F.round(F.max(enc) + 1e-9, round_dp).alias("enc_max"),
+        )
+        .orderBy(cat_col)
+    )

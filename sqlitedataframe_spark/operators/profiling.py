@@ -902,3 +902,239 @@ def grouped_log_log_slope(
         )
         .orderBy(group_col)
     )
+
+
+def referential_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+    round_dp: int = 4,
+) -> DataFrame:
+    """Referential-integrity audit over a list of FK relationships:
+    for each ``(name, child_df, child_key, parent_df, parent_key)`` emit
+    one row with the child row count, the number of child rows whose key
+    has no parent (orphans), and the orphan percentage — the first gate
+    any warehouse-ingest pipeline runs before joining fact to dimension
+    (an orphan rate regression upstream silently drops rows from every
+    inner join downstream).
+
+    Plan shape at 100 TB: the child is first aggregated to DISTINCT keys
+    with their row counts (key-sized, map-side partial agg), the parent
+    to its DISTINCT key set; the anti semantics are a key-on-key
+    left join (null parent => orphan) over key-sized tables only — the
+    full child fact table is never shuffled, and each relation reduces
+    to two 1-row aggregates unioned at the end (k rows total).
+    """
+    outs = []
+    for name, child, ckey, parent, pkey in relations:
+        ck = (
+            child.select(F.col(ckey).alias("_k"))
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_rows"))
+        )
+        pk = parent.select(F.col(pkey).alias("_k")).distinct()
+        joined = ck.join(pk.withColumn("_hit", F.lit(1)), "_k", "left")
+        outs.append(
+            joined.agg(
+                F.lit(name).alias("relation"),
+                F.sum("_rows").cast("bigint").alias("child_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_hit").isNull(), F.col("_rows"))),
+                    F.lit(0),
+                ).cast("bigint").alias("orphan_rows"),
+            ).select(
+                "relation",
+                "child_rows",
+                "orphan_rows",
+                F.round(
+                    F.col("orphan_rows") * 100.0 / F.col("child_rows") + 1e-9,
+                    round_dp,
+                ).alias("orphan_pct"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("relation")
+
+
+def key_candidates(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Candidate-key discovery profile: for each column, row count,
+    exact distinct count, null count, distinct ratio, and an
+    ``is_candidate_key`` flag (distinct == rows and no nulls) — the
+    schema-inference step a curation pipeline runs on an unfamiliar
+    extract before choosing dedup keys and join keys.
+
+    Plan shape at 100 TB: ONE aggregate pass over the table computes all
+    columns' ``count_distinct`` together (Spark expands multi-distinct
+    aggregates; for very wide tables prefer ``approx_count_distinct``
+    per column in a single Expand-free pass — this exact form is the
+    correctness anchor). Output is #cols rows via a literal unpivot of
+    the 1-row aggregate, never a per-column rescan.
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for c in cols:
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"_d_{c}"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_z_{c}")
+        )
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_d_{c}").alias("n_distinct"),
+                F.col(f"_z_{c}").alias("n_nulls"),
+            )
+            for c in cols
+        ]
+    )
+    e = one.select(F.explode(rows).alias("r")).select("r.*")
+    return e.select(
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        "n_nulls",
+        F.round(F.col("n_distinct") / F.col("n_rows") + 1e-9, 6).alias(
+            "distinct_ratio"
+        ),
+        (
+            (F.col("n_distinct") == F.col("n_rows")) & (F.col("n_nulls") == 0)
+        ).alias("is_candidate_key"),
+    ).orderBy("column_name")
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Winsorized (clipped-tail) moments per group: exact p_lo/p_hi
+    percentiles, the mean/stddev AFTER clamping values into that range,
+    and how many rows each tail clipped — the robust location/scale
+    estimate used when raw means are hostage to a few outliers (price
+    glitches, bot sessions) and you still need a differentiable, scalar
+    answer (unlike the median).
+
+    Plan shape at 100 TB: pass 1 is one percentile aggregate per group
+    (group-sized result); the bounds ride back via a key-sized broadcast
+    join; pass 2 is a plain clamped aggregate — two scans, zero wide
+    shuffles beyond the group-by. (At extreme scale swap
+    ``percentile_approx`` in for pass 1; this exact form is the anchor.)
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(p_lo)).alias("_lo"),
+        F.percentile(value_col, F.lit(p_hi)).alias("_hi"),
+    )
+    j = df.join(F.broadcast(bounds), group_col)
+    clipped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.round(F.min("_lo") + 1e-9, 4).alias("p_lo"),
+            F.round(F.max("_hi") + 1e-9, 4).alias("p_hi"),
+            # money magnitudes: 2 dp so parallel-summation ulp drift cannot
+            # flip the rounding (suite determinism convention)
+            F.round(F.avg(clipped) + 1e-9, 2).alias("winsorized_mean"),
+            F.round(F.stddev_samp(clipped) + 1e-9, 2).alias("winsorized_sd"),
+            F.sum(F.when(F.col(value_col) < F.col("_lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col(value_col) > F.col("_hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, with Cramér's V effect size — the drift/association check
+    a feature pipeline runs between a categorical feature and a label
+    (or between a dimension and an experiment arm) before trusting the
+    feature.
+
+    Plan shape at 100 TB: one contingency aggregate (r*c cells, tiny),
+    then margins and the statistic are aggregates over the cell table;
+    expected counts come from a cells-join-margins broadcast. The raw
+    table is scanned once. The full r x c grid is materialized (margins
+    cross margins, left-joined to observed cells) because EMPTY cells
+    still contribute (0 - e)^2 / e to the statistic — dropping them
+    understates chi2 exactly when association is strongest.
+    """
+    obs = df.groupBy(
+        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+    ).agg(F.count(F.lit(1)).cast("double").alias("_obs"))
+    rm = obs.groupBy("_r").agg(F.sum("_obs").alias("_rt"))
+    cm = obs.groupBy("_c").agg(F.sum("_obs").alias("_ct"))
+    tot = obs.agg(F.sum("_obs").alias("_n"))
+    full = (
+        rm.crossJoin(F.broadcast(cm))
+        .join(obs, ["_r", "_c"], "left")
+        .join(F.broadcast(tot))
+        .withColumn("_o", F.coalesce("_obs", F.lit(0.0)))
+    )
+    e = F.col("_rt") * F.col("_ct") / F.col("_n")
+    chi = ((F.col("_o") - e) * (F.col("_o") - e) / e)
+    r_levels = F.count_distinct("_r")
+    c_levels = F.count_distinct("_c")
+    return full.agg(
+        F.round(F.sum(chi) + 1e-9, round_dp).alias("chi2"),
+        ((r_levels - 1) * (c_levels - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.sum(chi)
+                / (F.max("_n") * F.least(r_levels - 1, c_levels - 1))
+            )
+            + 1e-9,
+            round_dp,
+        ).alias("cramers_v"),
+        F.max("_n").cast("bigint").alias("n_obs"),
+    )
+
+
+def ewma_series(
+    df: DataFrame,
+    time_col: str,
+    value_agg: Column,
+    decay: float = 0.8,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exponentially-weighted moving average of a daily aggregate
+    series, decaying by ACTUAL day distance (gaps decay more):
+    ``ewma(d) = sum_{i<=d} decay^(d-i) x_i / sum decay^(d-i)`` — the
+    smoothed operational health line behind alert thresholds.
+
+    Plan shape at 100 TB: the data-sized work is the one daily
+    aggregate; the frame is then #days-sized, and the EWMA is a bounded
+    triangular self-join over day pairs (days^2/2 rows — thousands, not
+    billions) instead of a date-ordered single-partition window, the
+    audit-banned shape. Decay weights use exact integer day differences
+    so both engines agree bit-for-bit.
+    """
+    daily = df.groupBy(
+        F.to_date(F.col(time_col)).alias("_d")
+    ).agg(value_agg.alias("_x"))
+    a = daily.select(F.col("_d").alias("day"))
+    b = daily.select(F.col("_d").alias("_bd"), F.col("_x").alias("_bx"))
+    pairs = a.join(b, F.col("_bd") <= F.col("day"))
+    w = F.pow(F.lit(decay), F.datediff(F.col("day"), F.col("_bd")))
+    return (
+        pairs.groupBy("day")
+        .agg(
+            F.round(F.sum(w * F.col("_bx")) / F.sum(w) + 1e-9, round_dp).alias(
+                "ewma"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+        .orderBy("day")
+    )

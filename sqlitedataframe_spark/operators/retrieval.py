@@ -135,3 +135,97 @@ def mmr_rerank(
     return spark.createDataFrame(
         selected, f"rank int, {id_col} {id_type}, {rel_col} double, mmr double"
     ).orderBy("rank")
+
+
+def ranking_eval(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    k: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Offline ranking-quality evaluation: nDCG@k, MRR@k and
+    precision@k of a retrieved ranking against a graded relevance
+    table — the metric gate every retrieval change (new BM25 params,
+    new embedding model, new fusion rule) must pass before shipping.
+
+    ``ranked`` carries (id, score); rank is (score DESC, id ASC).
+    ``relevance`` carries (id, graded rel >= 0) for the WHOLE corpus;
+    the ideal ranking (for the nDCG denominator) is its top-k by
+    (rel DESC, id ASC). DCG uses the classic ``(2^rel - 1) /
+    log2(rank + 1)`` gain.
+
+    Plan shape at 100 TB: the corpus-sized work is only the relevance
+    scan: the ideal top-k compiles to TakeOrderedAndProject (per-
+    partition heaps, no global sort), and the retrieved side is k rows.
+    Ranks are derived by a k x k triangular self-join (<= k^2 = 100
+    pairs) rather than a single-partition row_number window, so no
+    audit-banned global window appears. All metric arithmetic is over
+    <= 2k rows.
+    """
+    top = (
+        ranked.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_s"))
+        .orderBy(F.col("_s").desc(), F.col("_id"))
+        .limit(k)
+    )
+    # rank via pair counting on the k-row frame (no global window)
+    t2 = top.select(F.col("_id").alias("_jid"), F.col("_s").alias("_js"))
+    ranks = (
+        top.join(
+            t2,
+            (F.col("_js") > F.col("_s"))
+            | ((F.col("_js") == F.col("_s")) & (F.col("_jid") < F.col("_id"))),
+            "left",
+        )
+        .groupBy("_id")
+        .agg((F.count("_jid") + 1).alias("_rank"))
+    )
+    rel = relevance.select(
+        F.col(id_col).alias("_id"), F.col(rel_col).alias("_rel")
+    )
+    got = ranks.join(F.broadcast(rel.filter(F.col("_rel") > 0)), "_id", "left")
+    gain = (F.pow(F.lit(2.0), F.coalesce("_rel", F.lit(0))) - 1) / F.log2(
+        F.col("_rank") + 1
+    )
+    dcg = got.agg(
+        F.sum(gain).alias("_dcg"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("_rel") > 0, 1.0 / F.col("_rank"))
+            ),
+            F.lit(0.0),
+        ).alias("_mrr"),
+        F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).alias("_hits"),
+        F.count(F.lit(1)).alias("_k_eff"),
+    )
+    ideal = (
+        rel.orderBy(F.col("_rel").desc(), F.col("_id")).limit(k)
+    )
+    i2 = ideal.select(F.col("_id").alias("_jid"), F.col("_rel").alias("_jr"))
+    iranks = (
+        ideal.join(
+            i2,
+            (F.col("_jr") > F.col("_rel"))
+            | ((F.col("_jr") == F.col("_rel")) & (F.col("_jid") < F.col("_id"))),
+            "left",
+        )
+        .groupBy("_id", "_rel")
+        .agg((F.count("_jid") + 1).alias("_rank"))
+    )
+    idcg = iranks.agg(
+        F.sum(
+            (F.pow(F.lit(2.0), "_rel") - 1) / F.log2(F.col("_rank") + 1)
+        ).alias("_idcg")
+    )
+    return dcg.join(F.broadcast(idcg)).select(
+        F.round(F.col("_dcg") / F.col("_idcg") + 1e-9, round_dp).alias(
+            f"ndcg_at_{k}"
+        ),
+        F.round(F.col("_mrr") + 1e-9, round_dp).alias(f"mrr_at_{k}"),
+        F.round(F.col("_hits") / F.lit(k) + 1e-9, round_dp).alias(
+            f"precision_at_{k}"
+        ),
+        F.col("_hits").cast("bigint").alias("n_relevant_retrieved"),
+    )

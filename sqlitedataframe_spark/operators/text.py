@@ -1081,3 +1081,64 @@ def hashed_tfidf_features(
         )
     )
     return dense
+
+
+def source_ngram_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    top_pairs: int = 20,
+) -> DataFrame:
+    """Pairwise word-n-gram Jaccard between corpus SOURCES (not
+    documents): which feeds are near-mirrors of each other — the
+    corpus-composition diagnostic run before mixture weighting, since
+    two 0.9-overlap sources would otherwise be double-counted by any
+    per-source sampling budget.
+
+    Plan shape at 100 TB: per-source DISTINCT gram sets are built by
+    one scan + one (gram, source)-keyed aggregate (map-side partial
+    dedup via scan-side ``ngram_set``); the pair intersection is a
+    gram-keyed self-join carrying only (gram, source) — never text —
+    and the output is #sources^2/2 rows. Set sizes ride back as a
+    sources-sized broadcast. A hot gram appearing in all S sources
+    contributes S^2/2 join rows, bounded by the (small) source count,
+    so no skew guard is needed — the heavy dimension (gram frequency
+    inside a source) is already collapsed by the distinct.
+    """
+    grams = (
+        docs.select(
+            F.col(group_col).alias("_g"),
+            F.explode(ngram_set(text_col, n)).alias("_gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_sz"))
+    a = grams.select(F.col("_g").alias("src_a"), "_gram")
+    b = grams.select(F.col("_g").alias("src_b"), "_gram")
+    inter = (
+        a.join(b, "_gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_g").alias("src_a"), F.col("_sz").alias("_na"))
+    sb = sizes.select(F.col("_g").alias("src_b"), F.col("_sz").alias("_nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("_inter").cast("bigint").alias("n_common_grams"),
+            F.round(
+                F.col("_inter")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+                + 1e-9,
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "src_a", "src_b")
+        .limit(top_pairs)
+    )

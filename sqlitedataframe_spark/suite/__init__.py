@@ -62,6 +62,7 @@ def load_all() -> dict[str, Query]:
         pipeline5,
         pipeline6,
         pipeline7,
+        pipeline8,
         eventstream,
         streamingq,
         bridge,
