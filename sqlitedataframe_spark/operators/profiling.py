@@ -1138,3 +1138,168 @@ def ewma_series(
         )
         .orderBy("day")
     )
+
+
+def did_estimate(
+    df: DataFrame,
+    metric_col: str,
+    treat_col,
+    post_col,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Difference-in-differences estimate of a treatment effect from a
+    2x2 (treatment x period) design: the four cell means, the DiD
+    point estimate ``(T1-T0) - (C1-C0)``, its large-sample standard
+    error ``sqrt(sum var_i/n_i)`` (independent cells), and the t
+    statistic — the standard quasi-experimental readout when random
+    assignment wasn't available but a parallel-trends control was.
+
+    Scale shape: ONE aggregation pass computes (n, mean, var) for the
+    4 cells map-side; everything after is arithmetic on a 4-row frame
+    pivoted into one row.
+    """
+    treat = treat_col if isinstance(treat_col, Column) else F.col(treat_col)
+    post = post_col if isinstance(post_col, Column) else F.col(post_col)
+    cells = (
+        df.select(
+            treat.cast("int").alias("_tr"),
+            post.cast("int").alias("_po"),
+            F.col(metric_col).alias("_v"),
+        )
+        .groupBy("_tr", "_po")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg("_v").alias("_m"),
+            F.var_samp("_v").alias("_var"),
+        )
+    )
+
+    def cell(tr: int, po: int, field: str):
+        return F.max(
+            F.when((F.col("_tr") == tr) & (F.col("_po") == po), F.col(field))
+        )
+
+    one = cells.agg(
+        *[
+            cell(tr, po, f).alias(f"_{f[1:]}{tr}{po}")
+            for tr in (0, 1)
+            for po in (0, 1)
+            for f in ("_n", "_m", "_var")
+        ]
+    )
+    did = (F.col("_m11") - F.col("_m10")) - (F.col("_m01") - F.col("_m00"))
+    se = F.sqrt(
+        F.col("_var00") / F.col("_n00")
+        + F.col("_var01") / F.col("_n01")
+        + F.col("_var10") / F.col("_n10")
+        + F.col("_var11") / F.col("_n11")
+    )
+    return one.select(
+        F.round(F.col("_m00") + 1e-9, round_dp).alias("mean_ctrl_pre"),
+        F.round(F.col("_m01") + 1e-9, round_dp).alias("mean_ctrl_post"),
+        F.round(F.col("_m10") + 1e-9, round_dp).alias("mean_treat_pre"),
+        F.round(F.col("_m11") + 1e-9, round_dp).alias("mean_treat_post"),
+        F.round(did + 1e-9, round_dp).alias("did"),
+        F.round(se + 1e-9, round_dp).alias("se"),
+        F.round(did / se + 1e-9, round_dp).alias("t_stat"),
+        (F.col("_n00") + F.col("_n01") + F.col("_n10") + F.col("_n11"))
+        .cast("bigint")
+        .alias("n_obs"),
+    )
+
+
+def normal_sf_twosided(z: Column) -> Column:
+    """Two-sided normal p-value ``2 * (1 - Phi(|z|))`` via the
+    Abramowitz & Stegun 7.1.26 erf polynomial (max abs error 1.5e-7 —
+    plenty for a 4-6 dp test readout). Spelled as plain arithmetic so
+    any SQL engine reproduces the identical doubles (neither Spark nor
+    DuckDB exposes erf as a builtin)."""
+    x = F.abs(z) / F.lit(1.4142135623730951)  # |z| / sqrt(2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * t * t
+        + F.lit(1.421413741) * t * t * t
+        - F.lit(1.453152027) * t * t * t * t
+        + F.lit(1.061405429) * t * t * t * t * t
+    )
+    erf = F.lit(1.0) - poly * F.exp(-x * x)
+    return F.lit(2.0) * (F.lit(1.0) - (F.lit(0.5) * (F.lit(1.0) + erf)))
+
+
+#: the same polynomial as a SQL fragment (for oracle twins); {z} is the
+#: z-expression to plug in.
+NORMAL_SF_SQL = (
+    "(2.0 * (1.0 - (0.5 * (1.0 + (1.0 - "
+    "(0.254829592 * (1.0 / (1.0 + 0.3275911 * (abs({z}) / 1.4142135623730951)))"
+    " - 0.284496736 * power(1.0 / (1.0 + 0.3275911 * (abs({z}) / 1.4142135623730951)), 2)"
+    " + 1.421413741 * power(1.0 / (1.0 + 0.3275911 * (abs({z}) / 1.4142135623730951)), 3)"
+    " - 1.453152027 * power(1.0 / (1.0 + 0.3275911 * (abs({z}) / 1.4142135623730951)), 4)"
+    " + 1.061405429 * power(1.0 / (1.0 + 0.3275911 * (abs({z}) / 1.4142135623730951)), 5))"
+    " * exp(-(abs({z}) / 1.4142135623730951) * (abs({z}) / 1.4142135623730951)))))))"
+)
+
+
+def bh_fdr(
+    pvals: DataFrame,
+    test_col: str,
+    p_col: str,
+    q: float = 0.10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a (small) table of test
+    p-values: ascending rank, the BH threshold ``rank / m * q``, and
+    the step-up rejection flag (reject every test with rank <= the
+    LARGEST rank whose p <= its threshold) — what turns a per-segment
+    metric sweep into an honest discovery list instead of 20
+    uncorrected t-tests.
+
+    Scale shape: the input is tests-sized (one row per segment/metric
+    pair — dozens), already reduced from the fact data by whatever
+    test produced it; ranks come from a bounded count-of-smaller
+    self-join (the audit-safe form), the cutoff is a 1-row aggregate
+    broadcast back.
+    """
+    base = pvals.select(
+        F.col(test_col).alias("test"), F.col(p_col).alias("_p")
+    )
+    other = base.select(
+        F.col("test").alias("_jt"), F.col("_p").alias("_jp")
+    )
+    ranked = (
+        base.join(
+            other,
+            (F.col("_jp") < F.col("_p"))
+            | ((F.col("_jp") == F.col("_p")) & (F.col("_jt") < F.col("test"))),
+            "left",
+        )
+        .groupBy("test", "_p")
+        .agg((F.count("_jt") + 1).alias("_rank"))
+    )
+    m = ranked.agg(F.count(F.lit(1)).alias("_m"))
+    thr = ranked.join(F.broadcast(m)).withColumn(
+        "_thr", F.col("_rank") * F.lit(q) / F.col("_m")
+    )
+    cut = thr.agg(
+        F.max(F.when(F.col("_p") <= F.col("_thr"), F.col("_rank"))).alias(
+            "_kstar"
+        )
+    )
+    return (
+        thr.join(F.broadcast(cut))
+        .select(
+            "test",
+            F.round(F.col("_p") + 1e-9, round_dp).alias("p_value"),
+            F.col("_rank").cast("bigint").alias("p_rank"),
+            F.round(F.col("_thr") + 1e-9, round_dp).alias("bh_threshold"),
+            F.when(
+                F.col("_kstar").isNotNull()
+                & (F.col("_rank") <= F.col("_kstar")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("rejected"),
+        )
+        .orderBy("p_rank")
+    )

@@ -63,6 +63,7 @@ def load_all() -> dict[str, Query]:
         pipeline6,
         pipeline7,
         pipeline8,
+        pipeline9,
         eventstream,
         streamingq,
         bridge,
