@@ -1303,3 +1303,56 @@ def bh_fdr(
         )
         .orderBy("p_rank")
     )
+
+
+def key_skew_profile(
+    labeled: list[tuple[str, DataFrame, str]],
+    round_dp: int = 4,
+) -> DataFrame:
+    """Join/shuffle skew diagnostic for candidate partition keys: for
+    each ``(name, df, key_col)``, the key count, the heaviest key's row
+    count and share, the p99/p50 key-size ratio, and the salt factor
+    that would level the heaviest key to the median (``ceil(max/p50)``)
+    — the numbers that decide between a plain shuffle join, AQE skew
+    handling, and explicit salting (operators.skew) BEFORE the job
+    runs, not after the 1-straggler stage.
+
+    Plan shape at 100 TB: one key-sized count aggregate per relation
+    (map-side partials), then a 1-row stats aggregate over the count
+    table (exact percentiles over #keys values — at extreme key
+    cardinality swap percentile_approx; this is the anchor). The fact
+    table is scanned once per relation and never re-shuffled.
+    """
+    outs = []
+    for name, df, key in labeled:
+        counts = df.groupBy(F.col(key).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        outs.append(
+            counts.agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum("_c").cast("bigint").alias("n_rows"),
+                F.max("_c").cast("bigint").alias("max_key_rows"),
+                F.percentile("_c", F.lit(0.5)).alias("_p50"),
+                F.percentile("_c", F.lit(0.99)).alias("_p99"),
+            ).select(
+                "relation",
+                "n_keys",
+                "n_rows",
+                "max_key_rows",
+                F.round(
+                    F.col("max_key_rows") / F.col("n_rows") + 1e-9, 6
+                ).alias("max_share"),
+                F.round(F.col("_p99") / F.col("_p50") + 1e-9, round_dp).alias(
+                    "p99_over_p50"
+                ),
+                F.ceil(F.col("max_key_rows") / F.col("_p50"))
+                .cast("bigint")
+                .alias("suggested_salt"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("relation")

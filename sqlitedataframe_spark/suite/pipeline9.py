@@ -400,3 +400,309 @@ def events_ab_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", normal_sf_twosided(z).alias("pv")
     )
     return bh_fdr(pv, "event_type", "pv", q=0.10)
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS g, l_quantity AS q, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2),
+    cum AS (
+      SELECT g, q,
+             SUM(n) OVER (PARTITION BY g ORDER BY q) AS cw,
+             SUM(n) OVER (PARTITION BY g) AS tot
+      FROM c)
+    SELECT g AS l_returnflag,
+           ROUND(MIN(CASE WHEN cw >= CEIL(0.25 * tot) THEN q END)
+                 + 1e-9, 2) AS p25_qty,
+           ROUND(MIN(CASE WHEN cw >= CEIL(0.50 * tot) THEN q END)
+                 + 1e-9, 2) AS p50_qty,
+           ROUND(MIN(CASE WHEN cw >= CEIL(0.75 * tot) THEN q END)
+                 + 1e-9, 2) AS p75_qty,
+           ROUND(MIN(CASE WHEN cw >= CEIL(0.90 * tot) THEN q END)
+                 + 1e-9, 2) AS p90_qty
+    FROM cum GROUP BY g ORDER BY g
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE (type-1, no interpolation) per-group percentiles of
+    line quantity — the SQL-standard PERCENTILE_DISC ("first value
+    whose cumulative weight reaches p"), which Spark lacks as a
+    builtin; the complement of agg_percentile_exact's interpolated
+    form, and the right choice when the value domain is discrete
+    (counts, grades) and an interpolated 37.5 is meaningless.
+
+    Plan shape: one (group, value) count aggregate collapses the fact
+    table to ~#distinct-values rows per group; the cumulative weights
+    run in a PARTITIONED (per-group) window over that tiny frame —
+    the same two-level shape as weighted_median, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        F.col("l_returnflag").alias("g"), F.col("l_quantity").alias("q")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("g").orderBy("q")
+    cum = c.select(
+        "g", "q",
+        F.sum("n").over(w).alias("cw"),
+        F.sum("n").over(Window.partitionBy("g")).alias("tot"),
+    )
+
+    def disc(p: float, alias: str):
+        return F.round(
+            F.min(
+                F.when(F.col("cw") >= F.ceil(F.lit(p) * F.col("tot")), F.col("q"))
+            )
+            + 1e-9,
+            2,
+        ).alias(alias)
+
+    return (
+        cum.groupBy(F.col("g").alias("l_returnflag"))
+        .agg(
+            disc(0.25, "p25_qty"), disc(0.50, "p50_qty"),
+            disc(0.75, "p75_qty"), disc(0.90, "p90_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "orders_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             o_orderdate::date - lag(o_orderdate::date) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS gap
+      FROM orders),
+    gaps AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL),
+    nc AS (SELECT COUNT(DISTINCT o_custkey) AS n_cust FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_repeat_customers,
+           ROUND(COUNT(DISTINCT o_custkey) * 1.0 / MAX(nc.n_cust) + 1e-9, 6)
+             AS repeat_rate,
+           ROUND(AVG(gap) + 1e-9, 4) AS avg_gap_days,
+           ROUND(quantile_cont(gap, 0.5) + 1e-9, 4) AS p50_gap_days,
+           ROUND(quantile_cont(gap, 0.9) + 1e-9, 4) AS p90_gap_days,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days
+    FROM gaps, nc
+    """,
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer repeat-purchase cadence: the distribution of day gaps
+    between a customer's consecutive orders (mean/median/p90/max), the
+    repeat-customer count, and the repeat rate — the input to both LTV
+    models and churn-definition choices ("inactive = 3x the p90 gap").
+
+    Plan shape: one per-customer ordered window (PARTITIONED by
+    customer — key-parallel), then a 1-row summary aggregate over the
+    gap rows; the customer-count denominator rides in as a 1-row
+    broadcast.
+    """
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    nc = o.agg(F.count_distinct("o_custkey").alias("n_cust"))
+    return gaps.join(F.broadcast(nc)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.count_distinct("o_custkey").cast("bigint").alias(
+            "n_repeat_customers"
+        ),
+        F.round(
+            F.count_distinct("o_custkey") / F.max("n_cust") + 1e-9, 6
+        ).alias("repeat_rate"),
+        F.round(F.avg("gap") + 1e-9, 4).alias("avg_gap_days"),
+        F.round(F.percentile("gap", F.lit(0.5)) + 1e-9, 4).alias(
+            "p50_gap_days"
+        ),
+        F.round(F.percentile("gap", F.lit(0.9)) + 1e-9, 4).alias(
+            "p90_gap_days"
+        ),
+        F.max("gap").cast("bigint").alias("max_gap_days"),
+    )
+
+
+@query(
+    "profile_join_skew",
+    oracle="""
+    WITH c1 AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem
+                GROUP BY 1),
+    s1 AS (
+      SELECT 'lineitem.l_orderkey' AS relation,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_key_rows,
+             quantile_cont(c, 0.5) AS p50, quantile_cont(c, 0.99) AS p99
+      FROM c1),
+    c2 AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+    s2 AS (
+      SELECT 'events.user_id' AS relation,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_key_rows,
+             quantile_cont(c, 0.5) AS p50, quantile_cont(c, 0.99) AS p99
+      FROM c2),
+    u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+    SELECT relation, n_keys, n_rows, max_key_rows,
+           ROUND(max_key_rows * 1.0 / n_rows + 1e-9, 6) AS max_share,
+           ROUND(p99 / p50 + 1e-9, 4) AS p99_over_p50,
+           CAST(CEIL(max_key_rows / p50) AS BIGINT) AS suggested_salt
+    FROM u ORDER BY relation
+    """,
+)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic for the two hottest join keys in the
+    fixture (order line fan-out, per-user event fan-out): heaviest-key
+    share, p99/p50 key-size ratio, and the salt factor that would level
+    the heaviest key to the median — the pre-flight check that decides
+    between plain shuffle, AQE skew join, and explicit salting
+    (operators.skew).
+
+    operators.profiling.key_skew_profile: one key-sized count aggregate
+    per relation, a 1-row stats aggregate over it; the fact tables are
+    scanned once and never re-shuffled.
+    """
+    from sqlitedataframe_spark.operators.profiling import key_skew_profile
+
+    return key_skew_profile(
+        [
+            ("events.user_id", T(spark, sf_dir, "events"), "user_id"),
+            ("lineitem.l_orderkey", T(spark, sf_dir, "lineitem"),
+             "l_orderkey"),
+        ]
+    )
+
+
+@query(
+    "embed_centroid_distances",
+    oracle="""
+    WITH cen AS (
+      SELECT label, pos, AVG(v) AS c
+      FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos)
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(SUM(a.c * b.c)
+                 / (sqrt(SUM(a.c * a.c)) * sqrt(SUM(b.c * b.c)))
+                 + 1e-9, 6) AS cos_sim,
+           ROUND(sqrt(SUM((a.c - b.c) * (a.c - b.c))) + 1e-9, 6) AS l2_dist
+    FROM cen a JOIN cen b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def embed_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine/L2 distance matrix between label centroids —
+    the class-geometry diagnostic behind embedding-model QA (which
+    labels are near-collisions?) and hard-negative label pairing.
+
+    Plan shape: the data-sized work is the one posexplode centroid
+    aggregate (labels x dims rows — tens); the pair matrix is a
+    dim-keyed self-join over that tiny frame, output labels^2/2 rows.
+    """
+    e = T(spark, sf_dir, "embeddings")
+    cen = (
+        e.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+            .alias("pos", "v")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+    )
+    a = cen.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cen.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("c").alias("cb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("pos") == F.col("pos_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                )
+                + 1e-9,
+                6,
+            ).alias("cos_sim"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("ca") - F.col("cb"))
+                        * (F.col("ca") - F.col("cb"))
+                    )
+                )
+                + 1e-9,
+                6,
+            ).alias("l2_dist"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+@query(
+    "orders_theil_sen_trend",
+    oracle="""
+    WITH m AS (
+      SELECT EXTRACT(year FROM o_orderdate) * 12
+               + EXTRACT(month FROM o_orderdate) AS idx,
+             ROUND(SUM(o_totalprice) + 1e-9, 2) AS rev
+      FROM orders GROUP BY 1),
+    slopes AS (
+      SELECT (b.rev - a.rev) / (b.idx - a.idx) AS s
+      FROM m a JOIN m b ON b.idx > a.idx)
+    SELECT ROUND(quantile_cont(s, 0.5) + 1e-9, 2) AS ts_slope,
+           CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_months,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM slopes
+    """,
+)
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue: the median of all
+    pairwise month-to-month slopes — immune to the single blowout or
+    crash month that drags an OLS slope (grouped_log_log_slope's
+    complement for level series).
+
+    Plan shape: the fact table collapses to one monthly aggregate
+    (#months rows); the slope set is the months^2/2 triangular
+    self-join over that tiny frame (~700 pairs for 3 years) and the
+    median is one exact-percentile aggregate. Monthly revenues are
+    rounded to cents BEFORE the slopes on both engines so
+    parallel-summation ulp drift cannot reorder near-equal slopes
+    around the median cut.
+    """
+    o = T(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).alias("idx")
+    ).agg(F.round(F.sum("o_totalprice") + 1e-9, 2).alias("rev"))
+    a = m.select(F.col("idx").alias("ia"), F.col("rev").alias("ra"))
+    b = m.select(F.col("idx").alias("ib"), F.col("rev").alias("rb"))
+    slopes = a.join(b, F.col("ib") > F.col("ia")).select(
+        ((F.col("rb") - F.col("ra")) / (F.col("ib") - F.col("ia"))).alias("s")
+    )
+    nm = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    return slopes.join(F.broadcast(nm)).agg(
+        F.round(F.percentile("s", F.lit(0.5)) + 1e-9, 2).alias("ts_slope"),
+        F.max("n_months").alias("n_months"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
