@@ -1,0 +1,304 @@
+"""Binary-classifier evaluation metrics as distributed aggregates.
+
+The ops a training pipeline runs after any scoring model (quality filter,
+language classifier, dedup ranker) before its threshold gates data: ROC
+AUC, calibration (reliability bins, Brier, ECE), precision/recall/F1
+threshold sweeps, cumulative-gains deciles. Everything reduces the fact
+table to score-bucket counts map-side first, so the exchange is bounded by
+the score domain (scores are pre-rounded to ``round_dp``), never the data.
+
+Reference behavioral parity: these extend the reference's analytics
+surface the same way the sketch/drift operators do — the reference's
+engine exposes aggregate and window primitives (pass-through SQL
+surface, see SURVEY.md Tier B); the eval metrics are pure compositions
+of those primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket_counts(
+    df: DataFrame, score_col: str, label_col: str, round_dp: int
+) -> DataFrame:
+    """Collapse to one row per distinct (rounded) score: positive and
+    negative counts. Map-side partial aggregation makes the exchange
+    ~|score domain| regardless of input size — the anchor of every
+    metric below."""
+    s = F.round(F.col(score_col), round_dp).alias("_s")
+    y = F.col(label_col).cast("int")
+    return df.select(s, y.alias("_y")).groupBy("_s").agg(
+        F.sum("_y").cast("bigint").alias("_pos"),
+        F.sum(1 - F.col("_y")).cast("bigint").alias("_neg"),
+    )
+
+
+def auc_roc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_dp: int = 6,
+    coarse_buckets: int = 64,
+) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney rank identity with midrank tie
+    handling: ``AUC = sum_s pos(s) * (neg_below(s) + neg(s)/2) / (P*N)``
+    over distinct score values ``s``.
+
+    No global sort / unpartitioned window: the cumulative
+    ``neg_below`` uses the repo's two-level distributed prefix sum
+    (pareto_classes recipe) — scores partition into ``coarse_buckets``
+    equal-width coarse buckets (scores assumed in [0, 1]; widen for
+    other ranges), a PARTITIONED window ranks within each bucket, and a
+    <= ``coarse_buckets``-row totals self-join supplies each bucket's
+    global offset. At 100 TB only |score domain| rows cross the
+    exchange.
+    """
+    g = _bucket_counts(df, score_col, label_col, round_dp)
+    bkt = F.least(
+        F.floor(F.col("_s") * coarse_buckets), F.lit(coarse_buckets - 1)
+    ).cast("int")
+    b = g.withColumn("_bkt", bkt)
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("_cum_neg", F.sum("_neg").over(w))
+    btot = b.groupBy("_bkt").agg(F.sum("_neg").alias("_bn"))
+    lo, hi = btot.alias("lo"), btot.alias("hi")
+    offsets = (
+        hi.join(F.broadcast(lo), F.col("lo._bkt") < F.col("hi._bkt"), "left")
+        .groupBy(F.col("hi._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("lo._bn"), F.lit(0)).alias("_off"))
+    )
+    below = local.join(F.broadcast(offsets), "_bkt").select(
+        "_s",
+        "_pos",
+        "_neg",
+        (F.col("_off") + F.col("_cum_neg") - F.col("_neg")).alias("_below"),
+    )
+    return below.agg(
+        F.round(
+            F.sum(
+                F.col("_pos")
+                * (F.col("_below") + F.col("_neg") / F.lit(2.0))
+            )
+            / (F.sum("_pos") * F.sum("_neg"))
+            + 1e-9,
+            6,
+        ).alias("auc"),
+        F.sum("_pos").cast("bigint").alias("n_pos"),
+        F.sum("_neg").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Reliability table over fixed-width score bins: per bin, the
+    count, positive count, mean predicted score, observed positive rate,
+    and |gap| — the plot behind every calibration curve, plus the per-bin
+    inputs ECE weights. Fixed-width (not quantile) bins keep the
+    assignment a pure scan-side expression: one partially-combined
+    aggregate, <= ``n_bins`` rows cross the exchange."""
+    s = F.col(score_col)
+    y = F.col(label_col).cast("int")
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.select(b.alias("bin"), s.alias("_s"), y.alias("_y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_y").cast("bigint").alias("n_pos"),
+            F.round(F.avg("_s") + 1e-9, 6).alias("avg_score"),
+            F.round(F.avg("_y") + 1e-9, 6).alias("frac_pos"),
+            F.round(F.abs(F.avg("_s") - F.avg("_y")) + 1e-9, 6).alias(
+                "cal_gap"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def brier_ece(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """One-row calibration summary: Brier score ``mean((s - y)^2)`` and
+    expected calibration error ``sum_b (n_b / N) * |avg_s_b - frac_pos_b|``
+    over fixed-width bins. The Brier sum and the bin moments ride the
+    SAME single aggregate pass (group by bin, then a 1-row roll-up), so
+    the fact table is scanned once."""
+    s = F.col(score_col)
+    y = F.col(label_col).cast("int")
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    per_bin = (
+        df.select(
+            b.alias("_b"),
+            s.alias("_s"),
+            y.alias("_y"),
+            ((s - y) * (s - y)).alias("_sq"),
+        )
+        .groupBy("_b")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_sq").alias("_brier_sum"),
+            F.avg("_s").alias("_avg_s"),
+            F.avg("_y").alias("_frac"),
+        )
+    )
+    return per_bin.agg(
+        F.round(F.sum("_brier_sum") / F.sum("_n") + 1e-9, 6).alias("brier"),
+        F.round(
+            F.sum(F.col("_n") * F.abs(F.col("_avg_s") - F.col("_frac")))
+            / F.sum("_n")
+            + 1e-9,
+            6,
+        ).alias("ece"),
+        F.sum("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+
+
+def pr_threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+    round_dp: int = 6,
+) -> DataFrame:
+    """Precision / recall / F1 at each decision threshold (predict
+    positive when ``score >= t``): the operating-point table behind
+    threshold selection for a data-quality gate.
+
+    Plan shape: the fact table collapses to score-bucket counts once;
+    the |scores| x |thresholds| expansion happens on that TINY frame via
+    a broadcast range join, then one ``n_thresholds``-row aggregate.
+    The input is scanned exactly once for the whole sweep."""
+    g = _bucket_counts(df, score_col, label_col, round_dp)
+    spark = df.sparkSession
+    t = spark.createDataFrame(
+        [(float(x),) for x in thresholds], "thr double"
+    )
+    tot = g.agg(
+        F.sum("_pos").alias("_p"), F.sum("_neg").alias("_n")
+    )
+    j = g.join(F.broadcast(t), F.col("_s") >= F.col("thr"))
+    per_t = (
+        t.join(
+            j.groupBy("thr").agg(
+                F.sum("_pos").alias("_tp"), F.sum("_neg").alias("_fp")
+            ),
+            "thr",
+            "left",
+        )
+        .join(F.broadcast(tot))
+        .select(
+            F.round("thr", 6).alias("thr"),
+            F.coalesce("_tp", F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce("_fp", F.lit(0)).cast("bigint").alias("fp"),
+            (F.col("_p") - F.coalesce("_tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fn"),
+            (F.col("_n") - F.coalesce("_fp", F.lit(0)))
+            .cast("bigint")
+            .alias("tn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    ).otherwise(F.lit(None))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    ).otherwise(F.lit(None))
+    return per_t.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec + 1e-9, 6).alias("precision"),
+        F.round(rec + 1e-9, 6).alias("recall"),
+        F.round(
+            F.when(
+                prec + rec > 0, 2 * prec * rec / (prec + rec)
+            ).otherwise(F.lit(0.0))
+            + 1e-9,
+            6,
+        ).alias("f1"),
+    ).orderBy("thr")
+
+
+def gains_deciles(
+    df: DataFrame, score_col: str, label_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Cumulative-gains / lift table: rows bucket into score deciles by
+    EXACT quantile boundaries (1 = highest scores), and each decile
+    reports the cumulative positive capture rate and lift over random
+    targeting — "contact the top 20% and reach 43% of responders".
+
+    No ntile window: boundaries come from one exact ``percentile``
+    aggregate broadcast back (curriculum_buckets recipe), the decile is
+    a scan-side comparison sum, and the cumulative is a triangular
+    self-join over the <= ``n_buckets``-row aggregate (never a global
+    window)."""
+    ps = [(i + 1) / n_buckets for i in range(n_buckets - 1)]
+    bounds = df.agg(
+        F.expr(
+            f"percentile({score_col}, array("
+            + ", ".join(str(p) for p in ps)
+            + "))"
+        ).alias("_qs")
+    )
+    # rank 1 = top decile: count boundaries at-or-above the score
+    rank = F.lit(1)
+    for i in range(n_buckets - 1):
+        rank = rank + (
+            F.col(score_col) <= F.element_at("_qs", n_buckets - 1 - i)
+        ).cast("int")
+    y = F.col(label_col).cast("int")
+    per = (
+        df.join(F.broadcast(bounds))
+        .select(rank.alias("decile"), y.alias("_y"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_y").cast("bigint").alias("n_pos"),
+        )
+    )
+    a, b = per.alias("a"), per.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(F.col("a.decile").alias("decile"))
+        .agg(
+            F.max("a.n").alias("n"),
+            F.max("a.n_pos").alias("n_pos"),
+            F.sum("b.n").alias("_cum_n"),
+            F.sum("b.n_pos").alias("_cum_pos"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").alias("_tn"), F.sum("n_pos").alias("_tp")
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(F.col("_cum_pos") / F.col("_tp") + 1e-9, 6).alias(
+                "capture"
+            ),
+            F.round(
+                (F.col("_cum_pos") / F.col("_tp"))
+                / (F.col("_cum_n") / F.col("_tn"))
+                + 1e-9,
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )

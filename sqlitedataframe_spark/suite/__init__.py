@@ -64,6 +64,7 @@ def load_all() -> dict[str, Query]:
         pipeline7,
         pipeline8,
         pipeline9,
+        pipeline10,
         eventstream,
         streamingq,
         bridge,

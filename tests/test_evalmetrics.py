@@ -1,0 +1,104 @@
+"""Binary-classifier eval metrics: AUC, calibration, PR sweep, gains."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.operators import evalmetrics as E
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "s double, y int")
+
+
+def test_auc_perfect_separation(spark):
+    df = _df(spark, [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)])
+    r = E.auc_roc(df, "s", "y").collect()[0]
+    assert r["auc"] == 1.0
+    assert r["n_pos"] == 2 and r["n_neg"] == 2 and r["n_scores"] == 4
+
+
+def test_auc_hand_checked_three_quarters(spark):
+    """pos {0.9, 0.3}, neg {0.5, 0.1}: 3 of 4 pos-neg pairs ordered."""
+    df = _df(spark, [(0.9, 1), (0.3, 1), (0.5, 0), (0.1, 0)])
+    assert E.auc_roc(df, "s", "y").collect()[0]["auc"] == 0.75
+
+
+def test_auc_all_tied_is_half(spark):
+    df = _df(spark, [(0.5, 1), (0.5, 1), (0.5, 0)])
+    assert E.auc_roc(df, "s", "y").collect()[0]["auc"] == 0.5
+
+
+def test_auc_inverted_scores_is_zero(spark):
+    df = _df(spark, [(0.1, 1), (0.9, 0)])
+    assert E.auc_roc(df, "s", "y").collect()[0]["auc"] == 0.0
+
+
+def test_calibration_bins_hand_checked(spark):
+    """Bin 0 = scores [0, .1): two rows, one positive -> frac .5."""
+    df = _df(spark, [(0.05, 0), (0.08, 1), (0.95, 1), (1.0, 1)])
+    rows = {r["bin"]: r for r in
+            E.calibration_bins(df, "s", "y").collect()}
+    assert rows[0]["n"] == 2 and rows[0]["frac_pos"] == 0.5
+    assert rows[0]["avg_score"] == 0.065
+    # score exactly 1.0 clamps into the top bin, not bin 10
+    assert rows[9]["n"] == 2 and rows[9]["frac_pos"] == 1.0
+    assert set(rows) == {0, 9}
+
+
+def test_brier_zero_for_perfect_forecasts(spark):
+    df = _df(spark, [(1.0, 1), (0.0, 0), (1.0, 1)])
+    r = E.brier_ece(df, "s", "y").collect()[0]
+    assert r["brier"] == 0.0 and r["ece"] == 0.0
+
+
+def test_brier_hand_checked(spark):
+    """s=.8,y=1 and s=.4,y=0: brier = (.04+.16)/2 = .1."""
+    df = _df(spark, [(0.8, 1), (0.4, 0)])
+    r = E.brier_ece(df, "s", "y").collect()[0]
+    assert abs(r["brier"] - 0.1) < 1e-9
+    # bin {8}: |.8 - 1| = .2; bin {4}: |.4 - 0| = .4 -> ece = .3
+    assert abs(r["ece"] - 0.3) < 1e-9
+
+
+def test_pr_sweep_hand_checked(spark):
+    df = _df(spark, [(0.9, 1), (0.7, 0), (0.3, 1), (0.1, 0)])
+    rows = {r["thr"]: r for r in
+            E.pr_threshold_sweep(df, "s", "y", [0.5, 0.95]).collect()}
+    at5 = rows[0.5]
+    assert (at5["tp"], at5["fp"], at5["fn"], at5["tn"]) == (1, 1, 1, 1)
+    assert at5["precision"] == 0.5 and at5["recall"] == 0.5
+    assert at5["f1"] == 0.5
+    # threshold above every score: no predictions -> precision NULL, f1 0
+    hi = rows[0.95]
+    assert hi["tp"] == 0 and hi["fp"] == 0
+    assert hi["precision"] is None and hi["f1"] == 0.0
+
+
+def test_gains_deciles_monotone_and_terminal(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(round(rng.random(), 6), int(rng.random() < 0.3))
+            for _ in range(500)]
+    df = _df(spark, rows)
+    out = E.gains_deciles(df, "s", "y").collect()
+    caps = [r["capture"] for r in sorted(out, key=lambda r: r["decile"])]
+    assert caps == sorted(caps)
+    assert abs(caps[-1] - 1.0) < 1e-9
+    last = [r for r in out if r["decile"] == max(x["decile"] for x in out)][0]
+    assert abs(last["lift"] - 1.0) < 1e-9
+
+
+def test_gains_top_decile_lift(spark):
+    """All positives in the top scores: top-decile lift = N/P x capture."""
+    rows = [(0.9 + i / 1000.0, 1) for i in range(10)] + [
+        (i / 1000.0, 0) for i in range(90)
+    ]
+    df = _df(spark, rows)
+    out = {r["decile"]: r for r in E.gains_deciles(df, "s", "y").collect()}
+    top = out[1]
+    assert top["n_pos"] == 10
+    assert abs(top["capture"] - 1.0) < 1e-9
+    # 10% of rows hold 100% of positives -> lift 10
+    assert abs(top["lift"] - 10.0) < 1e-6
