@@ -302,3 +302,218 @@ def gains_deciles(
         )
         .orderBy("decile")
     )
+
+
+def auc_roc_by_group(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+    round_dp: int = 6,
+    coarse_buckets: int = 64,
+) -> DataFrame:
+    """Per-slice ROC AUC — the fairness / slice-analysis form of
+    ``auc_roc``: one AUC row per value of ``group_col`` (data source,
+    language, fold id), flagging slices where the scorer quietly fails
+    even though the pooled AUC looks healthy.
+
+    Same two-level distributed prefix sum as ``auc_roc``, with every
+    stage keyed by the group: score-bucket counts group by
+    ``(group, score)``, the ranking window partitions by
+    ``(group, coarse_bucket)``, and the offset self-join equi-joins on
+    the group before the bucket inequality — all shuffles hash on the
+    group key, so slices evaluate fully in parallel."""
+    s = F.round(F.col(score_col), round_dp).alias("_s")
+    y = F.col(label_col).cast("int")
+    g = (
+        df.select(F.col(group_col).alias("_g"), s, y.alias("_y"))
+        .groupBy("_g", "_s")
+        .agg(
+            F.sum("_y").cast("bigint").alias("_pos"),
+            F.sum(1 - F.col("_y")).cast("bigint").alias("_neg"),
+        )
+    )
+    bkt = F.least(
+        F.floor(F.col("_s") * coarse_buckets), F.lit(coarse_buckets - 1)
+    ).cast("int")
+    b = g.withColumn("_bkt", bkt)
+    w = (
+        Window.partitionBy("_g", "_bkt")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("_cum_neg", F.sum("_neg").over(w))
+    btot = b.groupBy("_g", "_bkt").agg(F.sum("_neg").alias("_bn"))
+    lo = btot.select(
+        F.col("_g").alias("_glo"),
+        F.col("_bkt").alias("_blo"),
+        F.col("_bn").alias("_bnlo"),
+    )
+    offsets = (
+        btot.join(
+            F.broadcast(lo),
+            (F.col("_g") == F.col("_glo")) & (F.col("_blo") < F.col("_bkt")),
+            "left",
+        )
+        .groupBy("_g", "_bkt")
+        .agg(F.coalesce(F.sum("_bnlo"), F.lit(0)).alias("_off"))
+    )
+    below = local.join(F.broadcast(offsets), ["_g", "_bkt"]).select(
+        "_g",
+        "_pos",
+        "_neg",
+        (F.col("_off") + F.col("_cum_neg") - F.col("_neg")).alias("_below"),
+    )
+    return (
+        below.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("_pos")
+                    * (F.col("_below") + F.col("_neg") / F.lit(2.0))
+                )
+                / (F.sum("_pos") * F.sum("_neg"))
+                + 1e-9,
+                6,
+            ).alias("auc"),
+            F.sum("_pos").cast("bigint").alias("n_pos"),
+            F.sum("_neg").cast("bigint").alias("n_neg"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def cohen_kappa(
+    df: DataFrame, pred_col: str, truth_col: str
+) -> DataFrame:
+    """Multiclass Cohen's kappa between a predicted and a true label:
+    chance-corrected agreement ``(po - pe) / (1 - pe)`` where ``po`` is
+    raw accuracy and ``pe`` the agreement expected from the marginal
+    label distributions — the honest summary of a classifier whose
+    classes are imbalanced (raw accuracy flatters the majority class).
+
+    Plan shape: ONE ``(pred, truth)`` confusion-cell aggregate collapses
+    the data (map-side partials, |classes|^2 rows cross the exchange);
+    ``po``/``pe`` are arithmetic over that tiny frame — the marginals
+    come from two grouped sums over the cells, joined back broadcast."""
+    cells = df.groupBy(
+        F.col(pred_col).alias("_p"), F.col(truth_col).alias("_t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    row_m = cells.groupBy("_p").agg(F.sum("_n").alias("_np"))
+    col_m = cells.groupBy("_t").agg(F.sum("_n").alias("_nt"))
+    pe = (
+        row_m.join(
+            F.broadcast(col_m), F.col("_p") == F.col("_t"), "inner"
+        )
+        .agg(F.sum(F.col("_np") * F.col("_nt")).alias("_pe_num"))
+    )
+    po = cells.agg(
+        F.sum(F.when(F.col("_p") == F.col("_t"), F.col("_n")).otherwise(0))
+        .alias("_agree"),
+        F.sum("_n").alias("_total"),
+        F.count(F.lit(1)).alias("_cells"),
+    )
+    return (
+        po.join(F.broadcast(pe))
+        .select(
+            F.round(F.col("_agree") / F.col("_total") + 1e-9, 6).alias("po"),
+            F.round(
+                F.col("_pe_num") / (F.col("_total") * F.col("_total"))
+                + 1e-9,
+                6,
+            ).alias("pe"),
+            F.round(
+                (
+                    F.col("_agree") / F.col("_total")
+                    - F.col("_pe_num") / (F.col("_total") * F.col("_total"))
+                )
+                / (
+                    1
+                    - F.col("_pe_num")
+                    / (F.col("_total") * F.col("_total"))
+                )
+                + 1e-9,
+                6,
+            ).alias("kappa"),
+            F.col("_total").cast("bigint").alias("n"),
+            F.col("_cells").cast("bigint").alias("n_cells"),
+        )
+    )
+
+
+def conformal_threshold(
+    cal: DataFrame,
+    test: DataFrame,
+    nonconf_col: str,
+    alpha: float = 0.1,
+    round_dp: int = 6,
+    coarse_buckets: int = 64,
+) -> DataFrame:
+    """Split conformal prediction: the calibration quantile ``q_hat`` =
+    the ``ceil((n+1)(1-alpha))``-th smallest calibration nonconformity
+    score (a finite-sample-corrected DISCRETE order statistic, never
+    interpolated), plus the empirical coverage ``P(nonconf <= q_hat)``
+    on the held-out test split — which is guaranteed ``>= 1 - alpha`` in
+    expectation by exchangeability.
+
+    Plan shape: calibration scores collapse to distinct-value counts;
+    the order statistic comes from the same two-level prefix sum as
+    ``auc_roc`` (scores assumed in [0, 1]); coverage is one broadcast
+    of the 1-row ``q_hat`` onto a test-side aggregate."""
+    s = F.round(F.col(nonconf_col), round_dp).alias("_s")
+    g = cal.select(s).groupBy("_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    bkt = F.least(
+        F.floor(F.col("_s") * coarse_buckets), F.lit(coarse_buckets - 1)
+    ).cast("int")
+    b = g.withColumn("_bkt", bkt)
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("_cum", F.sum("_n").over(w))
+    btot = b.groupBy("_bkt").agg(F.sum("_n").alias("_bn"))
+    lo, hi = btot.alias("lo"), btot.alias("hi")
+    offsets = (
+        hi.join(F.broadcast(lo), F.col("lo._bkt") < F.col("hi._bkt"), "left")
+        .groupBy(F.col("hi._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("lo._bn"), F.lit(0)).alias("_off"))
+    )
+    cum = local.join(F.broadcast(offsets), "_bkt").select(
+        "_s", (F.col("_off") + F.col("_cum")).alias("_cw")
+    )
+    n_cal = cal.agg(F.count(F.lit(1)).alias("_nc"))
+    # k-th order statistic, k = ceil((n+1)(1-alpha)); if k > n (tiny
+    # calibration sets) the conformal set is the whole space -> q_hat
+    # saturates to the max score
+    q = (
+        cum.join(F.broadcast(n_cal))
+        .select(
+            "_s",
+            "_cw",
+            F.least(
+                F.ceil((F.col("_nc") + 1) * F.lit(1.0 - alpha)),
+                F.col("_nc").cast("bigint"),
+            ).alias("_k"),
+            F.col("_nc"),
+        )
+        .filter(F.col("_cw") >= F.col("_k"))
+        .agg(
+            F.min("_s").alias("q_hat"),
+            F.max("_nc").cast("bigint").alias("n_cal"),
+        )
+    )
+    return test.join(F.broadcast(q)).agg(
+        F.max("q_hat").alias("q_hat"),
+        F.max("n_cal").alias("n_cal"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.round(
+            F.avg(
+                (F.col(nonconf_col) <= F.col("q_hat")).cast("double")
+            )
+            + 1e-9,
+            6,
+        ).alias("coverage"),
+    )

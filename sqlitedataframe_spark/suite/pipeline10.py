@@ -22,12 +22,12 @@ from sqlitedataframe_spark.suite.relational import T
 #: Shared oracle CTE: the text_quality SQL twin + the binary label.
 _SCORED_CTE = """
     t AS (
-      SELECT doc_id, text, lang,
+      SELECT doc_id, text, lang, source,
              string_split(lower(trim(text)), ' ') AS toks,
              CAST(LENGTH(text) AS DOUBLE) AS n_char
       FROM documents),
     feats AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, source,
              LEAST(n_char / 200.0, 1.0) AS len_score,
              CAST(len(list_filter(toks, x -> list_contains(
                  ['the','a','an','and','or','of','to','in','is','it'], x)))
@@ -36,7 +36,8 @@ _SCORED_CTE = """
                  '', 'g')) AS DOUBLE) / n_char AS punct_ratio
       FROM t),
     scored AS (
-      SELECT ROUND((len_score + LEAST(sw_ratio * 4, 1.0)
+      SELECT doc_id, source,
+             ROUND((len_score + LEAST(sw_ratio * 4, 1.0)
                     + GREATEST(0.0, 1.0 - punct_ratio * 5)) / 3, 6) AS s,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
       FROM feats)
@@ -46,6 +47,8 @@ _SCORED_CTE = """
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return d.select(
+        "doc_id",
+        "source",
         X.quality_score("text").alias("s"),
         (F.col("lang") == "en").cast("int").alias("y"),
     )
@@ -270,3 +273,133 @@ def eval_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         bin_width=0.05,
     )
+
+
+@query(
+    "eval_auc_by_source",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    g AS (SELECT source, s, SUM(y) AS pos, SUM(1 - y) AS neg
+          FROM scored GROUP BY 1, 2),
+    c AS (SELECT source, s, pos, neg,
+                 SUM(neg) OVER (PARTITION BY source ORDER BY s) - neg
+                   AS below
+          FROM g)
+    SELECT source,
+           ROUND(SUM(pos * (below + neg / 2.0))
+                 / (SUM(pos) * SUM(neg)) + 1e-9, 6) AS auc,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def eval_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC AUC of the quality-as-language classifier — the
+    slice-analysis view: a pooled AUC can look healthy while one data
+    source's slice is at coin-flip.
+
+    operators.evalmetrics.auc_roc_by_group: every stage of the
+    distributed prefix sum is keyed by the source, so slices evaluate
+    fully in parallel and nothing serializes through one task.
+    """
+    return E.auc_roc_by_group(_scored(spark, sf_dir), "s", "y", "source")
+
+
+@query(
+    "eval_cohen_kappa",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text, lang,
+             string_split(lower(trim(text)), ' ') AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id, text, lang,
+             CAST(len(list_filter(toks, x -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it'], x)))
+               AS DOUBLE) / len(toks) AS sw_ratio
+      FROM t),
+    pred AS (
+      SELECT CASE
+               WHEN LENGTH(regexp_replace(text,
+                   '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+               WHEN sw_ratio >= 0.08 THEN 'en'
+               WHEN LENGTH(regexp_replace(text,
+                   '[^\x{e0}-\x{ff}]', '', 'g')) > 0 THEN 'fr'
+               ELSE 'unknown' END AS p,
+             lang AS tr
+      FROM f),
+    cells AS (SELECT p, tr, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+    agg AS (
+      SELECT SUM(CASE WHEN p = tr THEN n ELSE 0 END) AS agree,
+             SUM(n) AS total, COUNT(*) AS cells
+      FROM cells),
+    rm AS (SELECT p, SUM(n) AS np FROM cells GROUP BY 1),
+    cm AS (SELECT tr, SUM(n) AS nt FROM cells GROUP BY 1),
+    ex AS (SELECT SUM(np * nt) AS pen FROM rm JOIN cm ON p = tr)
+    SELECT ROUND(agree * 1.0 / total + 1e-9, 6) AS po,
+           ROUND(pen * 1.0 / (total * total) + 1e-9, 6) AS pe,
+           ROUND((agree * 1.0 / total - pen * 1.0 / (total * total))
+                 / (1 - pen * 1.0 / (total * total)) + 1e-9, 6) AS kappa,
+           CAST(total AS BIGINT) AS n,
+           CAST(cells AS BIGINT) AS n_cells
+    FROM agg, ex
+    """,
+)
+def eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement (multiclass Cohen's kappa) between the
+    heuristic language-ID prediction and the true language label — the
+    single-number companion to the text_langid_confusion matrix, honest
+    under class imbalance where raw accuracy flatters 'en'.
+
+    operators.evalmetrics.cohen_kappa: one |classes|^2 confusion-cell
+    aggregate collapses the corpus map-side; po/pe are arithmetic over
+    that tiny frame.
+    """
+    d = T(spark, sf_dir, "documents")
+    preds = d.select(
+        X.lang_id("text").alias("pred"), F.col("lang").alias("truth")
+    )
+    return E.cohen_kappa(preds, "pred", "truth")
+
+
+@query(
+    "eval_conformal_threshold",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    nc AS (SELECT doc_id, ROUND(1 - s, 6) AS a FROM scored WHERE y = 1),
+    cal AS (SELECT a FROM nc WHERE doc_id % 2 = 0),
+    tst AS (SELECT a FROM nc WHERE doc_id % 2 = 1),
+    nn AS (SELECT COUNT(*) AS n_cal FROM cal),
+    kk AS (SELECT LEAST(CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT),
+                        n_cal) AS k, n_cal
+           FROM nn),
+    gc AS (SELECT a, COUNT(*) AS n FROM cal GROUP BY 1),
+    cw AS (SELECT a, SUM(n) OVER (ORDER BY a) AS cum FROM gc),
+    q AS (SELECT MIN(a) AS q_hat FROM cw, kk WHERE cum >= k)
+    SELECT q.q_hat AS q_hat,
+           CAST(kk.n_cal AS BIGINT) AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(AVG(CASE WHEN tst.a <= q.q_hat THEN 1.0 ELSE 0.0 END)
+                 + 1e-9, 6) AS coverage
+    FROM tst, q, kk GROUP BY 1, 2
+    """,
+)
+def eval_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction for the quality-as-English scorer:
+    q_hat = the finite-sample-corrected 90th-percentile order statistic
+    of calibration nonconformity (1 - score on true-English docs, even
+    doc_ids), plus the realized coverage on the odd-doc_id test split —
+    the distribution-free guarantee check (expect coverage >= 0.9).
+
+    operators.evalmetrics.conformal_threshold: calibration scores
+    collapse to distinct-value counts, the order statistic rides the
+    two-level prefix sum, and coverage is one broadcast of the 1-row
+    q_hat onto the test aggregate.
+    """
+    sc = _scored(spark, sf_dir)
+    nc = sc.filter(F.col("y") == 1).select(
+        "doc_id", F.round(1 - F.col("s"), 6).alias("a")
+    )
+    cal = nc.filter(F.col("doc_id") % 2 == 0)
+    tst = nc.filter(F.col("doc_id") % 2 == 1)
+    return E.conformal_threshold(cal, tst, "a", alpha=0.1)

@@ -102,3 +102,82 @@ def test_gains_top_decile_lift(spark):
     assert abs(top["capture"] - 1.0) < 1e-9
     # 10% of rows hold 100% of positives -> lift 10
     assert abs(top["lift"] - 10.0) < 1e-6
+
+
+def test_auc_by_group_independent_slices(spark):
+    """Group a separates perfectly; group b is inverted -> 1.0 / 0.0."""
+    rows = [
+        ("a", 0.9, 1), ("a", 0.1, 0),
+        ("b", 0.1, 1), ("b", 0.9, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    out = {r["g"]: r for r in
+           E.auc_roc_by_group(df, "s", "y", "g").collect()}
+    assert out["a"]["auc"] == 1.0
+    assert out["b"]["auc"] == 0.0
+    assert out["a"]["n_pos"] == 1 and out["a"]["n_neg"] == 1
+
+
+def test_auc_by_group_matches_pooled_on_single_group(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [("only", round(rng.random(), 6), int(rng.random() < 0.4))
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    pooled = E.auc_roc(df, "s", "y").collect()[0]["auc"]
+    grouped = E.auc_roc_by_group(df, "s", "y", "g").collect()[0]["auc"]
+    assert pooled == grouped
+
+
+def test_cohen_kappa_perfect_and_chance(spark):
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("z", "z")], "p string, t string"
+    )
+    r = E.cohen_kappa(perfect, "p", "t").collect()[0]
+    assert r["po"] == 1.0 and r["kappa"] == 1.0
+    # predictor ignores truth: every (p, t) combination equally likely
+    # -> po == pe -> kappa 0
+    chance = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")],
+        "p string, t string",
+    )
+    r = E.cohen_kappa(chance, "p", "t").collect()[0]
+    assert r["po"] == 0.5 and r["pe"] == 0.5
+    assert abs(r["kappa"]) < 1e-9
+
+
+def test_cohen_kappa_hand_checked(spark):
+    """Classic 2x2: cells yes/yes=20 yes/no=5 no/yes=10 no/no=15.
+    po=.7, pe=(25*30 + 25*20)/2500=.5 -> kappa=.4."""
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "p string, t string")
+    r = E.cohen_kappa(df, "p", "t").collect()[0]
+    assert r["po"] == 0.7 and r["pe"] == 0.5
+    assert abs(r["kappa"] - 0.4) < 1e-9
+
+
+def test_conformal_threshold_hand_checked(spark):
+    """Calibration a = 0.1..0.9 (n=9): k = ceil(10 * .9) = 9 -> q_hat
+    is the 9th smallest = 0.9; test all <= .9 -> coverage 1."""
+    cal = spark.createDataFrame(
+        [(round(i / 10, 1),) for i in range(1, 10)], "a double"
+    )
+    tst = spark.createDataFrame([(0.5,), (0.85,), (0.9,)], "a double")
+    r = E.conformal_threshold(cal, tst, "a", alpha=0.1).collect()[0]
+    assert r["q_hat"] == 0.9 and r["n_cal"] == 9
+    assert r["coverage"] == 1.0
+
+
+def test_conformal_threshold_alpha_half(spark):
+    """alpha=.5, n=4 -> k = ceil(5 * .5) = 3 -> 3rd smallest."""
+    cal = spark.createDataFrame(
+        [(0.2,), (0.4,), (0.6,), (0.8,)], "a double"
+    )
+    tst = spark.createDataFrame([(0.5,), (0.7,)], "a double")
+    r = E.conformal_threshold(cal, tst, "a", alpha=0.5).collect()[0]
+    assert r["q_hat"] == 0.6
+    assert r["coverage"] == 0.5
