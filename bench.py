@@ -239,6 +239,38 @@ HEADLINE = [
     "events_funnel_timing",
     "supplier_ship_lag",
     "orders_hhi_concentration",
+    # pipeline8/9 + eval waves (added late r5)
+    "agg_exact_mode",
+    "agg_percentile_disc",
+    "agg_winsorized_stats",
+    "audit_referential",
+    "embed_centroid_distances",
+    "eval_auc_by_source",
+    "eval_auc_quality_lang",
+    "eval_brier_ece",
+    "eval_calibration_bins",
+    "eval_cohen_kappa",
+    "eval_conformal_threshold",
+    "eval_gains_deciles",
+    "eval_ks_separation",
+    "eval_pr_sweep",
+    "events_ab_fdr",
+    "events_chi_square",
+    "events_did_estimate",
+    "events_ewma_daily",
+    "events_position_attribution",
+    "events_survival_km",
+    "events_user_entropy",
+    "feature_quantile_bins",
+    "feature_target_encode",
+    "multimodal_features",
+    "orders_interarrival_stats",
+    "orders_theil_sen_trend",
+    "profile_join_skew",
+    "profile_key_candidates",
+    "retrieval_ndcg_eval",
+    "text_source_kl",
+    "text_source_overlap",
 ]
 
 
