@@ -98,3 +98,68 @@ def target_encode_loo(
         )
         .orderBy(cat_col)
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Weight-of-evidence encoding + information value per quantile bin
+    of a numeric feature against a binary label — the credit-scoring
+    standard for "how predictive is this feature, and where":
+    ``woe_b = ln((pos_b / P) / (neg_b / N))`` with Laplace 0.5
+    smoothing (so empty cells never hit ln(0)), and
+    ``iv_term_b = (pos_share_b - neg_share_b) * woe_b``; total IV is
+    the sum over bins (rule of thumb: < 0.02 useless, > 0.3 strong).
+
+    Plan shape: boundaries are one exact ``percentile`` aggregate
+    broadcast back (quantile_bins recipe, no NTILE); bin assignment is
+    a scan-side array fold; per-bin pos/neg is a <= ``n_bins``-group
+    partially-combined aggregate; shares/WOE are arithmetic over that
+    tiny frame against a 1-row broadcast total.
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.agg(
+        F.percentile(score_col, F.array(*[F.lit(q) for q in qs])).alias(
+            "_bs"
+        )
+    )
+    y = F.col(label_col).cast("int")
+    j = df.select(F.col(score_col).alias("_v"), y.alias("_y")).join(
+        F.broadcast(bounds)
+    )
+    bin_idx = F.lit(1) + F.aggregate(
+        "_bs",
+        F.lit(0),
+        lambda acc, b: acc + F.when(b < F.col("_v"), 1).otherwise(0),
+    )
+    per = (
+        j.groupBy(bin_idx.cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_y").cast("bigint").alias("n_pos"),
+            F.sum(1 - F.col("_y")).cast("bigint").alias("n_neg"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_pos").alias("_p"),
+        F.sum("n_neg").alias("_n"),
+        F.count(F.lit(1)).alias("_b"),
+    )
+    ps = (F.col("n_pos") + 0.5) / (F.col("_p") + 0.5 * F.col("_b"))
+    ns = (F.col("n_neg") + 0.5) / (F.col("_n") + 0.5 * F.col("_b"))
+    woe = F.log(ps / ns)
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "n_neg",
+            F.round(woe + 1e-9, 6).alias("woe"),
+            F.round((ps - ns) * woe + 1e-9, 6).alias("iv_term"),
+        )
+        .orderBy("bin")
+    )

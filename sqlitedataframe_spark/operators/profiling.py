@@ -1356,3 +1356,48 @@ def key_skew_profile(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("relation")
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group Gini coefficient of a weight distribution over keys
+    (revenue over customers per nation): the classic inequality index
+    ``G = 2 * sum_i(i * x_(i)) / (n * sum x) - (n + 1) / n`` with
+    values ranked ascending — 0 = perfectly even, -> 1 = one key holds
+    everything. The Lorenz-curve single number next to the Pareto/HHI
+    views.
+
+    Plan shape at 100 TB: one (group, key) aggregate collapses the
+    fact table; the rank window is PARTITIONED by the group (ordered
+    weight, key — key-parallel, never a global sort); weights are
+    exact integer cents after one money rounding so ``sum(i * x_i)``
+    is integer arithmetic both engines reproduce bit-for-bit.
+    """
+    per_key = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(key_col).alias("_k")
+    ).agg(F.round(F.sum(weight_col) + 1e-9, 2).alias("_w"))
+    cents = per_key.select(
+        "_g", "_k", F.round(F.col("_w") * 100).cast("bigint").alias("_c")
+    )
+    w = Window.partitionBy("_g").orderBy("_c", "_k")
+    ranked = cents.withColumn("_i", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.round(F.sum("_c") / 100.0, 2).alias("total_weight"),
+            F.round(
+                2.0 * F.sum(F.col("_i") * F.col("_c"))
+                / (F.count(F.lit(1)) * F.sum("_c"))
+                - (F.count(F.lit(1)) + 1) / F.count(F.lit(1))
+                + 1e-9,
+                round_dp,
+            ).alias("gini"),
+        )
+        .orderBy(group_col)
+    )

@@ -403,3 +403,107 @@ def eval_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = nc.filter(F.col("doc_id") % 2 == 0)
     tst = nc.filter(F.col("doc_id") % 2 == 1)
     return E.conformal_threshold(cal, tst, "a", alpha=0.1)
+
+
+@query(
+    "feature_woe_iv",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    qs AS (
+      SELECT quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9]) AS q
+      FROM scored),
+    binned AS (
+      SELECT 1 + (q[1] < s)::INT + (q[2] < s)::INT + (q[3] < s)::INT
+               + (q[4] < s)::INT + (q[5] < s)::INT + (q[6] < s)::INT
+               + (q[7] < s)::INT + (q[8] < s)::INT + (q[9] < s)::INT
+               AS bin, y
+      FROM scored, qs),
+    per AS (
+      SELECT bin, COUNT(*) AS n, SUM(y) AS n_pos,
+             SUM(1 - y) AS n_neg
+      FROM binned GROUP BY 1),
+    tot AS (SELECT SUM(n_pos) AS p, SUM(n_neg) AS nn,
+                   COUNT(*) AS b FROM per)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND(LN(((n_pos + 0.5) / (p + 0.5 * b))
+                    / ((n_neg + 0.5) / (nn + 0.5 * b))) + 1e-9, 6) AS woe,
+           ROUND(((n_pos + 0.5) / (p + 0.5 * b)
+                  - (n_neg + 0.5) / (nn + 0.5 * b))
+                 * LN(((n_pos + 0.5) / (p + 0.5 * b))
+                      / ((n_neg + 0.5) / (nn + 0.5 * b))) + 1e-9, 6)
+             AS iv_term
+    FROM per, tot ORDER BY bin
+    """,
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence + information-value screen of the quality
+    score against the English label — "how predictive is this feature,
+    and in which score range" (total IV = sum of iv_term).
+
+    operators.features.woe_iv: exact percentile boundaries broadcast
+    (no NTILE), scan-side fold binning, <= 10-row WOE arithmetic
+    against a 1-row broadcast total; Laplace 0.5 smoothing keeps empty
+    cells off ln(0) in both engines.
+    """
+    from sqlitedataframe_spark.operators.features import woe_iv
+
+    return woe_iv(_scored(spark, sf_dir), "s", "y", n_bins=10)
+
+
+@query(
+    "orders_gini_by_nation",
+    oracle="""
+    WITH per AS (
+      SELECT n.n_name AS nation, c.c_custkey AS k,
+             CAST(ROUND(ROUND(SUM(o.o_totalprice) + 1e-9, 2) * 100)
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT nation, cents,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY cents, k) AS i
+      FROM per)
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           ROUND(SUM(cents) / 100.0, 2) AS total_weight,
+           ROUND(2.0 * SUM(i * cents) / (COUNT(*) * SUM(cents))
+                 - (COUNT(*) + 1.0) / COUNT(*) + 1e-9, 6) AS gini
+    FROM ranked GROUP BY nation ORDER BY nation
+    """,
+)
+def orders_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer revenue — the
+    Lorenz-curve inequality number beside the Pareto classes and HHI:
+    which national markets are whale-driven vs broad-based.
+
+    operators.profiling.gini_by_group: orders collapse to one revenue
+    row per customer FIRST (map-side partials), so the customer join is
+    a key-sized shuffle equi-join (customer scales with SF — never
+    broadcast it); only the 25-row nation table broadcasts. The rank
+    window partitions by nation (key-parallel, no global sort).
+    """
+    from sqlitedataframe_spark.operators.profiling import gini_by_group
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("_rev")
+    )
+    joined = per_cust.join(
+        c.select("c_custkey", "c_nationkey"),
+        per_cust.o_custkey == c.c_custkey,
+    ).join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return gini_by_group(joined, "n_name", "c_custkey", "_rev").select(
+        F.col("n_name").alias("nation"), "n_keys", "total_weight", "gini"
+    )
