@@ -1401,3 +1401,51 @@ def gini_by_group(
         )
         .orderBy(group_col)
     )
+
+
+def interarrival_cv_summary(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_cols: list[str] | None = None,
+    min_gaps: int = 2,
+) -> DataFrame:
+    """Burstiness screen: per-key coefficient of variation of
+    inter-event gaps (CV = stddev/mean over epoch-microsecond deltas;
+    Poisson arrivals -> CV ~ 1, regular heartbeats -> CV ~ 0, bursty
+    sessions -> CV > 1), summarized as a 1-row distribution over keys —
+    the bot/heartbeat/burst triage next to per-user entropy.
+
+    Plan shape: ONE per-key ordered lag window (PARTITIONED by the key
+    — key-parallel), a per-key moments aggregate, then a 1-row summary;
+    gaps are exact integer microseconds so both engines see identical
+    inputs.
+    """
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    gaps = df.select(
+        F.col(key_col).alias("_k"),
+        (
+            F.unix_micros(F.col(ts_col))
+            - F.unix_micros(F.lag(ts_col).over(w))
+        ).alias("_gap"),
+    ).filter(F.col("_gap").isNotNull())
+    per_key = (
+        gaps.groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).alias("_ng"),
+            F.avg("_gap").alias("_mean"),
+            F.stddev_samp("_gap").alias("_sd"),
+        )
+        .filter((F.col("_ng") >= min_gaps) & (F.col("_mean") > 0))
+        .select((F.col("_sd") / F.col("_mean")).alias("_cv"))
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.round(F.avg("_cv") + 1e-9, 6).alias("avg_cv"),
+        F.round(F.percentile("_cv", F.lit(0.5)) + 1e-9, 6).alias("p50_cv"),
+        F.round(F.percentile("_cv", F.lit(0.9)) + 1e-9, 6).alias("p90_cv"),
+        F.round(
+            F.avg((F.col("_cv") > 1.0).cast("double")) + 1e-9, 6
+        ).alias("frac_bursty"),
+    )

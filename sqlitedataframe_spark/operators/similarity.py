@@ -618,3 +618,65 @@ def label_centroid_outliers(
         .filter(F.col("rank_in_label") <= per_label)
         .select("label", "rank_in_label", id_col, "cos_to_centroid")
     )
+
+
+def silhouette_by_label(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each point,
+    ``a`` = distance to its own label centroid, ``b`` = distance to the
+    nearest OTHER centroid, ``s = (b - a) / max(a, b)``; report the
+    per-label mean — the standard clustering/labeling QA number
+    (negative mean = the label's points sit closer to another class).
+    The centroid form is the one that scales: the full silhouette's
+    all-pairs distances are O(n^2) and add little for cluster QA.
+
+    Plan shape at 100 TB: centroids are a labels x dims aggregate
+    (tiny) broadcast back; the per-point work is an n x |labels|
+    map-side expansion collapsed by partially-combined aggregation —
+    no point-point joins anywhere. Centroid coordinates round to 9 dp
+    (with the repo's +1e-9 boundary guard) so parallel-summation ulp
+    drift cannot flip which foreign centroid is nearest.
+    """
+    pt = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_l"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "_pos", "_v"
+        ),
+    )
+    cen = pt.groupBy(F.col("_l").alias("_lc"), "_pos").agg(
+        F.round(F.avg("_v") + 1e-9, 9).alias("_c")
+    )
+    d = (
+        pt.join(F.broadcast(cen), "_pos")
+        .groupBy("_id", "_l", "_lc")
+        .agg(
+            F.sum((F.col("_v") - F.col("_c")) * (F.col("_v") - F.col("_c")))
+            .alias("_sq")
+        )
+    )
+    pp = d.groupBy("_id", "_l").agg(
+        F.sqrt(F.min(F.when(F.col("_lc") == F.col("_l"), F.col("_sq"))))
+        .alias("_a"),
+        F.sqrt(F.min(F.when(F.col("_lc") != F.col("_l"), F.col("_sq"))))
+        .alias("_b"),
+    )
+    s = F.when(
+        F.greatest("_a", "_b") > 0,
+        (F.col("_b") - F.col("_a")) / F.greatest("_a", "_b"),
+    ).otherwise(F.lit(0.0))
+    return (
+        pp.groupBy(F.col("_l").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg(s) + 1e-9, 6).alias("avg_silhouette"),
+            F.round(F.avg((s < 0).cast("double")) + 1e-9, 6).alias(
+                "frac_negative"
+            ),
+        )
+        .orderBy(label_col)
+    )

@@ -1142,3 +1142,102 @@ def source_ngram_overlap(
         .orderBy(F.col("jaccard").desc(), "src_a", "src_b")
         .limit(top_pairs)
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth ``V(N) ~ K * N^beta``: the
+    corpus splits into ``n_buckets`` id-ordered prefix buckets, each
+    bucket contributes its token count and its FIRST-SEEN distinct
+    tokens, and the (cumulative tokens, cumulative vocab) points fit a
+    log-log OLS — beta ~ 0.4-0.6 for natural text; beta near 0 means
+    the corpus has stopped contributing new vocabulary (saturation /
+    heavy duplication), beta near 1 means noise/ids masquerading as
+    words.
+
+    Plan shape: first-seen bucket is one ``min(bucket)`` aggregate
+    keyed by token (the only data-sized shuffle — same key as every
+    vocab op); bucket totals are scan-side sums; cumulatives ride a
+    <= ``n_buckets``-row triangular self-join (no global window) and
+    the OLS is a 1-row moments aggregate.
+    """
+    width = df.agg(
+        F.ceil((F.max(id_col) + 1) / F.lit(n_buckets)).alias("_w")
+    )
+    toks = df.join(F.broadcast(width)).select(
+        F.least(
+            F.floor(F.col(id_col) / F.col("_w")), F.lit(n_buckets - 1)
+        ).cast("int").alias("_b"),
+        tokens(text_col).alias("_toks"),
+    )
+    n_tok = toks.groupBy("_b").agg(
+        F.sum(F.size("_toks")).cast("bigint").alias("_n")
+    )
+    first_seen = (
+        toks.select("_b", F.explode("_toks").alias("_t"))
+        .groupBy("_t")
+        .agg(F.min("_b").alias("_fb"))
+        .groupBy(F.col("_fb").alias("_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_v"))
+    )
+    per = n_tok.join(first_seen, "_b", "left").select(
+        "_b", "_n", F.coalesce("_v", F.lit(0)).alias("_v")
+    )
+    a, b = per.alias("a"), per.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b._b") <= F.col("a._b"))
+        .groupBy(F.col("a._b").alias("_b"))
+        .agg(
+            F.sum("b._n").alias("_cn"),
+            F.sum("b._v").alias("_cv"),
+        )
+    )
+    x = F.log(F.col("_cn").cast("double"))
+    y = F.log(F.col("_cv").cast("double"))
+    pts = cum.filter((F.col("_cn") > 0) & (F.col("_cv") > 0)).select(
+        F.col("_cn"), F.col("_cv"), x.alias("_x"), y.alias("_y")
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("_x"), F.sum("_y")
+    sxx = F.sum(F.col("_x") * F.col("_x"))
+    syy = F.sum(F.col("_y") * F.col("_y"))
+    sxy = F.sum(F.col("_x") * F.col("_y"))
+    # degeneracy guards on EXACT INTEGER extremes, not FP variances: a
+    # saturated vocabulary (every bucket the same cumulative V — true of
+    # fixed-vocab synthetic corpora) zeroes the y-variance, where the
+    # catastrophically-cancelled FP moment can land at +-1e-13 and the
+    # two engines disagree (or sqrt goes negative). Constant V => beta
+    # is exactly 0 and K is exactly V; r2 is undefined => NULL.
+    y_flat = F.min("_cv") == F.max("_cv")
+    x_flat = F.min("_cn") == F.max("_cn")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r_num = n * sxy - sx * sy
+    r_den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return pts.agg(
+        F.round(
+            F.when(y_flat, F.lit(0.0)).when(x_flat, F.lit(None)).otherwise(
+                slope
+            )
+            + 1e-9,
+            6,
+        ).alias("beta"),
+        F.round(
+            F.when(y_flat, F.max("_cv").cast("double")).otherwise(
+                F.exp((sy - slope * sx) / n)
+            )
+            + 1e-9,
+            4,
+        ).alias("k"),
+        F.round(
+            F.when(y_flat | x_flat, F.lit(None)).otherwise(
+                (r_num / r_den) * (r_num / r_den)
+            )
+            + 1e-9,
+            6,
+        ).alias("r2"),
+        n.cast("bigint").alias("n_points"),
+    )

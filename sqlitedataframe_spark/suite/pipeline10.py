@@ -507,3 +507,162 @@ def orders_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_by_group(joined, "n_name", "c_custkey", "_rev").select(
         F.col("n_name").alias("nation"), "n_keys", "total_weight", "gini"
     )
+
+
+@query(
+    "embed_silhouette",
+    oracle="""
+    WITH pt AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings),
+    cen AS (
+      SELECT label AS label_c, pos, ROUND(AVG(v) + 1e-9, 9) AS c
+      FROM pt GROUP BY 1, 2),
+    d AS (
+      SELECT pt.vec_id, pt.label, cen.label_c,
+             SUM((pt.v - cen.c) * (pt.v - cen.c)) AS sq
+      FROM pt JOIN cen ON pt.pos = cen.pos
+      GROUP BY 1, 2, 3),
+    pp AS (
+      SELECT vec_id, label,
+             sqrt(MIN(CASE WHEN label_c = label THEN sq END)) AS a,
+             sqrt(MIN(CASE WHEN label_c <> label THEN sq END)) AS b
+      FROM d GROUP BY 1, 2),
+    s AS (
+      SELECT label,
+             CASE WHEN GREATEST(a, b) > 0
+                  THEN (b - a) / GREATEST(a, b) ELSE 0.0 END AS sil
+      FROM pp)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(sil) + 1e-9, 6) AS avg_silhouette,
+           ROUND(AVG(CASE WHEN sil < 0 THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+             AS frac_negative
+    FROM s GROUP BY label ORDER BY label
+    """,
+)
+def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid) silhouette per embedding label — the
+    clustering/labeling QA readout: negative mean silhouette = the
+    label's points sit closer to another class centroid than their own.
+
+    operators.similarity.silhouette_by_label: centroids = one tiny
+    labels x dims aggregate broadcast back; per-point work is an
+    n x |labels| map-side expansion collapsed by partial aggregation —
+    no point-point join; 9-dp centroid rounding keeps nearest-foreign
+    picks ulp-stable across engines.
+    """
+    from sqlitedataframe_spark.operators.similarity import (
+        silhouette_by_label,
+    )
+
+    return silhouette_by_label(T(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "text_heaps_fit",
+    oracle=r"""
+    WITH w AS (
+      SELECT CAST(CEIL((MAX(doc_id) + 1) / 16.0) AS BIGINT) AS wd
+      FROM documents),
+    toks AS (
+      SELECT LEAST(CAST(FLOOR(doc_id / wd) AS INT), 15) AS b,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents, w),
+    nt AS (SELECT b, SUM(len(t)) AS n FROM toks GROUP BY 1),
+    fs AS (
+      SELECT fb AS b, COUNT(*) AS v FROM (
+        SELECT tok, MIN(b) AS fb
+        FROM (SELECT b, unnest(t) AS tok FROM toks)
+        GROUP BY tok)
+      GROUP BY 1),
+    per AS (
+      SELECT nt.b, nt.n, COALESCE(fs.v, 0) AS v
+      FROM nt LEFT JOIN fs USING (b)),
+    cum AS (
+      SELECT b, SUM(n) OVER (ORDER BY b) AS cn,
+             SUM(v) OVER (ORDER BY b) AS cv
+      FROM per),
+    pts AS (
+      SELECT cn, cv, LN(cn * 1.0) AS x, LN(cv * 1.0) AS y
+      FROM cum WHERE cn > 0 AND cv > 0),
+    m AS (
+      SELECT COUNT(*) * 1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy,
+             MIN(cn) = MAX(cn) AS x_flat, MIN(cv) = MAX(cv) AS y_flat,
+             MAX(cv) AS v_max
+      FROM pts)
+    SELECT ROUND(CASE WHEN y_flat THEN 0.0
+                      WHEN x_flat THEN NULL
+                      ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END
+                 + 1e-9, 6) AS beta,
+           ROUND(CASE WHEN y_flat THEN v_max * 1.0
+                      ELSE EXP((sy - (n * sxy - sx * sy)
+                                / (n * sxx - sx * sx) * sx) / n) END
+                 + 1e-9, 4) AS k,
+           ROUND(CASE WHEN y_flat OR x_flat THEN NULL
+                      ELSE POWER((n * sxy - sx * sy)
+                           / SQRT((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)), 2) END
+                 + 1e-9, 6) AS r2,
+           CAST(n AS BIGINT) AS n_points
+    FROM m
+    """,
+)
+def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) ~ K * N^beta over 16
+    id-ordered prefix buckets — the corpus-health diagnostic beside the
+    Zipf fit and the novelty curve: beta collapsing toward 0 means new
+    data has stopped adding vocabulary.
+
+    operators.text.heaps_fit: first-seen bucket is one token-keyed
+    min aggregate (the only data-sized shuffle); cumulatives ride a
+    <= 16-row triangular self-join; the OLS is a 1-row moments agg.
+    """
+    from sqlitedataframe_spark.operators.text import heaps_fit
+
+    return heaps_fit(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events),
+    pk AS (
+      SELECT user_id, COUNT(*) AS ng, AVG(gap) AS m,
+             stddev_samp(gap) AS sd
+      FROM g WHERE gap IS NOT NULL GROUP BY 1),
+    cv AS (
+      SELECT sd / m AS cv FROM pk WHERE ng >= 2 AND m > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           ROUND(AVG(cv) + 1e-9, 6) AS avg_cv,
+           ROUND(quantile_cont(cv, 0.5) + 1e-9, 6) AS p50_cv,
+           ROUND(quantile_cont(cv, 0.9) + 1e-9, 6) AS p90_cv,
+           ROUND(AVG(CASE WHEN cv > 1.0 THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+             AS frac_bursty
+    FROM cv
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness (CV of inter-event gaps; Poisson ~ 1,
+    heartbeat ~ 0, bursty sessions > 1) summarized over users — the
+    bot / scripted-client / burst triage next to per-user entropy.
+
+    operators.profiling.interarrival_cv_summary: one per-user ordered
+    lag window (key-parallel), per-user moments, 1-row summary; gaps
+    are exact integer microseconds on both engines.
+    """
+    from sqlitedataframe_spark.operators.profiling import (
+        interarrival_cv_summary,
+    )
+
+    return interarrival_cv_summary(
+        T(spark, sf_dir, "events"), "user_id", "ts",
+        order_cols=["ts", "event_id"],
+    )

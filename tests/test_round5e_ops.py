@@ -162,3 +162,98 @@ def test_gini_hand_checked_groups_independent(spark):
     out = {r["g"]: r for r in gini_by_group(df, "g", "k", "w").collect()}
     assert abs(out["a"]["gini"] - 0.25) < 1e-9
     assert out["b"]["gini"] == 0.0
+
+
+def test_silhouette_separated_and_swapped(spark):
+    """Two tight clusters 10 apart: s = (sqrt(101)-1)/sqrt(101) for
+    every point; swapping the labels flips the silhouette negative."""
+    from sqlitedataframe_spark.operators.similarity import (
+        silhouette_by_label,
+    )
+
+    rows = [
+        (0, "A", [0.0, 0.0]), (1, "A", [0.0, 2.0]),
+        (2, "B", [10.0, 0.0]), (3, "B", [10.0, 2.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, label string, embedding array<double>"
+    )
+    out = {r["label"]: r for r in silhouette_by_label(df).collect()}
+    expected = (101 ** 0.5 - 1) / 101 ** 0.5
+    for lab in ("A", "B"):
+        assert abs(out[lab]["avg_silhouette"] - expected) < 1e-6
+        assert out[lab]["frac_negative"] == 0.0
+    # plant one mislabeled point INSIDE cluster B: it sits at B's
+    # centroid (b = 0, a = 20/3) -> s = -1, dragging A's mean down and
+    # tripping frac_negative = 1/3
+    mislabeled = spark.createDataFrame(
+        rows[:2] + [(4, "A", [10.0, 1.0])] + rows[2:],
+        "vec_id int, label string, embedding array<double>",
+    )
+    out2 = {r["label"]: r for r in silhouette_by_label(mislabeled).collect()}
+    assert out2["A"]["frac_negative"] == 0.333333
+    assert out2["A"]["avg_silhouette"] < 0.11
+    assert out2["B"]["avg_silhouette"] > 0.8
+    assert out2["B"]["frac_negative"] == 0.0
+
+
+def test_heaps_fit_exact_half_power(spark):
+    """Doc j = 1 new token + 2j filler repeats -> cumN = (j+1)^2,
+    cumV = j+1: V = N^0.5 exactly -> beta .5, k 1, r2 1."""
+    from sqlitedataframe_spark.operators.text import heaps_fit
+
+    rows = [
+        (j, "t" + str(j) + " " + " ".join(["t0"] * (2 * j)) if j else "t0")
+        for j in range(16)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    r = heaps_fit(df, n_buckets=16).collect()[0]
+    assert abs(r["beta"] - 0.5) < 1e-6
+    assert abs(r["k"] - 1.0) < 1e-3
+    assert abs(r["r2"] - 1.0) < 1e-6
+    assert r["n_points"] == 16
+
+
+def test_heaps_fit_saturated_vocab_guard(spark):
+    """Constant vocabulary across buckets: beta exactly 0, k = V,
+    r2 NULL — the exact-integer degeneracy guard, not FP noise."""
+    from sqlitedataframe_spark.operators.text import heaps_fit
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(32)],
+        "doc_id int, text string",
+    )
+    r = heaps_fit(df, n_buckets=8).collect()[0]
+    assert r["beta"] == 0.0
+    assert r["k"] == 3.0
+    assert r["r2"] is None
+
+
+def test_burstiness_regular_vs_bursty(spark):
+    import datetime as dt
+
+    from sqlitedataframe_spark.operators.profiling import (
+        interarrival_cv_summary,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # u1: metronome (gaps 10s) -> cv 0
+    for i in range(5):
+        rows.append((1, i, t0 + dt.timedelta(seconds=10 * i)))
+    # u2: burst then silence (gaps 1, 1, 98) -> cv > 1
+    for i, sec in enumerate([0, 1, 2, 100]):
+        rows.append((2, 100 + i, t0 + dt.timedelta(seconds=sec)))
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    r = interarrival_cv_summary(
+        df, "user_id", "ts", order_cols=["ts", "event_id"]
+    ).collect()[0]
+    assert r["n_keys"] == 2
+    assert r["frac_bursty"] == 0.5
+    # u1 contributes cv = 0 exactly; u2's cv = sd/mean of [1,1,98]
+    import statistics
+
+    cv2 = statistics.stdev([1, 1, 98]) / statistics.mean([1, 1, 98])
+    assert abs(r["avg_cv"] - cv2 / 2) < 1e-6
+    # exact-percentile interp over [0, cv2]: index .9 * (n-1) -> .9 * cv2
+    assert abs(r["p90_cv"] - cv2 * 0.9) < 1e-6
