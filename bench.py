@@ -271,6 +271,12 @@ HEADLINE = [
     "retrieval_ndcg_eval",
     "text_source_kl",
     "text_source_overlap",
+    "feature_woe_iv",
+    "orders_gini_by_nation",
+    "embed_silhouette",
+    "text_heaps_fit",
+    "events_burstiness",
+    "feature_quantile_normalize",
 ]
 
 

@@ -163,3 +163,52 @@ def woe_iv(
         )
         .orderBy("bin")
     )
+
+
+def quantile_normalize_map(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    grid: list[float] | None = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Quantile-normalization mapping table: for each group (data
+    source, batch, lab run) the exact per-group quantiles at a fixed
+    probability grid, next to the cross-group mean profile — the
+    artifact a pipeline broadcasts to map every group's value
+    distribution onto the shared reference (the microarray-classic
+    quantile normalization, applied to feature columns), plus the gap
+    that says WHICH group deviates.
+
+    Plan shape at 100 TB: ONE per-group exact ``percentile`` aggregate
+    collapses the fact table to |groups| rows (swap percentile_approx
+    beyond memory scale — same shape); the grid explode and the
+    reference-profile average run on that tiny frame; nothing else
+    shuffles.
+    """
+    grid = grid or [i / 20 + 0.025 for i in range(0, 20, 2)]
+    qs = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.percentile(
+            value_col, F.array(*[F.lit(p) for p in grid])
+        ).alias("_qs")
+    )
+    per = qs.select(
+        "_g", F.posexplode("_qs").alias("_i", "_q")
+    )
+    ref = per.groupBy("_i").agg(F.avg("_q").alias("_r"))
+    pcol = F.element_at(
+        F.array(*[F.lit(p) for p in grid]), F.col("_i") + 1
+    )
+    return (
+        per.join(F.broadcast(ref), "_i")
+        .select(
+            F.col("_g").alias(group_col),
+            F.round(pcol, 4).alias("p"),
+            F.round(F.col("_q") + 1e-9, round_dp).alias("group_q"),
+            F.round(F.col("_r") + 1e-9, round_dp).alias("ref_q"),
+            F.round(F.col("_q") - F.col("_r") + 1e-9, round_dp).alias(
+                "gap"
+            ),
+        )
+        .orderBy(group_col, "p")
+    )

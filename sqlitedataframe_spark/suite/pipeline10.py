@@ -666,3 +666,48 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "events"), "user_id", "ts",
         order_cols=["ts", "event_id"],
     )
+
+
+@query(
+    "feature_quantile_normalize",
+    oracle="""
+    WITH qs AS (
+      SELECT source AS g,
+             quantile_cont(n_chars, [0.025, 0.125, 0.225, 0.325, 0.425,
+                                     0.525, 0.625, 0.725, 0.825, 0.925])
+               AS q
+      FROM documents GROUP BY 1),
+    per AS (
+      SELECT g, generate_subscripts(q, 1) AS i, unnest(q) AS qv
+      FROM qs),
+    ref AS (SELECT i, AVG(qv) AS r FROM per GROUP BY 1),
+    grid AS (
+      SELECT i, p FROM (VALUES (1, 0.025), (2, 0.125), (3, 0.225),
+        (4, 0.325), (5, 0.425), (6, 0.525), (7, 0.625), (8, 0.725),
+        (9, 0.825), (10, 0.925)) AS t(i, p))
+    SELECT per.g AS source, ROUND(grid.p, 4) AS p,
+           ROUND(per.qv + 1e-9, 4) AS group_q,
+           ROUND(ref.r + 1e-9, 4) AS ref_q,
+           ROUND(per.qv - ref.r + 1e-9, 4) AS gap
+    FROM per JOIN ref USING (i) JOIN grid ON grid.i = per.i
+    ORDER BY source, p
+    """,
+)
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization mapping table for document length by
+    source: each source's exact decile-grid quantiles beside the
+    cross-source mean profile and the gap — the broadcastable artifact
+    that maps every source's length distribution onto the shared
+    reference, and the per-source deviation readout.
+
+    operators.features.quantile_normalize_map: one per-source exact
+    percentile aggregate collapses the corpus; everything downstream
+    runs on the |sources| x grid frame.
+    """
+    from sqlitedataframe_spark.operators.features import (
+        quantile_normalize_map,
+    )
+
+    return quantile_normalize_map(
+        T(spark, sf_dir, "documents"), "source", "n_chars"
+    )

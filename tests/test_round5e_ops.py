@@ -257,3 +257,30 @@ def test_burstiness_regular_vs_bursty(spark):
     assert abs(r["avg_cv"] - cv2 / 2) < 1e-6
     # exact-percentile interp over [0, cv2]: index .9 * (n-1) -> .9 * cv2
     assert abs(r["p90_cv"] - cv2 * 0.9) < 1e-6
+
+
+def test_quantile_normalize_map_hand_checked(spark):
+    """Group a = 0..100 uniform, group b = a + 10 shift: gaps are
+    symmetric (+5 / -5) at every grid point and ref is the midpoint."""
+    from sqlitedataframe_spark.operators.features import (
+        quantile_normalize_map,
+    )
+
+    rows = [("a", float(i)) for i in range(101)] + [
+        ("b", float(i + 10)) for i in range(101)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = quantile_normalize_map(df, "g", "v").collect()
+    assert len(out) == 20  # 2 groups x 10 grid points
+    for r in out:
+        assert abs(abs(r["gap"]) - 5.0) < 1e-9
+        sign = -1 if r["g"] == "a" else 1
+        assert abs(r["group_q"] - (r["ref_q"] + sign * 5.0)) < 1e-9
+    # identical distributions -> zero gaps everywhere
+    same = spark.createDataFrame(
+        [("a", float(i)) for i in range(50)]
+        + [("b", float(i)) for i in range(50)],
+        "g string, v double",
+    )
+    out2 = quantile_normalize_map(same, "g", "v").collect()
+    assert all(r["gap"] == 0.0 for r in out2)
