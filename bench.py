@@ -277,6 +277,7 @@ HEADLINE = [
     "text_heaps_fit",
     "events_burstiness",
     "feature_quantile_normalize",
+    "events_cliffs_delta",
 ]
 
 

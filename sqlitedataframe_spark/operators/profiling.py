@@ -1449,3 +1449,78 @@ def interarrival_cv_summary(
             F.avg((F.col("_cv") > 1.0).cast("double")) + 1e-9, 6
         ).alias("frac_bursty"),
     )
+
+
+def cliffs_delta(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    bucket_width: float = 16.0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Cliff's delta rank effect size between two samples:
+    ``d = P(a > b) - P(a < b)`` over all cross pairs — the
+    distribution-free companion to the Welch z readout (ab_ztest):
+    robust to outliers and meaningful when means lie (|d| < .147
+    negligible, < .33 small, < .474 medium, else large — Romano 2006).
+
+    Plan shape: each side collapses to distinct-(rounded-)value counts
+    map-side; the cross-pair sums come from a prefix sum of the B
+    counts over the shared value spine — realized with the repo's
+    two-level recipe (coarse ``bucket_width`` partitions + tiny offset
+    self-join), so no unpartitioned window and no pair materialization:
+    the |a| x |b| pair space never exists anywhere.
+    """
+    v = F.round(F.col(value_col), round_dp).alias("_v")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return df.select(v).groupBy("_v").agg(
+            F.count(F.lit(1)).cast("bigint").alias(name)
+        )
+    ca = counts(a, "_ca")
+    cb = counts(b, "_cb")
+    dense = ca.join(cb, "_v", "full").select(
+        "_v",
+        F.coalesce("_ca", F.lit(0)).alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+    )
+    bkt = F.floor(F.col("_v") / F.lit(bucket_width)).cast("bigint")
+    d = dense.withColumn("_bkt", bkt)
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("_cum_b", F.sum("_cb").over(w))
+    btot = d.groupBy("_bkt").agg(F.sum("_cb").alias("_bn"))
+    lo, hi = btot.alias("lo"), btot.alias("hi")
+    offsets = (
+        hi.join(F.broadcast(lo), F.col("lo._bkt") < F.col("hi._bkt"), "left")
+        .groupBy(F.col("hi._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("lo._bn"), F.lit(0)).alias("_off"))
+    )
+    nb_tot = dense.agg(F.sum("_cb").alias("_nb"))
+    terms = (
+        local.join(F.broadcast(offsets), "_bkt")
+        .join(F.broadcast(nb_tot))
+        .select(
+            "_ca",
+            "_nb",
+            (F.col("_off") + F.col("_cum_b") - F.col("_cb")).alias(
+                "_b_below"
+            ),
+            (F.col("_nb") - F.col("_off") - F.col("_cum_b")).alias(
+                "_b_above"
+            ),
+        )
+    )
+    return terms.agg(
+        F.round(
+            F.sum(F.col("_ca") * (F.col("_b_below") - F.col("_b_above")))
+            / (F.sum("_ca") * F.max("_nb")).cast("double")
+            + 1e-9,
+            6,
+        ).alias("cliffs_d"),
+        F.sum("_ca").cast("bigint").alias("n_a"),
+        F.max("_nb").cast("bigint").alias("n_b"),
+    )

@@ -711,3 +711,49 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_normalize_map(
         T(spark, sf_dir, "documents"), "source", "n_chars"
     )
+
+
+@query(
+    "events_cliffs_delta",
+    oracle="""
+    WITH ca AS (
+      SELECT ROUND(value, 4) AS v, COUNT(*) AS ca FROM events
+      WHERE event_type = 'click' GROUP BY 1),
+    cb AS (
+      SELECT ROUND(value, 4) AS v, COUNT(*) AS cb FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    dense AS (
+      SELECT COALESCE(ca.v, cb.v) AS v,
+             COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+      FROM ca FULL JOIN cb ON ca.v = cb.v),
+    cum AS (
+      SELECT v, ca, cb,
+             SUM(cb) OVER (ORDER BY v) - cb AS b_below,
+             SUM(cb) OVER () AS nb
+      FROM dense)
+    SELECT ROUND(SUM(ca * (b_below - (nb - b_below - cb)))
+                 / (SUM(ca) * MAX(nb) * 1.0) + 1e-9, 6) AS cliffs_d,
+           CAST(SUM(ca) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b
+    FROM cum
+    """,
+)
+def events_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta rank effect size between click and view event
+    values — the distribution-free companion to the Welch z-test
+    (events_ab_ztest): robust when outliers drag the means, with the
+    standard negligible/small/medium/large cuts at |d| = .147/.33/.474.
+
+    operators.profiling.cliffs_delta: each side collapses to
+    distinct-value counts map-side; the cross-pair probabilities come
+    from a two-level prefix sum over the shared value spine — the
+    n_a x n_b pair space never materializes.
+    """
+    from sqlitedataframe_spark.operators.profiling import cliffs_delta
+
+    e = T(spark, sf_dir, "events")
+    return cliffs_delta(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "view"),
+        "value",
+    )

@@ -284,3 +284,29 @@ def test_quantile_normalize_map_hand_checked(spark):
     )
     out2 = quantile_normalize_map(same, "g", "v").collect()
     assert all(r["gap"] == 0.0 for r in out2)
+
+
+def test_cliffs_delta_hand_checked(spark):
+    """a = {3, 4}, b = {1, 2}: every a beats every b -> d = 1; reversed
+    -> -1; interleaved with ties -> the exact pair arithmetic."""
+    from sqlitedataframe_spark.operators.profiling import cliffs_delta
+
+    a = spark.createDataFrame([(3.0,), (4.0,)], "v double")
+    b = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    assert cliffs_delta(a, b, "v").collect()[0]["cliffs_d"] == 1.0
+    assert cliffs_delta(b, a, "v").collect()[0]["cliffs_d"] == -1.0
+    # a = {1, 2, 2}, b = {2, 3}: pairs (a>b, a<b) -> wins 0, losses:
+    # 1<2, 1<3, 2<3, 2<3 = 4, ties 2 -> d = (0 - 4) / 6
+    a2 = spark.createDataFrame([(1.0,), (2.0,), (2.0,)], "v double")
+    b2 = spark.createDataFrame([(2.0,), (3.0,)], "v double")
+    r = cliffs_delta(a2, b2, "v").collect()[0]
+    assert abs(r["cliffs_d"] - (-4 / 6)) < 1e-6
+    assert r["n_a"] == 3 and r["n_b"] == 2
+
+
+def test_cliffs_delta_identical_zero(spark):
+    from sqlitedataframe_spark.operators.profiling import cliffs_delta
+
+    a = spark.createDataFrame([(float(i),) for i in range(20)], "v double")
+    b = spark.createDataFrame([(float(i),) for i in range(20)], "v double")
+    assert cliffs_delta(a, b, "v").collect()[0]["cliffs_d"] == 0.0
