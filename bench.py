@@ -278,6 +278,7 @@ HEADLINE = [
     "events_burstiness",
     "feature_quantile_normalize",
     "events_cliffs_delta",
+    "stream_eval_calibration",
 ]
 
 

@@ -499,3 +499,113 @@ def stream_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cm_est").desc(), "l_partkey")
         .limit(30)
     )
+
+
+@query(
+    "stream_eval_calibration",
+    oracle="""
+    WITH t AS (
+      SELECT text, lang,
+             string_split(lower(trim(text)), ' ') AS toks,
+             CAST(LENGTH(text) AS DOUBLE) AS n_char
+      FROM documents),
+    feats AS (
+      SELECT lang,
+             LEAST(n_char / 200.0, 1.0) AS len_score,
+             CAST(len(list_filter(toks, x -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it'], x)))
+               AS DOUBLE) / len(toks) AS sw_ratio,
+             CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]',
+                 '', 'g')) AS DOUBLE) / n_char AS punct_ratio
+      FROM t),
+    scored AS (
+      SELECT ROUND((len_score + LEAST(sw_ratio * 4, 1.0)
+                    + GREATEST(0.0, 1.0 - punct_ratio * 5)) / 3, 6) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM feats)
+    SELECT CAST(LEAST(FLOOR(s * 10), 9) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(SUM(s) / COUNT(*) + 1e-9, 6) AS avg_score,
+           ROUND(SUM(y) * 1.0 / COUNT(*) + 1e-9, 6) AS frac_pos,
+           ROUND(ABS(SUM(s) / COUNT(*) - SUM(y) * 1.0 / COUNT(*)) + 1e-9, 6)
+             AS cal_gap
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming model-quality monitoring: each micro-batch of documents
+    scores locally and emits its per-bin SUFFICIENT STATISTICS
+    (n, n_pos, sum_score per calibration bin — bounded at 10 rows per
+    batch), appended through the foreachBatch SQLite sink; the final
+    reliability table merges the cell log by bin-sum. Counts and sums
+    are exactly mergeable, so the incremental table must equal the
+    one-shot batch计算 — the countmin/HLL continuous-rollup pattern
+    applied to model evaluation.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from sqlitedataframe_spark.operators.text import quality_score
+    from sqlitedataframe_spark.sources.sqlite import (
+        read_sql,
+        table_exists,
+        write_sql,
+    )
+    from sqlitedataframe_spark.streaming.core import read_table_stream
+
+    db = _os.path.join(
+        _tempfile.gettempdir(),
+        f"sdfspark_evalcal_{_os.path.basename(sf_dir)}.db",
+    )
+    if _os.path.exists(db):
+        _os.remove(db)
+
+    def cells(df: DataFrame) -> DataFrame:
+        s = quality_score("text")
+        y = (F.col("lang") == "en").cast("int")
+        b = F.least(F.floor(s * 10), F.lit(9)).cast("int")
+        return (
+            df.select(b.alias("bin"), s.alias("_s"), y.alias("_y"))
+            .groupBy("bin")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("_y").cast("bigint").alias("n_pos"),
+                F.sum("_s").alias("sum_s"),
+            )
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        mode = "append" if table_exists(db, "cal_cells") else "replace"
+        write_sql(cells(batch_df), db, table="cal_cells", if_exists=mode)
+
+    s = read_table_stream(spark, sf_dir, "documents").select("text", "lang")
+    with _tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            s.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    log = read_sql(spark, db, table="cal_cells")
+    merged = log.groupBy("bin").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("sum_s").alias("_ss"),
+    )
+    return merged.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("_ss") / F.col("n") + 1e-9, 6).alias("avg_score"),
+        F.round(F.col("n_pos") / F.col("n") + 1e-9, 6).alias("frac_pos"),
+        F.round(
+            F.abs(F.col("_ss") / F.col("n") - F.col("n_pos") / F.col("n"))
+            + 1e-9,
+            6,
+        ).alias("cal_gap"),
+    ).orderBy("bin")

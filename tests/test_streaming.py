@@ -348,3 +348,74 @@ def test_stream_incremental_dedup_multi_batch(spark, tmp_path):
         for r in minhash_lsh_pairs(full_df, min_jaccard=0.3).collect()
     }
     assert got == want and len(want) > 10
+
+
+def test_stream_eval_calibration_multi_batch(spark, sf_dir, tmp_path):
+    """Per-batch calibration sufficient statistics merged over three
+    explicit micro-batches must equal the one-shot batch table exactly
+    (counts and sums are exactly mergeable)."""
+    from sqlitedataframe_spark.operators.text import quality_score
+    from sqlitedataframe_spark.sources.sqlite import (
+        read_sql,
+        table_exists,
+        write_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # three explicit files -> three micro-batches under maxFilesPerTrigger=1
+    split = tmp_path / "docs_split"
+    for i in range(3):
+        part = docs.filter(F.col("doc_id") % 3 == i).coalesce(1)
+        sub = tmp_path / f"p{i}"
+        part.write.mode("overwrite").parquet(str(sub))
+        (f,) = [x for x in os.listdir(sub) if x.endswith(".parquet")]
+        split.mkdir(exist_ok=True)
+        os.rename(str(sub / f), str(split / f"{i:03d}.parquet"))
+
+    db = str(tmp_path / "cal.db")
+
+    def cells(df):
+        s = quality_score("text")
+        y = (F.col("lang") == "en").cast("int")
+        b = F.least(F.floor(s * 10), F.lit(9)).cast("int")
+        return (
+            df.select(b.alias("bin"), s.alias("_s"), y.alias("_y"))
+            .groupBy("bin")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("_y").cast("bigint").alias("n_pos"),
+                F.sum("_s").alias("sum_s"),
+            )
+        )
+
+    def sink(batch_df, batch_id):
+        mode = "append" if table_exists(db, "cells") else "replace"
+        write_sql(cells(batch_df), db, table="cells", if_exists=mode)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(split))
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    log = read_sql(spark, db, table="cells")
+    # >= 2 bins saw rows in >= 2 batches (the merge is actually exercised)
+    assert log.groupBy("bin").count().filter("count >= 2").count() >= 2
+    merged = log.groupBy("bin").agg(
+        F.sum("n").alias("n"),
+        F.sum("n_pos").alias("n_pos"),
+        F.round(F.sum("sum_s"), 6).alias("ss"),
+    )
+    oneshot = cells(docs).select(
+        "bin", "n", "n_pos", F.round("sum_s", 6).alias("ss")
+    )
+    assert merged.exceptAll(oneshot).isEmpty()
+    assert oneshot.exceptAll(merged).isEmpty()
