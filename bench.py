@@ -279,6 +279,7 @@ HEADLINE = [
     "feature_quantile_normalize",
     "events_cliffs_delta",
     "stream_eval_calibration",
+    "dedup_cluster_sizes",
 ]
 
 

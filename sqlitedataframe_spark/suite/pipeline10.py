@@ -757,3 +757,73 @@ def events_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "view"),
         "value",
     )
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS t
+      FROM documents),
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+      WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.t, b.t))) >= 0.5),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node),
+    comp AS (
+      SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+    sizes AS (
+      SELECT component, COUNT(*) AS sz FROM comp GROUP BY 1)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS removable_dups
+    FROM sizes GROUP BY sz ORDER BY sz
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many near-dup clusters of
+    each size exist, the documents they hold, and the rows a
+    keep-one-per-cluster dedup would remove — the capacity-planning
+    readout BEFORE running the dedup (and the skew warning: one
+    mega-cluster means boilerplate, not true duplication).
+
+    Composition over operators.graph.connected_components (pointer-
+    jumped min-label, O(log diameter) rounds); the histogram itself is
+    two tiny aggregates over the labels frame.
+    """
+    from sqlitedataframe_spark.operators.graph import connected_components
+    from sqlitedataframe_spark.operators import text as XT
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(XT.tokens("text")).alias("t"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.t"), F.col("b.t")))
+    union = F.size(F.array_union(F.col("a.t"), F.col("b.t")))
+    edges = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(inter.cast("double") / union >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+    )
+    labels = connected_components(
+        edges, nodes=d.select("doc_id"), node_col="doc_id"
+    )
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            (F.sum("sz") - F.count(F.lit(1))).cast("bigint").alias(
+                "removable_dups"
+            ),
+        )
+        .orderBy("cluster_size")
+    )

@@ -310,3 +310,21 @@ def test_cliffs_delta_identical_zero(spark):
     a = spark.createDataFrame([(float(i),) for i in range(20)], "v double")
     b = spark.createDataFrame([(float(i),) for i in range(20)], "v double")
     assert cliffs_delta(a, b, "v").collect()[0]["cliffs_d"] == 0.0
+
+
+def test_cluster_sizes_conservation(spark, sf_dir):
+    """Histogram invariants on the fixture: docs are partitioned by the
+    clusters (sum n_docs = corpus size), singletons remove nothing, and
+    removable = docs - clusters in every row."""
+    from sqlitedataframe_spark.suite import load_all
+    from sqlitedataframe_spark.io import load_table
+
+    q = load_all()["dedup_cluster_sizes"].spark_fn
+    rows = q(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["removable_dups"] == r["n_docs"] - r["n_clusters"]
+    ones = [r for r in rows if r["cluster_size"] == 1]
+    assert ones and ones[0]["removable_dups"] == 0
