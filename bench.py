@@ -280,6 +280,7 @@ HEADLINE = [
     "events_cliffs_delta",
     "stream_eval_calibration",
     "dedup_cluster_sizes",
+    "profile_k_anonymity",
 ]
 
 

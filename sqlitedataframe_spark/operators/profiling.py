@@ -1524,3 +1524,47 @@ def cliffs_delta(
         F.sum("_ca").cast("bigint").alias("n_a"),
         F.max("_nb").cast("bigint").alias("n_b"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k_threshold: int = 5,
+) -> DataFrame:
+    """Privacy-release audit: treat ``quasi_cols`` as the
+    quasi-identifier, measure each equivalence class's size k, and
+    report the re-identification surface — min k, the class-size
+    histogram in release-review bands (k = 1 unique, 2-4 small,
+    5-19, 20+), and the fraction of ROWS living under ``k_threshold``
+    (the share a k-anonymous release would have to suppress or
+    generalize).
+
+    Plan shape at 100 TB: ONE quasi-identifier-keyed count aggregate
+    collapses the data (map-side partials); the banding and the 1-row
+    summary are arithmetic over class counts. The histogram's bands are
+    fixed so the output stays 1 row regardless of class count.
+    """
+    counts = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    band_1 = F.sum((F.col("_k") == 1).cast("long"))
+    band_2_4 = F.sum(((F.col("_k") >= 2) & (F.col("_k") <= 4)).cast("long"))
+    band_5_19 = F.sum(
+        ((F.col("_k") >= 5) & (F.col("_k") <= 19)).cast("long")
+    )
+    band_20p = F.sum((F.col("_k") >= 20).cast("long"))
+    rows_below = F.sum(
+        F.when(F.col("_k") < k_threshold, F.col("_k")).otherwise(0)
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("_k").cast("bigint").alias("n_rows"),
+        F.min("_k").cast("bigint").alias("min_k"),
+        band_1.cast("bigint").alias("classes_k1"),
+        band_2_4.cast("bigint").alias("classes_k2_4"),
+        band_5_19.cast("bigint").alias("classes_k5_19"),
+        band_20p.cast("bigint").alias("classes_k20_plus"),
+        F.round(rows_below / F.sum("_k") + 1e-9, 6).alias(
+            "frac_rows_below_k"
+        ),
+    )

@@ -827,3 +827,54 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "profile_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT c.c_nationkey AS nat,
+             EXTRACT(year FROM o.o_orderdate) AS yr,
+             o.o_orderpriority AS pri,
+             COUNT(*) AS k
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_k1,
+           CAST(SUM(CASE WHEN k BETWEEN 2 AND 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS classes_k2_4,
+           CAST(SUM(CASE WHEN k BETWEEN 5 AND 19 THEN 1 ELSE 0 END)
+                AS BIGINT) AS classes_k5_19,
+           CAST(SUM(CASE WHEN k >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_k20_plus,
+           ROUND(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 1.0 / SUM(k)
+                 + 1e-9, 6) AS frac_rows_below_k
+    FROM qi
+    """,
+)
+def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of orders under the (nation, order year,
+    priority) quasi-identifier: equivalence-class size distribution,
+    min k, and the row share a k=5 release would have to suppress —
+    the privacy-review pre-flight for sharing transactional extracts.
+
+    operators.profiling.k_anonymity_audit: one QI-keyed count
+    aggregate collapses the fact table (the customer join shuffles on
+    the key it already groups by); the bands are arithmetic.
+    """
+    from sqlitedataframe_spark.operators.profiling import k_anonymity_audit
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    j = o.join(
+        c.select("c_custkey", "c_nationkey"),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        F.col("c_nationkey").alias("nat"),
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    return k_anonymity_audit(j, ["nat", "yr", "pri"], k_threshold=5)

@@ -328,3 +328,31 @@ def test_cluster_sizes_conservation(spark, sf_dir):
         assert r["removable_dups"] == r["n_docs"] - r["n_clusters"]
     ones = [r for r in rows if r["cluster_size"] == 1]
     assert ones and ones[0]["removable_dups"] == 0
+
+
+def test_k_anonymity_hand_checked(spark):
+    """Classes: (a,1)x1, (a,2)x3, (b,1)x5, (b,2)x20 -> min_k 1, one
+    class per band, rows below k=5: 1 + 3 = 4 of 29."""
+    from sqlitedataframe_spark.operators.profiling import k_anonymity_audit
+
+    rows = (
+        [("a", 1)] + [("a", 2)] * 3 + [("b", 1)] * 5 + [("b", 2)] * 20
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    r = k_anonymity_audit(df, ["q1", "q2"], k_threshold=5).collect()[0]
+    assert r["n_classes"] == 4 and r["n_rows"] == 29
+    assert r["min_k"] == 1
+    assert (r["classes_k1"], r["classes_k2_4"], r["classes_k5_19"],
+            r["classes_k20_plus"]) == (1, 1, 1, 1)
+    assert abs(r["frac_rows_below_k"] - 4 / 29) < 1e-6
+
+
+def test_k_anonymity_fully_anonymous(spark):
+    from sqlitedataframe_spark.operators.profiling import k_anonymity_audit
+
+    df = spark.createDataFrame(
+        [("g", i % 2) for i in range(20)], "q1 string, q2 int"
+    )
+    r = k_anonymity_audit(df, ["q1", "q2"], k_threshold=5).collect()[0]
+    assert r["min_k"] == 10
+    assert r["frac_rows_below_k"] == 0.0
