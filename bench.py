@@ -281,6 +281,7 @@ HEADLINE = [
     "stream_eval_calibration",
     "dedup_cluster_sizes",
     "profile_k_anonymity",
+    "events_markov_backtest",
 ]
 
 

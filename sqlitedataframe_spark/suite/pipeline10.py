@@ -878,3 +878,91 @@ def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("pri"),
     )
     return k_anonymity_audit(j, ["nat", "yr", "pri"], k_threshold=5)
+
+
+@query(
+    "events_markov_backtest",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             event_type AS prev,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events),
+    tr AS (SELECT prev, nxt FROM seq
+           WHERE nxt IS NOT NULL AND user_id % 2 = 0),
+    te AS (SELECT prev, nxt FROM seq
+           WHERE nxt IS NOT NULL AND user_id % 2 = 1),
+    cnt AS (SELECT prev, nxt, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+    model AS (
+      SELECT prev, nxt AS pred FROM (
+        SELECT prev, nxt,
+               ROW_NUMBER() OVER (PARTITION BY prev
+                                  ORDER BY c DESC, nxt) AS rn
+        FROM cnt) WHERE rn = 1),
+    base AS (
+      SELECT nxt AS pred FROM (
+        SELECT nxt, COUNT(*) AS c FROM tr GROUP BY 1
+        ORDER BY c DESC, nxt LIMIT 1)),
+    scored AS (
+      SELECT te.nxt = m.pred AS hit, te.nxt = b.pred AS base_hit
+      FROM te JOIN model m USING (prev) CROSS JOIN base b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(AVG(CASE WHEN hit THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+             AS accuracy,
+           ROUND(AVG(CASE WHEN base_hit THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+             AS baseline_accuracy,
+           ROUND(AVG(CASE WHEN hit THEN 1.0 ELSE 0.0 END)
+                 / AVG(CASE WHEN base_hit THEN 1.0 ELSE 0.0 END)
+                 + 1e-9, 6) AS lift_over_majority
+    FROM scored
+    """,
+)
+def events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the first-order Markov next-event model: transition
+    argmax fit on even user_ids, top-1 accuracy scored on odd users,
+    against the predict-the-majority baseline — the honest "is the
+    transition structure real signal" readout on top of
+    events_markov_transitions.
+
+    Plan shape: ONE per-user ordered lead window feeds both splits;
+    the model is a |types|^2 count aggregate + a |types|-partitioned
+    rank window (bounded frame); scoring is a broadcast join of the
+    <= |types|-row model onto the test transitions.
+    """
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tr = seq.filter(F.col("user_id") % 2 == 0).select("prev", "nxt")
+    te = seq.filter(F.col("user_id") % 2 == 1).select("prev", "nxt")
+    cnt = tr.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    rw = Window.partitionBy("prev").orderBy(F.col("c").desc(), "nxt")
+    model = (
+        cnt.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("pred"))
+    )
+    base = (
+        tr.groupBy("nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "nxt")
+        .limit(1)
+        .select(F.col("nxt").alias("base_pred"))
+    )
+    scored = te.join(F.broadcast(model), "prev").join(F.broadcast(base))
+    hit = (F.col("nxt") == F.col("pred")).cast("double")
+    base_hit = (F.col("nxt") == F.col("base_pred")).cast("double")
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.round(F.avg(hit) + 1e-9, 6).alias("accuracy"),
+        F.round(F.avg(base_hit) + 1e-9, 6).alias("baseline_accuracy"),
+        F.round(F.avg(hit) / F.avg(base_hit) + 1e-9, 6).alias(
+            "lift_over_majority"
+        ),
+    )
