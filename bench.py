@@ -282,6 +282,7 @@ HEADLINE = [
     "dedup_cluster_sizes",
     "profile_k_anonymity",
     "events_markov_backtest",
+    "profile_l_diversity",
 ]
 
 

@@ -1568,3 +1568,40 @@ def k_anonymity_audit(
             "frac_rows_below_k"
         ),
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_threshold: int = 3,
+) -> DataFrame:
+    """l-diversity companion to ``k_anonymity_audit``: within each
+    quasi-identifier equivalence class, count DISTINCT sensitive
+    values (distinct l-diversity) — a class can be large (k-anonymous)
+    yet reveal the sensitive attribute outright when every member
+    shares one value. Reports min l, the class share below
+    ``l_threshold``, and the worst single-value dominance share
+    (the homogeneity-attack surface).
+
+    Plan shape: one (QI, sensitive) count aggregate, one QI-level
+    roll-up — both map-side partially combined; 1 row out.
+    """
+    cell = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col).alias("_s")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    per_class = cell.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("_l"),
+        F.sum("_n").alias("_k"),
+        F.max("_n").alias("_top"),
+    )
+    return per_class.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("_l").cast("bigint").alias("min_l"),
+        F.round(
+            F.avg((F.col("_l") < l_threshold).cast("double")) + 1e-9, 6
+        ).alias("frac_classes_below_l"),
+        F.round(F.max(F.col("_top") / F.col("_k")) + 1e-9, 6).alias(
+            "max_dominance"
+        ),
+    )

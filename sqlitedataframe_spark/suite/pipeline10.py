@@ -966,3 +966,49 @@ def events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift_over_majority"
         ),
     )
+
+
+@query(
+    "profile_l_diversity",
+    oracle="""
+    WITH cell AS (
+      SELECT c.c_nationkey AS nat,
+             EXTRACT(year FROM o.o_orderdate) AS yr,
+             c.c_mktsegment AS s,
+             COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3),
+    per AS (
+      SELECT nat, yr, COUNT(*) AS l, SUM(n) AS k, MAX(n) AS top
+      FROM cell GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           ROUND(AVG(CASE WHEN l < 3 THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+             AS frac_classes_below_l,
+           ROUND(MAX(top * 1.0 / k) + 1e-9, 6) AS max_dominance
+    FROM per
+    """,
+)
+def profile_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of orders under the (nation, order year)
+    quasi-identifier with market segment as the sensitive attribute:
+    a class can pass k-anonymity yet expose the segment when all its
+    members share one value — min l, the sub-threshold class share,
+    and the worst single-value dominance quantify that surface.
+
+    operators.profiling.l_diversity_audit: two stacked map-side
+    aggregates ((QI, sensitive) cells, then the QI roll-up); 1 row out.
+    """
+    from sqlitedataframe_spark.operators.profiling import l_diversity_audit
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    j = o.join(
+        c.select("c_custkey", "c_nationkey", "c_mktsegment"),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        F.col("c_nationkey").alias("nat"),
+        F.year("o_orderdate").alias("yr"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return l_diversity_audit(j, ["nat", "yr"], "seg", l_threshold=3)

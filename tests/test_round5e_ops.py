@@ -373,3 +373,27 @@ def test_markov_backtest_learns_planted_structure(spark, sf_dir):
     # baseline sit near 1/|types|; the backtest's job is the honest
     # readout, so only sanity-band the ratio
     assert 0.8 <= r["lift_over_majority"] <= 2.0
+
+
+def test_l_diversity_homogeneous_class_flagged(spark):
+    """Class (a): one sensitive value among 5 rows -> l=1, dominance 1;
+    class (b): 3 values evenly -> l=3. min_l=1, half below l=3."""
+    from sqlitedataframe_spark.operators.profiling import l_diversity_audit
+
+    rows = [("a", "x")] * 5 + [("b", "x"), ("b", "y"), ("b", "z")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = l_diversity_audit(df, ["q"], "s", l_threshold=3).collect()[0]
+    assert r["n_classes"] == 2
+    assert r["min_l"] == 1
+    assert r["frac_classes_below_l"] == 0.5
+    assert r["max_dominance"] == 1.0
+
+
+def test_l_diversity_all_diverse(spark):
+    from sqlitedataframe_spark.operators.profiling import l_diversity_audit
+
+    rows = [("g", s) for s in "abc" for _ in range(2)]
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = l_diversity_audit(df, ["q"], "s", l_threshold=3).collect()[0]
+    assert r["min_l"] == 3 and r["frac_classes_below_l"] == 0.0
+    assert abs(r["max_dominance"] - 1 / 3) < 1e-6  # 6-dp rounded output
