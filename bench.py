@@ -283,6 +283,7 @@ HEADLINE = [
     "profile_k_anonymity",
     "events_markov_backtest",
     "profile_l_diversity",
+    "profile_t_closeness",
 ]
 
 

@@ -1605,3 +1605,55 @@ def l_diversity_audit(
             "max_dominance"
         ),
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_threshold: float = 0.2,
+) -> DataFrame:
+    """t-closeness companion to the k-anonymity / l-diversity audits:
+    for each quasi-identifier class, the variational distance
+    ``t = 0.5 * sum_s |p_class(s) - p_global(s)|`` between the class's
+    sensitive-value distribution and the global one — l-diversity can
+    pass while a class's distribution still leaks (90/10 where the
+    population is 50/50). Reports the worst class t and the class
+    share above ``t_threshold``.
+
+    Plan shape: one (QI, sensitive) cell aggregate; the global
+    distribution is a |sensitive|-row aggregate broadcast onto the
+    DENSE class x sensitive spine (classes missing a value contribute
+    |0 - p_global|), then a QI roll-up — everything past the first
+    aggregate is arithmetic on bounded frames.
+    """
+    cell = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col).alias("_s")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    qi = [f"_q{i}" for i in range(len(quasi_cols))]
+    cell = cell.select(
+        *[F.col(c).alias(a) for c, a in zip(quasi_cols, qi)], "_s", "_n"
+    )
+    glob = cell.groupBy("_s").agg(F.sum("_n").alias("_gn"))
+    tot = cell.agg(F.sum("_n").alias("_tot"))
+    classes = cell.groupBy(*qi).agg(F.sum("_n").alias("_k"))
+    spine = classes.crossJoin(F.broadcast(glob)).join(F.broadcast(tot))
+    dense = spine.join(cell, qi + ["_s"], "left").select(
+        *qi,
+        "_k",
+        (F.coalesce("_n", F.lit(0)) / F.col("_k")).alias("_p"),
+        (F.col("_gn") / F.col("_tot")).alias("_pg"),
+    )
+    per_class = dense.groupBy(*qi, "_k").agg(
+        (0.5 * F.sum(F.abs(F.col("_p") - F.col("_pg")))).alias("_t")
+    )
+    return per_class.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.round(F.max("_t") + 1e-9, 6).alias("max_t"),
+        F.round(
+            F.sum(F.col("_k") * F.col("_t")) / F.sum("_k") + 1e-9, 6
+        ).alias("row_weighted_avg_t"),
+        F.round(
+            F.avg((F.col("_t") > t_threshold).cast("double")) + 1e-9, 6
+        ).alias("frac_classes_above_t"),
+    )

@@ -1012,3 +1012,64 @@ def profile_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
     )
     return l_diversity_audit(j, ["nat", "yr"], "seg", l_threshold=3)
+
+
+@query(
+    "profile_t_closeness",
+    oracle="""
+    WITH cell AS (
+      SELECT c.c_nationkey AS nat,
+             EXTRACT(year FROM o.o_orderdate) AS yr,
+             c.c_mktsegment AS s,
+             COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3),
+    gd AS (SELECT s, SUM(n) AS gn FROM cell GROUP BY 1),
+    tot AS (SELECT SUM(n) AS t FROM cell),
+    cls AS (SELECT nat, yr, SUM(n) AS k FROM cell GROUP BY 1, 2),
+    spine AS (
+      SELECT cls.nat, cls.yr, cls.k, gd.s, gd.gn, tot.t
+      FROM cls CROSS JOIN gd CROSS JOIN tot),
+    dense AS (
+      SELECT sp.nat, sp.yr, sp.k,
+             COALESCE(cell.n, 0) * 1.0 / sp.k AS p,
+             sp.gn * 1.0 / sp.t AS pg
+      FROM spine sp
+      LEFT JOIN cell ON cell.nat = sp.nat AND cell.yr = sp.yr
+                    AND cell.s = sp.s),
+    per AS (
+      SELECT nat, yr, k, 0.5 * SUM(ABS(p - pg)) AS tv
+      FROM dense GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           ROUND(MAX(tv) + 1e-9, 6) AS max_t,
+           ROUND(SUM(k * tv) / SUM(k) + 1e-9, 6) AS row_weighted_avg_t,
+           ROUND(AVG(CASE WHEN tv > 0.2 THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+             AS frac_classes_above_t
+    FROM per
+    """,
+)
+def profile_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of orders under the (nation, order year)
+    quasi-identifier with market segment sensitive: the variational
+    distance between each class's segment distribution and the global
+    one — the leak l-diversity misses when a class is skewed rather
+    than homogeneous. Completes the k-anonymity / l-diversity /
+    t-closeness release-review triad.
+
+    operators.profiling.t_closeness_audit: one (QI, sensitive) cell
+    aggregate; the dense class x segment spine (bounded: classes x 5)
+    joins the broadcast global distribution; roll-ups are arithmetic.
+    """
+    from sqlitedataframe_spark.operators.profiling import t_closeness_audit
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    j = o.join(
+        c.select("c_custkey", "c_nationkey", "c_mktsegment"),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        F.col("c_nationkey").alias("nat"),
+        F.year("o_orderdate").alias("yr"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return t_closeness_audit(j, ["nat", "yr"], "seg", t_threshold=0.2)

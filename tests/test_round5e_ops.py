@@ -397,3 +397,28 @@ def test_l_diversity_all_diverse(spark):
     r = l_diversity_audit(df, ["q"], "s", l_threshold=3).collect()[0]
     assert r["min_l"] == 3 and r["frac_classes_below_l"] == 0.0
     assert abs(r["max_dominance"] - 1 / 3) < 1e-6  # 6-dp rounded output
+
+
+def test_t_closeness_skewed_class_flagged(spark):
+    """Global sensitive split 50/50; class (a) is 100/0 -> t = 0.5;
+    class (b) mirrors it 0/100 -> also 0.5. Both over t=0.2."""
+    from sqlitedataframe_spark.operators.profiling import t_closeness_audit
+
+    rows = [("a", "x")] * 4 + [("b", "y")] * 4
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = t_closeness_audit(df, ["q"], "s", t_threshold=0.2).collect()[0]
+    assert r["n_classes"] == 2
+    assert abs(r["max_t"] - 0.5) < 1e-6
+    assert r["frac_classes_above_t"] == 1.0
+
+
+def test_t_closeness_matching_distributions_zero(spark):
+    """Every class mirrors the global distribution exactly -> t = 0."""
+    from sqlitedataframe_spark.operators.profiling import t_closeness_audit
+
+    rows = [(q, s) for q in ("a", "b") for s in ("x", "x", "y")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = t_closeness_audit(df, ["q"], "s", t_threshold=0.2).collect()[0]
+    assert r["max_t"] == 0.0
+    assert r["frac_classes_above_t"] == 0.0
+    assert r["row_weighted_avg_t"] == 0.0
