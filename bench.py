@@ -284,6 +284,7 @@ HEADLINE = [
     "events_markov_backtest",
     "profile_l_diversity",
     "profile_t_closeness",
+    "dedup_lsh_recall",
 ]
 
 

@@ -1073,3 +1073,125 @@ def profile_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
     )
     return t_closeness_audit(j, ["nat", "yr"], "seg", t_threshold=0.2)
+
+
+def _lsh_recall_oracle() -> str:
+    from sqlitedataframe_spark.suite.pipeline import _MH_SEEDS
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    sh AS (SELECT doc_id, list_distinct(t) AS sh FROM t),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+    hs AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h
+      FROM sh, UNNEST(sh) AS u(s)
+      WHERE len(sh) > 0),
+    seeds(i, a, b) AS (VALUES {_MH_SEEDS}),
+    sig AS (
+      SELECT doc_id, i, MIN((a * h + b) % 2305843009213693951) AS mh
+      FROM hs CROSS JOIN seeds GROUP BY doc_id, i),
+    banded AS (
+      SELECT doc_id, i // 4 AS band,
+             CAST('0x' || substr(md5(string_agg(CAST(mh AS VARCHAR), ','
+                                 ORDER BY i)), 1, 15) AS BIGINT) AS bucket
+      FROM sig GROUP BY doc_id, i // 4),
+    live AS (
+      SELECT * FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 10000),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM live a JOIN live b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0 AS ej
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      GROUP BY c.id_a, c.id_b),
+    found AS (
+      SELECT id_a, id_b FROM est
+      WHERE ej >= 0.3 AND id_b = id_a + 1),
+    hit AS (
+      SELECT truth.id_a FROM truth JOIN found USING (id_a, id_b))
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found_adj,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+           ROUND((SELECT COUNT(*) FROM hit) * 1.0
+                 / NULLIF((SELECT COUNT(*) FROM truth), 0) + 1e-9, 6)
+             AS recall,
+           ROUND((SELECT COUNT(*) FROM hit) * 1.0
+                 / NULLIF((SELECT COUNT(*) FROM found), 0) + 1e-9, 6)
+             AS precision
+    """
+
+
+@query("dedup_lsh_recall", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall / precision of token-level MinHash LSH (shingle_k=1 —
+    the variant matched to this corpus's permutation-style duplicates)
+    against exact token-Jaccard >= 0.5 ground truth on the adjacent-id
+    pair spine where the fixture plants its dups: the quality-vs-cost
+    dial of the banded candidate path measured, not assumed — the
+    dedup twin of sim_ann_recall.
+
+    Plan shape: truth is the linear adjacent-pair join;
+    operators.dedup.minhash_lsh_pairs supplies the candidate side
+    (scan-side signatures, slim banded join); the compare is set
+    arithmetic over two tiny pair frames. NULLIF guards keep the
+    ratios NULL (not a crash) on a dup-free corpus.
+    """
+    from sqlitedataframe_spark.operators import dedup as DD
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+        .alias("sh")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    truth = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(inter.cast("double") / union >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    found = (
+        DD.minhash_lsh_pairs(d, shingle_k=1, min_jaccard=0.3)
+        .filter(F.col("id_b") == F.col("id_a") + 1)
+        .select("id_a", "id_b")
+    )
+    hit = truth.join(found, ["id_a", "id_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nf = found.agg(F.count(F.lit(1)).alias("n_found_adj"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.join(F.broadcast(nf))
+        .join(F.broadcast(nh))
+        .select(
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("n_found_adj").cast("bigint").alias("n_found_adj"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(
+                F.col("n_hit")
+                / F.nullif(F.col("n_truth"), F.lit(0))
+                + 1e-9,
+                6,
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit")
+                / F.nullif(F.col("n_found_adj"), F.lit(0))
+                + 1e-9,
+                6,
+            ).alias("precision"),
+        )
+    )

@@ -422,3 +422,17 @@ def test_t_closeness_matching_distributions_zero(spark):
     assert r["max_t"] == 0.0
     assert r["frac_classes_above_t"] == 0.0
     assert r["row_weighted_avg_t"] == 0.0
+
+
+def test_lsh_recall_meaningful_on_fixture(spark, sf_dir):
+    """The fixture plants token-permutation duplicates: the truth set
+    must be non-empty and banded LSH at est >= 0.3 must recover a
+    substantial share (64-hash/16-band theory puts s=0.5 capture high)."""
+    from sqlitedataframe_spark.suite import load_all
+
+    q = load_all()["dedup_lsh_recall"].spark_fn
+    r = q(spark, sf_dir).collect()[0]
+    assert r["n_truth"] > 0
+    assert r["n_hit"] <= min(r["n_truth"], r["n_found_adj"])
+    assert r["recall"] is not None and r["recall"] > 0.5
+    assert r["precision"] is not None and r["precision"] > 0.5
