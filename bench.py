@@ -285,6 +285,7 @@ HEADLINE = [
     "profile_l_diversity",
     "profile_t_closeness",
     "dedup_lsh_recall",
+    "eval_average_precision",
 ]
 
 

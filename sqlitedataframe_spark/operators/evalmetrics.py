@@ -517,3 +517,83 @@ def conformal_threshold(
             6,
         ).alias("coverage"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_dp: int = 6,
+    coarse_buckets: int = 64,
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    tie-grouped): descending through distinct score values,
+    ``AP = sum_s (pos(s) / P) * precision_at(s)`` with
+    ``precision_at(s) = cumPos(>= s) / cumAll(>= s)`` — the metric that
+    stays honest under heavy class imbalance where ROC AUC flatters
+    (the PR baseline is the positive rate, not 0.5).
+
+    Same two-level distributed prefix sum as ``auc_roc`` (scores in
+    [0, 1]); the >= cumulatives come from the totals minus the
+    strictly-below prefix, so no descending pass is needed."""
+    g = _bucket_counts(df, score_col, label_col, round_dp)
+    bkt = F.least(
+        F.floor(F.col("_s") * coarse_buckets), F.lit(coarse_buckets - 1)
+    ).cast("int")
+    b = g.withColumn("_bkt", bkt).withColumn(
+        "_all", F.col("_pos") + F.col("_neg")
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("_cum_pos", F.sum("_pos").over(w)).withColumn(
+        "_cum_all", F.sum("_all").over(w)
+    )
+    btot = b.groupBy("_bkt").agg(
+        F.sum("_pos").alias("_bp"), F.sum("_all").alias("_ba")
+    )
+    lo = btot.select(
+        F.col("_bkt").alias("_blo"),
+        F.col("_bp").alias("_bplo"),
+        F.col("_ba").alias("_balo"),
+    )
+    offsets = (
+        btot.join(F.broadcast(lo), F.col("_blo") < F.col("_bkt"), "left")
+        .groupBy("_bkt")
+        .agg(
+            F.coalesce(F.sum("_bplo"), F.lit(0)).alias("_offp"),
+            F.coalesce(F.sum("_balo"), F.lit(0)).alias("_offa"),
+        )
+    )
+    tot = g.agg(
+        F.sum("_pos").alias("_P"),
+        (F.sum("_pos") + F.sum("_neg")).alias("_T"),
+    )
+    terms = (
+        local.join(F.broadcast(offsets), "_bkt")
+        .join(F.broadcast(tot))
+        .select(
+            "_pos",
+            "_P",
+            # >= s cumulatives: total minus the STRICTLY-below prefix
+            (F.col("_P") - (F.col("_offp") + F.col("_cum_pos") - F.col("_pos")))
+            .alias("_ge_pos"),
+            (F.col("_T") - (F.col("_offa") + F.col("_cum_all") - F.col("_all")))
+            .alias("_ge_all"),
+        )
+    )
+    return terms.agg(
+        F.round(
+            F.sum(
+                F.col("_pos")
+                * (F.col("_ge_pos") / F.col("_ge_all"))
+            )
+            / F.max("_P")
+            + 1e-9,
+            6,
+        ).alias("average_precision"),
+        F.max("_P").cast("bigint").alias("n_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+    )

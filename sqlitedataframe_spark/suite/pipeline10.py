@@ -1195,3 +1195,34 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+@query(
+    "eval_average_precision",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    g AS (SELECT s, SUM(y) AS pos, COUNT(*) AS n FROM scored GROUP BY s),
+    c AS (
+      SELECT s, pos,
+             SUM(pos) OVER (ORDER BY s DESC) AS ge_pos,
+             SUM(n) OVER (ORDER BY s DESC) AS ge_all
+      FROM g),
+    tot AS (SELECT SUM(pos) AS p FROM g)
+    SELECT ROUND(SUM(pos * (ge_pos * 1.0 / ge_all)) / MAX(p) + 1e-9, 6)
+             AS average_precision,
+           CAST(MAX(p) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_scores
+    FROM c, tot
+    """,
+)
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (PR-AUC, tie-grouped) of the quality
+    score as an English classifier — the imbalance-honest companion to
+    eval_auc_quality_lang (the PR baseline is the positive rate, not
+    0.5).
+
+    operators.evalmetrics.average_precision: same two-level prefix sum
+    as the AUC — the >= cumulatives are totals minus the strictly-below
+    prefix, so no descending global sort exists anywhere.
+    """
+    return E.average_precision(_scored(spark, sf_dir), "s", "y")

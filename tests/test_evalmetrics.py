@@ -181,3 +181,29 @@ def test_conformal_threshold_alpha_half(spark):
     r = E.conformal_threshold(cal, tst, "a", alpha=0.5).collect()[0]
     assert r["q_hat"] == 0.6
     assert r["coverage"] == 0.5
+
+
+def test_average_precision_hand_checked(spark):
+    """Ranked (.9,+) (.8,-) (.7,+) (.6,-): AP = (1 + 2/3)/2 = 5/6."""
+    df = _df(spark, [(0.9, 1), (0.8, 0), (0.7, 1), (0.6, 0)])
+    r = E.average_precision(df, "s", "y").collect()[0]
+    assert abs(r["average_precision"] - 5 / 6) < 1e-6
+    assert r["n_pos"] == 2 and r["n_scores"] == 4
+
+
+def test_average_precision_extremes(spark):
+    perfect = _df(spark, [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)])
+    assert (
+        E.average_precision(perfect, "s", "y").collect()[0][
+            "average_precision"
+        ]
+        == 1.0
+    )
+    # one tie group: AP = precision at the single cut = P / N
+    tied = _df(spark, [(0.5, 1), (0.5, 0), (0.5, 0), (0.5, 0)])
+    assert (
+        E.average_precision(tied, "s", "y").collect()[0][
+            "average_precision"
+        ]
+        == 0.25
+    )
