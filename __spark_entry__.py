@@ -51,6 +51,14 @@ def _ordered_names() -> list[str]:
                         for k in ("rows_match", "schema_match", "hash_match")
                     ):
                         seen.add(name)
+                    elif (
+                        row.get("err") == "no_oracle"
+                        and (row.get("spark_rows") or 0) > 0
+                    ):
+                        # By-nature rows-only queries (e.g. agg_approx) can
+                        # never hash-match; a recorded rows-only row IS their
+                        # passing entry — don't re-front them forever.
+                        seen.add(name)
         except (OSError, ValueError):
             continue
     names = list(reg.keys())

@@ -552,8 +552,10 @@ def benford_digits(
     shuffle wider than 9 rows, no window. Expected frequencies
     ``log10(1 + 1/d)`` are literals; the chi-square contribution
     ``(obs - exp)^2 / exp`` (on proportions, scaled by n) is arithmetic
-    on the tiny grid. Rows where the value is null or <= 0 are excluded
-    scan-side (Benford applies to positive magnitudes).
+    on the tiny grid. Rows where the value is null or < 1 are excluded
+    scan-side (the filter is ``v >= 1``: sub-1 magnitudes are dropped by
+    design so the first digit is just the leading integer digit, no
+    log10 rescaling of fractions).
     """
     v = F.col(value_col)
     digit = F.substring(F.floor(v).cast("bigint").cast("string"), 1, 1).cast("int")

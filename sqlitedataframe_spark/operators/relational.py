@@ -473,6 +473,12 @@ def cohort_matrix(
     a final small aggregate on (cohort, offset) — |periods|^2 output
     rows. No windows, no self-join of the raw events.
     """
+    if period not in ("week", "day"):
+        raise ValueError(
+            f"cohort_matrix: period must be 'week' or 'day', got {period!r} "
+            "(calendar months have no fixed day step; use date_trunc + a "
+            "months_between offset variant instead)"
+        )
     per = F.date_trunc(period, F.col(ts_col)).cast("date")
     active = events.select(
         F.col(user_col).alias("_u"), per.alias("_p")

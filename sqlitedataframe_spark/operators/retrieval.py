@@ -38,6 +38,8 @@ def rrf_fuse(
     retriever's own top-n), then one tiny groupBy on the id fuses. No
     global window, no join of the corpora.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
     tagged = None
     for i, r in enumerate(rankings):
         t = r.select(
@@ -131,7 +133,7 @@ def mmr_rerank(
         selected.append((step, best[1], rel[best[1]], best[0]))
         chosen.add(best[1])
     spark = cand.sparkSession
-    id_type = cand.schema[0].dataType.simpleString()
+    id_type = cand.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         selected, f"rank int, {id_col} {id_type}, {rel_col} double, mmr double"
     ).orderBy("rank")

@@ -540,7 +540,7 @@ def stream_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch), appended through the foreachBatch SQLite sink; the final
     reliability table merges the cell log by bin-sum. Counts and sums
     are exactly mergeable, so the incremental table must equal the
-    one-shot batch计算 — the countmin/HLL continuous-rollup pattern
+    one-shot batch computation — the countmin/HLL continuous-rollup pattern
     applied to model evaluation.
     """
     import os as _os
