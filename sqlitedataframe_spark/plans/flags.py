@@ -1,0 +1,74 @@
+"""Structural allowlist for the whole-registry plan audit.
+
+``tools/plan_audit.py`` flags every query whose physical plan contains a
+nested-loop or cartesian join. Each flag in this map has been adjudicated
+benign (full prose in ``PLANS.md``): the non-equi side is a one-row or
+bounded-frame broadcast — scalar stats rows, quantile boundaries,
+<= 64-row prefix-sum offset frames, a <= 500-row rank spine — chosen
+*deliberately* over the single-partition global window the audit bans.
+
+The audit (and ``tests/test_plans.py``) asserts its flagged set is a
+SUBSET of this map: a new cartesian in an unrelated query fails CI
+instead of blending into prose. Adding a name here requires writing the
+reason string, i.e. doing the adjudication.
+"""
+
+from __future__ import annotations
+
+# query name -> why its nested-loop/cartesian flag is benign
+BENIGN_NESTED_LOOP: dict[str, str] = {
+    # --- scalar-subquery / capability demos -------------------------------
+    "join_cross_theta": "intentional cross/theta-join capability demo (tiny inputs)",
+    "subquery_scalar": "scalar subquery = 1-row broadcast cross",
+    "q11_important_parts": "scalar HAVING threshold = 1-row broadcast cross",
+    "q22_sales_opportunity": "scalar avg-balance subquery = 1-row broadcast cross",
+    # --- 1-row grand-total / stats-row broadcasts -------------------------
+    "basket_lift_rules": "1-row basket grand total broadcast onto the rule grid",
+    "corpus_mixture": "1-row corpus token grand total broadcast",
+    "mixture_token_budget": "1-row corpus token grand total broadcast",
+    "sample_temperature_mix": "1-row token grand total broadcast (mixture family)",
+    "sample_negative_table": "1-row positive/negative totals broadcast",
+    "sample_dsir_importance": "bucket-LM grand-total rows broadcast onto buckets",
+    "sample_curriculum_buckets": "1-row quantile-boundaries aggregate broadcast",
+    "text_bigram_lm": "1-row vocabulary count broadcast (add-k smoothing)",
+    "text_bm25_topk": "1-row (N, avgdl) corpus stats broadcast",
+    "text_cosine_pairs": "1-row corpus-size broadcast for idf",
+    "text_tfidf_topk": "1-row corpus-size broadcast for idf",
+    "text_feature_hashing": "1-row corpus-size broadcast",
+    "text_pmi_collocations": "1-row corpus token total broadcast",
+    "text_source_kl": "1-row global token total broadcast",
+    "text_vocab_coverage": "top-100 vocabulary array in a single broadcast row",
+    "profile_benford": "1-row digit grand total broadcast over the 9-digit grid",
+    "graph_degree_stats": "1-row total/alpha moments broadcast",
+    "graph_triangles": "cross of two 1-row aggregates (edge count x triangle count)",
+    "feature_quantile_bins": "1-row bin-boundaries aggregate cross",
+    "feature_target_encode": "1-row global prior broadcast",
+    "feature_woe_iv": "quantile boundaries + 1-row pos/neg totals broadcast",
+    "events_chi_square": "1-row grand total broadcast over the contingency grid",
+    "orders_rfm_segments": "1-row anchor-date + quantile-boundary broadcasts",
+    "orders_interarrival_stats": "1-row customer-count denominator broadcast",
+    "retrieval_rrf_hybrid": "1-row BM25 stats + 1-row query vector broadcasts",
+    "retrieval_ndcg_eval": "1-row DCG/IDCG crosses + k*k (=100) rank self-join",
+    "sim_bruteforce_topk": "broadcast of the single query vector",
+    "sim_ann_recall": "broadcast of the 8 evaluation query vectors",
+    "eval_cohen_kappa": "1-row observed-vs-expected agreement cross",
+    "eval_pr_sweep": "1-row P/N totals; threshold expansion over score-bucket frame",
+    "eval_ks_separation": "2-row class-tag spine cross",
+    "events_ks_drift": "2-row snapshot-tag spine cross",
+    # --- bounded-frame self-joins replacing a banned global window --------
+    "rowid_surrogate": "#partitions-row zipWithIndex offset frame",
+    "rowid_fact_scale": "#partitions-row zipWithIndex offset frame",
+    "part_pareto_classes": "<=64-row bucket-offset join (two-level prefix sum)",
+    "eval_auc_quality_lang": "<=64-row coarse-bucket offset join (prefix sum)",
+    "eval_conformal_threshold": "1-row q_hat/n_cal + <=64-row bucket offset join",
+    "eval_gains_deciles": "<=16-row triangular decile cumulative",
+    "events_cliffs_delta": "<=64-row coarse-bucket offset join (prefix sum)",
+    "events_ab_fdr": "tests-sized (~5-row) BH rank self-join + 1-row m/k* rows",
+    "events_ewma_daily": "#days-bounded triangular self-join (days^2/2 pairs)",
+    "events_survival_km": "~30-row triangular product-limit joins + 1-row horizon",
+    "events_minhash_audience": "inequality join over the tens-of-rows sketch table",
+    "orders_seasonal_decompose": "#months-bounded moving-average self-join",
+    "orders_theil_sen_trend": "months^2/2 slope pairs (~700 rows) + 1-row count",
+    "text_zipf_fit": "<=500-row count-of-better rank self-join",
+    "text_heaps_fit": "1-row OLS moments + <=16-row triangular cumulative",
+}

@@ -339,3 +339,27 @@ def test_cooccurrence_single_group_exchange_reused(spark, sf_dir):
     )
     assert group_exchanges == 1, final
     assert "ReusedExchange" in final, final
+
+
+def test_audit_flags_all_adjudicated():
+    """VERDICT r5 #6: the whole-registry audit's flagged set must be a
+    subset of the in-repo allowlist (plans/flags.py), each entry carrying
+    a reason string — so a NEW cartesian/row-UDF in an unrelated query
+    fails CI instead of blending into the PLANS.md prose. Also checks the
+    allowlist carries no stale names the registry no longer has."""
+    import json
+    import os
+
+    from sqlitedataframe_spark.plans.flags import BENIGN_NESTED_LOOP
+    from sqlitedataframe_spark.suite import load_all
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "PLANS_AUDIT.json")
+    audit = json.load(open(art))
+    flagged = set(audit["flagged_nested_loop_or_row_udf"])
+    unadjudicated = sorted(flagged - set(BENIGN_NESTED_LOOP))
+    assert not unadjudicated, f"flags without an allowlist reason: {unadjudicated}"
+    names = set(load_all().keys())
+    stale = sorted(set(BENIGN_NESTED_LOOP) - names)
+    assert not stale, f"allowlist names not in the registry: {stale}"
+    assert all(isinstance(v, str) and v for v in BENIGN_NESTED_LOOP.values())

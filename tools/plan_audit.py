@@ -105,6 +105,14 @@ def main() -> None:
             "flagged": flagged,
             "detail": "PLANS_AUDIT.json",
         }))
+    # structural gate: every flag must carry an adjudication reason in the
+    # in-repo allowlist — a NEW cartesian/row-UDF fails loudly, not in prose
+    from sqlitedataframe_spark.plans.flags import BENIGN_NESTED_LOOP
+
+    unadjudicated = sorted(set(flagged) - set(BENIGN_NESTED_LOOP))
+    if unadjudicated:
+        print(f"UNADJUDICATED FLAGS: {unadjudicated}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
