@@ -413,3 +413,97 @@ def stream_incremental_dedup(
         .awaitTermination()
     )
     return spark.read.option("basePath", out).parquet(out).drop("batch_id")
+
+
+def stream_late_data_drop(
+    spark: SparkSession, sf_dir: str, delay: str = "1 hour"
+) -> DataFrame:
+    """Watermark-driven LATE-ROW EXCLUSION, proven against a batch replay.
+
+    The other streaming queries prove incremental-equals-batch on in-order
+    input; this one proves the *other* defining watermark property — rows
+    arriving after the watermark passed their window are dropped, not
+    aggregated. Events are split at the midpoint epoch second into an
+    ON-TIME file (the later half, carrying the global max timestamp) and a
+    LATE file (the earlier half), staged as single-file micro-batches
+    (``maxFilesPerTrigger=1``; the file source orders by modification time,
+    which the stager pins). Batch 0 aggregates the on-time half under the
+    initial watermark; once it commits, the watermark advances to
+    ``max(ts) - delay``, so EVERY late-file row — weeks older — is behind
+    it and must be excluded. Append mode then emits exactly the finalized
+    windows (window end <= watermark).
+
+    An EMPTY bridge file sits between the two: Spark filters late events
+    with the PREVIOUS batch's watermark and uses the advanced one only
+    for eviction (measured on 4.1.2 — the late half fed directly as
+    batch 1 is filtered with the initial watermark, aggregated, and
+    wrongly re-emitted). With the bridge the late half arrives as
+    batch 2, whose late-event filter watermark is fully advanced under
+    either the documented one-batch or the observed two-batch lag, so
+    the proof doesn't hinge on that implementation detail.
+
+    The DuckDB oracle replays that contract as a batch filter: on-time rows
+    only, windows with ``end <= max_epoch - delay`` only. If Spark failed
+    to drop (or dropped at the wrong boundary), the late half's counts
+    would resurface as duplicate or extra window rows and the hash compare
+    would fail.
+
+    Scale shape: one pass to stage (a real pipeline reads an existing
+    directory — staging exists only because the fixture is a single file),
+    then a watermarked windowed aggregation whose state is bounded by
+    ``delay`` regardless of stream length. The only collect is the 1-row
+    min/max epoch bound.
+    """
+    ev = load_events_batch(spark, sf_dir).select(
+        "ts", "value", F.unix_timestamp("ts").alias("_e")
+    )
+    lo, hi = ev.agg(F.min("_e"), F.max("_e")).first()
+    split_e = (int(lo) + int(hi)) // 2
+
+    key = hashlib.sha1(
+        f"latedrop2|{table_path(sf_dir, 'events')}".encode()
+    ).hexdigest()[:16]
+    stage = os.path.join(tempfile.gettempdir(), f"sdf_latedrop_{key}")
+    ontime_f = os.path.join(stage, "batch0_ontime.parquet")
+    bridge_f = os.path.join(stage, "batch1_bridge.parquet")
+    late_f = os.path.join(stage, "batch2_late.parquet")
+    if not all(os.path.isfile(p) for p in (ontime_f, bridge_f, late_f)):
+        import shutil
+
+        os.makedirs(stage, exist_ok=True)
+        for cond, dest in (
+            (F.col("_e") >= split_e, ontime_f),
+            (F.lit(False), bridge_f),
+            (F.col("_e") < split_e, late_f),
+        ):
+            tmp = dest + ".tmpdir"
+            ev.filter(cond).select("ts", "value").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(
+                p for p in os.listdir(tmp)
+                if p.startswith("part-") and p.endswith(".parquet")
+            )
+            os.replace(os.path.join(tmp, part), dest)
+            shutil.rmtree(tmp, ignore_errors=True)
+    # the file source processes oldest-mtime first: on-time, bridge, late
+    os.utime(ontime_f, (1_000_000_000, 1_000_000_000))
+    os.utime(bridge_f, (1_000_000_100, 1_000_000_100))
+    os.utime(late_f, (1_000_000_200, 1_000_000_200))
+
+    schema = spark.read.parquet(ontime_f).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    return run_available_now(agg, output_mode="append")

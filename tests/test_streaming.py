@@ -419,3 +419,24 @@ def test_stream_eval_calibration_multi_batch(spark, sf_dir, tmp_path):
     )
     assert merged.exceptAll(oneshot).isEmpty()
     assert oneshot.exceptAll(merged).isEmpty()
+
+
+def test_late_data_drop_excludes_late_half(spark, sf_dir):
+    """The late (earlier-half) rows must be absent: every emitted window
+    starts at/after the split point, and no window within the 1-hour
+    watermark delay of the stream max emits (append-mode finalization)."""
+    from pyspark.sql import functions as F
+
+    from sqlitedataframe_spark.streaming.core import (
+        load_events_batch,
+        stream_late_data_drop,
+    )
+
+    ev = load_events_batch(spark, sf_dir).select(F.unix_timestamp("ts").alias("e"))
+    lo, hi = ev.agg(F.min("e"), F.max("e")).first()
+    split_e = (int(lo) + int(hi)) // 2
+    out = stream_late_data_drop(spark, sf_dir)
+    starts = [int(r[0].timestamp()) for r in out.select("window_start").collect()]
+    assert starts, "no windows emitted"
+    assert min(starts) >= (split_e // 3600) * 3600
+    assert all(s + 7200 <= hi for s in starts)  # window end <= max - delay
