@@ -321,9 +321,42 @@ def _rewrite_glob(sql: str) -> str:
     return pat.sub(sub, sql)
 
 
+#: SQLite storage-class names Spark's type parser rejects or narrows →
+#: their Spark spelling. Found by the differential fuzz (r6): CAST(x AS
+#: TEXT) is everyday SQLite and parse-errored before this. INTEGER maps to
+#: BIGINT (SQLite integers are 64-bit; Spark's INTEGER is 32). NUMERIC has
+#: no dynamic Spark analogue — DOUBLE is the documented approximation
+#: (SQLite returns an int when the value is integral, Spark won't).
+_CAST_TYPE_MAP = {
+    "TEXT": "STRING",
+    "CLOB": "STRING",
+    "INTEGER": "BIGINT",
+    "INT": "BIGINT",
+    "REAL": "DOUBLE",
+    "BLOB": "BINARY",
+    "NUMERIC": "DOUBLE",
+}
+
+
+def _rewrite_cast_types(sql: str) -> str:
+    # only the `AS <type> )` tail of a CAST — a SELECT alias is never
+    # directly followed by ')', so aliases named e.g. `text` survive.
+    pat = re.compile(
+        r"\bAS\s+(" + "|".join(_CAST_TYPE_MAP) + r")\s*\)", re.IGNORECASE
+    )
+
+    def sub(m: re.Match) -> str:
+        if _in_string_literal(sql, m.start()):
+            return m.group(0)
+        return f"AS {_CAST_TYPE_MAP[m.group(1).upper()]})"
+
+    return pat.sub(sub, sql)
+
+
 def translate_sqlite_sql(statement: str) -> str:
     """SQLite-dialect SQL string → Spark SQL string."""
     sql = _rewrite_glob(statement)
+    sql = _rewrite_cast_types(sql)
     sql = _rewrite_call(sql, "julianday", _render_julianday)
     sql = _rewrite_call(sql, "unixepoch", _render_unixepoch)
     sql = _rewrite_call(sql, "strftime", _render_strftime)

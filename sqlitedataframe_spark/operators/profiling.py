@@ -1659,3 +1659,47 @@ def t_closeness_audit(
             F.avg((F.col("_t") > t_threshold).cast("double")) + 1e-9, 6
         ).alias("frac_classes_above_t"),
     )
+
+
+def anova_oneway(
+    df: DataFrame, group_col, value_col: str, round_dp: int = 4
+) -> DataFrame:
+    """One-way ANOVA over the groups of ``group_col`` (a column name or
+    Column expression): F statistic, degrees of freedom, and eta-squared
+    effect size — the "does the mean differ across buckets?" screen
+    (hour-of-day seasonality, source quality tiers, experiment arms with
+    k > 2 where the pairwise z-test doesn't apply).
+
+    Everything reduces to per-group (n, sum, sum of squares): SSB =
+    sum(S_h^2/n_h) - S^2/N, SSW = sum(Q_h - S_h^2/n_h), F =
+    (SSB/(k-1))/(SSW/(N-k)). One partially-combined aggregate to the
+    #groups frame, then a 1-row fold — the fact table is scanned once,
+    no windows.
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    per = (
+        df.select(g.alias("_g"), F.col(value_col).cast("double").alias("_v"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum("_v").alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).alias("_q"),
+        )
+    )
+    ssb_term = F.col("_s") * F.col("_s") / F.col("_n")
+    folded = per.agg(
+        F.count(F.lit(1)).cast("double").alias("_k"),
+        F.sum("_n").alias("_nn"),
+        F.sum("_s").alias("_ss"),
+        F.sum(ssb_term).alias("_sb"),
+        F.sum(F.col("_q") - ssb_term).alias("_ssw"),
+    )
+    ssb = F.col("_sb") - F.col("_ss") * F.col("_ss") / F.col("_nn")
+    df1 = F.col("_k") - 1
+    df2 = F.col("_nn") - F.col("_k")
+    return folded.select(
+        df1.cast("bigint").alias("df_between"),
+        df2.cast("bigint").alias("df_within"),
+        F.round((ssb / df1) / (F.col("_ssw") / df2), round_dp).alias("f_stat"),
+        F.round(ssb / (ssb + F.col("_ssw")), 6).alias("eta_squared"),
+    )

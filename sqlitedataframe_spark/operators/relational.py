@@ -699,3 +699,70 @@ def seasonal_decompose(
         )
         .orderBy("year", "month")
     )
+
+
+def level_shift_locate(
+    df: DataFrame, ts_col: str, round_dp: int = 4
+) -> DataFrame:
+    """LOCATE the single strongest level shift in the daily event-count
+    series via CUSUM: the day t* maximizing |sum_{s<=t}(n_s - mean)| —
+    the localization complement to profiling.changepoint_cusum (which
+    reports per-type shift magnitude but not the date). Returns one row: (change_date, cusum_abs, mean_before,
+    mean_after, n_days_before, n_days_after), segments split at t*
+    inclusive.
+
+    Exactness: the argmax runs on the INTEGER-scaled cusum
+    ``k*S_t = sum_{s<=t}(k*n_s - T)`` (k = #days, T = total events) — no
+    floating accumulation order can flip the location between engines;
+    the only doubles are three final single divisions, rounded.
+
+    Scale shape: one count aggregate to the #days frame, a 1-row totals
+    broadcast, a bounded triangular self-join over days (days^2/2 pairs
+    — the events_ewma_daily family, chosen over the audit-banned
+    date-ordered global window), and a days-sized TakeOrdered for the
+    argmax. The fact table is touched once.
+    """
+    daily = (
+        df.select(F.date_trunc("day", F.col(ts_col)).cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = daily.agg(
+        F.sum("n").cast("bigint").alias("t_total"),
+        F.count(F.lit(1)).cast("bigint").alias("k_days"),
+    )
+    dev = daily.join(F.broadcast(totals)).select(
+        "d", "n", "t_total", "k_days",
+        (F.col("k_days") * F.col("n") - F.col("t_total")).alias("dev_int"),
+    )
+    a = dev.select(F.col("d").alias("da"), F.col("dev_int").alias("deva"))
+    cusum = (
+        dev.join(a, F.col("da") <= F.col("d"))
+        .groupBy("d", "t_total", "k_days")
+        .agg(F.sum("deva").cast("bigint").alias("cusum_int"))
+    )
+    top = cusum.orderBy(
+        F.abs(F.col("cusum_int")).desc(), F.col("d").asc()
+    ).limit(1)
+    star = top.select(
+        F.col("d").alias("change_date"),
+        F.round(F.abs(F.col("cusum_int")) / F.col("k_days"), round_dp).alias(
+            "cusum_abs"
+        ),
+    )
+    segs = daily.join(F.broadcast(star)).select(
+        "change_date", "cusum_abs", "n",
+        (F.col("d") <= F.col("change_date")).alias("_before"),
+    )
+    return segs.groupBy("change_date", "cusum_abs").agg(
+        F.round(
+            F.sum(F.when(F.col("_before"), F.col("n"))) /
+            F.sum(F.when(F.col("_before"), 1)), round_dp
+        ).alias("mean_before"),
+        F.round(
+            F.sum(F.when(~F.col("_before"), F.col("n"))) /
+            F.sum(F.when(~F.col("_before"), 1)), round_dp
+        ).alias("mean_after"),
+        F.sum(F.when(F.col("_before"), 1)).cast("bigint").alias("n_days_before"),
+        F.sum(F.when(~F.col("_before"), 1)).cast("bigint").alias("n_days_after"),
+    )

@@ -489,3 +489,57 @@ def kfold_assign(
         * n_folds / F.lit(float(_SPACE))
     )
     return df.withColumn("fold", F.floor(u).cast("int"))
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    n_total: int,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation: stratum h gets
+    ``n_h = n_total * N_h*S_h / sum(N_h*S_h)`` — minimum-variance
+    allocation of a fixed labeling/inspection budget across strata, the
+    survey-sampling complement to the proportional ``sample_stratified``.
+
+    Exactness: the per-stratum variance comes from EXACT integer moments
+    (sum, sum of squares over an integer value column), so both engines
+    take sqrt of identical doubles; only the final share involves a
+    cross-stratum sum of a handful of doubles, rounded.
+
+    Scale shape: one partially-combined aggregate to the #strata frame,
+    then a 1-row total broadcast back over it. The fact table is scanned
+    once; no windows, no collect.
+    """
+    per = (
+        df.select(F.col(stratum_col).alias("stratum"), F.col(value_col).cast("bigint").alias("_v"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("_v").cast("bigint").alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).cast("bigint").alias("_q"),
+        )
+        .withColumn(
+            "stddev",
+            F.sqrt(
+                (F.col("_q") - F.col("_s") * F.col("_s") / F.col("n_rows"))
+                / (F.col("n_rows") - 1)
+            ),
+        )
+        .withColumn("_w", F.col("n_rows") * F.col("stddev"))
+    )
+    tot = per.agg(F.sum("_w").alias("_wt"))
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_rows",
+            F.round("stddev", round_dp).alias("stddev"),
+            F.round(F.col("_w") / F.col("_wt"), round_dp).alias("share"),
+            F.round(F.lit(n_total) * F.col("_w") / F.col("_wt"), 0)
+            .cast("bigint")
+            .alias("n_alloc"),
+        )
+        .orderBy("stratum")
+    )

@@ -1241,3 +1241,84 @@ def heaps_fit(
         ).alias("r2"),
         n.cast("bigint").alias("n_points"),
     )
+
+
+def perplexity_heldout(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    holdout_mod: int = 5,
+    k: float = 0.5,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Held-out bigram perplexity per language: train an add-k bigram LM on
+    docs with ``id % holdout_mod != 0``, score the held-out rest —
+    P(w2|w1) = (c(w1,w2)+k) / (c(w1,.)+k*V) with V the train vocabulary —
+    and report per-lang mean log-prob and perplexity. The standard
+    corpus-quality / domain-shift probe for pretraining mixes (is the
+    held-out slice predictable from the rest?), composing the
+    bigram_lm_scores machinery into an end-to-end train/test eval.
+
+    Scale shape: bigram construction is map-side (transform over the
+    token array, no explode before the count aggregates); the LM tables
+    are two keyed aggregates joined onto the exploded held-out bigrams ON
+    THE BIGRAM KEY (hash joins — never a broadcast of a corpus-sized
+    model); vocabulary sizes are a #langs-row broadcast. No windows, no
+    driver state; floating work is one log per scored bigram plus a
+    per-lang mean, rounded.
+    """
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("_lang"),
+        toks.alias("_t"),
+    ).filter(F.size(toks) >= 2)
+    base = base.withColumn(
+        "_bg",
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("_t"), i), F.element_at(F.col("_t"), i + 1)
+            ),
+        ),
+    )
+    train = base.filter(F.col("_id") % holdout_mod != 0)
+    test = base.filter(F.col("_id") % holdout_mod == 0)
+
+    tr_bg = train.select("_lang", F.explode("_bg").alias("_b"))
+    c2 = tr_bg.groupBy("_lang", "_b").agg(F.count(F.lit(1)).cast("long").alias("_c2"))
+    c1 = tr_bg.select(
+        "_lang", F.split(F.col("_b"), " ", 2).getItem(0).alias("_w1")
+    ).groupBy("_lang", "_w1").agg(F.count(F.lit(1)).cast("long").alias("_c1"))
+    vocab = (
+        train.select("_lang", F.explode("_t").alias("_w"))
+        .distinct()
+        .groupBy("_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    )
+
+    te = test.select("_lang", F.explode("_bg").alias("_b")).withColumn(
+        "_w1", F.split(F.col("_b"), " ", 2).getItem(0)
+    )
+    scored = (
+        te.join(c2, ["_lang", "_b"], "left")
+        .join(c1, ["_lang", "_w1"], "left")
+        .join(F.broadcast(vocab), "_lang")
+        .select(
+            "_lang",
+            F.log(
+                (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(k) * F.col("_v"))
+            ).alias("_lp"),
+        )
+    )
+    return (
+        scored.groupBy(F.col("_lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("_lp"), round_dp).alias("avg_logprob"),
+            F.round(F.exp(-F.avg("_lp")), 2).alias("perplexity"),
+        )
+        .orderBy("lang")
+    )

@@ -71,4 +71,7 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "orders_theil_sen_trend": "months^2/2 slope pairs (~700 rows) + 1-row count",
     "text_zipf_fit": "<=500-row count-of-better rank self-join",
     "text_heaps_fit": "1-row OLS moments + <=16-row triangular cumulative",
+    # --- round-6 additions -------------------------------------------------
+    "events_level_shift_locate": "#days triangular cusum join + 1-row argmax/totals",
+    "sample_neyman_allocation": "1-row allocation-weight total broadcast",
 }

@@ -65,6 +65,7 @@ def load_all() -> dict[str, Query]:
         pipeline8,
         pipeline9,
         pipeline10,
+        pipeline11,
         eventstream,
         streamingq,
         bridge,

@@ -149,9 +149,10 @@ _MH_SEEDS = ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
 )
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+#: Shared MinHash-LSH oracle CTE chain (through the candidate estimates):
+#: reused by dedup_minhash_lsh and the threshold-curve diagnostic in
+#: pipeline11 so both DuckDB twins stay bit-identical with the Spark path.
+MH_EST_CTE = f"""
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
       FROM documents),
@@ -188,6 +189,13 @@ _MH_SEEDS = ", ".join(
       JOIN sig sa ON sa.doc_id = c.id_a
       JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
       GROUP BY c.id_a, c.id_b)
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=MH_EST_CTE
+    + """
     SELECT id_a, id_b, est_jaccard FROM est
     WHERE est_jaccard >= 0.3
     ORDER BY id_a, id_b
