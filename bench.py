@@ -286,6 +286,12 @@ HEADLINE = [
     "profile_t_closeness",
     "dedup_lsh_recall",
     "eval_average_precision",
+    # round 6
+    "events_level_shift_locate",
+    "events_anova_hour",
+    "sample_neyman_allocation",
+    "text_perplexity_heldout",
+    "dedup_lsh_est_hist",
 ]
 
 

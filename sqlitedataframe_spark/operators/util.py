@@ -114,7 +114,19 @@ def shared_eager_cache(spark, key: tuple, builder) -> DataFrame:
     full_key = (spark.sparkContext.applicationId, *key)
     df = _SHARED_CACHES.get(full_key)
     if df is not None:
-        return df
+        try:
+            sl = df.storageLevel
+            if sl.useMemory or sl.useDisk:
+                return df
+            # Spark's CacheManager dedupes persists by normalized plan, so
+            # an unrelated release_caches() on an identically-planned frame
+            # drops this entry too — re-persist rather than silently
+            # degrading every later consumer to recompute.
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()
+            return df
+        except Exception:
+            pass  # stopped session etc. — rebuild below
     out = builder().persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     _SHARED_CACHES[full_key] = out

@@ -70,7 +70,10 @@ def test_minhash_lsh_pairs_storage_is_bounded_and_released(spark, sf_dir):
     persist (vs localCheckpoint) keeps lineage so the release is safe at
     any time."""
     from sqlitedataframe_spark.operators.dedup import minhash_lsh_pairs
-    from sqlitedataframe_spark.operators.util import release_caches
+    from sqlitedataframe_spark.operators.util import (
+        release_caches,
+        release_shared_caches,
+    )
 
     def _persistent_ids():
         it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
@@ -80,6 +83,11 @@ def test_minhash_lsh_pairs_storage_is_bounded_and_released(spark, sf_dir):
         return ids
 
     release_caches()  # start clean (shared session)
+    # r6: also drain the cross-query shared signature cache — it holds the
+    # SAME normalized plan this test persists, and Spark's CacheManager
+    # would dedupe the persist into it (pinned delta 0, breaking the
+    # exactly-one assertion when suite tests ran first)
+    release_shared_caches()
     before = _persistent_ids()
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d)
