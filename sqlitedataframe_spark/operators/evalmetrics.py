@@ -597,3 +597,52 @@ def average_precision(
         F.max("_P").cast("bigint").alias("n_pos"),
         F.count(F.lit(1)).cast("bigint").alias("n_scores"),
     )
+
+
+def regression_metrics(
+    df: DataFrame,
+    pred_col: str,
+    actual_col: str,
+    by: str | None = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Regression-model evaluation in ONE distributed aggregate: n, RMSE,
+    MAE, R^2, MAPE (over nonzero actuals) and mean signed error (bias) —
+    the complement to the binary-classifier family above for pipelines
+    that score continuous targets (price predictors, length estimators,
+    reward models).
+
+    Scale shape: everything reduces to six map-side partial sums
+    (sum y, sum y^2, sum e^2, sum |e|, sum |e/y|, sum e); R^2 uses the
+    algebraic identity SST = sum(y^2) - (sum y)^2 / n so no second pass
+    over the data for the mean. One exchange (or one per ``by`` group),
+    never a join.
+    """
+    y = F.col(actual_col)
+    e = F.col(pred_col) - y
+    keys = [by] if by else []
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(y).alias("_sy"),
+        F.sum(y * y).alias("_sy2"),
+        F.sum(e * e).alias("_se2"),
+        F.sum(F.abs(e)).alias("_sae"),
+        F.sum(F.when(y != 0, F.abs(e / y))).alias("_sape"),
+        F.count(F.when(y != 0, 1)).cast("bigint").alias("_nnz"),
+        F.sum(e).alias("_se"),
+    )
+    sst = F.col("_sy2") - F.col("_sy") * F.col("_sy") / F.col("n")
+    out = agg.select(
+        *keys,
+        "n",
+        F.round(F.sqrt(F.col("_se2") / F.col("n")) + 1e-9, round_dp).alias(
+            "rmse"
+        ),
+        F.round(F.col("_sae") / F.col("n") + 1e-9, round_dp).alias("mae"),
+        F.round(F.lit(1.0) - F.col("_se2") / sst + 1e-9, 6).alias("r2"),
+        F.round(
+            F.lit(100.0) * F.col("_sape") / F.col("_nnz") + 1e-9, round_dp
+        ).alias("mape_pct"),
+        F.round(F.col("_se") / F.col("n") + 1e-9, round_dp).alias("bias"),
+    )
+    return out.orderBy(*keys) if keys else out

@@ -212,3 +212,70 @@ def quantile_normalize_map(
         )
         .orderBy(group_col, "p")
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mutual information (bits) between two categorical columns, with
+    the marginal entropies and the sqrt-normalized NMI — the standard
+    feature-redundancy / label-leakage screen run before a categorical
+    column is admitted as a model feature.
+
+    Scale shape: ONE data-sized aggregate (the joint contingency counts,
+    bounded by |A| x |B| cells); marginals re-aggregate the tiny cell
+    frame, and the 1-row grand total broadcasts onto it (the house
+    pattern for corpus-stat rows — adjudicated in plans/flags.py). The
+    fact table is scanned once.
+
+    Exactness: every p*log2 term is a ratio of exact BIGINT counts; the
+    final sums run over <= |A|x|B| values and are rounded.
+    """
+    joint = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+    ma = joint.groupBy("a").agg(F.sum("nab").cast("bigint").alias("na"))
+    mb = joint.groupBy("b").agg(F.sum("nab").cast("bigint").alias("nb"))
+    tot = joint.agg(F.sum("nab").cast("bigint").alias("n"))
+    cells = (
+        joint.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .join(F.broadcast(tot))
+    )
+    log2 = F.lit(0.6931471805599453)  # ln 2
+    mi = cells.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(
+            (F.col("nab") / F.col("n"))
+            * F.log(F.col("nab") * F.col("n") / (F.col("na") * F.col("nb")))
+        ).alias("_mi_nats"),
+    )
+    ha = ma.join(F.broadcast(tot)).agg(
+        (-F.sum((F.col("na") / F.col("n")) * F.log(F.col("na") / F.col("n"))))
+        .alias("_ha_nats")
+    )
+    hb = mb.join(F.broadcast(tot)).agg(
+        (-F.sum((F.col("nb") / F.col("n")) * F.log(F.col("nb") / F.col("n"))))
+        .alias("_hb_nats")
+    )
+    return (
+        mi.join(F.broadcast(ha))
+        .join(F.broadcast(hb))
+        .select(
+            "n",
+            "n_cells",
+            F.round(F.col("_mi_nats") / log2 + 1e-9, round_dp).alias("mi_bits"),
+            F.round(F.col("_ha_nats") / log2 + 1e-9, round_dp).alias("h_a_bits"),
+            F.round(F.col("_hb_nats") / log2 + 1e-9, round_dp).alias("h_b_bits"),
+            F.round(
+                F.col("_mi_nats")
+                / F.sqrt(F.col("_ha_nats") * F.col("_hb_nats"))
+                + 1e-9,
+                round_dp,
+            ).alias("nmi"),
+        )
+    )

@@ -1703,3 +1703,83 @@ def anova_oneway(
         F.round((ssb / df1) / (F.col("_ssw") / df2), round_dp).alias("f_stat"),
         F.round(ssb / (ssb + F.col("_ssw")), 6).alias("eta_squared"),
     )
+
+
+def runs_test(
+    df: DataFrame,
+    ts_col: str,
+    value_cents_expr,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily series: is the sequence of
+    above/below-mean days random, or does it trend / mean-revert? Returns
+    one row (n_days, n_above, n_below, runs, exp_runs, z) — |z| > 1.96
+    rejects randomness (z < 0: fewer runs than chance = trending; z > 0:
+    more = oscillating).
+
+    Exactness: the above/below split compares ``k * cents_d > total``
+    on BIGINTs (``value_cents_expr`` must produce an integer-cent value),
+    so no float accumulation order can flip a day's side between engines;
+    the only doubles are the final expectation/variance formulas.
+
+    Scale shape: one data-sized aggregate to the #days frame; the
+    successor day comes from a bounded triangular self-join over days
+    (the level_shift_locate / ewma family pattern — chosen over the
+    audit-banned date-ordered global window); run boundaries are then a
+    single count over the (day, next-day) sign pairs.
+    """
+    daily = (
+        df.groupBy(F.date_trunc("day", F.col(ts_col)).cast("date").alias("d"))
+        .agg(value_cents_expr.cast("bigint").alias("cents"))
+    )
+    tot = daily.agg(
+        F.sum("cents").cast("bigint").alias("t_total"),
+        F.count(F.lit(1)).cast("bigint").alias("k_days"),
+    )
+    signs = daily.join(F.broadcast(tot)).select(
+        "d",
+        (F.col("k_days") * F.col("cents") > F.col("t_total")).alias("above"),
+    )
+    nxt = (
+        signs.alias("a")
+        .join(
+            F.broadcast(signs.select(F.col("d").alias("_d2"))),
+            F.col("_d2") > F.col("a.d"),
+        )
+        .groupBy("a.d")
+        .agg(F.min("_d2").alias("next_d"))
+    )
+    chg = (
+        nxt.join(signs.select("d", "above"), "d")
+        .join(
+            signs.select(
+                F.col("d").alias("next_d"), F.col("above").alias("next_above")
+            ),
+            "next_d",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("above") != F.col("next_above"), 1).otherwise(0)
+            ).cast("bigint").alias("changes")
+        )
+    )
+    counts = signs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("above").cast("int")).cast("bigint").alias("n_above"),
+        F.sum((~F.col("above")).cast("int")).cast("bigint").alias("n_below"),
+    )
+    j = counts.join(F.broadcast(chg))
+    n = F.col("n_days").cast("double")
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    runs = (F.col("changes") + 1).cast("bigint")
+    exp_runs = F.lit(1.0) + 2.0 * n1 * n2 / n
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)) / (n * n * (n - 1.0))
+    return j.select(
+        "n_days",
+        "n_above",
+        "n_below",
+        runs.alias("runs"),
+        F.round(exp_runs + 1e-9, round_dp).alias("exp_runs"),
+        F.round((runs - exp_runs) / F.sqrt(var) + 1e-9, round_dp).alias("z"),
+    )

@@ -766,3 +766,49 @@ def level_shift_locate(
         F.sum(F.when(F.col("_before"), 1)).cast("bigint").alias("n_days_before"),
         F.sum(F.when(~F.col("_before"), 1)).cast("bigint").alias("n_days_after"),
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    ts_col: str,
+    value_expr,
+    max_lag: int = 7,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Autocorrelation function of a daily series at calendar lags
+    1..``max_lag``: Pearson correlation between the series and itself
+    shifted k days — the periodicity / weekly-seasonality diagnostic
+    that precedes any forecasting model.
+
+    Scale shape: ONE data-sized aggregate to the #days frame; lags come
+    from exploding a k-element literal array (no cross join), and the
+    shifted copy is a broadcast hash join on the computed calendar key
+    ``date_add(d, lag)`` — equi, never a window, never a global sort.
+    Pairs drop automatically where d+k has no observation (calendar ACF).
+    """
+    daily = (
+        df.groupBy(F.date_trunc("day", F.col(ts_col)).cast("date").alias("d"))
+        .agg(value_expr.alias("val"))
+    )
+    lagged = daily.select(
+        "d",
+        "val",
+        F.explode(
+            F.array(*[F.lit(k).cast("int") for k in range(1, max_lag + 1)])
+        ).alias("lag"),
+    )
+    shifted = daily.select(
+        F.col("d").alias("_d2"), F.col("val").alias("val2")
+    )
+    pairs = lagged.join(
+        F.broadcast(shifted),
+        F.date_add(F.col("d"), F.col("lag")) == F.col("_d2"),
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.corr("val", "val2") + 1e-9, round_dp).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -1322,3 +1322,39 @@ def perplexity_heldout(
         )
         .orderBy("lang")
     )
+
+
+_CODE_SYMBOLS = "[{}()\\[\\];=<>]"
+_CODE_KEYWORDS = (
+    r"\b(def|return|class|import|function|var|const|lambda|void|struct)\b"
+)
+
+
+def code_symbol_ratio(col: Column | str) -> Column:
+    """Share of characters that are code-structural symbols
+    ({ } ( ) [ ] ; = < >) — near zero for prose, high for source code."""
+    c = _c(col)
+    stripped = F.regexp_replace(c, _CODE_SYMBOLS, "")
+    return (F.length(c) - F.length(stripped)).cast("double") / F.greatest(
+        F.length(c), F.lit(1)
+    ).cast("double")
+
+
+def code_keyword_hits(col: Column | str) -> Column:
+    """Count of programming-keyword word matches (def/return/class/...)
+    in the lowercased text."""
+    return F.regexp_count(F.lower(_c(col)), F.lit(_CODE_KEYWORDS)).cast(
+        "bigint"
+    )
+
+
+def code_likeness(col: Column | str) -> Column:
+    """Deterministic [0,1] code-likeness score: 60% saturated symbol
+    density + 40% saturated keyword density — the cheap filter a corpus
+    pipeline uses to route documents to a code-vs-prose pipeline (or to
+    cap code share in a training mixture). Pure Column expressions:
+    runs inside the scan stage, zero extra shuffles."""
+    c = _c(col)
+    sym = F.least(code_symbol_ratio(c) * 12.5, F.lit(1.0))  # saturates at 8%
+    kw = F.least(code_keyword_hits(c).cast("double") / 3.0, F.lit(1.0))
+    return F.round(sym * 0.6 + kw * 0.4, 6)

@@ -74,4 +74,10 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     # --- round-6 additions -------------------------------------------------
     "events_level_shift_locate": "#days triangular cusum join + 1-row argmax/totals",
     "sample_neyman_allocation": "1-row allocation-weight total broadcast",
+    "dedup_lsh_recall": "set arithmetic over two tiny pair frames (1-row ratio crosses)",
+    "eval_average_precision": "<=64-row coarse-bucket offset join + 1-row P total (prefix sum)",
+    "events_markov_backtest": "1-row accuracy/baseline crosses over the <=|types|-row model",
+    "profile_t_closeness": "1-row global-distribution + worst-class broadcasts over QI cells",
+    "feature_mutual_information": "1-row grand-total broadcast onto the |A|x|B| cell frame",
+    "orders_runs_test": "#days triangular successor join + 1-row totals/changes crosses",
 }

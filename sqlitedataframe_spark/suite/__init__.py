@@ -66,6 +66,7 @@ def load_all() -> dict[str, Query]:
         pipeline9,
         pipeline10,
         pipeline11,
+        pipeline12,
         eventstream,
         streamingq,
         bridge,

@@ -1,0 +1,157 @@
+"""Round-6 wave: regression metrics, daily-series ACF, runs test,
+neighbor-Jaccard link prediction, categorical MI, code detection —
+hand-checked small cases for each new operator."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_regression_metrics_hand_checked(spark):
+    """pred=[2,2,4], actual=[1,3,4]: errors [1,-1,0] -> MAE=2/3,
+    RMSE=sqrt(2/3), bias=0; SST over actual = 14/3 -> R2 = 1-2/(14/3)."""
+    from sqlitedataframe_spark.operators.evalmetrics import regression_metrics
+
+    df = spark.createDataFrame(
+        [(2.0, 1.0), (2.0, 3.0), (4.0, 4.0)], ["p", "y"]
+    )
+    r = regression_metrics(df, "p", "y").collect()[0]
+    assert r["n"] == 3
+    assert abs(r["mae"] - 2 / 3) < 1e-3
+    assert abs(r["rmse"] - math.sqrt(2 / 3)) < 1e-3
+    assert abs(r["bias"]) < 1e-9
+    assert abs(r["r2"] - (1 - 2 / (14 / 3))) < 1e-5
+    # MAPE = mean(|1/1|, |1/3|, 0) * 100
+    assert abs(r["mape_pct"] - 100 * (1 + 1 / 3) / 3) < 1e-2
+
+
+def test_regression_metrics_perfect_fit(spark):
+    from sqlitedataframe_spark.operators.evalmetrics import regression_metrics
+
+    df = spark.createDataFrame([(float(i), float(i)) for i in range(1, 6)], ["p", "y"])
+    r = regression_metrics(df, "p", "y").collect()[0]
+    assert r["rmse"] == 0.0 and r["mae"] == 0.0 and r["r2"] == 1.0
+
+
+def test_acf_perfect_alternation(spark):
+    """Series +1,-1,+1,... -> acf(1) = -1, acf(2) = +1 exactly."""
+    from sqlitedataframe_spark.operators.relational import acf_lags
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(days=i), float(1 if i % 2 == 0 else -1))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "v"])
+    out = {r["lag"]: r for r in acf_lags(df, "ts", F.sum("v"), max_lag=2).collect()}
+    assert out[1]["n_pairs"] == 29 and out[2]["n_pairs"] == 28
+    assert abs(out[1]["acf"] + 1.0) < 1e-6
+    assert abs(out[2]["acf"] - 1.0) < 1e-6
+
+
+def test_runs_test_alternating_vs_blocked(spark):
+    """Alternating high/low days maximize runs (z > 0); two solid blocks
+    minimize them (runs=2, z < 0)."""
+    from sqlitedataframe_spark.operators.profiling import runs_test
+    import datetime as dt
+
+    def mk(values):
+        rows = [
+            (dt.datetime(2024, 1, 1) + dt.timedelta(days=i), float(v))
+            for i, v in enumerate(values)
+        ]
+        df = spark.createDataFrame(rows, ["ts", "v"])
+        return runs_test(
+            df, "ts", F.round(F.sum("v") * 100, 0)
+        ).collect()[0]
+
+    alt = mk([10, 1] * 10)  # 20 days, 20 runs
+    assert alt["n_days"] == 20 and alt["n_above"] == 10
+    assert alt["runs"] == 20 and alt["z"] > 1.96
+
+    blocks = mk([10] * 10 + [1] * 10)  # 2 runs
+    assert blocks["runs"] == 2 and blocks["z"] < -1.96
+
+
+def test_neighbor_jaccard_square(spark):
+    """Square 1-2-3-4-1: non-adjacent diagonals (1,3) and (2,4) each
+    share both neighbors -> jaccard = 2/(2+2-2) = 1.0."""
+    from sqlitedataframe_spark.operators.graph import neighbor_jaccard
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["src", "dst"]
+    )
+    rows = neighbor_jaccard(edges).collect()
+    got = {(r["u"], r["v"]): r for r in rows}
+    assert set(got) == {(1, 3), (2, 4)}
+    for r in rows:
+        assert r["cn"] == 2 and r["deg_u"] == 2 and r["deg_v"] == 2
+        assert r["jaccard"] == 1.0
+
+
+def test_neighbor_jaccard_excludes_adjacent(spark):
+    """Triangle + pendant: all triangle pairs are adjacent, so the only
+    scored pair is the wedge (2,4) through 3 (or (1,4) — neither edge)."""
+    from sqlitedataframe_spark.operators.graph import neighbor_jaccard
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+    )
+    pairs = {(r["u"], r["v"]) for r in neighbor_jaccard(edges).collect()}
+    assert pairs == {(1, 4), (2, 4)}
+
+
+def test_mutual_information_independent_and_identical(spark):
+    from sqlitedataframe_spark.operators.features import mutual_information
+
+    # independent 2x2 uniform: MI = 0, H = 1 bit each
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv"] * 5, ["a", "b"]
+    )
+    r = mutual_information(indep, "a", "b").collect()[0]
+    assert r["n"] == 20 and r["n_cells"] == 4
+    assert abs(r["mi_bits"]) < 1e-6
+    assert abs(r["h_a_bits"] - 1.0) < 1e-6
+    assert abs(r["nmi"]) < 1e-6
+
+    # b == a: MI = H(a) = 1 bit, NMI = 1
+    ident = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 5, ["a", "b"]
+    )
+    r = mutual_information(ident, "a", "b").collect()[0]
+    assert abs(r["mi_bits"] - 1.0) < 1e-6
+    assert abs(r["nmi"] - 1.0) < 1e-6
+
+
+def test_code_likeness_separates_code_from_prose(spark):
+    from sqlitedataframe_spark.operators.text import code_likeness
+
+    df = spark.createDataFrame(
+        [
+            ("def f(x): return x[0] + g(y);",),
+            ("the quick brown fox jumps over the lazy dog again and again",),
+        ],
+        ["text"],
+    )
+    scores = [
+        r["s"] for r in df.select(code_likeness("text").alias("s")).collect()
+    ]
+    assert scores[0] >= 0.5
+    assert scores[1] < 0.1
+
+
+def test_new_suite_queries_registered():
+    from sqlitedataframe_spark.suite import load_all
+
+    reg = load_all()
+    for name in (
+        "eval_regression_metrics",
+        "orders_acf_lags",
+        "orders_runs_test",
+        "graph_jaccard_neighbors",
+        "feature_mutual_information",
+        "text_code_detect",
+    ):
+        assert name in reg and reg[name].oracle is not None
