@@ -292,6 +292,13 @@ HEADLINE = [
     "sample_neyman_allocation",
     "text_perplexity_heldout",
     "dedup_lsh_est_hist",
+    # round 6b
+    "eval_regression_metrics",
+    "orders_acf_lags",
+    "orders_runs_test",
+    "graph_jaccard_neighbors",
+    "feature_mutual_information",
+    "text_code_detect",
 ]
 
 
