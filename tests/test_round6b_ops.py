@@ -155,3 +155,20 @@ def test_new_suite_queries_registered():
         "text_code_detect",
     ):
         assert name in reg and reg[name].oracle is not None
+
+
+def test_regression_metrics_by_group(spark):
+    """Per-group metrics: group g fits perfectly, group h is off by a
+    constant 1 -> MAE/RMSE 1, bias 1, and rows come back ordered."""
+    from sqlitedataframe_spark.operators.evalmetrics import regression_metrics
+
+    df = spark.createDataFrame(
+        [("g", float(i), float(i)) for i in range(1, 5)]
+        + [("h", float(i) + 1.0, float(i)) for i in range(1, 5)],
+        ["grp", "p", "y"],
+    )
+    rows = regression_metrics(df, "p", "y", by="grp").collect()
+    assert [r["grp"] for r in rows] == ["g", "h"]
+    g, h = rows
+    assert g["rmse"] == 0.0 and g["mae"] == 0.0 and g["r2"] == 1.0
+    assert h["rmse"] == 1.0 and h["mae"] == 1.0 and h["bias"] == 1.0
