@@ -172,3 +172,20 @@ def test_regression_metrics_by_group(spark):
     g, h = rows
     assert g["rmse"] == 0.0 and g["mae"] == 0.0 and g["r2"] == 1.0
     assert h["rmse"] == 1.0 and h["mae"] == 1.0 and h["bias"] == 1.0
+
+
+def test_blocked_levenshtein_cross_band_pair_found(spark):
+    """Length banding must not lose pairs spanning adjacent bands:
+    len 7 (band 1) vs len 10 (band 2) with lev=3 — and with the
+    lower-band string carrying the HIGHER id, so the output-id
+    normalization (least/greatest) is exercised too."""
+    from sqlitedataframe_spark.operators.linkage import (
+        blocked_levenshtein_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(9, "abcdefg", "g"), (1, "abcdefgxyz", "g"), (5, "zzzzz", "g")],
+        ["id", "name", "grp"],
+    )
+    rows = blocked_levenshtein_pairs(df, "id", "name", ["grp"], 3).collect()
+    assert [(r["id_a"], r["id_b"], r["lev"]) for r in rows] == [(1, 9, 3)]
