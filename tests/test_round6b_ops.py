@@ -189,3 +189,48 @@ def test_blocked_levenshtein_cross_band_pair_found(spark):
     )
     rows = blocked_levenshtein_pairs(df, "id", "name", ["grp"], 3).collect()
     assert [(r["id_a"], r["id_b"], r["lev"]) for r in rows] == [(1, 9, 3)]
+
+
+def test_blocked_levenshtein_banding_equals_bruteforce(spark):
+    """Randomized (fixed-seed) equivalence: the length-banded plan must
+    return exactly the naive all-pairs-in-block result — catching any
+    band-boundary or orientation-dedup mistake."""
+    import random
+
+    from sqlitedataframe_spark.operators.linkage import (
+        blocked_levenshtein_pairs,
+    )
+
+    rng = random.Random(42)
+    alpha = "ab"
+    rows = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))),
+         rng.choice(["g", "h"]))
+        for i in range(40)
+    ]
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    for d in (0, 2, 3):
+        want = sorted(
+            (a[0], b[0], lev(a[1], b[1]))
+            for i, a in enumerate(rows)
+            for b in rows[i + 1:]
+            if a[2] == b[2] and lev(a[1], b[1]) <= d
+        )
+        df = spark.createDataFrame(rows, ["id", "name", "grp"])
+        got = sorted(
+            (r["id_a"], r["id_b"], r["lev"])
+            for r in blocked_levenshtein_pairs(
+                df, "id", "name", ["grp"], d
+            ).collect()
+        )
+        assert got == want, f"d={d}: {len(got)} vs {len(want)} pairs"
