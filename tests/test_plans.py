@@ -363,3 +363,60 @@ def test_audit_flags_all_adjudicated():
     stale = sorted(set(BENIGN_NESTED_LOOP) - names)
     assert not stale, f"allowlist names not in the registry: {stale}"
     assert all(isinstance(v, str) and v for v in BENIGN_NESTED_LOOP.values())
+
+
+def test_regression_metrics_single_exchange(spark, sf_dir):
+    """The ungrouped regression eval must reduce to map-side partial sums
+    with exactly ONE data exchange — no join, no window, no second pass
+    for the mean (R^2 uses the SST sum identity)."""
+    from sqlitedataframe_spark.operators.evalmetrics import regression_metrics
+
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        F.col("o_totalprice").alias("actual"),
+        (F.col("o_totalprice") * 1.01).alias("pred"),
+    )
+    q = regression_metrics(scored, "pred", "actual")
+    assert exchange_count(q) == 1, q.explain(True)
+    assert global_window_count(q) == 0
+
+
+def test_acf_lags_no_window_broadcast_shift(spark, sf_dir):
+    """ACF must get the shifted series via a BROADCAST equi-join on the
+    computed date key — never a date-ordered window or a global sort."""
+    from sqlitedataframe_spark.operators.relational import acf_lags
+
+    o = load_table(spark, sf_dir, "orders")
+    q = acf_lags(o, "o_orderdate", F.sum("o_totalprice"), max_lag=7)
+    assert global_window_count(q) == 0
+    assert broadcast_join_count(q) >= 1
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_code_likeness_stays_in_scan_stage(spark, sf_dir):
+    """The code-likeness score is pure Column arithmetic: scoring every
+    document must add ZERO exchanges over the bare scan."""
+    from sqlitedataframe_spark.operators.text import code_likeness
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select("doc_id", code_likeness("text").alias("s"))
+    assert exchange_count(q) == 0
+    assert scan_count(q) == 1
+
+
+def test_neighbor_jaccard_all_joins_hashed(spark):
+    """The wedge/degree/anti joins of link prediction must all be hash
+    joins on keys — a nested-loop here would be all-pairs in disguise."""
+    from sqlitedataframe_spark.operators.graph import neighbor_jaccard
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)] + [(i, i + 2) for i in range(40)],
+        ["src", "dst"],
+    )
+    q = neighbor_jaccard(edges)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert global_window_count(q) == 0
