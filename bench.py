@@ -299,6 +299,10 @@ HEADLINE = [
     "graph_jaccard_neighbors",
     "feature_mutual_information",
     "text_code_detect",
+    "text_jsd_sources",
+    "feature_cramers_v",
+    "events_rolling_p90",
+    "sample_inverse_propensity",
 ]
 
 

@@ -279,3 +279,60 @@ def mutual_information(
             ).alias("nmi"),
         )
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    chi-square companion to :func:`mutual_information` (V is bounded
+    [0, 1] and comparable across tables of different shapes, the usual
+    report number for a categorical-feature screen).
+
+    Uses the present-cells identity ``chi2 = n * (sum o^2/(n_i n_j) - 1)``
+    so absent contingency cells (observed 0, expected > 0) never need
+    materializing. Same plan shape as mutual_information: one data-sized
+    aggregate to the cell frame, broadcast marginals, 1-row total.
+    """
+    joint = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+    ma = joint.groupBy("a").agg(F.sum("nab").cast("bigint").alias("na"))
+    mb = joint.groupBy("b").agg(F.sum("nab").cast("bigint").alias("nb"))
+    tot = joint.agg(
+        F.sum("nab").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    ra = ma.agg(F.count(F.lit(1)).cast("bigint").alias("r_levels"))
+    rb = mb.agg(F.count(F.lit(1)).cast("bigint").alias("c_levels"))
+    cells = (
+        joint.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .join(F.broadcast(tot))
+    )
+    s = cells.agg(
+        F.max("n").alias("n"),
+        F.max("n_cells").alias("n_cells"),
+        F.sum(
+            (F.col("nab") * F.col("nab"))
+            / (F.col("na") * F.col("nb").cast("double"))
+        ).alias("_s"),
+    )
+    out = s.join(F.broadcast(ra)).join(F.broadcast(rb))
+    chi2 = F.col("n") * (F.col("_s") - 1.0)
+    kmin = F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+    return out.select(
+        "n",
+        "r_levels",
+        "c_levels",
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.round(chi2 + 1e-9, 4).alias("chi2"),
+        F.round(F.sqrt(chi2 / (F.col("n") * kmin)) + 1e-9, round_dp).alias(
+            "cramers_v"
+        ),
+    )

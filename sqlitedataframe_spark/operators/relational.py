@@ -812,3 +812,50 @@ def acf_lags(
         )
         .orderBy("lag")
     )
+
+
+def rolling_percentile_daily(
+    df: DataFrame,
+    ts_col: str,
+    window_days: int = 7,
+    pct: float = 0.9,
+) -> DataFrame:
+    """Trailing-window discrete percentile of the daily count series:
+    for each day, the nearest-rank ``pct`` percentile of the counts over
+    the last ``window_days`` observed calendar days (including the day
+    itself) — the rolling-baseline readout an ops monitor alerts
+    against. Returns (d, w, p) with ``w`` the actual window population
+    (< window_days at the series start / across gaps).
+
+    Exactness: counts are BIGINTs, the percentile is a member of the
+    window (nearest rank, index ceil(pct * w) into the sorted window) —
+    no interpolation, no float accumulation.
+
+    Scale shape: one data-sized aggregate to the #days frame; the
+    window is assembled by exploding ``window_days`` literal offsets and
+    broadcast equi-joining on the computed calendar key (the acf_lags
+    shape — never a date-ordered global window), then per-day
+    sort_array over <= window_days values.
+    """
+    daily = (
+        df.groupBy(F.date_trunc("day", F.col(ts_col)).cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    anchors = daily.select(
+        "d",
+        F.explode(
+            F.array(*[F.lit(k).cast("int") for k in range(window_days)])
+        ).alias("off"),
+    )
+    b = daily.select(F.col("d").alias("_d2"), F.col("n").alias("_bn"))
+    cells = anchors.join(
+        F.broadcast(b), F.date_sub(F.col("d"), F.col("off")) == F.col("_d2")
+    )
+    agg = cells.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+        F.sort_array(F.collect_list("_bn")).alias("_vs"),
+    )
+    idx = F.ceil(F.lit(pct) * F.col("w")).cast("int")
+    return agg.select(
+        "d", "w", F.element_at("_vs", idx).alias("p")
+    ).orderBy("d")

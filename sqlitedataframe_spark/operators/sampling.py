@@ -543,3 +543,43 @@ def neyman_allocation(
         )
         .orderBy("stratum")
     )
+
+
+def inverse_propensity_weights(
+    pop: DataFrame,
+    sample: DataFrame,
+    group_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Post-stratification / inverse-propensity weights per group: how
+    much each group's sampled rows must be up- or down-weighted so the
+    weighted sample matches the population's group shares — the standard
+    debiasing step after any non-uniform (cheaper, quota-ed, or
+    convenience) sampling pass. weight = (pop share) / (sample share);
+    groups absent from the sample come back with NULL weight (they are
+    unrecoverable by reweighting — the caller must resample).
+
+    Scale shape: one count aggregate per side to the #groups frame,
+    1-row totals broadcast onto it (house stats-row pattern); neither
+    input is scanned twice.
+    """
+    p = pop.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("pop_n")
+    )
+    s = sample.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("samp_n")
+    )
+    pt = p.agg(F.sum("pop_n").cast("bigint").alias("_pt"))
+    st = s.agg(F.sum("samp_n").cast("bigint").alias("_st"))
+    j = (
+        p.join(s, "grp", "left")
+        .join(F.broadcast(pt))
+        .join(F.broadcast(st))
+    )
+    w = (F.col("pop_n") / F.col("_pt")) / (F.col("samp_n") / F.col("_st"))
+    return j.select(
+        "grp",
+        "pop_n",
+        F.coalesce("samp_n", F.lit(0)).cast("bigint").alias("samp_n"),
+        F.round(w + 1e-9, round_dp).alias("weight"),
+    ).orderBy("grp")

@@ -80,4 +80,7 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "profile_t_closeness": "1-row global-distribution + worst-class broadcasts over QI cells",
     "feature_mutual_information": "1-row grand-total broadcast onto the |A|x|B| cell frame",
     "orders_runs_test": "#days triangular successor join + 1-row totals/changes crosses",
+    "feature_cramers_v": "1-row total/level-count broadcasts onto the |A|x|B| cell frame",
+    "text_jsd_sources": "1-row corpus token grand total broadcast (source_kl shape)",
+    "sample_inverse_propensity": "1-row population/sample total broadcasts onto #groups",
 }

@@ -3,6 +3,10 @@ Wald–Wolfowitz runs test, neighborhood-Jaccard link prediction, categorical
 mutual information, and code-document detection — six capabilities the
 registry did not cover (classification eval existed, regression eval did
 not; KL existed, MI did not; triangles existed, link prediction did not).
+Second wave: Jensen-Shannon source divergence (bounded/symmetric KL
+companion), Cramér's V (chi-square association), trailing-window rolling
+p90 (ops baseline), and inverse-propensity reweighting after a biased
+sample.
 """
 
 from __future__ import annotations
@@ -331,3 +335,214 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence of each source's unigram mix vs the corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "text_jsd_sources",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents),
+    sc AS (SELECT source, tok, COUNT(*) AS n FROM t GROUP BY 1, 2),
+    st AS (SELECT source, SUM(n) AS tot FROM sc GROUP BY 1),
+    gc AS (SELECT tok, SUM(n) AS g FROM sc GROUP BY 1),
+    gt AS (SELECT SUM(n) AS gtot FROM sc)
+    SELECT sc.source,
+           CAST(MAX(tot) AS BIGINT) AS n_tokens,
+           ROUND(0.5 + SUM(0.5 * (
+               (n * 1.0 / tot)
+                 * ln(2.0 * (n * 1.0 / tot)
+                      / ((n * 1.0 / tot) + (g * 1.0 / gtot)))
+                 / 0.6931471805599453
+               + (g * 1.0 / gtot)
+                 * ln(2.0 * (g * 1.0 / gtot)
+                      / ((n * 1.0 / tot) + (g * 1.0 / gtot)))
+                 / 0.6931471805599453
+               - (g * 1.0 / gtot))) + 1e-9, 6) AS jsd_bits
+    FROM sc JOIN st USING (source) JOIN gc USING (tok), gt
+    GROUP BY sc.source ORDER BY sc.source
+    """,
+)
+def text_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits) of each source's unigram
+    distribution from the corpus mix — the bounded, symmetric companion
+    to text_source_kl (JSD stays finite when a source misses corpus
+    vocabulary, so it ranks disjoint feeds sanely where KL blows up).
+
+    Words absent from a source contribute exactly 0.5 * q to its JSD
+    (m = q/2 there), so the whole absent-vocabulary mass folds into the
+    closed form ``0.5 + sum_present 0.5*(p lg(2p/(p+q)) + q lg(2q/(p+q))
+    - q)`` — only PRESENT (source, token) cells are ever materialized.
+    Plan shape is text_source_kl's: one (source, token) count aggregate,
+    source totals and the global token distribution broadcast back.
+    """
+    from sqlitedataframe_spark.operators.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    sc = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    st = sc.groupBy("source").agg(F.sum("_n").alias("_tot"))
+    gc = sc.groupBy("tok").agg(F.sum("_n").alias("_g"))
+    gt = sc.agg(F.sum("_n").alias("_gtot"))
+    p = F.col("_n") * 1.0 / F.col("_tot")
+    q = F.col("_g") * 1.0 / F.col("_gtot")
+    ln2 = F.lit(0.6931471805599453)
+    term = 0.5 * (
+        p * F.log(2.0 * p / (p + q)) / ln2
+        + q * F.log(2.0 * q / (p + q)) / ln2
+        - q
+    )
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(gc), "tok")
+        .join(F.broadcast(gt))
+        .groupBy("source")
+        .agg(
+            F.max("_tot").cast("bigint").alias("n_tokens"),
+            F.round(F.lit(0.5) + F.sum(term) + 1e-9, 6).alias("jsd_bits"),
+        )
+        .select("source", "n_tokens", "jsd_bits")
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association: the chi-square companion to MI.
+# ---------------------------------------------------------------------------
+@query(
+    "feature_cramers_v",
+    oracle="""
+    WITH joint AS (
+      SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS nab
+      FROM documents GROUP BY 1, 2),
+    ma AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM joint GROUP BY 1),
+    mb AS (SELECT b, CAST(SUM(nab) AS BIGINT) AS nb FROM joint GROUP BY 1),
+    tot AS (SELECT CAST(SUM(nab) AS BIGINT) AS n FROM joint),
+    ra AS (SELECT CAST(COUNT(*) AS BIGINT) AS r_levels FROM ma),
+    rb AS (SELECT CAST(COUNT(*) AS BIGINT) AS c_levels FROM mb),
+    s AS (
+      SELECT MAX(n) AS n,
+             SUM((nab * nab) / (na * CAST(nb AS DOUBLE))) AS sfit
+      FROM joint JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot)
+    SELECT n, r_levels, c_levels,
+           CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof,
+           ROUND(n * (sfit - 1.0) + 1e-9, 4) AS chi2,
+           ROUND(sqrt(n * (sfit - 1.0)
+                      / (n * LEAST(r_levels - 1, c_levels - 1))) + 1e-9, 6)
+             AS cramers_v
+    FROM s CROSS JOIN ra CROSS JOIN rb
+    """,
+)
+def feature_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between document language and source — the bounded
+    [0,1] chi-square association report number, comparable across
+    contingency tables of different shapes (the MI screen's standard
+    companion in a categorical-feature audit).
+
+    operators.features.cramers_v: chi2 via the present-cells identity
+    n*(sum o^2/(n_i n_j) - 1) — absent cells (observed 0, expected > 0)
+    never materialize. One data-sized aggregate; everything after is
+    arithmetic on the tiny cell frame.
+    """
+    from sqlitedataframe_spark.operators.features import cramers_v
+
+    d = T(spark, sf_dir, "documents")
+    return cramers_v(d, "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Rolling trailing-7-day p90 of daily event volume.
+# ---------------------------------------------------------------------------
+@query(
+    "events_rolling_p90",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    offs AS (SELECT CAST(UNNEST(range(0, 7)) AS INT) AS off),
+    cells AS (
+      SELECT a.d, b.n
+      FROM daily a JOIN offs ON TRUE JOIN daily b ON b.d = a.d - off),
+    agg AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS w, list_sort(list(n)) AS vs
+      FROM cells GROUP BY d)
+    SELECT d, w,
+           CAST(vs[CAST(ceil(0.9 * w) AS INT)] AS BIGINT) AS p90
+    FROM agg ORDER BY d
+    """,
+)
+def events_rolling_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day p90 of daily event counts — the rolling baseline
+    an ops monitor alerts against (today's volume vs the 90th
+    percentile of the recent window; exact nearest-rank, so the value
+    is always an observed day's count).
+
+    operators.relational.rolling_percentile_daily: one aggregate to the
+    #days frame, window assembled by exploding 7 literal offsets +
+    broadcast equi-join on the calendar key (acf_lags shape — never a
+    date-ordered global window), per-day sort over <= 7 BIGINTs.
+    """
+    from sqlitedataframe_spark.operators.relational import (
+        rolling_percentile_daily,
+    )
+
+    e = T(spark, sf_dir, "events")
+    out = rolling_percentile_daily(e, "ts", window_days=7, pct=0.9)
+    return out.select("d", "w", F.col("p").alias("p90"))
+
+
+# ---------------------------------------------------------------------------
+# Inverse-propensity reweighting after a deliberately biased sample.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_inverse_propensity",
+    oracle="""
+    WITH samp AS (
+      SELECT lang FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+            CASE WHEN lang = 'en' THEN '8000' ELSE '199a' END),
+    p AS (SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS pop_n
+          FROM documents GROUP BY 1),
+    s AS (SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS samp_n
+          FROM samp GROUP BY 1),
+    pt AS (SELECT CAST(SUM(pop_n) AS BIGINT) AS ptot FROM p),
+    st AS (SELECT CAST(SUM(samp_n) AS BIGINT) AS stot FROM s)
+    SELECT grp, pop_n,
+           CAST(COALESCE(samp_n, 0) AS BIGINT) AS samp_n,
+           ROUND((pop_n * 1.0 / ptot) / (samp_n * 1.0 / stot) + 1e-9, 6)
+             AS weight
+    FROM p LEFT JOIN s USING (grp) CROSS JOIN pt CROSS JOIN st
+    ORDER BY grp
+    """,
+)
+def sample_inverse_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratification weights after a deliberately biased hash
+    sample (English kept at 50%, everything else at 10% — the shape of
+    any quota-ed or cost-tiered ingestion): weight = pop share / sample
+    share per language, the factor that makes the weighted sample match
+    the population mix again.
+
+    operators.sampling.inverse_propensity_weights over the md5-hex
+    deterministic sample predicate (sample_hash_deterministic's exact
+    portable thresholds): one count aggregate per side, 1-row totals
+    broadcast — the fact table scans once per side, never joins.
+    """
+    from sqlitedataframe_spark.operators.sampling import (
+        _hex4,
+        inverse_propensity_weights,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    samp = d.filter(
+        _hex4("doc_id")
+        < F.when(F.col("lang") == "en", "8000").otherwise("199a")
+    )
+    return inverse_propensity_weights(d, samp, "lang")
