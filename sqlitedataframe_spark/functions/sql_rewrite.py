@@ -338,15 +338,65 @@ _CAST_TYPE_MAP = {
 }
 
 
+def _cast_close_parens(sql: str) -> set[int]:
+    """Positions of ``)`` characters that close a ``CAST(...)`` call.
+
+    One linear scan with a paren stack, skipping string literals and
+    quoted identifiers: a close paren qualifies iff its matching opener
+    is immediately preceded (whitespace allowed) by the bare word CAST.
+    This is what lets ``_rewrite_cast_types`` rewrite ``AS TEXT)`` only
+    inside a CAST — an alias named ``text`` at the end of a
+    parenthesized subquery (``(SELECT 1 AS text)``) closes a paren whose
+    opener is NOT a CAST call, so it survives (ADVICE r6)."""
+    stack: list[int] = []
+    out: set[int] = set()
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == '"':
+            i += 1
+            while i < n and sql[i] != '"':
+                i += 1
+        elif ch == "(":
+            stack.append(i)
+        elif ch == ")":
+            if stack:
+                o = stack.pop()
+                j = o - 1
+                while j >= 0 and sql[j].isspace():
+                    j -= 1
+                if (
+                    j >= 3
+                    and sql[j - 3 : j + 1].upper() == "CAST"
+                    and (j < 4 or not (sql[j - 4].isalnum() or sql[j - 4] == "_"))
+                ):
+                    out.add(i)
+        i += 1
+    return out
+
+
 def _rewrite_cast_types(sql: str) -> str:
-    # only the `AS <type> )` tail of a CAST — a SELECT alias is never
-    # directly followed by ')', so aliases named e.g. `text` survive.
+    # only the `AS <type> )` tail whose `)` closes a CAST( at matching
+    # paren depth — aliases named e.g. `text`, including at the end of a
+    # parenthesized subquery, survive (ADVICE r6).
     pat = re.compile(
         r"\bAS\s+(" + "|".join(_CAST_TYPE_MAP) + r")\s*\)", re.IGNORECASE
     )
+    cast_closes = _cast_close_parens(sql)
 
     def sub(m: re.Match) -> str:
         if _in_string_literal(sql, m.start()):
+            return m.group(0)
+        if m.end() - 1 not in cast_closes:
             return m.group(0)
         return f"AS {_CAST_TYPE_MAP[m.group(1).upper()]})"
 

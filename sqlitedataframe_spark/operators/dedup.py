@@ -239,7 +239,28 @@ def minhash_lsh_pairs(
         # are per-doc pure functions, so the semi-joined subset equals a
         # fresh computation over df; the cheap id semi-join re-runs per
         # consumer against the sharer's InMemoryTableScan.
+        #
+        # Guard (ADVICE r6): a signature table built with a DIFFERENT
+        # n_hashes would silently band wrong (F.slice past the array end
+        # shortens buckets) and skew the est_jaccard denominator. The
+        # length check is one integer comparison per row inside the scan;
+        # raise_error surfaces a mismatched injection as a loud runtime
+        # failure instead of wrong pairs.
         sig = sig.join(df.select(F.col(id_col).alias("_id")), "_id", "left_semi")
+        sig = sig.withColumn(
+            "_sig",
+            F.when(F.size("_sig") == n_hashes, F.col("_sig")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "minhash_lsh_pairs: injected sig length "
+                        ),
+                        F.size("_sig").cast("string"),
+                        F.lit(f" != n_hashes={n_hashes}"),
+                    )
+                )
+            ),
+        )
     else:
         sig = _eager_cache(
             minhash_signature_table(df, id_col, text_col, n_hashes, shingle_k)

@@ -837,6 +837,10 @@ def rolling_percentile_daily(
     shape — never a date-ordered global window), then per-day
     sort_array over <= window_days values.
     """
+    if not 0 < pct <= 1:
+        raise ValueError(f"pct must be in (0, 1], got {pct}")
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
     daily = (
         df.groupBy(F.date_trunc("day", F.col(ts_col)).cast("date").alias("d"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))

@@ -1267,7 +1267,27 @@ def perplexity_heldout(
     model); vocabulary sizes are a #langs-row broadcast. No windows, no
     driver state; floating work is one log per scored bigram plus a
     per-lang mean, rounded.
+
+    Holdout assignment (ADVICE r6): NUMERIC ids split by
+    ``id % holdout_mod`` (cheap, oracle-trivial); STRING ids — supported
+    by the rest of the dedup/text family — split by a portable md5 hash
+    mod ``holdout_mod`` (the sampling family's recipe) instead of
+    failing analysis. Both are deterministic pure functions of the id.
     """
+    id_type = dict(docs.dtypes).get(id_col, "")
+    numeric_id = any(
+        id_type.startswith(t)
+        for t in ("tinyint", "smallint", "int", "bigint", "decimal")
+    )
+    if numeric_id:
+        fold = F.col("_id") % holdout_mod
+    else:
+        fold = (
+            F.conv(
+                F.substring(F.md5(F.col("_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % holdout_mod
+        )
     toks = tokens(text_col)
     base = docs.select(
         F.col(id_col).alias("_id"),
@@ -1283,8 +1303,8 @@ def perplexity_heldout(
             ),
         ),
     )
-    train = base.filter(F.col("_id") % holdout_mod != 0)
-    test = base.filter(F.col("_id") % holdout_mod == 0)
+    train = base.filter(fold != 0)
+    test = base.filter(fold == 0)
 
     tr_bg = train.select("_lang", F.explode("_bg").alias("_b"))
     c2 = tr_bg.groupBy("_lang", "_b").agg(F.count(F.lit(1)).cast("long").alias("_c2"))

@@ -187,9 +187,13 @@ def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
     adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
     deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+    wedge AS (
+      SELECT u, v FROM (
+        SELECT u, v, COUNT(*) OVER (PARTITION BY v) AS _wn FROM adj)
+      WHERE _wn <= 10000),
     cn AS (
       SELECT a.u AS x, b.u AS y, CAST(COUNT(*) AS BIGINT) AS cn
-      FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+      FROM wedge a JOIN wedge b ON a.v = b.v AND a.u < b.u
       GROUP BY 1, 2),
     nonadj AS (
       SELECT cn.x, cn.y, cn.cn FROM cn
@@ -214,7 +218,9 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on the shared-neighbor id, degrees from one groupBy, union via
     deg_u + deg_v - cn, anti-join to drop existing edges, TakeOrdered
     top-k. jaccard is one int/int division — bit-identical ordering
-    across engines.
+    across engines. The automatic hub-degree cap on wedge centers
+    (max_center_degree=10000, VERDICT r6 #1) is replayed verbatim in the
+    oracle's `wedge` CTE so the comparison stays exact at any SF.
     """
     li = T(spark, sf_dir, "lineitem")
     slim = li.select("l_orderkey", "l_partkey").distinct()

@@ -1,0 +1,289 @@
+"""Round-7 fixes: the five ADVICE r6 findings plus the two automatic
+skew guards from VERDICT r6 task #1 (blocked_levenshtein_pairs in-block
+salt cap, neighbor_jaccard hub-degree cap)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.operators.graph import neighbor_jaccard
+from sqlitedataframe_spark.operators.linkage import (
+    blocked_levenshtein_pairs,
+    blocked_pair_budget,
+)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r6 (medium): neighbor_jaccard input hygiene
+# ---------------------------------------------------------------------------
+def _nj_rows(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return sorted(
+        (r["u"], r["v"], r["cn"], r["deg_u"], r["deg_v"], r["jaccard"])
+        for r in neighbor_jaccard(df, **kw).collect()
+    )
+
+
+def test_neighbor_jaccard_orientation_invariant(spark):
+    """An edge stored (hi, lo) must behave exactly like (lo, hi): same
+    degrees, same predictions, and it must be excluded as a known edge."""
+    base = [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)]
+    flipped = [(2, 1), (2, 3), (4, 3), (1, 4), (3, 1)]
+    assert _nj_rows(spark, base) == _nj_rows(spark, flipped)
+
+
+def test_neighbor_jaccard_dup_and_self_loops_ignored(spark):
+    """Duplicate edges, bidirectional storage, and self-loops must not
+    inflate degrees or common-neighbor counts."""
+    clean = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    dirty = clean + [(2, 1), (2, 3), (3, 3), (1, 1), (4, 3)]
+    assert _nj_rows(spark, clean) == _nj_rows(spark, dirty)
+
+
+def test_neighbor_jaccard_square_unchanged(spark):
+    """The r6 fixture still scores the two diagonals of a 4-cycle."""
+    rows = _nj_rows(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    assert rows == [
+        (1, 3, 2, 2, 2, 1.0),
+        (2, 4, 2, 2, 2, 1.0),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r6 #1: neighbor_jaccard hub-degree cap
+# ---------------------------------------------------------------------------
+def test_neighbor_jaccard_hub_cap_drops_hub_wedges(spark):
+    """A star hub (vertex 0 connected to 1..6) emits deg^2 wedges; with
+    the cap below the hub degree, pairs whose only shared neighbor is
+    the hub disappear, while pairs sharing a low-degree neighbor stay."""
+    hub = [(0, i) for i in range(1, 7)]
+    # 1 and 2 also share low-degree vertex 9
+    extra = [(1, 9), (2, 9)]
+    uncapped = _nj_rows(spark, hub + extra, max_center_degree=None)
+    capped = _nj_rows(spark, hub + extra, max_center_degree=5)
+    pairs_capped = {(u, v) for u, v, *_ in capped}
+    pairs_uncapped = {(u, v) for u, v, *_ in uncapped}
+    assert (1, 2) in pairs_capped  # survives via vertex 9
+    assert (3, 4) in pairs_uncapped and (3, 4) not in pairs_capped
+    # true degrees are never capped: deg(1) = 2 in both
+    deg1 = {r[3] for r in capped if r[0] == 1}
+    assert deg1 == {2}
+
+
+def test_neighbor_jaccard_default_cap_is_noop_small(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 5)]
+    assert _nj_rows(spark, edges) == _nj_rows(spark, edges, max_center_degree=None)
+
+
+def test_neighbor_jaccard_hub_cap_flat_at_scale(spark):
+    """The skew scale check: wedge output through a hot hub grows
+    quadratically uncapped and is eliminated capped. Counted, not timed
+    (pair count IS the cost driver; wall clock is noise-bound here)."""
+    n = 400
+    star = spark.range(1, n + 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    uncapped = neighbor_jaccard(star, top_k=10**9, max_center_degree=None)
+    capped = neighbor_jaccard(star, top_k=10**9, max_center_degree=100)
+    assert uncapped.count() == n * (n - 1) // 2
+    assert capped.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r6 #1: blocked_levenshtein_pairs automatic in-block salt cap
+# ---------------------------------------------------------------------------
+def _lev_df(spark, rows):
+    return spark.createDataFrame(rows, ["id", "name", "grp"])
+
+
+def test_blocked_levenshtein_cap_noop_under_threshold(spark):
+    """Blocks at or under max_block: n_sub = 1, salt 0 everywhere — the
+    result is bit-identical with the guard on or off."""
+    rows = [(i, f"widget number {i % 7}", "g") for i in range(50)] + [
+        (100 + i, f"gadget item {i}", "h") for i in range(30)
+    ]
+    df = _lev_df(spark, rows)
+    on = sorted(
+        map(tuple, blocked_levenshtein_pairs(df, "id", "name", ["grp"], 3).collect())
+    )
+    off = sorted(
+        map(
+            tuple,
+            blocked_levenshtein_pairs(
+                df, "id", "name", ["grp"], 3, max_block=None
+            ).collect(),
+        )
+    )
+    assert on == off and len(on) > 0
+
+
+def test_blocked_levenshtein_cap_engages_on_hot_block(spark):
+    """A hot block above max_block is sub-split: every surviving pair has
+    equal salt, the pair count drops below the uncapped count, and no
+    pair outside the hot block is affected."""
+    hot = [(i, f"same text {i % 3}", "hot") for i in range(300)]
+    cold = [(1000, "alpha beta", "cold"), (1001, "alpha betb", "cold")]
+    df = _lev_df(spark, hot + cold)
+    capped = blocked_levenshtein_pairs(
+        df, "id", "name", ["grp"], 3, max_block=50
+    ).collect()
+    uncapped = blocked_levenshtein_pairs(
+        df, "id", "name", ["grp"], 3, max_block=None
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped if r["id_a"] >= 1000} == {
+        (1000, 1001)
+    }
+    n_hot_capped = sum(1 for r in capped if r["id_a"] < 1000)
+    n_hot_uncapped = sum(1 for r in uncapped if r["id_a"] < 1000)
+    assert 0 < n_hot_capped < n_hot_uncapped
+    # capped pairs are a SUBSET of uncapped pairs (the guard only removes)
+    assert {(r["id_a"], r["id_b"]) for r in capped} <= {
+        (r["id_a"], r["id_b"]) for r in uncapped
+    }
+
+
+def test_blocked_levenshtein_cap_bounds_quadratic(spark):
+    """Skew scale check (counted): a block of n identical strings emits
+    n(n-1)/2 pairs uncapped; with max_block=m the emission is bounded by
+    ~n*m/2 — linear in n — so doubling n roughly doubles (not quadruples)
+    the capped output."""
+    def n_pairs(n, cap):
+        df = _lev_df(spark, [(i, "constant text", "g") for i in range(n)])
+        return blocked_levenshtein_pairs(
+            df, "id", "name", ["grp"], 1, max_block=cap
+        ).count()
+
+    raw_1k = n_pairs(1000, None)
+    assert raw_1k == 1000 * 999 // 2
+    capped_1k = n_pairs(1000, 100)
+    capped_2k = n_pairs(2000, 100)
+    assert capped_1k <= 1000 * 110  # ~n * max_block/2 with hash imbalance slack
+    assert capped_2k < capped_1k * 3  # linear-ish, not 4x
+
+
+def test_blocked_pair_budget_reports_forgone(spark):
+    df = _lev_df(spark, [(i, "x", "hot") for i in range(250)] + [(900, "y", "cold")])
+    rows = {r["_bk0"]: r for r in blocked_pair_budget(df, ["grp"], max_block=100).collect()}
+    hot = rows["hot"]
+    assert hot["block_n"] == 250 and hot["n_sub"] == 3
+    assert hot["raw_pairs"] == 250 * 249 // 2
+    assert 0 < hot["capped_pairs"] < hot["raw_pairs"]
+    assert hot["pairs_forgone"] == hot["raw_pairs"] - hot["capped_pairs"]
+    assert rows["cold"]["n_sub"] == 1 and rows["cold"]["pairs_forgone"] == 0
+
+
+def test_blocked_levenshtein_invalid_cap_raises(spark):
+    df = _lev_df(spark, [(1, "a", "g")])
+    with pytest.raises(ValueError, match="max_block"):
+        blocked_levenshtein_pairs(df, "id", "name", ["grp"], 1, max_block=0)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r6 (low): rolling_percentile_daily pct validation
+# ---------------------------------------------------------------------------
+def test_rolling_percentile_validates_pct(spark, sf_dir):
+    from sqlitedataframe_spark.io import load_table
+    from sqlitedataframe_spark.operators.relational import rolling_percentile_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="pct"):
+            rolling_percentile_daily(ev, "ts", pct=bad)
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_percentile_daily(ev, "ts", window_days=0)
+    assert rolling_percentile_daily(ev, "ts", pct=1.0).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r6 (low): minhash_lsh_pairs validates an injected signature table
+# ---------------------------------------------------------------------------
+def test_minhash_injected_sig_length_guard(spark, sf_dir):
+    from sqlitedataframe_spark.io import load_table
+    from sqlitedataframe_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signature_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    sig32 = minhash_signature_table(docs, n_hashes=32)
+    # matching params: accepted
+    ok = minhash_lsh_pairs(docs, n_hashes=32, bands=8, sig=sig32)
+    ok.collect()
+    # mismatched n_hashes: loud runtime error, not silent wrong banding.
+    # Under AQE with concurrent task failures Spark may wrap the
+    # USER_RAISED_EXCEPTION in a stage-materialization Py4JJavaError, so
+    # match the message, not the exception class.
+    bad = minhash_lsh_pairs(docs, n_hashes=64, bands=16, sig=sig32)
+    with pytest.raises(Exception, match="n_hashes"):
+        bad.collect()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r6 (low): perplexity_heldout supports string doc ids
+# ---------------------------------------------------------------------------
+def test_perplexity_heldout_string_ids(spark, sf_dir):
+    from sqlitedataframe_spark.io import load_table
+    from sqlitedataframe_spark.operators.text import perplexity_heldout
+
+    docs = load_table(spark, sf_dir, "documents")
+    numeric = perplexity_heldout(docs).collect()
+    assert len(numeric) > 0 and all(r["perplexity"] > 0 for r in numeric)
+    as_str = docs.withColumn("doc_id", F.concat(F.lit("doc-"), F.col("doc_id")))
+    strres = perplexity_heldout(as_str).collect()
+    assert len(strres) > 0 and all(r["perplexity"] > 0 for r in strres)
+
+
+def test_perplexity_heldout_numeric_path_unchanged(spark, sf_dir):
+    """The numeric-id split stays `id % holdout_mod` (the committed oracle
+    contract): doc 0, 5, 10... land in the held-out slice."""
+    from sqlitedataframe_spark.io import load_table
+    from sqlitedataframe_spark.operators.text import perplexity_heldout
+
+    docs = load_table(spark, sf_dir, "documents")
+    r1 = sorted(map(tuple, perplexity_heldout(docs, holdout_mod=5).collect()))
+    r2 = sorted(map(tuple, perplexity_heldout(docs, holdout_mod=5).collect()))
+    assert r1 == r2 and len(r1) > 0
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r6 (low): CAST-type rewrite anchored to a real CAST(
+# ---------------------------------------------------------------------------
+def test_cast_rewrite_skips_subquery_tail_alias():
+    from sqlitedataframe_spark.functions.sql_rewrite import translate_sqlite_sql
+
+    assert "AS int)" in translate_sqlite_sql("SELECT * FROM (SELECT 1 AS int)")
+    assert "AS text)" in translate_sqlite_sql("SELECT * FROM (SELECT 'a' AS text)")
+
+
+def test_cast_rewrite_still_rewrites_real_casts():
+    from sqlitedataframe_spark.functions.sql_rewrite import translate_sqlite_sql
+
+    out = translate_sqlite_sql("SELECT CAST(x AS INTEGER), CAST(y AS TEXT) FROM t")
+    assert "AS BIGINT)" in out and "AS STRING)" in out
+    # whitespace between CAST and ( is legal SQLite
+    out2 = translate_sqlite_sql("SELECT CAST (x AS REAL) FROM t")
+    assert "AS DOUBLE)" in out2
+
+
+def test_cast_rewrite_nested_subquery_inside_cast():
+    from sqlitedataframe_spark.functions.sql_rewrite import translate_sqlite_sql
+
+    out = translate_sqlite_sql("SELECT CAST((SELECT 1 AS int) AS TEXT)")
+    assert "AS int)" in out  # inner alias untouched
+    assert "AS STRING)" in out  # outer CAST tail rewritten
+
+
+def test_cast_rewrite_string_literals_untouched():
+    from sqlitedataframe_spark.functions.sql_rewrite import translate_sqlite_sql
+
+    out = translate_sqlite_sql("SELECT 'CAST(x AS INT)' AS s")
+    assert "'CAST(x AS INT)'" in out
+
+
+def test_cast_rewrite_word_boundary():
+    """BROADCAST(x) or a udf named mycast( must not anchor the rewrite."""
+    from sqlitedataframe_spark.functions.sql_rewrite import translate_sqlite_sql
+
+    out = translate_sqlite_sql("SELECT broadcast(x AS INT) FROM t")
+    assert "AS INT)" in out  # not a CAST call: left alone
