@@ -20,19 +20,18 @@ from sqlitedataframe_spark.suite import load_all  # noqa: E402
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _ordered_names() -> list[str]:
-    """Registry names with never-driver-checked queries FIRST.
+#: The driver records CORRECTNESS rows for a bounded prefix of queries()
+#: (~50). Keeping the never-driver-checked set at or under this budget per
+#: round is what guarantees every registry query has a driver-green row;
+#: tests/test_suite.py asserts it at round close (VERDICT r6 #4).
+DRIVER_CHECK_BUDGET = 50
 
-    The driver records CORRECTNESS rows for a bounded prefix of ``queries()``
-    (round 1 recorded exactly 50 of 97). To get every capability a
-    driver-green row across rounds, queries absent from every prior
-    ``CORRECTNESS_r*.json`` are rotated to the front; already-checked ones
-    follow in registry order.
-    """
+
+def _seen_names() -> set[str]:
+    """Names with a GREEN row in any prior ``CORRECTNESS_r*.json``."""
     import glob
     import json
 
-    reg = load_all()
     seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         try:
@@ -61,12 +60,17 @@ def _ordered_names() -> list[str]:
                         seen.add(name)
         except (OSError, ValueError):
             continue
+    return seen
+
+
+def _unseen_names() -> list[str]:
+    """Registry names with NO driver-green row yet, prioritized: bridge
+    round-trips and fresh additions lead (they prove the most surface and
+    register last in module order, so a bounded capture would otherwise
+    drop them first)."""
+    reg = load_all()
+    seen = _seen_names()
     names = list(reg.keys())
-    # Within the never-checked group, lead with (a) the end-to-end bridge
-    # round-trips (they prove the whole Tier A surface and register LAST in
-    # module order, so a bounded capture would otherwise drop them first)
-    # and (b) queries added this round that no prior judge pass has
-    # verified either — r1-judge-verified queries can wait a round longer.
     lead = [
         "sqlite_roundtrip",
         "sqlite_dialect_sql",
@@ -100,8 +104,21 @@ def _ordered_names() -> list[str]:
         "events_funnel",
     ]
     unseen = [n for n in names if n not in seen]
-    unseen = [n for n in lead if n in unseen] + [n for n in unseen if n not in lead]
-    return unseen + [n for n in names if n in seen]
+    return [n for n in lead if n in unseen] + [n for n in unseen if n not in lead]
+
+
+def _ordered_names() -> list[str]:
+    """Registry names with never-driver-checked queries FIRST.
+
+    The driver records CORRECTNESS rows for a bounded prefix of
+    ``queries()`` (~DRIVER_CHECK_BUDGET). Queries absent from every prior
+    ``CORRECTNESS_r*.json`` are rotated to the front so they get their
+    driver-green row this round; already-checked ones follow in registry
+    order.
+    """
+    unseen = _unseen_names()
+    head = set(unseen)
+    return unseen + [n for n in load_all() if n not in head]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -343,6 +343,7 @@ def main() -> None:
     # queries without re-running the whole suite. The driver never sets
     # this — its per-round artifact always covers the full HEADLINE.
     only = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
+    full_headline = list(HEADLINE)
     if only:
         unknown = [q for q in only if q not in HEADLINE]
         if unknown:
@@ -432,6 +433,13 @@ def main() -> None:
         # a query is an error only if EVERY rep failed
         errs = {k: v for k, v in errors.items() if not rep_times.get(k)}
         total = round(sum(timings.values()), 3)
+        # Self-describing coverage (VERDICT r6 #7): the headline set is a
+        # subset of the registry (bridge/streaming-harness queries that
+        # benchmark temp-file IO rather than the engine are excluded); list
+        # them explicitly so a reader can't mistake the headline set for
+        # the full registry. Exclusions are ALWAYS relative to the full
+        # headline; a SPARK_GRAFT_BENCH_ONLY spot run is marked `subset`.
+        excluded = sorted(set(registry) - set(full_headline))
         full = {
             "metric": "suite_total_wall_seconds",
             "value": total,
@@ -441,7 +449,11 @@ def main() -> None:
             "reps": reps,
             "errors": errs,
             "sf": sf,
+            "n_registry": len(registry),
+            "excluded": excluded,
         }
+        if only:
+            full["subset"] = True
         if errs:
             # the total excludes failed queries, so a cross-round
             # comparison must not read a lower value as an improvement
@@ -467,8 +479,12 @@ def main() -> None:
             "reps": reps,
             "n_queries": len(timings),
             "n_errors": len(errs),
+            "n_registry": len(registry),
+            "n_excluded": len(excluded),
             "detail": "bench_detail.json",
         }
+        if only:
+            tail["subset"] = True
         if errs:
             tail["incomplete"] = True
         print(json.dumps(tail), flush=True)

@@ -37,6 +37,28 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_driver_check_budget_invariant():
+    """VERDICT r6 #4: the driver records CORRECTNESS rows for only a
+    bounded prefix (~50) of queries() per round. The every-query-has-a-
+    driver-green-row invariant therefore requires the never-checked set
+    (fresh additions + ever-red queries) to stay within that budget at
+    round close — this test fails the build when a round adds more new
+    queries than one driver pass can verify."""
+    import __spark_entry__ as e
+
+    unseen = e._unseen_names()
+    assert len(unseen) <= e.DRIVER_CHECK_BUDGET, (
+        f"{len(unseen)} never-driver-checked queries exceed the "
+        f"{e.DRIVER_CHECK_BUDGET}-row driver capture budget; trim this "
+        f"round's additions or split across rounds: {unseen}"
+    )
+    # the rotation must surface exactly the unseen set first and cover
+    # the whole registry exactly once
+    ordered = e._ordered_names()
+    assert ordered[: len(unseen)] == unseen
+    assert sorted(ordered) == sorted(load_all().keys())
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(spark, sf_dir, duck, name):
     q = REGISTRY[name]
