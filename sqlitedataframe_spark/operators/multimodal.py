@@ -152,18 +152,27 @@ def extract_features(
     videos, where row-count batching OOMs).
 
     ``decoder``: "fake" (default — deterministic on the bytes, what every
-    oracle-checked query uses) or "pillow" — real image decode through the
+    oracle-checked query uses), "pillow" — real image decode through the
     identical stage when Pillow is importable on the EXECUTORS (the
     import check runs inside the mapInPandas closure, where the decode
-    actually happens).
+    actually happens) — or "png": the dependency-free stdlib PNG decoder
+    (operators.pngcodec), which makes the real-pixels path CI-provable in
+    the codec-less gate container (VERDICT r6 #3).
     """
-    if decoder not in ("fake", "pillow"):
-        raise ValueError(f"decoder must be 'fake' or 'pillow', got {decoder!r}")
+    if decoder not in ("fake", "pillow", "png"):
+        raise ValueError(
+            f"decoder must be 'fake', 'pillow' or 'png', got {decoder!r}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = (
-            (lambda p: decode_image(p)) if decoder == "pillow" else fake_decode_dims
-        )
+        if decoder == "pillow":
+            decode = lambda p: decode_image(p)  # noqa: E731
+        elif decoder == "png":
+            from sqlitedataframe_spark.operators.pngcodec import png_dims
+
+            decode = lambda p: (*png_dims(p), 1)  # noqa: E731
+        else:
+            decode = fake_decode_dims
         for pdf in batches:
             start = 0
             while start < len(pdf):
@@ -206,7 +215,10 @@ def resize_media(media: DataFrame, stride: int = 4, resizer: str = "stride") -> 
     The default *decode+resample* is the deterministic fake (byte-stride
     decimation); ``resizer="pillow"`` runs a real decode → 1/stride
     thumbnail → PNG re-encode through the identical stage when Pillow is
-    importable on the executors. The Spark plumbing is the production
+    importable on the executors, and ``resizer="png"`` does the same with
+    the dependency-free stdlib PNG codec (operators.pngcodec — CI-provable
+    in the codec-less gate container, VERDICT r6 #3; same output contract
+    max(1, dim // stride)). The Spark plumbing is the production
     pattern either way: payloads cross into Python once per row,
     Arrow-batched, inside the scan stage (no shuffle), and the output
     binary is strictly smaller — the job that turns a 100 TB raw-media
@@ -214,8 +226,10 @@ def resize_media(media: DataFrame, stride: int = 4, resizer: str = "stride") -> 
     """
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    if resizer not in ("stride", "pillow"):
-        raise ValueError(f"resizer must be 'stride' or 'pillow', got {resizer!r}")
+    if resizer not in ("stride", "pillow", "png"):
+        raise ValueError(
+            f"resizer must be 'stride', 'pillow' or 'png', got {resizer!r}"
+        )
 
     def _pillow_thumb(data: bytes) -> bytes:
         import io
@@ -232,11 +246,18 @@ def resize_media(media: DataFrame, stride: int = 4, resizer: str = "stride") -> 
             return out.getvalue()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if resizer == "pillow":
+            shrink = _pillow_thumb
+        elif resizer == "png":
+            from sqlitedataframe_spark.operators.pngcodec import png_thumbnail
+
+            shrink = lambda raw: png_thumbnail(raw, stride)  # noqa: E731
+        else:
+            shrink = lambda raw: raw[::stride]  # noqa: E731
         for pdf in batches:
             ids, sizes, blobs = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload or b"")
-                data = _pillow_thumb(raw) if resizer == "pillow" else raw[::stride]
+                data = shrink(bytes(payload or b""))
                 ids.append(mid)
                 sizes.append(len(data))
                 blobs.append(data)

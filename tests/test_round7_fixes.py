@@ -287,3 +287,171 @@ def test_cast_rewrite_word_boundary():
 
     out = translate_sqlite_sql("SELECT broadcast(x AS INT) FROM t")
     assert "AS INT)" in out  # not a CAST call: left alone
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r6 #3: stdlib PNG codec — real pixels, CI-provable without Pillow
+# ---------------------------------------------------------------------------
+def _gradient_rows(w, h, ch):
+    return [
+        bytearray(((x * 7 + y * 13 + c * 31) % 256) for x in range(w) for c in range(ch))
+        for y in range(h)
+    ]
+
+
+def test_png_roundtrip_all_color_types():
+    from sqlitedataframe_spark.operators.pngcodec import (
+        png_decode,
+        png_dims,
+        png_encode,
+    )
+
+    for ch in (1, 2, 3, 4):
+        rows = _gradient_rows(13, 7, ch)
+        payload = png_encode(13, 7, ch, rows)
+        assert png_dims(payload) == (13, 7)
+        w, h, och, orows = png_decode(payload)
+        assert (w, h, och) == (13, 7, ch)
+        assert orows == rows
+
+
+def test_png_decode_all_filter_types():
+    """Hand-construct a PNG whose scanlines use every filter type (0-4)
+    and check the unfilter recovers the exact pixels."""
+    import struct
+    import zlib
+
+    from sqlitedataframe_spark.operators.pngcodec import _chunk, png_decode
+
+    w, h, ch = 5, 5, 3
+    rows = _gradient_rows(w, h, ch)
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y, line in enumerate(rows):
+        ftype = y % 5
+        raw.append(ftype)
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                raw.append(line[i])
+            elif ftype == 1:
+                raw.append((line[i] - left) & 0xFF)
+            elif ftype == 2:
+                raw.append((line[i] - up) & 0xFF)
+            elif ftype == 3:
+                raw.append((line[i] - ((left + up) >> 1)) & 0xFF)
+            else:
+                raw.append((line[i] - paeth(left, up, ul)) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    assert png_decode(payload)[3] == rows
+
+
+def test_png_thumbnail_nearest_neighbor():
+    from sqlitedataframe_spark.operators.pngcodec import (
+        png_decode,
+        png_encode,
+        png_thumbnail,
+    )
+
+    rows = _gradient_rows(12, 8, 3)
+    thumb = png_thumbnail(png_encode(12, 8, 3, rows), stride=4)
+    w, h, ch, trows = png_decode(thumb)
+    assert (w, h, ch) == (3, 2, 3)
+    for y in range(2):
+        for x in range(3):
+            for c in range(3):
+                assert trows[y][x * 3 + c] == rows[y * 4][x * 4 * 3 + c]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r6 #6: SQLite write-back at partition scale — one file, N writers
+# ---------------------------------------------------------------------------
+def test_parallel_multipartition_write_roundtrip(spark, tmp_path):
+    """32 partitions write concurrently into ONE SQLite file; SQLite
+    serializes writers on the file lock and the busy_timeout retry makes
+    that safe — the round-trip must be lossless (every row exactly once,
+    no SQLITE_BUSY surfacing). Order across partitions is undefined by
+    contract (see MIGRATION.md), so compare as sets."""
+    from sqlitedataframe_spark.sources.sqlite import read_sql, write_sql
+
+    db = str(tmp_path / "parallel.db")
+    n = 50_000
+    df = (
+        spark.range(n)
+        .repartition(32)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            F.concat(F.lit("row-"), F.col("id")).alias("s"),
+        )
+    )
+    assert df.rdd.getNumPartitions() == 32
+    write_sql(df, db, table="parallel_sink", if_exists="replace")
+    back = read_sql(spark, db, table="parallel_sink")
+    rows = back.collect()
+    assert len(rows) == n
+    assert {(r["k"], r["v"], r["s"]) for r in rows} == {
+        (i, 2 * i, f"row-{i}") for i in range(n)
+    }
+
+
+def test_parallel_upsert_converges(spark, tmp_path):
+    """Partition-parallel UPSERT into one file: later values win per key
+    and replays are idempotent — the exactly-once-EFFECT contract the
+    streaming sink relies on."""
+    from sqlitedataframe_spark.sources.sqlite import read_sql, upsert_sql, write_sql
+
+    db = str(tmp_path / "upsert.db")
+    base = spark.range(2_000).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    write_sql(base.repartition(8), db, table="m", if_exists="replace")
+    from sqlitedataframe_spark.sources.sqlite import exec_sql
+
+    exec_sql(db, 'CREATE UNIQUE INDEX "idx_m" ON "m" (k)')
+    upd = spark.range(2_000).select(
+        F.col("id").alias("k"), (F.col("id") + 1).alias("v")
+    )
+    upsert_sql(upd.repartition(16), db, "m", ["k"])
+    upsert_sql(upd.repartition(16), db, "m", ["k"])  # replay: idempotent
+    rows = read_sql(spark, db, table="m").collect()
+    assert len(rows) == 2_000
+    assert all(r["v"] == r["k"] + 1 for r in rows)
+
+
+def test_png_rejects_garbage_and_unsupported():
+    from sqlitedataframe_spark.operators.pngcodec import png_decode, png_dims
+
+    with pytest.raises(ValueError, match="signature"):
+        png_dims(b"not a png at all")
+    # 16-bit depth: out of scope, must refuse loudly
+    import struct
+    import zlib
+
+    from sqlitedataframe_spark.operators.pngcodec import _chunk
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        png_decode(payload)
