@@ -303,6 +303,25 @@ HEADLINE = [
     "feature_cramers_v",
     "events_rolling_p90",
     "sample_inverse_propensity",
+    # round 7
+    "graph_adamic_adar",
+    "graph_assortativity",
+    "text_unicode_quality",
+    "text_stopword_profile",
+    "text_hapax_ratio",
+    "text_ttr",
+    "eval_macro_f1",
+    "eval_mcnemar",
+    "feature_robust_scaler",
+    "orders_backlog_aging",
+    "dedup_prefix_suffix",
+    "profile_column_entropy",
+    "profile_fd_candidates",
+    "embed_norm_stats",
+    "embed_dimension_variance",
+    "multimodal_png_roundtrip",
+    "events_welch_ttest",
+    "source_json_corrupt_audit",
 ]
 
 

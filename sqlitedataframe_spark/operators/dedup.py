@@ -980,3 +980,49 @@ def containment_pairs(
             ),
         )
     )
+
+
+def prefix_suffix_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    min_group: int = 2,
+) -> DataFrame:
+    """Truncation-robust exact dedup groups: documents sharing the md5 of
+    their first ``k`` characters OR of their last ``k`` characters (after
+    lower/trim normalization) — the web-corpus trick that catches
+    pagination suffixes, appended boilerplate, and truncated re-crawls
+    that full-text hashing misses. Returns one row per (hash-key, kind)
+    group of size >= ``min_group`` with the min-id representative — group
+    rollups, never pairs, so output is linear in the corpus (the pair
+    form of an exact-hash group is quadratic for zero information).
+
+    Portability: prefix = md5(substr(text, 1, k)); suffix =
+    md5(substr(reverse(text), 1, k)) — reverse-then-prefix sidesteps the
+    engines' differing negative-index substr semantics on short strings.
+
+    Shape: two scan-side hashes, one union, one group aggregate (one
+    shuffle on the hash key).
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    pre = docs.select(
+        F.col(id_col).alias("_id"),
+        F.lit("prefix").alias("kind"),
+        F.md5(F.substring(t, 1, k)).alias("key"),
+    )
+    suf = docs.select(
+        F.col(id_col).alias("_id"),
+        F.lit("suffix").alias("kind"),
+        F.md5(F.substring(F.reverse(t), 1, k)).alias("key"),
+    )
+    return (
+        pre.union(suf)
+        .groupBy("kind", "key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.min("_id").alias("keep_id"),
+        )
+        .filter(F.col("group_size") >= min_group)
+        .orderBy("kind", "key")
+    )

@@ -646,3 +646,123 @@ def regression_metrics(
         F.round(F.col("_se") / F.col("n") + 1e-9, round_dp).alias("bias"),
     )
     return out.orderBy(*keys) if keys else out
+
+
+def macro_f1(
+    df: DataFrame,
+    pred_col: str = "pred",
+    truth_col: str = "truth",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Multi-class precision/recall/F1 per class plus the macro averages —
+    the imbalance-honest companion to accuracy/kappa (each class counts
+    equally regardless of support). Classes are the union of truth and
+    prediction values; a class never predicted gets precision NULL and
+    F1 0 by the usual zero-division convention.
+
+    Shape: one |classes|^2 confusion aggregate collapses the corpus
+    map-side (the cohen_kappa pattern); per-class tp/fp/fn and the macro
+    roll-up are arithmetic over that tiny frame. Output: one row per
+    class ordered by class, then one 'MACRO' row.
+    """
+    cells = (
+        df.select(F.col(pred_col).alias("_p"), F.col(truth_col).alias("_t"))
+        .groupBy("_p", "_t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    )
+    classes = (
+        cells.select(F.col("_t").alias("cls"))
+        .union(cells.select(F.col("_p").alias("cls")))
+        .distinct()
+    )
+    tp = cells.filter(F.col("_p") == F.col("_t")).select(
+        F.col("_t").alias("cls"), F.col("_n").alias("tp")
+    )
+    pred_n = cells.groupBy(F.col("_p").alias("cls")).agg(
+        F.sum("_n").cast("bigint").alias("n_pred")
+    )
+    true_n = cells.groupBy(F.col("_t").alias("cls")).agg(
+        F.sum("_n").cast("bigint").alias("n_true")
+    )
+    per = (
+        classes.join(tp, "cls", "left")
+        .join(pred_n, "cls", "left")
+        .join(true_n, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("bigint").alias("n_true"),
+        )
+        .select(
+            "cls",
+            "tp",
+            "n_pred",
+            "n_true",
+            F.when(
+                F.col("n_pred") > 0,
+                F.round(F.col("tp") / F.col("n_pred") + 1e-9, round_dp),
+            ).alias("precision"),
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("tp") / F.col("n_true") + 1e-9, round_dp),
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("n_pred") + F.col("n_true") > 0,
+                    2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_true")),
+                ).otherwise(F.lit(0.0))
+                + 1e-9,
+                round_dp,
+            ).alias("f1"),
+        )
+    )
+    macro = per.agg(
+        F.lit("MACRO").alias("cls"),
+        F.sum("tp").cast("bigint").alias("tp"),
+        F.sum("n_pred").cast("bigint").alias("n_pred"),
+        F.sum("n_true").cast("bigint").alias("n_true"),
+        F.round(F.avg("precision") + 1e-9, round_dp).alias("precision"),
+        F.round(F.avg("recall") + 1e-9, round_dp).alias("recall"),
+        F.round(F.avg("f1") + 1e-9, round_dp).alias("f1"),
+    )
+    return per.unionByName(macro).orderBy("cls")
+
+
+def mcnemar_test(
+    df: DataFrame,
+    correct_a,
+    correct_b,
+    round_dp: int = 6,
+) -> DataFrame:
+    """McNemar's paired test for two classifiers scored on the SAME
+    examples: only the discordant counts matter — n01 (A right, B wrong)
+    vs n10 (A wrong, B right) — with the continuity-corrected statistic
+    (|n01 - n10| - 1)^2 / (n01 + n10), chi-square with 1 df under H0
+    "same error rate". The honest way to compare two filter models on
+    one eval set (accuracy deltas ignore pairing).
+
+    ``correct_a`` / ``correct_b`` are boolean Columns. One global 1-row
+    aggregate: four exact integer cell counts, one closed-form float.
+    """
+    a = correct_a.cast("int")
+    b = correct_b.cast("int")
+    agg = df.agg(
+        F.sum(a * b).cast("bigint").alias("n_both"),
+        F.sum(a * (1 - b)).cast("bigint").alias("n01"),
+        F.sum((1 - a) * b).cast("bigint").alias("n10"),
+        F.sum((1 - a) * (1 - b)).cast("bigint").alias("n_neither"),
+    )
+    disc = F.col("n01") + F.col("n10")
+    diff = F.abs(F.col("n01") - F.col("n10")).cast("double")
+    stat = F.when(
+        disc > 0,
+        (diff - 1.0) * (diff - 1.0) / disc.cast("double"),
+    )
+    return agg.select(
+        "n_both",
+        "n01",
+        "n10",
+        "n_neither",
+        F.round(stat + 1e-9, round_dp).alias("mcnemar_chi2"),
+    )

@@ -10,7 +10,7 @@ these extend the Tier-D training-pipeline tier.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -336,3 +336,77 @@ def cramers_v(
             "cramers_v"
         ),
     )
+
+
+def robust_scale_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    iqr_k: float = 1.5,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-group robust-scaler parameters (median, IQR via exact DISCRETE
+    percentiles) plus the count of robust outliers
+    (|x - median| > k * IQR) — the outlier-resistant sibling of z-score
+    standardization, and the screen that decides whether a feature needs
+    winsorizing before training.
+
+    Exactness: DISCRETE percentiles pick MEMBERS of the group (no
+    interpolation — Spark lacks PERCENTILE_DISC as a builtin, so this
+    uses the agg_percentile_disc two-level shape: collapse to per-(group,
+    value) counts, cumulative weights in a per-group window over that
+    tiny frame, smallest value with cum >= p*total), so median/IQR are
+    bit-identical across engines; the outlier test compares exact values.
+
+    Shape: one (group, value) count aggregate collapses the fact table,
+    partitioned windows over the collapsed frame, one hash join back on
+    the group key for the outlier count.
+    """
+    v = F.col(value_col).cast("double")
+    c = df.groupBy(F.col(group_col).alias("grp"), v.alias("_x")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    wq = Window.partitionBy("grp").orderBy("_x")
+    cum = c.select(
+        "grp",
+        "_x",
+        F.sum("_n").over(wq).alias("_cw"),
+        F.sum("_n").over(Window.partitionBy("grp")).alias("_tot"),
+    )
+
+    def _disc(p: float, name: str) -> DataFrame:
+        return (
+            cum.filter(F.col("_cw") >= F.lit(p) * F.col("_tot"))
+            .groupBy("grp")
+            .agg(F.min("_x").alias(name))
+        )
+
+    params = (
+        _disc(0.5, "med")
+        .join(_disc(0.25, "q1"), "grp")
+        .join(_disc(0.75, "q3"), "grp")
+        .join(
+            c.groupBy("grp").agg(F.sum("_n").cast("bigint").alias("n")),
+            "grp",
+        )
+    )
+    joined = df.select(F.col(group_col).alias("grp"), v.alias("_x")).join(
+        params, "grp"
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (
+        joined.groupBy("grp", "n", "med", "q1", "q3")
+        .agg(
+            F.sum(
+                (F.abs(F.col("_x") - F.col("med")) > F.lit(iqr_k) * iqr)
+                .cast("bigint")
+            ).cast("bigint").alias("n_outliers")
+        )
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(F.col("med") + 1e-9, round_dp).alias("median"),
+        F.round(iqr + 1e-9, round_dp).alias("iqr"),
+        "n_outliers",
+    ).orderBy(group_col)

@@ -451,3 +451,133 @@ def neighbor_jaccard(
     return scored.orderBy(
         F.col("jaccard").desc(), F.col("u").asc(), F.col("v").asc()
     ).limit(top_k)
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_k: int = 20,
+    round_dp: int = 6,
+    max_center_degree: int | None = 10_000,
+) -> DataFrame:
+    """Adamic–Adar link prediction: score every non-adjacent pair (u < v)
+    by sum over shared neighbors w of 1/ln(deg(w)) — the classic
+    degree-discounted companion to ``neighbor_jaccard`` (a shared rare
+    neighbor is strong evidence; a shared hub is weak), returning the
+    ``top_k`` candidates.
+
+    Same input hygiene and wedge shape as neighbor_jaccard: normalized
+    distinct edges, symmetrized adjacency, one equi-join on the shared
+    neighbor id, anti-join against known edges, TakeOrdered top-k.
+    The 1/ln(deg(w)) weight joins onto the wedge center BEFORE the pair
+    aggregation (one vertex-keyed hash join — the wedge join's own
+    shuffle key, so the exchange is shared). deg(w) = 1 cannot occur as
+    a wedge center of a PAIR (one neighbor makes no pair), so ln is
+    never zero. The hub cap (``max_center_degree``) doubles as the skew
+    guard and as model hygiene — an uncapped hub contributes ~0 weight
+    at deg^2 wedge cost.
+
+    Exactness: the score is a <=deg-term float sum, rounded with the
+    +1e-9 half-even bias; ordering is (rounded score DESC, u, v).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    wedge = adj
+    if max_center_degree is not None:
+        cw = Window.partitionBy("v")
+        wedge = (
+            adj.withColumn("_wn", F.count(F.lit(1)).over(cw))
+            .filter(F.col("_wn") <= max_center_degree)
+            .drop("_wn")
+        )
+    wdeg = wedge.join(
+        deg.select(F.col("u").alias("v"), F.col("deg").alias("_dw")), "v"
+    )
+    a = wdeg.select(F.col("v").alias("w"), F.col("u").alias("x"), "_dw")
+    b = wdeg.select(F.col("v").alias("w"), F.col("u").alias("y"))
+    scored = (
+        a.join(b, "w")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.round(F.sum(1.0 / F.log("_dw")) + 1e-9, round_dp).alias("aa_score"),
+        )
+    )
+    non_adj = scored.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    return (
+        non_adj.select(
+            F.col("x").alias("u"), F.col("y").alias("v"), "cn", "aa_score"
+        )
+        .orderBy(F.col("aa_score").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(top_k)
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst", round_dp: int = 6
+) -> DataFrame:
+    """Degree assortativity coefficient: the Pearson correlation of
+    (deg(u), deg(v)) over both orientations of every edge — positive for
+    social-style graphs (hubs link hubs), negative for web/biology-style
+    (hubs link leaves). The one-number structural summary that decides
+    whether hub-capped algorithms (neighbor_jaccard, adamic_adar) will
+    bite on this graph.
+
+    Shape: normalize edges, one groupBy for degrees, two vertex-keyed
+    hash joins to attach (deg_u, deg_v) to each directed edge end, one
+    global 1-row aggregate. All sums are over BIGINT degrees (exact,
+    order-free); the correlation is a single closed-form float at the
+    end — bit-identical across engines after rounding.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    du = deg.select(F.col("u"), F.col("deg").alias("x"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("y"))
+    pairs = adj.join(du, "u").join(dv, "v")
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+    )
+    # every product is evaluated in DOUBLE (cast the left factor) so (a)
+    # bigint products cannot overflow ANSI arithmetic on huge graphs and
+    # (b) the oracle can mirror the exact same IEEE op sequence
+    n = F.col("m2").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy") - sx * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sx2") - sx * F.col("sx"))
+        * (n * F.col("sy2") - sy * F.col("sy"))
+    )
+    return agg.select(
+        F.col("m2"),
+        F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(None)) + 1e-9, round_dp
+        ).alias("assortativity"),
+    )

@@ -1783,3 +1783,139 @@ def runs_test(
         F.round(exp_runs + 1e-9, round_dp).alias("exp_runs"),
         F.round((runs - exp_runs) / F.sqrt(var) + 1e-9, round_dp).alias("z"),
     )
+
+
+def column_entropy(
+    df: DataFrame, cols: list[str], round_dp: int = 6
+) -> DataFrame:
+    """Data-profiling primitive: Shannon entropy (nats) and distinct count
+    of each listed categorical column — the one-number uniformity screen
+    (near-zero = constant column, ln(k) = uniform over k values) used to
+    rank candidate stratification/partition keys.
+
+    Shape: one value-count aggregate per column over the same scan
+    (Catalyst shares it), each collapsing map-side to |domain| rows, then
+    a 1-row entropy aggregate per column, unioned. NULLs count as a
+    value (a mostly-NULL column is informative).
+    """
+    outs = []
+    for c in cols:
+        vc = df.groupBy(F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")).alias("_v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n")
+        )
+        outs.append(
+            vc.agg(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                F.sum("_n").cast("bigint").alias("n_rows"),
+                F.round(
+                    F.log(F.sum("_n"))
+                    - F.sum(F.col("_n") * F.log("_n")) / F.sum("_n")
+                    + 1e-9,
+                    round_dp,
+                ).alias("entropy_nats"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("column")
+
+
+def fd_candidates(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Functional-dependency screen over a column list: for every ordered
+    pair (a, b), ``a -> b`` holds iff the distinct count of a equals the
+    distinct count of (a, b) — the schema-discovery primitive behind key
+    detection, normalization advice, and join-safety checks.
+
+    Shape: ONE aggregate row computes every count-distinct (Catalyst
+    expands them over a single scan); the per-pair verdict table is
+    derived from that 1-row frame with a literal explode — no per-pair
+    scans, no driver loops over data.
+    """
+    aggs = []
+    for a in cols:
+        aggs.append(F.countDistinct(F.col(a)).cast("bigint").alias(f"_d_{a}"))
+    pairs = [(a, b) for a in cols for b in cols if a != b]
+    for a, b in pairs:
+        aggs.append(
+            F.countDistinct(F.col(a), F.col(b)).cast("bigint").alias(f"_d_{a}_{b}")
+        )
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("det"),
+                F.lit(b).alias("dep"),
+                F.col(f"_d_{a}").alias("nd_det"),
+                F.col(f"_d_{a}_{b}").alias("nd_pair"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select(
+            "r.det",
+            "r.dep",
+            "r.nd_det",
+            "r.nd_pair",
+            (F.col("r.nd_det") == F.col("r.nd_pair")).alias("fd_holds"),
+        )
+        .orderBy("det", "dep")
+    )
+
+
+def welch_ttest_onevsrest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Welch's unequal-variance t-test of each group's mean against the rest
+    of the population — the per-segment "is this slice different?" screen
+    (the df-corrected upgrade of the z-test family; honest when segment
+    variances differ).
+
+    Shape: one group aggregate (n, sum, sum-of-squares per group) plus a
+    1-row broadcast of the grand totals; the complement's moments are
+    derived by subtraction, so the data is scanned ONCE for all groups.
+    t and the Welch–Satterthwaite df are closed-form floats, rounded.
+    """
+    v = F.col(value_col).cast("double")
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("s").alias("ts"),
+        F.sum("q").alias("tq"),
+    )
+    j = g.join(F.broadcast(tot))
+    n1 = F.col("n").cast("double")
+    n2 = (F.col("tn") - F.col("n")).cast("double")
+    m1 = F.col("s") / n1
+    m2 = (F.col("ts") - F.col("s")) / n2
+    v1 = (F.col("q") - F.col("s") * F.col("s") / n1) / (n1 - 1)
+    v2 = (
+        (F.col("tq") - F.col("q"))
+        - (F.col("ts") - F.col("s")) * (F.col("ts") - F.col("s")) / n2
+    ) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
+    )
+    ok = (F.col("n") >= 2) & (F.col("tn") - F.col("n") >= 2)
+    return j.select(
+        F.col("grp").alias(group_col),
+        F.col("n"),
+        F.round(m1 + 1e-9, round_dp).alias("mean_grp"),
+        F.round(m2 + 1e-9, round_dp).alias("mean_rest"),
+        F.round(F.when(ok, t) + 1e-9, round_dp).alias("t_stat"),
+        F.round(F.when(ok, dof) + 1e-9, round_dp).alias("welch_df"),
+    ).orderBy(group_col)

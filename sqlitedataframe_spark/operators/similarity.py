@@ -680,3 +680,75 @@ def silhouette_by_label(
         )
         .orderBy(label_col)
     )
+
+
+def norm_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-label L2-norm distribution of an embedding column (count,
+    avg/min/max norm) — the first QA readout on any vector table: a
+    label whose norms collapse toward 0 or blow up signals a broken
+    encoder run or an unnormalized mix before anything cosine-based
+    consumes it.
+
+    Shape: the norm is a scan-side sequential array fold (cast to double
+    FIRST, so both engines sum the same float64 sequence left-to-right);
+    one group aggregate.
+    """
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    per = emb.select(F.col(label_col).alias("lbl"), F.sqrt(sq).alias("_nrm"))
+    return (
+        per.groupBy(F.col("lbl").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("_nrm") + 1e-9, round_dp).alias("avg_norm"),
+            F.round(F.min("_nrm") + 1e-9, round_dp).alias("min_norm"),
+            F.round(F.max("_nrm") + 1e-9, round_dp).alias("max_norm"),
+        )
+        .orderBy(label_col)
+    )
+
+
+def dimension_variance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    top_k: int = 8,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-k embedding dimensions by population variance (with mean) —
+    the pre-PCA screen that finds dead dimensions (zero variance: wasted
+    capacity, or a broken projection) and dominant ones (a single dim
+    carrying the norm means the encoder collapsed).
+
+    Shape: posexplode to (dim, value) — the shuffle carries dim-keyed
+    scalars, never whole vectors — then one #dims-group moment
+    aggregate; top-k is a TakeOrdered over #dims rows.
+    """
+    per = emb.select(
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim", "_v")
+    )
+    agg = per.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_q"),
+    )
+    mean = F.col("_s") / F.col("n")
+    var = (F.col("_q") - F.col("_s") * F.col("_s") / F.col("n")) / F.col("n")
+    scored = agg.select(
+        "dim",
+        "n",
+        F.round(mean + 1e-9, round_dp).alias("mean"),
+        F.round(var + 1e-9, round_dp).alias("variance"),
+    )
+    return scored.orderBy(
+        F.col("variance").desc(), F.col("dim").asc()
+    ).limit(top_k)

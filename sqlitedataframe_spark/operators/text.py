@@ -1378,3 +1378,176 @@ def code_likeness(col: Column | str) -> Column:
     sym = F.least(code_symbol_ratio(c) * 12.5, F.lit(1.0))  # saturates at 8%
     kw = F.least(code_keyword_hits(c).cast("double") / 3.0, F.lit(1.0))
     return F.round(sym * 0.6 + kw * 0.4, 6)
+
+
+#: Engine-portable character classes for unicode_quality: RE2 (DuckDB) and
+#: Java regex (Spark) agree on explicit ranges; \s is avoided because the
+#: two engines disagree on vertical tab membership.
+_CTRL_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+_NON_ASCII_CLASS = "[^\\x00-\\x7f]"
+_WS_CLASS = "[ \\t\\n\\r\\f]"
+
+
+def _count_class(col: Column | str, cls: str) -> Column:
+    """Occurrences of a 1-char regex class: length minus the stripped
+    length — one vectorized regexp_replace, no explode."""
+    c = _c(col)
+    return (F.length(c) - F.length(F.regexp_replace(c, cls, ""))).cast("bigint")
+
+
+def unicode_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group mojibake/garbage screen: average control-character count,
+    non-ASCII ratio, U+FFFD replacement-character total, and whitespace
+    ratio — the cheap first-pass filter that catches broken decodes,
+    binary-in-text, and whitespace-stuffed spam before any model-based
+    quality scorer runs.
+
+    Scale shape: four vectorized regexp_replace length-diffs inside the
+    scan (no explode, no UDF), one group aggregate. Character classes are
+    spelled as explicit ranges so Java regex and RE2 count identically.
+    """
+    t = _c(text_col)
+    n = F.length(t).cast("double")
+    per = docs.select(
+        F.col(group_col).alias("grp"),
+        _count_class(t, _CTRL_CLASS).alias("_ctrl"),
+        (_count_class(t, _NON_ASCII_CLASS) / n).alias("_na"),
+        _count_class(t, "\\ufffd").alias("_repl"),
+        (_count_class(t, _WS_CLASS) / n).alias("_ws"),
+    ).filter(n > 0)
+    return (
+        per.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("_ctrl") + 1e-9, round_dp).alias("avg_ctrl_chars"),
+            F.round(F.avg("_na") + 1e-9, round_dp).alias("avg_non_ascii_ratio"),
+            F.sum("_repl").cast("bigint").alias("n_replacement_chars"),
+            F.round(F.avg("_ws") + 1e-9, round_dp).alias("avg_ws_ratio"),
+        )
+        .orderBy(group_col)
+    )
+
+
+#: Small fixed English stopword list shared by stopword_profile and its
+#: oracle (kept tiny and explicit so the SQL twin inlines it verbatim).
+STOPWORDS_EN = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are",
+)
+
+
+def stopword_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group stopword-token ratio against a fixed list — the language/
+    register fingerprint (high for fluent English prose, near zero for
+    code, tables, or other languages) used both as a quality gate and as
+    a cheap feature for language ID.
+
+    Scale shape: the per-document stop count is a map-side array filter
+    over the token array (the stopword list is a literal — no join);
+    totals are one group aggregate. Never explodes tokens.
+    """
+    toks = tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    per = docs.select(
+        F.col(group_col).alias("grp"),
+        F.size(toks).cast("bigint").alias("_n"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+        ).cast("bigint").alias("_stop"),
+    ).filter(F.col("_n") > 0)
+    return (
+        per.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("n_tokens"),
+            F.sum("_stop").cast("bigint").alias("n_stop_tokens"),
+            F.round(F.sum("_stop") / F.sum("_n") + 1e-9, round_dp).alias(
+                "stop_ratio"
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
+def hapax_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group hapax legomena share: the fraction of the group's
+    vocabulary that occurs exactly once — high hapax = rich/long-tail
+    text (or OCR noise), low = templated/boilerplate. The vocabulary-
+    health companion to the Zipf/Heaps fits.
+
+    Scale shape: explode once, one (group, token) count aggregate, one
+    group rollup — two shuffles total, both on bounded-cardinality keys.
+    """
+    freq = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(text_col)).alias("_w"),
+        )
+        .groupBy("grp", "_w")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    return (
+        freq.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum((F.col("_f") == 1).cast("bigint")).cast("bigint").alias("hapax"),
+            F.round(
+                F.sum((F.col("_f") == 1).cast("bigint"))
+                / F.count(F.lit(1))
+                + 1e-9,
+                round_dp,
+            ).alias("hapax_ratio"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def ttr_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    prefix_tokens: int = 100,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group type-token ratio (distinct tokens / tokens) averaged over
+    documents, plus the same over each document's first ``prefix_tokens``
+    tokens — the length-controlled variant that makes TTR comparable
+    across documents of different sizes (raw TTR falls with length).
+
+    Scale shape: both ratios are map-side array expressions
+    (array_distinct + slice) — no explode, one group aggregate.
+    """
+    toks = tokens(text_col)
+    head = F.slice(toks, 1, prefix_tokens)
+    per = docs.select(
+        F.col(group_col).alias("grp"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("_ttr"),
+        (F.size(F.array_distinct(head)) / F.size(head)).alias("_pttr"),
+    ).filter(F.size(toks) > 0)
+    return (
+        per.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("_ttr") + 1e-9, round_dp).alias("avg_ttr"),
+            F.round(F.avg("_pttr") + 1e-9, round_dp).alias(
+                "avg_prefix_ttr"
+            ),
+        )
+        .orderBy(group_col)
+    )

@@ -52,6 +52,8 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "sim_bruteforce_topk": "broadcast of the single query vector",
     "sim_ann_recall": "broadcast of the 8 evaluation query vectors",
     "eval_cohen_kappa": "1-row observed-vs-expected agreement cross",
+    "events_welch_ttest": "1-row grand-total moments broadcast onto #groups rows",
+    "orders_backlog_aging": "1-row max-order-date anchor broadcast",
     "eval_pr_sweep": "1-row P/N totals; threshold expansion over score-bucket frame",
     "eval_ks_separation": "2-row class-tag spine cross",
     "events_ks_drift": "2-row snapshot-tag spine cross",

@@ -67,6 +67,7 @@ def load_all() -> dict[str, Query]:
         pipeline10,
         pipeline11,
         pipeline12,
+        pipeline13,
         eventstream,
         streamingq,
         bridge,

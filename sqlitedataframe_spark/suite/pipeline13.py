@@ -1,0 +1,840 @@
+"""Round-7 wave: link-prediction scoring (Adamic-Adar) and degree
+assortativity on the co-order graph; text corpus-quality screens
+(unicode/mojibake, stopword profile, hapax share, type-token ratio);
+multi-class eval (macro-F1, McNemar's paired test) over the langid
+predictor; robust-scaler feature stats; truncation-robust prefix/suffix
+dedup groups; column-entropy and functional-dependency profiling; Welch's
+one-vs-rest t-test; embedding norm/dimension QA; a REAL-pixel PNG
+encode-decode round-trip gated by a closed-form oracle; and corrupt-record
+JSON ingestion auditing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.operators import evalmetrics as E
+from sqlitedataframe_spark.operators import text as X
+from sqlitedataframe_spark.operators.dedup import prefix_suffix_groups
+from sqlitedataframe_spark.operators.features import robust_scale_stats
+from sqlitedataframe_spark.operators.graph import adamic_adar, degree_assortativity
+from sqlitedataframe_spark.operators.multimodal import png_roundtrip_dims
+from sqlitedataframe_spark.operators.profiling import (
+    column_entropy,
+    fd_candidates,
+    welch_ttest_onevsrest,
+)
+from sqlitedataframe_spark.operators.similarity import (
+    dimension_variance,
+    norm_stats,
+)
+from sqlitedataframe_spark.suite import query
+from sqlitedataframe_spark.suite.relational import T
+
+#: Shared co-order graph CTEs (same edge set as graph_triangles /
+#: graph_jaccard_neighbors in pipeline12, including the hub-cap replay).
+_GRAPH_CTE = """
+    slim AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT a.p AS u, b.p AS v
+      FROM slim a JOIN slim b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+    wedge AS (
+      SELECT u, v FROM (
+        SELECT u, v, COUNT(*) OVER (PARTITION BY v) AS _wn FROM adj)
+      WHERE _wn <= 10000)
+"""
+
+#: The deterministic langid predictor's SQL twin (verbatim from
+#: text_langid_confusion, pipeline7 — one predictor, one oracle).
+_LANGID_PRED_CTE = r"""
+    t AS (
+      SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS toks
+      FROM documents),
+    feats AS (
+      SELECT doc_id, text,
+             CAST(len(list_filter(toks, x -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it'], x)))
+               AS DOUBLE) / len(toks) AS sw_ratio
+      FROM t),
+    pred AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(regexp_replace(text,
+                      '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+                  WHEN sw_ratio >= 0.08 THEN 'en'
+                  WHEN LENGTH(regexp_replace(text,
+                      '[^\x{e0}-\x{ff}]', '', 'g')) > 0 THEN 'fr'
+                  ELSE 'unknown' END AS lang_pred
+      FROM feats)
+"""
+
+
+def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    slim = li.select("l_orderkey", "l_partkey").distinct()
+    a = slim.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("src"))
+    b = slim.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "_o")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    aa AS (
+      SELECT a.u AS x, b.u AS y, CAST(COUNT(*) AS BIGINT) AS cn,
+             ROUND(SUM(1.0 / LN(dw.deg)) + 1e-9, 6) AS aa_score
+      FROM wedge a JOIN wedge b ON a.v = b.v AND a.u < b.u
+      JOIN deg dw ON dw.u = a.v
+      GROUP BY 1, 2),
+    nonadj AS (
+      SELECT aa.x, aa.y, aa.cn, aa.aa_score FROM aa
+      ANTI JOIN e ON aa.x = e.u AND aa.y = e.v)
+    SELECT x AS u, y AS v, cn, aa_score
+    FROM nonadj ORDER BY aa_score DESC, u, v LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links on the part co-order graph by Adamic-Adar
+    (degree-discounted shared neighbors: a shared RARE co-purchase is
+    strong evidence, a shared hub is weak) — the standard companion
+    score to neighborhood Jaccard.
+
+    operators.graph.adamic_adar: normalized edges, one wedge equi-join
+    with the 1/ln(deg) weight joined onto the center pre-aggregation,
+    hub cap replayed in the oracle's wedge CTE, TakeOrdered top-k.
+    """
+    return adamic_adar(_coorder_edges(spark, sf_dir), top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    pairs AS (
+      SELECT du.deg AS x, dv.deg AS y
+      FROM adj JOIN deg du ON adj.u = du.u JOIN deg dv ON adj.v = dv.u),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sx2,
+             CAST(SUM(y * y) AS BIGINT) AS sy2
+      FROM pairs)
+    SELECT m2,
+           ROUND(CASE WHEN sqrt((CAST(m2 AS DOUBLE) * sx2
+                                 - CAST(sx AS DOUBLE) * sx)
+                                * (CAST(m2 AS DOUBLE) * sy2
+                                   - CAST(sy AS DOUBLE) * sy)) > 0
+                 THEN (CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / sqrt((CAST(m2 AS DOUBLE) * sx2
+                              - CAST(sx AS DOUBLE) * sx)
+                             * (CAST(m2 AS DOUBLE) * sy2
+                                - CAST(sy AS DOUBLE) * sy))
+                 END + 1e-9, 6) AS assortativity
+    FROM a
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-order graph — do popular parts
+    co-occur with popular parts (r > 0) or with long-tail ones (r < 0)?
+    The structural one-liner that predicts whether hub caps will engage.
+
+    operators.graph.degree_assortativity: one degree aggregate, two
+    vertex-keyed joins, one 1-row moment aggregate; integer sums, one
+    closed-form float (every product evaluated in DOUBLE on both sides).
+    """
+    return degree_assortativity(_coorder_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Unicode / mojibake quality screen.
+# ---------------------------------------------------------------------------
+@query(
+    "text_unicode_quality",
+    oracle=r"""
+    WITH per AS (
+      SELECT source,
+             CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+                  '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT) AS ctrl,
+             (LENGTH(text) - LENGTH(regexp_replace(text,
+                  '[^\x00-\x7f]', '', 'g')))
+               / CAST(LENGTH(text) AS DOUBLE) AS na,
+             CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+                  '\x{fffd}', '', 'g')) AS BIGINT) AS repl,
+             (LENGTH(text) - LENGTH(regexp_replace(text,
+                  '[ \t\n\r\f]', '', 'g')))
+               / CAST(LENGTH(text) AS DOUBLE) AS ws
+      FROM documents WHERE LENGTH(text) > 0)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(ctrl) + 1e-9, 6) AS avg_ctrl_chars,
+           ROUND(AVG(na) + 1e-9, 6) AS avg_non_ascii_ratio,
+           CAST(SUM(repl) AS BIGINT) AS n_replacement_chars,
+           ROUND(AVG(ws) + 1e-9, 6) AS avg_ws_ratio
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def text_unicode_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mojibake/garbage screen: control chars, non-ASCII
+    ratio, U+FFFD replacement chars, whitespace ratio — the cheap
+    first-pass filter that catches broken decodes and whitespace spam.
+
+    operators.text.unicode_quality: four vectorized regexp length-diffs
+    inside the scan (character classes spelled as explicit ranges so
+    Java regex and RE2 count identically), one group aggregate.
+    """
+    return X.unicode_quality(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Stopword profile.
+# ---------------------------------------------------------------------------
+_STOP_SQL = ", ".join(f"'{w}'" for w in X.STOPWORDS_EN)
+
+
+@query(
+    "text_stopword_profile",
+    oracle=rf"""
+    WITH per AS (
+      SELECT lang,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                  AS BIGINT) AS n,
+             CAST(len(list_filter(
+                  regexp_split_to_array(lower(trim(text)), '\s+'),
+                  x -> list_contains([{_STOP_SQL}], x))) AS BIGINT) AS stop
+      FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(stop) AS BIGINT) AS n_stop_tokens,
+           ROUND(SUM(stop) / CAST(SUM(n) AS DOUBLE) + 1e-9, 6) AS stop_ratio
+    FROM per WHERE n > 0 GROUP BY lang ORDER BY lang
+    """,
+)
+def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stopword-token ratio against a fixed 20-word English
+    list — near the English baseline for 'en', near zero elsewhere; the
+    register fingerprint quality gates and cheap langid features share.
+
+    operators.text.stopword_profile: map-side array filter against a
+    literal list (no join, no explode), one group aggregate.
+    """
+    return X.stopword_profile(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena share.
+# ---------------------------------------------------------------------------
+@query(
+    "text_hapax_ratio",
+    oracle=r"""
+    WITH freq AS (
+      SELECT source, tok, COUNT(*) AS f
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+            FROM documents)
+      GROUP BY 1, 2)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           ROUND(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) + 1e-9, 6) AS hapax_ratio
+    FROM freq GROUP BY source ORDER BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax share (fraction of vocabulary occurring once) —
+    high = rich/long-tail text or OCR noise, low = boilerplate; the
+    vocabulary-health companion to the Zipf/Heaps fits.
+
+    operators.text.hapax_ratio: one explode, one (source, token) count,
+    one source rollup — two bounded-key shuffles.
+    """
+    return X.hapax_ratio(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Type-token ratio (overall + length-controlled prefix).
+# ---------------------------------------------------------------------------
+@query(
+    "text_ttr",
+    oracle=r"""
+    WITH per AS (
+      SELECT lang,
+             len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS ttr,
+             len(list_distinct(t[1:100])) / CAST(len(t[1:100]) AS DOUBLE)
+               AS pttr
+      FROM (SELECT lang,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            FROM documents)
+      WHERE len(t) > 0)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(ttr) + 1e-9, 6) AS avg_ttr,
+           ROUND(AVG(pttr) + 1e-9, 6) AS avg_prefix_ttr
+    FROM per GROUP BY lang ORDER BY lang
+    """,
+)
+def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language type-token ratio, raw and over the first 100 tokens
+    (the length-controlled form that makes TTR comparable across
+    document sizes) — lexical-diversity screen for corpus mixes.
+
+    operators.text.ttr_stats: both ratios are map-side array expressions
+    (array_distinct + slice, no explode); one group aggregate.
+    """
+    return X.ttr_stats(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Macro-F1 of the langid predictor.
+# ---------------------------------------------------------------------------
+@query(
+    "eval_macro_f1",
+    oracle=f"""
+    WITH {_LANGID_PRED_CTE},
+    j AS (
+      SELECT p.lang_pred AS _p, d.lang AS _t
+      FROM documents d JOIN pred p USING (doc_id)),
+    cm AS (SELECT _p, _t, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY 1, 2),
+    classes AS (
+      SELECT _t AS cls FROM cm UNION SELECT _p AS cls FROM cm),
+    tp AS (SELECT _t AS cls, n AS tp FROM cm WHERE _p = _t),
+    pn AS (SELECT _p AS cls, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1),
+    tn AS (SELECT _t AS cls, CAST(SUM(n) AS BIGINT) AS n_true FROM cm GROUP BY 1),
+    per AS (
+      SELECT c.cls,
+             CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+             CAST(COALESCE(pn.n_pred, 0) AS BIGINT) AS n_pred,
+             CAST(COALESCE(tn.n_true, 0) AS BIGINT) AS n_true
+      FROM classes c
+      LEFT JOIN tp USING (cls) LEFT JOIN pn USING (cls) LEFT JOIN tn USING (cls)),
+    scored AS (
+      SELECT cls, tp, n_pred, n_true,
+             CASE WHEN n_pred > 0
+                  THEN ROUND(tp / CAST(n_pred AS DOUBLE) + 1e-9, 6) END
+               AS precision,
+             CASE WHEN n_true > 0
+                  THEN ROUND(tp / CAST(n_true AS DOUBLE) + 1e-9, 6) END
+               AS recall,
+             ROUND(CASE WHEN n_pred + n_true > 0
+                   THEN 2.0 * tp / CAST(n_pred + n_true AS DOUBLE)
+                   ELSE 0.0 END + 1e-9, 6) AS f1
+      FROM per)
+    SELECT cls, tp, n_pred, n_true, precision, recall, f1 FROM scored
+    UNION ALL
+    SELECT 'MACRO', CAST(SUM(tp) AS BIGINT), CAST(SUM(n_pred) AS BIGINT),
+           CAST(SUM(n_true) AS BIGINT),
+           ROUND(AVG(precision) + 1e-9, 6), ROUND(AVG(recall) + 1e-9, 6),
+           ROUND(AVG(f1) + 1e-9, 6)
+    FROM scored
+    ORDER BY cls
+    """,
+)
+def eval_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 plus macro averages for the langid
+    predictor against the labeled lang — the imbalance-honest companion
+    to accuracy/kappa (every class weighs equally; 'unknown' predictions
+    appear as a zero-recall class instead of vanishing).
+
+    operators.evalmetrics.macro_f1: one |classes|^2 confusion aggregate,
+    arithmetic over that tiny frame; AVG skips NULL precision (a class
+    never predicted) identically in both engines.
+    """
+    d = T(spark, sf_dir, "documents")
+    preds = d.select(X.lang_id("text").alias("_p"), F.col("lang").alias("_t"))
+    return E.macro_f1(preds, "_p", "_t")
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test: langid vs the majority-class baseline.
+# ---------------------------------------------------------------------------
+@query(
+    "eval_mcnemar",
+    oracle=f"""
+    WITH {_LANGID_PRED_CTE},
+    j AS (
+      SELECT CASE WHEN p.lang_pred = d.lang THEN 1 ELSE 0 END AS a,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS b
+      FROM documents d JOIN pred p USING (doc_id)),
+    c AS (
+      SELECT CAST(SUM(a * b) AS BIGINT) AS n_both,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS n01,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS n10,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n_neither
+      FROM j)
+    SELECT n_both, n01, n10, n_neither,
+           ROUND(CASE WHEN n01 + n10 > 0
+                 THEN (ABS(CAST(n01 AS DOUBLE) - n10) - 1.0)
+                      * (ABS(CAST(n01 AS DOUBLE) - n10) - 1.0)
+                      / CAST(n01 + n10 AS DOUBLE)
+                 END + 1e-9, 6) AS mcnemar_chi2
+    FROM c
+    """,
+)
+def eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's continuity-corrected paired test comparing the langid
+    predictor against the always-'en' majority baseline on the same
+    documents — the honest two-model comparison (only discordant pairs
+    carry information; pooled accuracy deltas ignore pairing).
+
+    operators.evalmetrics.mcnemar_test: one 1-row aggregate of four
+    exact integer cells, one closed-form float.
+    """
+    d = T(spark, sf_dir, "documents")
+    return E.mcnemar_test(
+        d,
+        correct_a=X.lang_id("text") == F.col("lang"),
+        correct_b=F.col("lang") == F.lit("en"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust scaler parameters + outlier counts.
+# ---------------------------------------------------------------------------
+@query(
+    "feature_robust_scaler",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS grp, CAST(c_acctbal AS DOUBLE) AS x
+      FROM customer),
+    cc AS (SELECT grp, x, COUNT(*) AS nn FROM c GROUP BY 1, 2),
+    cum AS (
+      SELECT grp, x,
+             SUM(nn) OVER (PARTITION BY grp ORDER BY x) AS cw,
+             SUM(nn) OVER (PARTITION BY grp) AS tot
+      FROM cc),
+    med AS (SELECT grp, MIN(x) AS med FROM cum WHERE cw >= 0.5 * tot GROUP BY 1),
+    q1 AS (SELECT grp, MIN(x) AS q1 FROM cum WHERE cw >= 0.25 * tot GROUP BY 1),
+    q3 AS (SELECT grp, MIN(x) AS q3 FROM cum WHERE cw >= 0.75 * tot GROUP BY 1),
+    nn AS (SELECT grp, CAST(SUM(nn) AS BIGINT) AS n FROM cc GROUP BY 1),
+    outl AS (
+      SELECT c.grp,
+             CAST(SUM(CASE WHEN ABS(c.x - med.med) > 1.5 * (q3.q3 - q1.q1)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM c JOIN med USING (grp) JOIN q1 USING (grp) JOIN q3 USING (grp)
+      GROUP BY 1)
+    SELECT nn.grp AS c_mktsegment, nn.n,
+           ROUND(med.med + 1e-9, 4) AS median,
+           ROUND(q3.q3 - q1.q1 + 1e-9, 4) AS iqr,
+           outl.n_outliers
+    FROM nn JOIN med USING (grp) JOIN q1 USING (grp) JOIN q3 USING (grp)
+            JOIN outl USING (grp)
+    ORDER BY c_mktsegment
+    """,
+)
+def feature_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment robust-scaler parameters (exact discrete median/IQR of
+    account balance) and the robust-outlier count (|x - med| > 1.5*IQR)
+    — the winsorize-or-not screen before standardizing a feature.
+
+    operators.features.robust_scale_stats: one (group, value) count
+    collapse, per-group cumulative-weight windows over the collapsed
+    frame (the agg_percentile_disc shape — no global sort), one join
+    back for the outlier count. Percentiles are group MEMBERS, so both
+    engines pick identical doubles.
+    """
+    return robust_scale_stats(
+        T(spark, sf_dir, "customer"), "c_mktsegment", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Backlog aging buckets.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_backlog_aging",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+    b AS (
+      SELECT o_orderstatus,
+             CASE WHEN date_diff('day', o_orderdate, anchor) <= 30
+                    THEN '000-030'
+                  WHEN date_diff('day', o_orderdate, anchor) <= 90
+                    THEN '031-090'
+                  WHEN date_diff('day', o_orderdate, anchor) <= 365
+                    THEN '091-365'
+                  ELSE '365+' END AS age_bucket,
+             o_totalprice
+      FROM orders, mx WHERE o_orderstatus <> 'F')
+    SELECT o_orderstatus, age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice) + 1e-9, 2) AS open_value
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aged as of the latest order date: non-filled
+    orders bucketed by age (0-30/31-90/91-365/365+ days) with count and
+    open value per status — the ops-dashboard staple for pipeline
+    hygiene (how much value is stuck, and for how long).
+
+    Shape: the anchor is a 1-row max broadcast back onto the scan; the
+    bucket is a scan-side CASE; one small-group aggregate. Bucket labels
+    are zero-padded so plain string ORDER BY is the age order.
+    """
+    o = T(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("_anchor"))
+    age = F.datediff(F.col("_anchor"), F.col("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, "000-030")
+        .when(age <= 90, "031-090")
+        .when(age <= 365, "091-365")
+        .otherwise("365+")
+    )
+    return (
+        o.filter(F.col("o_orderstatus") != "F")
+        .join(F.broadcast(anchor))
+        .groupBy("o_orderstatus", bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice") + 1e-9, 2).alias("open_value"),
+        )
+        .orderBy("o_orderstatus", "age_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix/suffix truncation-robust dedup groups.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_prefix_suffix",
+    oracle="""
+    WITH pre AS (
+      SELECT doc_id AS id, 'prefix' AS kind,
+             md5(substr(lower(trim(text)), 1, 64)) AS key
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'suffix',
+             md5(substr(reverse(lower(trim(text))), 1, 64))
+      FROM documents)
+    SELECT kind, key, CAST(COUNT(*) AS BIGINT) AS group_size,
+           MIN(id) AS keep_id
+    FROM pre GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ORDER BY kind, key
+    """,
+)
+def dedup_prefix_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-robust exact-dedup groups: documents sharing their
+    first-64-char or last-64-char hash (normalized) — catches paginated
+    suffixes, appended boilerplate, and truncated re-crawls that
+    full-text hashing misses. Group rollups with a min-id
+    representative, never pairs (linear output).
+
+    operators.dedup.prefix_suffix_groups: two scan-side md5s (suffix via
+    reverse-then-prefix, sidestepping engine-specific negative-index
+    substr), one union, one hash-key group aggregate.
+    """
+    return prefix_suffix_groups(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Column-entropy profiling.
+# ---------------------------------------------------------------------------
+@query(
+    "profile_column_entropy",
+    oracle="""
+    WITH s AS (
+      SELECT COALESCE(CAST(o_orderstatus AS VARCHAR), '<NULL>') AS v,
+             COUNT(*) AS n FROM orders GROUP BY 1),
+    p AS (
+      SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '<NULL>') AS v,
+             COUNT(*) AS n FROM orders GROUP BY 1)
+    SELECT 'o_orderpriority' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           ROUND(LN(SUM(n)) - SUM(n * LN(n)) / SUM(n) + 1e-9, 6)
+             AS entropy_nats
+    FROM p
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT),
+           ROUND(LN(SUM(n)) - SUM(n * LN(n)) / SUM(n) + 1e-9, 6)
+    FROM s
+    ORDER BY col_name
+    """,
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy and distinct count of the order status/priority
+    columns — the uniformity screen that ranks candidate stratification
+    and partition keys (ln(k) = uniform over k, ~0 = constant).
+
+    operators.profiling.column_entropy: one value-count aggregate per
+    column over a shared scan, 1-row entropy rollups, union.
+    """
+    ce = column_entropy(
+        T(spark, sf_dir, "orders"), ["o_orderpriority", "o_orderstatus"]
+    )
+    return ce.withColumnRenamed("column", "col_name")
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency screen.
+# ---------------------------------------------------------------------------
+_FD_COLS = ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"]
+_FD_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS det, '{b}' AS dep,
+        (SELECT CAST(COUNT(DISTINCT {a}) AS BIGINT) FROM orders) AS nd_det,
+        (SELECT CAST(COUNT(DISTINCT ({a}, {b})) AS BIGINT) FROM orders)
+          AS nd_pair,
+        (SELECT COUNT(DISTINCT {a}) = COUNT(DISTINCT ({a}, {b}))
+         FROM orders) AS fd_holds"""
+    for a in _FD_COLS
+    for b in _FD_COLS
+    if a != b
+)
+
+
+@query(
+    "profile_fd_candidates",
+    oracle=f"SELECT * FROM ({_FD_ORACLE}) ORDER BY det, dep",
+)
+def profile_fd_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency screen over four order columns: a -> b holds
+    iff |distinct a| = |distinct (a,b)| — key discovery (o_orderkey
+    determines everything), join-safety, and normalization advice from
+    one aggregate row.
+
+    operators.profiling.fd_candidates: ONE aggregate computes every
+    count-distinct over a single scan; the verdict table is a literal
+    explode of that 1-row frame.
+    """
+    return fd_candidates(T(spark, sf_dir, "orders"), _FD_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm QA.
+# ---------------------------------------------------------------------------
+@query(
+    "embed_norm_stats",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+               AS nrm
+      FROM embeddings)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(nrm) + 1e-9, 4) AS avg_norm,
+           ROUND(MIN(nrm) + 1e-9, 4) AS min_norm,
+           ROUND(MAX(nrm) + 1e-9, 4) AS max_norm
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution of the embedding table — the first
+    QA readout on any vector corpus (collapsed or exploded norms flag a
+    broken encoder run before cosine math consumes it).
+
+    operators.similarity.norm_stats: scan-side sequential array fold
+    (cast to double first, both engines sum the same float64 sequence),
+    one group aggregate.
+    """
+    return norm_stats(T(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding dimension variance.
+# ---------------------------------------------------------------------------
+@query(
+    "embed_dimension_variance",
+    oracle="""
+    WITH per AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    agg AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(v) AS s, SUM(v * v) AS q
+      FROM per GROUP BY 1)
+    SELECT dim, n,
+           ROUND(s / n + 1e-9, 6) AS mean,
+           ROUND((q - s * s / n) / n + 1e-9, 6) AS variance
+    FROM agg
+    ORDER BY variance DESC, dim LIMIT 8
+    """,
+)
+def embed_dimension_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 embedding dimensions by population variance — the pre-PCA
+    screen for dead dimensions (wasted capacity / broken projection) and
+    dominant ones (encoder collapse).
+
+    operators.similarity.dimension_variance: posexplode to dim-keyed
+    scalars (whole vectors never shuffle), one #dims moment aggregate,
+    TakeOrdered top-k.
+    """
+    return dimension_variance(T(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Real-pixel PNG round-trip, gated by a closed-form oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_png_roundtrip",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 37 + 4 AS w, doc_id % 23 + 4 AS h
+      FROM documents WHERE doc_id % 5 = 0),
+    cells AS (
+      -- generate_series can't take lateral column args in DuckDB; the
+      -- synthetic dims are bounded (w <= 40, h <= 26), so cross a fixed
+      -- grid and filter to each image's extent
+      SELECT d.doc_id, d.w, d.h,
+             (7 * x.i + 13 * y.i + 31 * c.i) % 256 AS v
+      FROM d,
+           generate_series(0, 40) AS x(i),
+           generate_series(0, 26) AS y(i),
+           generate_series(0, 2) AS c(i)
+      WHERE x.i < d.w AND y.i < d.h)
+    SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height, CAST(SUM(v) AS BIGINT) AS px_sum
+    FROM cells GROUP BY 1, 2, 3 ORDER BY media_id
+    """,
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixels through the real stage, exactly oracled: synthesize a
+    gradient RGB PNG per sampled document (dims and pixels are pure
+    functions of doc_id/n_chars), DEFLATE-encode it, decode it back
+    through the full unfilter path, and emit the decoded dims and pixel
+    sum — which the SQL oracle recomputes in closed form without any
+    image code. A wrong filter, stride, or channel order anywhere in the
+    codec fails the hash compare.
+
+    operators.multimodal.png_roundtrip_dims over operators.pngcodec:
+    one Arrow mapInPandas inside the scan, no shuffle, per-row work
+    bounded by the ~40x26 synthetic dimensions.
+    """
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return png_roundtrip_dims(docs).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Welch's one-vs-rest t-test.
+# ---------------------------------------------------------------------------
+@query(
+    "events_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DOUBLE)) AS s,
+             SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS q
+      FROM events GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, SUM(s) AS ts, SUM(q) AS tq
+            FROM g),
+    f AS (
+      SELECT grp, n,
+             s / CAST(n AS DOUBLE) AS m1,
+             (ts - s) / CAST(tn - n AS DOUBLE) AS m2,
+             (q - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS v1,
+             ((tq - q) - (ts - s) * (ts - s) / CAST(tn - n AS DOUBLE))
+               / (CAST(tn - n AS DOUBLE) - 1) AS v2,
+             CAST(n AS DOUBLE) AS n1, CAST(tn - n AS DOUBLE) AS n2,
+             n >= 2 AND tn - n >= 2 AS ok
+      FROM g, tot)
+    SELECT grp AS event_type, n,
+           ROUND(m1 + 1e-9, 4) AS mean_grp,
+           ROUND(m2 + 1e-9, 4) AS mean_rest,
+           ROUND(CASE WHEN ok THEN (m1 - m2) / sqrt(v1 / n1 + v2 / n2) END
+                 + 1e-9, 4) AS t_stat,
+           ROUND(CASE WHEN ok THEN
+                 (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)) END
+                 + 1e-9, 4) AS welch_df
+    FROM f ORDER BY event_type
+    """,
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t of each event type's mean value against
+    the rest — the per-segment "is this slice different?" screen with
+    the Welch–Satterthwaite df (the honest upgrade of the pooled z-test
+    when segment variances differ).
+
+    operators.profiling.welch_ttest_onevsrest: one group-moment
+    aggregate + a 1-row grand-total broadcast; the complement's moments
+    come from subtraction, so the data is scanned once for all groups.
+    """
+    return welch_ttest_onevsrest(
+        T(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record JSON ingestion audit.
+# ---------------------------------------------------------------------------
+@query(
+    "source_json_corrupt_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_good,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN doc_id END) AS BIGINT)
+             AS sum_good_ids
+    FROM documents
+    """,
+)
+def source_json_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON ingestion with corrupt-record accounting — the
+    contract real lake ingestion relies on: malformed lines must neither
+    kill the job nor silently vanish; they land in the corrupt-record
+    column and are COUNTED. The stage writes a JSONL twin of documents
+    with every 7th line deliberately truncated (a pure function of
+    doc_id, so the oracle knows the ledger without parsing JSON), reads
+    it back PERMISSIVE, and audits good/corrupt counts plus a good-row
+    checksum.
+
+    Shape: staging is a distributed text write (corruption is a scan-side
+    string expression — no driver loop); the audit is one aggregate over
+    the JSON scan.
+    """
+    d = T(spark, sf_dir, "documents")
+    key = hashlib.sha1(f"jsoncorrupt1|{sf_dir}".encode()).hexdigest()[:16]
+    stage = os.path.join(tempfile.gettempdir(), f"sdf_jsoncorrupt_{key}")
+    if not os.path.isdir(stage):
+        line = F.when(
+            F.col("doc_id") % 7 == 0,
+            # truncated mid-object: unbalanced brace, no closing quote
+            F.concat(
+                F.lit('{"doc_id": '),
+                F.col("doc_id").cast("string"),
+                F.lit(', "lang": "'),
+                F.col("lang"),
+            ),
+        ).otherwise(
+            F.to_json(F.struct("doc_id", "lang", "n_chars"))
+        )
+        d.select(line.alias("value")).write.mode("overwrite").text(stage)
+    back = (
+        spark.read.schema(
+            "doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(stage)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(good.cast("bigint")).cast("bigint").alias("n_good"),
+        F.sum((~good).cast("bigint")).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(good, F.col("doc_id"))).cast("bigint").alias("sum_good_ids"),
+    )

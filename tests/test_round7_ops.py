@@ -1,0 +1,302 @@
+"""Unit tests for the round-7 operator wave: hand-computable fixtures for
+each new operator, plus edge cases the suite fixtures don't reach."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# graph: adamic_adar / degree_assortativity
+# ---------------------------------------------------------------------------
+def test_adamic_adar_square(spark):
+    """4-cycle: each diagonal pair shares two degree-2 neighbors, so
+    aa = 2 / ln(2)."""
+    from sqlitedataframe_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    rows = {(r["u"], r["v"]): r for r in adamic_adar(edges).collect()}
+    want = round(2 / math.log(2) + 1e-9, 6)
+    assert set(rows) == {(1, 3), (2, 4)}
+    assert rows[(1, 3)]["cn"] == 2 and rows[(1, 3)]["aa_score"] == want
+
+
+def test_adamic_adar_prefers_rare_neighbor(spark):
+    """Two candidate pairs with one shared neighbor each: the pair whose
+    neighbor has LOWER degree must score higher (1/ln(deg))."""
+    from sqlitedataframe_spark.operators.graph import adamic_adar
+
+    # hub 0 has degree 4; vertex 9 has degree 2
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (9, 5), (9, 6)]
+    rows = {
+        (r["u"], r["v"]): r["aa_score"]
+        for r in adamic_adar(
+            spark.createDataFrame(edges, ["src", "dst"]), top_k=100
+        ).collect()
+    }
+    assert rows[(5, 6)] > rows[(1, 2)]
+
+
+def test_assortativity_star_negative(spark):
+    """A star is maximally disassortative: r = -1 (every edge joins the
+    max-degree hub to a degree-1 leaf)."""
+    from sqlitedataframe_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    r = degree_assortativity(star).collect()[0]
+    assert r["m2"] == 10 and r["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_degenerate(spark):
+    """A cycle is degree-regular: zero variance -> NULL (den = 0)."""
+    from sqlitedataframe_spark.operators.graph import degree_assortativity
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    assert degree_assortativity(cyc).collect()[0]["assortativity"] is None
+
+
+# ---------------------------------------------------------------------------
+# text: unicode_quality / stopword_profile / hapax_ratio / ttr_stats
+# ---------------------------------------------------------------------------
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_unicode_quality_counts(spark):
+    from sqlitedataframe_spark.operators.text import unicode_quality
+
+    rows = [
+        (1, "abcd", "en", "s"),          # clean: 0 ctrl, 0 non-ascii
+        (2, "a\x01b�c", "en", "s"),  # 1 ctrl, 1 replacement (non-ascii)
+    ]
+    r = unicode_quality(_docs(spark, rows)).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["avg_ctrl_chars"] == 0.5
+    assert r["n_replacement_chars"] == 1
+    # doc2: U+FFFD is the only non-ascii of 5 chars -> 0.2; doc1 0
+    assert r["avg_non_ascii_ratio"] == 0.1
+
+
+def test_stopword_profile_ratio(spark):
+    from sqlitedataframe_spark.operators.text import stopword_profile
+
+    rows = [(1, "the cat and the hat", "en", "s")]
+    r = stopword_profile(_docs(spark, rows)).collect()[0]
+    assert (r["n_tokens"], r["n_stop_tokens"]) == (5, 3)
+    assert r["stop_ratio"] == 0.6
+
+
+def test_hapax_ratio_exact(spark):
+    from sqlitedataframe_spark.operators.text import hapax_ratio
+
+    rows = [(1, "a b a c", "en", "s")]  # vocab {a,b,c}; hapax {b,c}
+    r = hapax_ratio(_docs(spark, rows)).collect()[0]
+    assert (r["vocab"], r["hapax"]) == (3, 2)
+    assert r["hapax_ratio"] == round(2 / 3 + 1e-9, 6)
+
+
+def test_ttr_prefix_controls_length(spark):
+    from sqlitedataframe_spark.operators.text import ttr_stats
+
+    rows = [(1, " ".join(["w"] * 200 + ["x", "y"]), "en", "s")]
+    r = ttr_stats(_docs(spark, rows), prefix_tokens=100).collect()[0]
+    # full doc: 3 distinct / 202; first 100 tokens are all 'w' -> 1/100
+    assert r["avg_ttr"] == round(3 / 202 + 1e-9, 6)
+    assert r["avg_prefix_ttr"] == 0.01
+
+
+# ---------------------------------------------------------------------------
+# evalmetrics: macro_f1 / mcnemar_test
+# ---------------------------------------------------------------------------
+def test_macro_f1_hand_computed(spark):
+    from sqlitedataframe_spark.operators.evalmetrics import macro_f1
+
+    # truth: a a b b; pred: a b b b
+    df = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("b", "b"), ("b", "b")], ["pred", "truth"]
+    )
+    rows = {r["cls"]: r for r in macro_f1(df).collect()}
+    assert rows["a"]["precision"] == 1.0 and rows["a"]["recall"] == 0.5
+    assert rows["b"]["precision"] == round(2 / 3 + 1e-9, 6)
+    assert rows["b"]["recall"] == 1.0
+    f1a = round(2 * 1 / (1 + 2) + 1e-9, 6)  # 2*tp/(n_pred+n_true)
+    assert rows["a"]["f1"] == f1a
+    assert rows["MACRO"]["tp"] == 3
+
+
+def test_macro_f1_never_predicted_class(spark):
+    from sqlitedataframe_spark.operators.evalmetrics import macro_f1
+
+    df = spark.createDataFrame([("a", "a"), ("a", "c")], ["pred", "truth"])
+    rows = {r["cls"]: r for r in macro_f1(df).collect()}
+    assert rows["c"]["precision"] is None  # never predicted
+    assert rows["c"]["recall"] == 0.0 and rows["c"]["f1"] == 0.0
+    # macro precision averages over non-null per-class values only
+    assert rows["MACRO"]["precision"] == rows["a"]["precision"]
+
+
+def test_mcnemar_hand_computed(spark):
+    from sqlitedataframe_spark.operators.evalmetrics import mcnemar_test
+
+    # 10 items: both right 4, A-only 3, B-only 1, neither 2
+    rows = (
+        [(True, True)] * 4 + [(True, False)] * 3
+        + [(False, True)] * 1 + [(False, False)] * 2
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = mcnemar_test(df, F.col("a"), F.col("b")).collect()[0]
+    assert (r["n_both"], r["n01"], r["n10"], r["n_neither"]) == (4, 3, 1, 2)
+    assert r["mcnemar_chi2"] == round((abs(3 - 1) - 1) ** 2 / 4 + 1e-9, 6)
+
+
+def test_mcnemar_no_discordance_null(spark):
+    from sqlitedataframe_spark.operators.evalmetrics import mcnemar_test
+
+    df = spark.createDataFrame([(True, True), (False, False)], ["a", "b"])
+    assert (
+        mcnemar_test(df, F.col("a"), F.col("b")).collect()[0]["mcnemar_chi2"]
+        is None
+    )
+
+
+# ---------------------------------------------------------------------------
+# features: robust_scale_stats
+# ---------------------------------------------------------------------------
+def test_robust_scale_stats_exact_members(spark):
+    from sqlitedataframe_spark.operators.features import robust_scale_stats
+
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "v"])
+    r = robust_scale_stats(df, "grp", "v").collect()[0]
+    # discrete percentiles are members: med=3, q1=2, q3=4 -> iqr=2
+    assert (r["median"], r["iqr"], r["n"]) == (3.0, 2.0, 5)
+    # outliers: |x-3| > 1.5*2=3 -> only 100
+    assert r["n_outliers"] == 1
+
+
+# ---------------------------------------------------------------------------
+# profiling: column_entropy / fd_candidates / welch
+# ---------------------------------------------------------------------------
+def test_column_entropy_uniform_and_constant(spark):
+    from sqlitedataframe_spark.operators.profiling import column_entropy
+
+    df = spark.createDataFrame(
+        [("x", "k")] * 4 + [("y", "k")] * 4, ["u", "c"]
+    )
+    rows = {r["column"]: r for r in column_entropy(df, ["u", "c"]).collect()}
+    assert rows["c"]["entropy_nats"] == 0.0 and rows["c"]["n_distinct"] == 1
+    assert rows["u"]["entropy_nats"] == round(math.log(2) + 1e-9, 6)
+
+
+def test_column_entropy_counts_nulls(spark):
+    from sqlitedataframe_spark.operators.profiling import column_entropy
+
+    df = spark.createDataFrame([("a",), (None,)], "c: string")
+    r = column_entropy(df, ["c"]).collect()[0]
+    assert r["n_distinct"] == 2  # NULL is a value
+
+
+def test_fd_candidates_key_determines_all(spark):
+    from sqlitedataframe_spark.operators.profiling import fd_candidates
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "y")], ["k", "g", "h"]
+    )
+    rows = {(r["det"], r["dep"]): r["fd_holds"] for r in fd_candidates(df, ["k", "g", "h"]).collect()}
+    assert rows[("k", "g")] and rows[("k", "h")]  # key determines all
+    assert not rows[("g", "h")]  # g=a maps to x and y
+    assert len(rows) == 6
+
+
+def test_welch_ttest_separated_groups(spark):
+    from sqlitedataframe_spark.operators.profiling import welch_ttest_onevsrest
+
+    rows = [("a", v) for v in (10.0, 11.0, 12.0, 13.0)] + [
+        ("b", v) for v in (0.0, 1.0, 2.0, 3.0)
+    ]
+    res = {
+        r["grp"]: r
+        for r in welch_ttest_onevsrest(
+            spark.createDataFrame(rows, ["grp", "v"]), "grp", "v"
+        ).collect()
+    }
+    assert res["a"]["t_stat"] > 5 and res["b"]["t_stat"] < -5
+    assert res["a"]["mean_grp"] == 11.5 and res["a"]["mean_rest"] == 1.5
+    assert res["a"]["welch_df"] > 1
+
+
+# ---------------------------------------------------------------------------
+# dedup: prefix_suffix_groups
+# ---------------------------------------------------------------------------
+def test_prefix_suffix_groups_catches_truncation(spark):
+    from sqlitedataframe_spark.operators.dedup import prefix_suffix_groups
+
+    shared_head = "x" * 64
+    shared_tail = "y" * 64
+    rows = [
+        (1, shared_head + " unique one", "en", "s"),
+        (2, shared_head + " unique two", "en", "s"),   # same prefix as 1
+        (3, "alpha " + shared_tail, "en", "s"),
+        (4, "beta " + shared_tail, "en", "s"),          # same suffix as 3
+        (5, "completely different", "en", "s"),
+    ]
+    got = {
+        (r["kind"], r["keep_id"]): r["group_size"]
+        for r in prefix_suffix_groups(_docs(spark, rows)).collect()
+    }
+    assert got == {("prefix", 1): 2, ("suffix", 3): 2}
+
+
+# ---------------------------------------------------------------------------
+# similarity: norm_stats / dimension_variance
+# ---------------------------------------------------------------------------
+def test_norm_stats_hand_computed(spark):
+    from sqlitedataframe_spark.operators.similarity import norm_stats
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0], 0), (2, [6.0, 8.0], 0)],
+        "vec_id: long, embedding: array<float>, label: int",
+    )
+    r = norm_stats(df).collect()[0]
+    assert (r["min_norm"], r["max_norm"], r["avg_norm"]) == (5.0, 10.0, 7.5)
+
+
+def test_dimension_variance_finds_live_dim(spark):
+    from sqlitedataframe_spark.operators.similarity import dimension_variance
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i)], 0) for i in range(4)],
+        "vec_id: long, embedding: array<float>, label: int",
+    )
+    rows = dimension_variance(df, top_k=2).collect()
+    assert rows[0]["dim"] == 1 and rows[0]["variance"] > 0
+    assert rows[1]["dim"] == 0 and rows[1]["variance"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# multimodal: png_roundtrip_dims
+# ---------------------------------------------------------------------------
+def test_png_roundtrip_dims_matches_closed_form(spark):
+    from sqlitedataframe_spark.operators.multimodal import png_roundtrip_dims
+
+    docs = spark.createDataFrame(
+        [(10, 50), (23, 7)], "doc_id: long, n_chars: long"
+    )
+    rows = {r["media_id"]: r for r in png_roundtrip_dims(docs).collect()}
+    for mid, size in ((10, 50), (23, 7)):
+        w, h = size % 37 + 4, mid % 23 + 4
+        want = sum(
+            (7 * x + 13 * y + 31 * c) % 256
+            for x in range(w)
+            for y in range(h)
+            for c in range(3)
+        )
+        assert (rows[mid]["width"], rows[mid]["height"]) == (w, h)
+        assert rows[mid]["px_sum"] == want
