@@ -322,6 +322,13 @@ HEADLINE = [
     "multimodal_png_roundtrip",
     "events_welch_ttest",
     "source_json_corrupt_audit",
+    # round 7b
+    "sample_kcenter_coreset",
+    "agg_median_of_means",
+    "events_peak_detection",
+    "feature_hash_collisions",
+    "embed_prefix_norm_ratio",
+    "orders_xyz_variability",
 ]
 
 

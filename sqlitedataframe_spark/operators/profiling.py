@@ -1919,3 +1919,50 @@ def welch_ttest_onevsrest(
         F.round(F.when(ok, t) + 1e-9, round_dp).alias("t_stat"),
         F.round(F.when(ok, dof) + 1e-9, round_dp).alias("welch_df"),
     ).orderBy(group_col)
+
+
+def median_of_means(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_buckets: int = 16,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Median-of-means robust mean estimator: hash rows into ``n_buckets``
+    deterministic buckets (portable md5 of the key), average each bucket,
+    take the DISCRETE median of the bucket means — the
+    heavy-tail-resistant estimator (sub-Gaussian concentration even when
+    the variance is infinite) a monitor prefers over the raw mean when a
+    few corrupt rows can drag it.
+
+    Returns one row: n, plain mean, median-of-means, both rounded — the
+    gap between them is itself the outlier alarm.
+
+    Shape: one bucket aggregate (map-side combine to n_buckets rows), the
+    median via sort_array over the n_buckets-element list — never a
+    global sort of the data.
+    """
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % n_buckets
+    )
+    v = F.col(value_col).cast("double")
+    per = df.groupBy(b.alias("_b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(v).alias("_s"),
+    )
+    agg = per.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        (F.sum("_s") / F.sum("_n")).alias("_mean"),
+        F.sort_array(F.collect_list(F.col("_s") / F.col("_n"))).alias("_ms"),
+    )
+    idx = F.ceil(F.lit(0.5) * F.size("_ms")).cast("int")
+    return agg.select(
+        "n",
+        F.round(F.col("_mean") + 1e-9, round_dp).alias("mean"),
+        F.round(F.element_at("_ms", idx) + 1e-9, round_dp).alias(
+            "median_of_means"
+        ),
+    )

@@ -863,3 +863,44 @@ def rolling_percentile_daily(
     return agg.select(
         "d", "w", F.element_at("_vs", idx).alias("p")
     ).orderBy("d")
+
+
+def peak_days(
+    df: DataFrame,
+    ts_col: str,
+    neighborhood_days: int = 3,
+) -> DataFrame:
+    """Local-maximum detection on the daily count series: a day is a peak
+    iff its count STRICTLY exceeds every other observed day within
+    ±``neighborhood_days`` (ties disqualify both; a day with no observed
+    neighbors is trivially a peak). The burst-localization readout an
+    ops/trending monitor runs after the anomaly screens.
+
+    Scale shape: one data-sized aggregate to the #days frame, then the
+    bounded triangular self-join on the calendar key (the level-shift /
+    acf_lags pattern — join fan-out <= 2*neighborhood_days per day,
+    never a date-ordered global window), one per-day max aggregate.
+    """
+    if neighborhood_days < 1:
+        raise ValueError(
+            f"neighborhood_days must be >= 1, got {neighborhood_days}"
+        )
+    daily = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    b = daily.select(F.col("d").alias("_d2"), F.col("n").alias("_n2"))
+    w = neighborhood_days
+    nb = daily.join(
+        b,
+        (F.col("_d2") >= F.date_sub(F.col("d"), w))
+        & (F.col("_d2") <= F.date_add(F.col("d"), w))
+        & (F.col("_d2") != F.col("d")),
+        "left",
+    )
+    return (
+        nb.groupBy("d", "n")
+        .agg(F.max("_n2").alias("_mx"))
+        .filter(F.col("_mx").isNull() | (F.col("n") > F.col("_mx")))
+        .select("d", "n")
+        .orderBy("d")
+    )

@@ -752,3 +752,73 @@ def dimension_variance(
     return scored.orderBy(
         F.col("variance").desc(), F.col("dim").asc()
     ).limit(top_k)
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal): the
+    data-pruning primitive that picks k maximally-spread exemplars — seed
+    with the min-id point, then repeatedly add the point FARTHEST from
+    its nearest already-chosen center. The selected radius sequence is
+    the classic 2-approximation of the optimal k-center cover and doubles
+    as a diversity readout (how fast does coverage improve?).
+
+    Returns k rows (step, center_id, radius): ``radius`` is the point's
+    min-distance to the previous centers at selection time (sqrt, rounded;
+    NULL for the seed) — monotonically non-increasing by construction.
+
+    Scale shape: k bounded driver iterations, each ONE distributed pass —
+    broadcast the 1-row newly-chosen center vector, fold the squared
+    distance scan-side (zip_with + sequential sum, cast double first so
+    any engine reproduces the floats bit-exactly), keep the running min,
+    TakeOrdered(1) for the argmax. Driver traffic is k scalars; vectors
+    never collect. The distance column chain grows one broadcast join per
+    step — fine for coreset-sized k; checkpoint per round (the CC recipe)
+    if k grows to the hundreds.
+
+    Exactness: distances are identical IEEE doubles in any engine (exact
+    float32→float64 widening, same left-to-right fold), so the argmax
+    choices — and therefore the SELECTED SET — are bit-deterministic;
+    ties break on min id.
+    """
+    pts = emb.select(
+        F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+    )
+    seed_id = pts.agg(F.min("_id")).collect()[0][0]
+    if seed_id is None:
+        raise ValueError("kcenter_coreset: empty input")
+    rows = [(1, seed_id, None)]
+    cur = pts
+    chosen = seed_id
+    have_d = False
+    for step in range(2, k + 1):
+        cvec = pts.filter(F.col("_id") == chosen).select(
+            F.col("_v").alias("_c")
+        )
+        d_new = F.aggregate(
+            F.zip_with("_v", "_c", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cur = cur.join(F.broadcast(cvec)).withColumn(
+            "_d", F.least("_d", d_new) if have_d else d_new
+        ).drop("_c")
+        have_d = True
+        top = (
+            cur.orderBy(F.col("_d").desc(), F.col("_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen = top["_id"]
+        rows.append(
+            (step, chosen, round(float(top["_d"]) ** 0.5 + 1e-9, round_dp))
+        )
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        rows, "step: int, center_id: long, radius: double"
+    )

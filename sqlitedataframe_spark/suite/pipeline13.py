@@ -27,10 +27,13 @@ from sqlitedataframe_spark.operators.multimodal import png_roundtrip_dims
 from sqlitedataframe_spark.operators.profiling import (
     column_entropy,
     fd_candidates,
+    median_of_means,
     welch_ttest_onevsrest,
 )
+from sqlitedataframe_spark.operators.relational import peak_days
 from sqlitedataframe_spark.operators.similarity import (
     dimension_variance,
+    kcenter_coreset,
     norm_stats,
 )
 from sqlitedataframe_spark.suite import query
@@ -837,4 +840,319 @@ def source_json_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(good.cast("bigint")).cast("bigint").alias("n_good"),
         F.sum((~good).cast("bigint")).cast("bigint").alias("n_corrupt"),
         F.sum(F.when(good, F.col("doc_id"))).cast("bigint").alias("sum_good_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (farthest-point traversal).
+# ---------------------------------------------------------------------------
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled CTE chain mirroring the operator's k greedy steps: level i
+    holds every point's min squared distance to the first i centers; the
+    argmax (ties -> min id) is the next center. Distances are the same
+    IEEE doubles Spark computes (exact float32 widening, sequential
+    fold), so the SELECTED SET is bit-deterministic."""
+    dist = (
+        "list_aggregate(list_transform(list_zip(p.v, c.v), "
+        "s -> (s[1] - s[2]) * (s[1] - s[2])), 'sum')"
+    )
+    parts = [
+        "WITH pts AS (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)",
+        "s1 AS (SELECT id, v FROM pts WHERE id = (SELECT MIN(id) FROM pts))",
+        f"d1 AS (SELECT p.id, p.v, {dist} AS d FROM pts p, s1 c)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"s{i} AS (SELECT id, v, d FROM d{i - 1} "
+            f"ORDER BY d DESC, id ASC LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f"d{i} AS (SELECT p.id, p.v, LEAST(p.d, {dist}) AS d "
+                f"FROM d{i - 1} p, s{i} c)"
+            )
+    selects = [
+        "SELECT 1 AS step, (SELECT id FROM s1) AS center_id, "
+        "CAST(NULL AS DOUBLE) AS radius"
+    ] + [
+        f"SELECT {i}, id, ROUND(sqrt(d) + 1e-9, 6) FROM s{i}"
+        for i in range(2, k + 1)
+    ]
+    return (
+        ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY step"
+    )
+
+
+@query("sample_kcenter_coreset", oracle=_kcenter_oracle(8))
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding table (k=8): the
+    data-pruning primitive that keeps maximally-spread exemplars, with
+    the monotone radius sequence as the diversity readout. The oracle
+    unrolls the same eight greedy steps as CTE levels — selections are
+    bit-deterministic because both engines compute identical IEEE
+    distances (exact float widening + sequential fold).
+
+    operators.similarity.kcenter_coreset: k bounded driver rounds, each
+    one broadcast of a 1-row center + a scan-side fold + TakeOrdered(1);
+    only k scalars ever reach the driver.
+    """
+    return kcenter_coreset(T(spark, sf_dir, "embeddings"), k=8)
+
+
+# ---------------------------------------------------------------------------
+# Median-of-means robust mean.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_median_of_means",
+    oracle="""
+    WITH per AS (
+      SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 16 AS b,
+             CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(value AS DOUBLE)) AS s
+      FROM events GROUP BY 1),
+    ms AS (SELECT s / n AS m FROM per),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r,
+             COUNT(*) OVER () AS c
+      FROM ms)
+    SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM per) AS n,
+           (SELECT ROUND(SUM(s) / SUM(n) + 1e-9, 4) FROM per) AS mean,
+           ROUND(m + 1e-9, 4) AS median_of_means
+    FROM ranked WHERE r = CAST(CEIL(0.5 * c) AS BIGINT)
+    """,
+)
+def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means of the event value (16 portable md5 hash buckets):
+    the heavy-tail-robust mean estimator; its gap to the raw mean is the
+    outlier alarm a data monitor alerts on.
+
+    operators.profiling.median_of_means: one bucket aggregate collapsing
+    map-side to 16 rows, discrete median via sort_array over the
+    16-element list — never a global sort.
+    """
+    return median_of_means(
+        T(spark, sf_dir, "events"), "value", "event_id", n_buckets=16
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local-maximum (peak) detection on the daily series.
+# ---------------------------------------------------------------------------
+@query(
+    "events_peak_detection",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    nb AS (
+      SELECT a.d, a.n, MAX(b.n) AS mx
+      FROM daily a LEFT JOIN daily b
+        ON b.d BETWEEN a.d - 3 AND a.d + 3 AND b.d <> a.d
+      GROUP BY 1, 2)
+    SELECT d, n FROM nb WHERE mx IS NULL OR n > mx ORDER BY d
+    """,
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event count strictly exceeds every observed day within
+    ±3 days — burst localization after the anomaly screens (CUSUM/MAD
+    say WHEN something changed; peaks say which days carried it).
+
+    operators.relational.peak_days: #days aggregate, bounded triangular
+    calendar self-join (fan-out <= 6 per day — the acf/level-shift
+    pattern, never a date-ordered global window), per-day max.
+    """
+    return peak_days(T(spark, sf_dir, "events"), "ts", neighborhood_days=3)
+
+
+# ---------------------------------------------------------------------------
+# Hashed-cross-feature collision audit.
+# ---------------------------------------------------------------------------
+@query(
+    "feature_hash_collisions",
+    oracle="""
+    WITH combos AS (
+      SELECT DISTINCT p_brand || '|' || CAST(p_size AS VARCHAR) AS key
+      FROM part),
+    hashed AS (
+      SELECT key,
+             CAST('0x' || substr(md5(key), 1, 8) AS BIGINT) % 1024 AS bucket
+      FROM combos),
+    per AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS load
+            FROM hashed GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM combos) AS BIGINT) AS n_combos,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST(SUM(CASE WHEN load >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_collided_buckets,
+           CAST(SUM(CASE WHEN load >= 2 THEN load ELSE 0 END) AS BIGINT)
+             AS n_colliding_combos,
+           CAST(MAX(load) AS BIGINT) AS max_bucket_load
+    FROM per
+    """,
+)
+def feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision audit of the hashed cross feature brand x size into 1024
+    buckets (portable md5 hash): distinct combos, buckets used, collided
+    buckets, combos sharing a bucket, max load — the dimensioning check
+    run BEFORE committing to a feature-hashing width (too small a table
+    silently aliases unrelated crosses onto one weight).
+
+    Shape: one distinct on the combo key, one bucket count aggregate,
+    one 1-row rollup; everything map-side collapsible.
+    """
+    p = T(spark, sf_dir, "part")
+    combos = p.select(
+        F.concat_ws("|", F.col("p_brand"), F.col("p_size").cast("string")).alias(
+            "key"
+        )
+    ).distinct()
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("key")), 1, 8), 16, 10).cast("bigint")
+        % 1024
+    )
+    per = combos.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("load")
+    )
+    n_combos = combos.agg(F.count(F.lit(1)).cast("bigint").alias("n_combos"))
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        F.sum((F.col("load") >= 2).cast("bigint")).cast("bigint").alias(
+            "n_collided_buckets"
+        ),
+        F.sum(F.when(F.col("load") >= 2, F.col("load")).otherwise(0))
+        .cast("bigint")
+        .alias("n_colliding_combos"),
+        F.max("load").cast("bigint").alias("max_bucket_load"),
+    ).join(F.broadcast(n_combos)).select(
+        "n_combos",
+        "n_buckets_used",
+        "n_collided_buckets",
+        "n_colliding_combos",
+        "max_bucket_load",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style prefix-norm quality of embeddings.
+# ---------------------------------------------------------------------------
+@query(
+    "embed_prefix_norm_ratio",
+    oracle="""
+    WITH dims AS (SELECT unnest([8, 16, 32, 64]) AS m),
+    per AS (
+      SELECT dims.m,
+             sqrt(list_aggregate(list_transform(embedding[1:dims.m],
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             / sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+               AS ratio
+      FROM embeddings, dims)
+    SELECT CAST(m AS INT) AS prefix_dim,
+           ROUND(AVG(ratio) + 1e-9, 6) AS avg_ratio,
+           ROUND(MIN(ratio) + 1e-9, 6) AS min_ratio
+    FROM per GROUP BY m ORDER BY prefix_dim
+    """,
+)
+def embed_prefix_norm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each embedding's energy lives in its first 8/16/32/64
+    dimensions: avg and worst prefix-to-full norm ratio (= the cosine
+    between the vector and its truncated self) — the Matryoshka-style
+    readout that decides whether truncated vectors are usable for cheap
+    first-stage retrieval.
+
+    Shape: per-row array folds (slice + sequential sum, cast double
+    first) against a 4-element literal dims explode; one group aggregate.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
+    per = emb.select(
+        F.explode(F.array(*[F.lit(m) for m in (8, 16, 32, 64)])).alias("m"),
+        dv.alias("_v"),
+    ).select(
+        "m",
+        (F.sqrt(sq(F.slice(F.col("_v"), 1, F.col("m")))) / F.sqrt(sq(F.col("_v")))).alias(
+            "ratio"
+        ),
+    )
+    return (
+        per.groupBy(F.col("m").cast("int").alias("prefix_dim"))
+        .agg(
+            F.round(F.avg("ratio") + 1e-9, 6).alias("avg_ratio"),
+            F.round(F.min("ratio") + 1e-9, 6).alias("min_ratio"),
+        )
+        .orderBy("prefix_dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# XYZ variability classes (demand-predictability companion to Pareto/ABC).
+# ---------------------------------------------------------------------------
+@query(
+    "orders_xyz_variability",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey, date_trunc('month', l_shipdate) AS mo,
+             SUM(l_quantity) AS q
+      FROM lineitem GROUP BY 1, 2),
+    s AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_months,
+             SUM(q) AS sq, SUM(q * q) AS sq2
+      FROM m GROUP BY 1),
+    cv AS (
+      SELECT l_partkey, n_months,
+             sqrt((sq2 - sq * sq / n_months) / n_months)
+               / (sq / n_months) AS cv
+      FROM s WHERE n_months >= 2 AND sq > 0)
+    SELECT CASE WHEN cv <= 0.5 THEN 'X'
+                WHEN cv <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(AVG(cv) + 1e-9, 4) AS avg_cv
+    FROM cv GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classes per part (coefficient of variation
+    of monthly shipped quantity over months with sales; X <= 0.5 steady,
+    Y <= 1.0, Z erratic) — the predictability axis that pairs with the
+    Pareto/ABC value axis for inventory segmentation.
+
+    Shape: two keyed aggregates (part-month, then part) and a 3-group
+    rollup; the CV is closed-form from exact sums, floats only at the
+    final division.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        "l_partkey", F.date_trunc("month", F.col("l_shipdate")).alias("mo")
+    ).agg(F.sum("l_quantity").alias("q"))
+    s = m.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+    )
+    nm = F.col("n_months")
+    cv = F.sqrt(
+        (F.col("sq2") - F.col("sq") * F.col("sq") / nm) / nm
+    ) / (F.col("sq") / nm)
+    classed = (
+        s.filter((nm >= 2) & (F.col("sq") > 0))
+        .select(
+            F.when(cv <= 0.5, "X").when(cv <= 1.0, "Y").otherwise("Z").alias(
+                "xyz_class"
+            ),
+            cv.alias("_cv"),
+        )
+    )
+    return (
+        classed.groupBy("xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.avg("_cv") + 1e-9, 4).alias("avg_cv"),
+        )
+        .orderBy("xyz_class")
     )

@@ -300,3 +300,80 @@ def test_png_roundtrip_dims_matches_closed_form(spark):
         )
         assert (rows[mid]["width"], rows[mid]["height"]) == (w, h)
         assert rows[mid]["px_sum"] == want
+
+
+# ---------------------------------------------------------------------------
+# wave 2: kcenter_coreset / median_of_means / peak_days
+# ---------------------------------------------------------------------------
+def test_kcenter_picks_farthest(spark):
+    from sqlitedataframe_spark.operators.similarity import kcenter_coreset
+
+    # 1-D points embedded in 2-D: 0, 1, 10, 11, 100
+    pts = [(i, [float(v), 0.0], 0) for i, v in enumerate([0, 1, 10, 11, 100])]
+    df = spark.createDataFrame(
+        pts, "vec_id: long, embedding: array<float>, label: int"
+    )
+    rows = kcenter_coreset(df, k=3).collect()
+    # seed = min id (value 0); farthest = 100 (id 4); then 10 or 11 (id 2 wins: 10 is d=100 from 0... )
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    assert rows[0]["center_id"] == 0 and rows[0]["radius"] is None
+    assert rows[1]["center_id"] == 4 and rows[1]["radius"] == 100.0
+    # after {0, 100}: min-dists are 0,1,10,11->... point 11 is 11 from 0, 89 from 100 -> 11; point 10 -> 10; so next is 11 (id 3)
+    assert rows[2]["center_id"] == 3 and rows[2]["radius"] == 11.0
+    # radius sequence is non-increasing
+    radii = [r["radius"] for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_empty_raises(spark):
+    from sqlitedataframe_spark.operators.similarity import kcenter_coreset
+
+    empty = spark.createDataFrame(
+        [], "vec_id: long, embedding: array<float>, label: int"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        kcenter_coreset(empty, k=2)
+
+
+def test_median_of_means_resists_outlier(spark):
+    from sqlitedataframe_spark.operators.profiling import median_of_means
+
+    rows = [(i, 10.0) for i in range(160)] + [(999, 1e9)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    r = median_of_means(df, "v", "k", n_buckets=16).collect()[0]
+    assert r["n"] == 161
+    assert r["mean"] > 1e6  # raw mean is dragged
+    assert r["median_of_means"] == 10.0  # MoM is not
+
+
+def test_peak_days_strict_and_isolated(spark):
+    from sqlitedataframe_spark.operators.relational import peak_days
+
+    import datetime as dt
+
+    def day(d, n):
+        return [(dt.datetime(2024, 1, d, 12, 0),)] * n
+
+    rows = day(1, 2) + day(2, 5) + day(3, 2) + day(5, 5) + day(6, 5) + day(20, 1)
+    df = spark.createDataFrame(rows, "ts: timestamp")
+    peaks = {(str(r["d"]), r["n"]) for r in peak_days(df, "ts").collect()}
+    # day 2 (5 > 2,2,5? no - day 5 is within +3 of day 2 and equals 5 -> tie disqualifies)
+    # neighborhood of day2 = days 1,3,5 (counts 2,2,5): 5 > 5 false -> NOT a peak
+    # day 5 neighbors: 2,3,6 (5,2,5): tie with day 2 and 6 -> not a peak
+    # day 20 isolated -> trivial peak
+    assert peaks == {("2024-01-20", 1)}
+    with pytest.raises(ValueError, match="neighborhood_days"):
+        peak_days(df, "ts", neighborhood_days=0)
+
+
+def test_peak_days_finds_strict_max(spark):
+    from sqlitedataframe_spark.operators.relational import peak_days
+
+    import datetime as dt
+
+    rows = []
+    for d, n in ((1, 2), (2, 7), (3, 2)):
+        rows += [(dt.datetime(2024, 1, d, 12, 0),)] * n
+    df = spark.createDataFrame(rows, "ts: timestamp")
+    peaks = {str(r["d"]) for r in peak_days(df, "ts").collect()}
+    assert peaks == {"2024-01-02"}
