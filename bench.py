@@ -329,6 +329,12 @@ HEADLINE = [
     "feature_hash_collisions",
     "embed_prefix_norm_ratio",
     "orders_xyz_variability",
+    # round 7c (sqlite_parallel_roundtrip excluded: times temp-file SQLite IO)
+    "text_gopher_rules",
+    "text_keyword_stuffing",
+    "events_slo_burn",
+    "orders_duplicate_payments",
+    "eval_ab_srm",
 ]
 
 

@@ -54,6 +54,8 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "eval_cohen_kappa": "1-row observed-vs-expected agreement cross",
     "events_welch_ttest": "1-row grand-total moments broadcast onto #groups rows",
     "orders_backlog_aging": "1-row max-order-date anchor broadcast",
+    "events_peak_detection": "bounded +/-3-day triangular calendar join over the #days frame",
+    "feature_hash_collisions": "1-row combo-count broadcast cross onto the 1-row bucket rollup",
     "eval_pr_sweep": "1-row P/N totals; threshold expansion over score-bucket frame",
     "eval_ks_separation": "2-row class-tag spine cross",
     "events_ks_drift": "2-row snapshot-tag spine cross",

@@ -1156,3 +1156,345 @@ def orders_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("xyz_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule screen.
+# ---------------------------------------------------------------------------
+@query(
+    "text_gopher_rules",
+    oracle=rf"""
+    WITH t AS (
+      SELECT source,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents),
+    per AS (
+      SELECT source,
+             len(toks) AS n_tok,
+             list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+               / CAST(len(toks) AS DOUBLE) AS mwl,
+             len(list_filter(toks, x -> list_contains([{_STOP_SQL}], x)))
+               AS n_stop,
+             len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+               / CAST(len(toks) AS DOUBLE) AS alpha_ratio
+      FROM t WHERE len(toks) > 0),
+    flags AS (
+      SELECT source,
+             CASE WHEN n_tok >= 50 THEN 0 ELSE 1 END AS f_wc,
+             CASE WHEN mwl BETWEEN 3 AND 10 THEN 0 ELSE 1 END AS f_mwl,
+             CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END AS f_stop,
+             CASE WHEN alpha_ratio >= 0.8 THEN 0 ELSE 1 END AS f_alpha
+      FROM per)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f_wc + f_mwl + f_stop + f_alpha = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(f_wc) AS BIGINT) AS fail_word_count,
+           CAST(SUM(f_mwl) AS BIGINT) AS fail_mean_word_len,
+           CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords,
+           CAST(SUM(f_alpha) AS BIGINT) AS fail_alpha_ratio
+    FROM flags GROUP BY source ORDER BY source
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule screen per source (the public rule set from the
+    Gopher corpus paper, at fixture-scaled thresholds): word count >= 50,
+    mean word length in [3, 10], >= 2 stopwords, >= 80% alphabetic
+    tokens — with per-rule failure counts so a curator sees WHY a source
+    is losing documents, not just that it is.
+
+    Shape: every rule is a map-side array expression over the token
+    array (fold for mean word length, filters for stopword/alpha counts
+    — no explode); one group aggregate.
+    """
+    d = T(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in X.STOPWORDS_EN])
+    n_tok = F.size(toks)
+    mwl = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda a, x: a + x,
+    ) / n_tok.cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+        / n_tok.cast("double")
+    )
+    per = d.select(
+        "source",
+        F.when(n_tok >= 50, 0).otherwise(1).alias("f_wc"),
+        F.when((mwl >= 3) & (mwl <= 10), 0).otherwise(1).alias("f_mwl"),
+        F.when(n_stop >= 2, 0).otherwise(1).alias("f_stop"),
+        F.when(alpha_ratio >= 0.8, 0).otherwise(1).alias("f_alpha"),
+    ).filter(n_tok > 0)
+    passing = (
+        F.col("f_wc") + F.col("f_mwl") + F.col("f_stop") + F.col("f_alpha")
+        == 0
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(passing.cast("bigint")).cast("bigint").alias("n_pass"),
+            F.sum("f_wc").cast("bigint").alias("fail_word_count"),
+            F.sum("f_mwl").cast("bigint").alias("fail_mean_word_len"),
+            F.sum("f_stop").cast("bigint").alias("fail_stopwords"),
+            F.sum("f_alpha").cast("bigint").alias("fail_alpha_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyword-stuffing screen (top-token dominance).
+# ---------------------------------------------------------------------------
+@query(
+    "text_keyword_stuffing",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      FROM documents),
+    freq AS (
+      SELECT doc_id, source, w, COUNT(*) AS f
+      FROM tok GROUP BY 1, 2, 3),
+    per AS (
+      SELECT doc_id, source,
+             MAX(f) / CAST(SUM(f) AS DOUBLE) AS top_share
+      FROM freq GROUP BY 1, 2)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(top_share) + 1e-9, 6) AS avg_top_share,
+           ROUND(MAX(top_share) + 1e-9, 6) AS max_top_share,
+           CAST(SUM(CASE WHEN top_share > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stuffed
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def text_keyword_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-stuffing screen: each document's dominant-token share
+    (max token frequency / token count), rolled up per source with the
+    count of documents above the 20% dominance threshold — the SEO-spam
+    fingerprint that n-gram repetition scores miss when the repeats are
+    scattered.
+
+    Shape: one explode, (doc, token) count, per-doc max/sum, source
+    rollup — the hapax pipeline with a second keyed aggregate.
+    """
+    d = T(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            "doc_id", "source", F.explode(X.tokens("text")).alias("w")
+        )
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    per = freq.groupBy("doc_id", "source").agg(
+        (F.max("f") / F.sum("f").cast("double")).alias("top_share")
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("top_share") + 1e-9, 6).alias("avg_top_share"),
+            F.round(F.max("top_share") + 1e-9, 6).alias("max_top_share"),
+            F.sum((F.col("top_share") > 0.2).cast("bigint"))
+            .cast("bigint")
+            .alias("n_stuffed"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SLO error-budget burn.
+# ---------------------------------------------------------------------------
+@query(
+    "events_slo_burn",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err
+      FROM events GROUP BY 1)
+    SELECT d, n, n_err,
+           ROUND(n_err / CAST(n AS DOUBLE) + 1e-9, 6) AS err_rate,
+           n_err / CAST(n AS DOUBLE) > 0.2 AS breach
+    FROM daily ORDER BY d
+    """,
+)
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-rate readout against a 20% SLO: per-day totals, error
+    counts, rate, and the breach flag — the error-budget table an
+    on-call dashboard burns down (pair with events_changepoint_cusum for
+    WHEN the burn started).
+
+    Shape: one daily aggregate with a conditional count; the breach flag
+    compares the exact integer ratio.
+    """
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("bigint"))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    rate = F.col("n_err") / F.col("n").cast("double")
+    return daily.select(
+        "d",
+        "n",
+        "n_err",
+        F.round(rate + 1e-9, 6).alias("err_rate"),
+        (rate > 0.2).alias("breach"),
+    ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-payment screen.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_duplicate_payments",
+    oracle="""
+    SELECT o_custkey, ROUND(o_totalprice, -2) AS amt_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_orderkey,
+           CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                AS BIGINT) AS span_days
+    FROM orders
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ORDER BY o_custkey, amt_bucket
+    """,
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: customers with multiple orders at the
+    same rounded amount (nearest 100), with the group size and the
+    day-span between first and last — the audit shortlist a payment-ops
+    review works through (tight spans are refund/retry suspects; the
+    Benford screen is the column-level sibling).
+
+    Shape: one group aggregate on the (customer, amount-bucket) key —
+    group rollups, never pairs, so output is linear in the order count.
+    """
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_custkey",
+            F.round(F.col("o_totalprice"), -2).alias("amt_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").cast("bigint").alias("first_orderkey"),
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+            .cast("bigint")
+            .alias("span_days"),
+        )
+        .filter(F.col("n_orders") >= 2)
+        .orderBy("o_custkey", "amt_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B sample-ratio-mismatch guardrail.
+# ---------------------------------------------------------------------------
+@query(
+    "eval_ab_srm",
+    oracle="""
+    WITH arms AS (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1
+      FROM events)
+    SELECT n0 + n1 AS n, n0 AS n_arm0, n1 AS n_arm1,
+           ROUND((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+                   / ((n0 + n1) / 2.0)
+                 + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0)
+                   / ((n0 + n1) / 2.0) + 1e-9, 6) AS srm_chi2,
+           (n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+             / ((n0 + n1) / 2.0)
+           + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0)
+             / ((n0 + n1) / 2.0) > 3.841 AS srm_flag
+    FROM arms
+    """,
+)
+def eval_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for a 50/50 assignment (user_id
+    parity as the arm): chi-square goodness-of-fit of the observed arm
+    counts against the designed split, flagged at the 95% critical value
+    — the FIRST check any A/B readout must pass (a skewed split
+    invalidates the z-test downstream, events_ab_ztest).
+
+    Shape: one 1-row conditional-count aggregate; the statistic is
+    closed-form over two exact integers.
+    """
+    ev = T(spark, sf_dir, "events")
+    arms = ev.agg(
+        F.sum((F.col("user_id") % 2 == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum((F.col("user_id") % 2 == 1).cast("bigint"))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    exp = (n0 + n1) / 2.0
+    chi2 = (n0 - exp) * (n0 - exp) / exp + (n1 - exp) * (n1 - exp) / exp
+    return arms.select(
+        (n0 + n1).alias("n"),
+        n0.alias("n_arm0"),
+        n1.alias("n_arm1"),
+        F.round(chi2 + 1e-9, 6).alias("srm_chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-parallel SQLite round-trip as a gated query.
+# ---------------------------------------------------------------------------
+@query(
+    "sqlite_parallel_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(c_acctbal) + 1e-9, 2) AS total_bal
+    FROM customer GROUP BY 1 ORDER BY 1
+    """,
+)
+def sqlite_parallel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MIGRATION.md write-concurrency contract as a GATED query: the
+    customer table is written into one SQLite file from 8 parallel
+    partitions (writers serialize on the file lock under busy_timeout
+    retry), read back through the bridge, and aggregated — the result
+    hash-matches the source-side oracle iff the parallel write was
+    lossless and duplicate-free.
+
+    Bridge surface: write_sql(table=, if_exists=replace) -> DDL from the
+    Spark schema + partition-batched transactional inserts
+    (SQLiteDataFrame.swift:579-590 is the reference's single-threaded
+    twin); read_sql(table=) -> rowid-range partitioned scan.
+    """
+    import hashlib as _h
+    import os as _os
+    import tempfile as _t
+
+    from sqlitedataframe_spark.sources.sqlite import read_sql, write_sql
+
+    c = T(spark, sf_dir, "customer")
+    key = _h.sha1(f"pararoundtrip1|{sf_dir}".encode()).hexdigest()[:16]
+    db = _os.path.join(_t.gettempdir(), f"sdf_para_{key}.db")
+    write_sql(
+        c.repartition(8).select("c_custkey", "c_mktsegment", "c_acctbal"),
+        db,
+        table="customer_rt",
+        if_exists="replace",
+    )
+    back = read_sql(spark, db, table="customer_rt")
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("c_acctbal") + 1e-9, 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -377,3 +377,66 @@ def test_peak_days_finds_strict_max(spark):
     df = spark.createDataFrame(rows, "ts: timestamp")
     peaks = {str(r["d"]) for r in peak_days(df, "ts").collect()}
     assert peaks == {"2024-01-02"}
+
+
+# ---------------------------------------------------------------------------
+# wave 3: gopher rules / keyword stuffing / SRM / duplicate payments
+# ---------------------------------------------------------------------------
+def test_gopher_rules_flag_reasons(spark, sf_dir):
+    from sqlitedataframe_spark.suite import load_all
+
+    rows = load_all()["text_gopher_rules"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # pass count can never exceed docs, and each fail column is bounded
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        for c in ("fail_word_count", "fail_mean_word_len",
+                  "fail_stopwords", "fail_alpha_ratio"):
+            assert 0 <= r[c] <= r["n_docs"]
+
+
+def test_keyword_stuffing_detects_dominance(spark):
+    from sqlitedataframe_spark.suite import REGISTRY, load_all
+
+    load_all()
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam other", "en", "s"),
+            (2, "a b c d e", "en", "s"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    # drive the operator shape directly (suite fn is table-bound)
+    from pyspark.sql import functions as F
+
+    from sqlitedataframe_spark.operators.text import tokens
+
+    freq = (
+        df.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    per = {
+        r["doc_id"]: r["s"]
+        for r in freq.groupBy("doc_id")
+        .agg((F.max("f") / F.sum("f").cast("double")).alias("s"))
+        .collect()
+    }
+    assert per[1] == 0.8 and per[2] == 0.2
+
+
+def test_ab_srm_balanced_split_not_flagged(spark, sf_dir):
+    from sqlitedataframe_spark.suite import load_all
+
+    r = load_all()["eval_ab_srm"].spark_fn(spark, sf_dir).collect()[0]
+    assert r["n"] == r["n_arm0"] + r["n_arm1"]
+    assert r["srm_chi2"] >= 0
+
+
+def test_duplicate_payments_groups_only(spark, sf_dir):
+    from sqlitedataframe_spark.suite import load_all
+
+    rows = load_all()["orders_duplicate_payments"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert all(r["n_orders"] >= 2 and r["span_days"] >= 0 for r in rows)
