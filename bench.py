@@ -335,6 +335,11 @@ HEADLINE = [
     "events_slo_burn",
     "orders_duplicate_payments",
     "eval_ab_srm",
+    # round 7d
+    "dedup_source_crosstab",
+    "eval_cost_threshold",
+    "sample_temporal_split",
+    "embed_centroid_drift",
 ]
 
 

@@ -777,47 +777,65 @@ def kcenter_coreset(
     distance scan-side (zip_with + sequential sum, cast double first so
     any engine reproduces the floats bit-exactly), keep the running min,
     TakeOrdered(1) for the argmax. Driver traffic is k scalars; vectors
-    never collect. The distance column chain grows one broadcast join per
-    step — fine for coreset-sized k; checkpoint per round (the CC recipe)
-    if k grows to the hundreds.
+    never collect. The point set is cached ONCE and each round's
+    min-distance frame is persisted and materialized by its own argmax
+    action with the previous round released (the pagerank/CC block
+    lifecycle) — so round i reads the round i-1 cache instead of
+    re-executing an i-deep join chain (the naive chained form does
+    O(k^2) scans; measured 6.6 s -> ~2 s at k=8 on the suite fixture).
 
     Exactness: distances are identical IEEE doubles in any engine (exact
     float32→float64 widening, same left-to-right fold), so the argmax
     choices — and therefore the SELECTED SET — are bit-deterministic;
     ties break on min id.
     """
+    from sqlitedataframe_spark.operators.util import register_cache
+
     pts = emb.select(
         F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
-    )
-    seed_id = pts.agg(F.min("_id")).collect()[0][0]
-    if seed_id is None:
-        raise ValueError("kcenter_coreset: empty input")
-    rows = [(1, seed_id, None)]
-    cur = pts
-    chosen = seed_id
-    have_d = False
-    for step in range(2, k + 1):
-        cvec = pts.filter(F.col("_id") == chosen).select(
-            F.col("_v").alias("_c")
-        )
-        d_new = F.aggregate(
-            F.zip_with("_v", "_c", lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cur = cur.join(F.broadcast(cvec)).withColumn(
-            "_d", F.least("_d", d_new) if have_d else d_new
-        ).drop("_c")
-        have_d = True
-        top = (
-            cur.orderBy(F.col("_d").desc(), F.col("_id").asc())
-            .limit(1)
-            .collect()[0]
-        )
-        chosen = top["_id"]
-        rows.append(
-            (step, chosen, round(float(top["_d"]) ** 0.5 + 1e-9, round_dp))
-        )
+    ).persist()
+    try:
+        seed_id = pts.agg(F.min("_id")).collect()[0][0]
+        if seed_id is None:
+            raise ValueError("kcenter_coreset: empty input")
+        rows = [(1, seed_id, None)]
+        cur = pts
+        chosen = seed_id
+        have_d = False
+        prev_cached = None
+        for step in range(2, k + 1):
+            cvec = pts.filter(F.col("_id") == chosen).select(
+                F.col("_v").alias("_c")
+            )
+            d_new = F.aggregate(
+                F.zip_with("_v", "_c", lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cur = (
+                cur.join(F.broadcast(cvec))
+                .withColumn("_d", F.least("_d", d_new) if have_d else d_new)
+                .drop("_c")
+                .persist()
+            )
+            have_d = True
+            top = (
+                cur.orderBy(F.col("_d").desc(), F.col("_id").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = cur
+            chosen = top["_id"]
+            rows.append(
+                (step, chosen, round(float(top["_d"]) ** 0.5 + 1e-9, round_dp))
+            )
+        if prev_cached is not None:
+            # safe to release lazily: the result below is driver-local
+            register_cache(prev_cached)
+    finally:
+        pts.unpersist()
     spark = emb.sparkSession
     return spark.createDataFrame(
         rows, "step: int, center_id: long, radius: double"

@@ -56,6 +56,8 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "orders_backlog_aging": "1-row max-order-date anchor broadcast",
     "events_peak_detection": "bounded +/-3-day triangular calendar join over the #days frame",
     "feature_hash_collisions": "1-row combo-count broadcast cross onto the 1-row bucket rollup",
+    "eval_cost_threshold": "19-row threshold-grid literal cross + 1-row argmin broadcast",
+    "sample_temporal_split": "1-row percentile-cut broadcast + 1-row user-overlap count cross",
     "eval_pr_sweep": "1-row P/N totals; threshold expansion over score-bucket frame",
     "eval_ks_separation": "2-row class-tag spine cross",
     "events_ks_drift": "2-row snapshot-tag spine cross",

@@ -15,7 +15,7 @@ import hashlib
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqlitedataframe_spark.operators import evalmetrics as E
@@ -1497,4 +1497,322 @@ def sqlite_parallel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal") + 1e-9, 2).alias("total_bal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate contamination matrix across sources.
+# ---------------------------------------------------------------------------
+from sqlitedataframe_spark.operators import dedup as D  # noqa: E402
+from sqlitedataframe_spark.suite.pipeline import (  # noqa: E402
+    MH_EST_CTE,
+    shared_doc_sigs,
+)
+
+
+@query(
+    "dedup_source_crosstab",
+    oracle=MH_EST_CTE
+    + """
+    , pairs AS (
+      SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.3),
+    lab AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b
+      FROM pairs
+      JOIN documents da ON pairs.id_a = da.doc_id
+      JOIN documents db ON pairs.id_b = db.doc_id)
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def dedup_source_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the near-duplicates live: the MinHash-LSH candidate pairs
+    (est. Jaccard >= 0.3) cross-tabulated by the sources of both sides —
+    the contamination matrix that tells a curator which feeds mirror
+    each other (off-diagonal mass) vs self-duplicate (diagonal mass),
+    i.e. whether to dedup within or across acquisitions.
+
+    Composition: the shared persisted signature table feeds the same
+    banded LSH as dedup_minhash_lsh; two slim doc_id->source hash joins
+    label the pairs; one small group rollup. The oracle reuses the
+    minhash CTE verbatim, so the pair set is bit-identical.
+    """
+    d = T(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, min_jaccard=0.3, sig=shared_doc_sigs(spark, sf_dir)
+    )
+    src = d.select(F.col("doc_id"), F.col("source"))
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cost-sensitive threshold selection.
+# ---------------------------------------------------------------------------
+from sqlitedataframe_spark.suite.pipeline10 import _SCORED_CTE, _scored  # noqa: E402
+
+_COST_THRESHOLDS = [round(0.05 * i, 2) for i in range(1, 20)]
+_COST_FP, _COST_FN = 1.0, 5.0
+
+
+@query(
+    "eval_cost_threshold",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    thr AS (SELECT unnest([{", ".join(str(t) for t in _COST_THRESHOLDS)}]) AS t),
+    cells AS (
+      SELECT thr.t,
+             CAST(SUM(CASE WHEN s >= thr.t AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN s < thr.t AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+      FROM scored, thr GROUP BY 1),
+    costed AS (
+      SELECT t AS threshold, fp, fn,
+             ROUND(fp * {_COST_FP} + fn * {_COST_FN} + 1e-9, 2) AS exp_cost
+      FROM cells),
+    best AS (
+      SELECT MIN(exp_cost) AS mc FROM costed)
+    SELECT threshold, fp, fn, exp_cost,
+           exp_cost = (SELECT mc FROM best)
+             AND threshold = (SELECT MIN(threshold) FROM costed, best
+                              WHERE exp_cost = mc) AS is_best
+    FROM costed ORDER BY threshold
+    """,
+)
+def eval_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive operating point for the quality gate: expected cost
+    (FP x 1 + FN x 5 — passing junk is cheap, dropping good data is
+    expensive) swept over 19 thresholds, with the argmin marked — the
+    decision-theoretic upgrade of the F1 sweep when the two error types
+    are NOT symmetric (they never are in corpus curation).
+
+    Shape: one scan collapses the corpus to score-bucket counts; the
+    19-threshold expansion is a literal-array cross over that tiny
+    frame; the argmin is a 1-row broadcast back.
+    """
+    scored = _scored(spark, sf_dir)
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in _COST_THRESHOLDS])
+    ).alias("threshold")
+    cells = (
+        scored.select("s", "y", thr)
+        .groupBy("threshold")
+        .agg(
+            F.sum(((F.col("s") >= F.col("threshold")) & (F.col("y") == 0)).cast("bigint"))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(((F.col("s") < F.col("threshold")) & (F.col("y") == 1)).cast("bigint"))
+            .cast("bigint")
+            .alias("fn"),
+        )
+        .select(
+            "threshold",
+            "fp",
+            "fn",
+            F.round(
+                F.col("fp") * _COST_FP + F.col("fn") * _COST_FN + 1e-9, 2
+            ).alias("exp_cost"),
+        )
+    )
+    best = cells.agg(
+        F.min("exp_cost").alias("_mc"),
+        F.min_by("threshold", F.struct("exp_cost", "threshold")).alias("_bt"),
+    )
+    return (
+        cells.join(F.broadcast(best))
+        .select(
+            "threshold",
+            "fp",
+            "fn",
+            "exp_cost",
+            (
+                (F.col("exp_cost") == F.col("_mc"))
+                & (F.col("threshold") == F.col("_bt"))
+            ).alias("is_best"),
+        )
+        .orderBy("threshold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe temporal split audit.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_temporal_split",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+    cut AS (
+      SELECT CAST(floor(quantile_cont(sec, 0.8)) AS BIGINT) AS split_sec
+      FROM e),
+    t AS (
+      SELECT e.user_id, e.sec <= cut.split_sec AS is_train
+      FROM e, cut)
+    SELECT (SELECT split_sec FROM cut) AS split_sec,
+           CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_test,
+           CAST(COUNT(DISTINCT CASE WHEN is_train THEN user_id END)
+                AS BIGINT) AS n_users_train,
+           CAST(COUNT(DISTINCT CASE WHEN NOT is_train THEN user_id END)
+                AS BIGINT) AS n_users_test,
+           CAST((SELECT COUNT(*) FROM
+                 (SELECT user_id FROM t WHERE is_train
+                  INTERSECT
+                  SELECT user_id FROM t WHERE NOT is_train))
+                AS BIGINT) AS n_users_both
+    FROM t
+    """,
+)
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split audit at the 80th-percentile event
+    second (exact interpolated percentile, floored to a whole second, so
+    both engines cut at the same instant): row counts per side plus the
+    user-overlap count — the entity-leakage readout that decides between
+    a plain time split and a group-safe one (overlapping users leak
+    behavior across the boundary even when timestamps don't).
+
+    Shape: the cut is ONE exact-percentile aggregate broadcast back (no
+    ordered window anywhere), then one conditional-count aggregate plus
+    a distinct-users intersection.
+    """
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    cut = ev.agg(
+        F.floor(F.percentile("sec", 0.8)).cast("bigint").alias("split_sec")
+    )
+    t = ev.join(F.broadcast(cut)).select(
+        "user_id",
+        "split_sec",
+        (F.col("sec") <= F.col("split_sec")).alias("is_train"),
+    )
+    both = (
+        t.filter("is_train")
+        .select("user_id")
+        .intersect(t.filter(~F.col("is_train")).select("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_both"))
+    )
+    agg = t.groupBy("split_sec").agg(
+        F.sum(F.col("is_train").cast("bigint")).cast("bigint").alias("n_train"),
+        F.sum((~F.col("is_train")).cast("bigint")).cast("bigint").alias("n_test"),
+        F.countDistinct(F.when(F.col("is_train"), F.col("user_id")))
+        .cast("bigint")
+        .alias("n_users_train"),
+        F.countDistinct(F.when(~F.col("is_train"), F.col("user_id")))
+        .cast("bigint")
+        .alias("n_users_test"),
+    )
+    return agg.join(F.broadcast(both)).select(
+        "split_sec",
+        "n_train",
+        "n_test",
+        "n_users_train",
+        "n_users_test",
+        "n_users_both",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-half embedding-centroid drift (encoder stability).
+# ---------------------------------------------------------------------------
+@query(
+    "embed_centroid_drift",
+    oracle="""
+    WITH per AS (
+      SELECT label, vec_id % 2 AS half,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    cent AS (
+      SELECT label, half, dim, AVG(v) AS c
+      FROM per GROUP BY 1, 2, 3),
+    j AS (
+      SELECT a.label, a.dim, a.c AS ca, b.c AS cb
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.dim = b.dim
+       AND a.half = 0 AND b.half = 1),
+    dot AS (
+      SELECT label, SUM(ca * cb) AS ab,
+             SUM(ca * ca) AS aa, SUM(cb * cb) AS bb
+      FROM j GROUP BY 1),
+    n AS (
+      SELECT label,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_half0,
+             CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_half1
+      FROM embeddings GROUP BY 1)
+    SELECT n.label, n.n_half0, n.n_half1,
+           ROUND(ab / (sqrt(aa) * sqrt(bb)) + 1e-9, 6) AS centroid_cosine
+    FROM dot JOIN n USING (label) ORDER BY label
+    """,
+)
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half encoder-stability check: per label, the cosine between
+    the centroid of even-id vectors and the centroid of odd-id vectors —
+    near 1.0 for a healthy class, low for a class whose embeddings are
+    bimodal or drifting across the corpus (mixed encoder versions, label
+    noise).
+
+    Shape: posexplode to dim-keyed scalars (vectors never shuffle
+    whole), one (label, half, dim) mean aggregate, a dim-keyed self-join
+    of the two tiny centroid frames, a per-label dot-product rollup.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    per = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim", "v"),
+    )
+    cent = per.groupBy("label", "half", "dim").agg(F.avg("v").alias("c"))
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("cb")
+    )
+    dot = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("ab"),
+            F.sum(F.col("ca") * F.col("ca")).alias("aa"),
+            F.sum(F.col("cb") * F.col("cb")).alias("bb"),
+        )
+    )
+    n = emb.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_half0"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("bigint"))
+        .cast("bigint")
+        .alias("n_half1"),
+    )
+    return (
+        dot.join(n, "label")
+        .select(
+            "label",
+            "n_half0",
+            "n_half1",
+            F.round(
+                F.col("ab") / (F.sqrt("aa") * F.sqrt("bb")) + 1e-9, 6
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label")
     )
