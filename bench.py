@@ -340,6 +340,12 @@ HEADLINE = [
     "eval_cost_threshold",
     "sample_temporal_split",
     "embed_centroid_drift",
+    # round 7e
+    "events_bot_screen",
+    "events_funnel_wilson",
+    "profile_stats_drift",
+    "orders_tail_index",
+    "graph_coorder_projection",
 ]
 
 

@@ -58,6 +58,8 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "feature_hash_collisions": "1-row combo-count broadcast cross onto the 1-row bucket rollup",
     "eval_cost_threshold": "19-row threshold-grid literal cross + 1-row argmin broadcast",
     "sample_temporal_split": "1-row percentile-cut broadcast + 1-row user-overlap count cross",
+    "events_funnel_wilson": "crosses of 1-row funnel-stage count aggregates",
+    "orders_tail_index": "1-row top-k boundary (min) broadcast onto the 101-row frame",
     "eval_pr_sweep": "1-row P/N totals; threshold expansion over score-bucket frame",
     "eval_ks_separation": "2-row class-tag spine cross",
     "events_ks_drift": "2-row snapshot-tag spine cross",

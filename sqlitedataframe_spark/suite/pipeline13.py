@@ -1816,3 +1816,338 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rate-based bot screen.
+# ---------------------------------------------------------------------------
+@query(
+    "events_bot_screen",
+    oracle="""
+    WITH perm AS (
+      SELECT user_id, date_trunc('minute', ts) AS m, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    per AS (
+      SELECT user_id,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS active_minutes,
+             CAST(MAX(n) AS BIGINT) AS peak_per_minute
+      FROM perm GROUP BY 1)
+    SELECT user_id, n_events, active_minutes, peak_per_minute
+    FROM per
+    ORDER BY peak_per_minute DESC, n_events DESC, user_id LIMIT 20
+    """,
+)
+def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based bot/abuse screen: the 20 users with the highest
+    single-minute burst (peak events per minute), with totals and active
+    minutes — the first cut of traffic hygiene before engagement
+    analytics (a user whose peak rate is superhuman is a script).
+
+    Shape: one (user, minute) count aggregate (map-side combinable),
+    one per-user rollup, TakeOrdered top-20 with full tiebreak.
+    """
+    ev = T(spark, sf_dir, "events")
+    perm = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per = perm.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("active_minutes"),
+        F.max("n").cast("bigint").alias("peak_per_minute"),
+    )
+    return per.orderBy(
+        F.col("peak_per_minute").desc(),
+        F.col("n_events").desc(),
+        F.col("user_id").asc(),
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion rates with Wilson confidence bounds.
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel_wilson",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id),
+    counts AS (
+      SELECT 'stage1_view_to_click' AS step,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_prev,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_next
+      UNION ALL
+      SELECT 'stage2_click_to_purchase',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM p)),
+    w AS (
+      SELECT step, n_prev, n_next,
+             n_next / CAST(n_prev AS DOUBLE) AS p,
+             1.96 AS z, CAST(n_prev AS DOUBLE) AS n
+      FROM counts)
+    SELECT step, n_prev, n_next,
+           ROUND(p + 1e-9, 6) AS rate,
+           ROUND((p + z * z / (2 * n)
+                  - z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+                 / (1 + z * z / n) + 1e-9, 6) AS wilson_lo,
+           ROUND((p + z * z / (2 * n)
+                  + z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+                 / (1 + z * z / n) + 1e-9, 6) AS wilson_hi
+    FROM w ORDER BY step
+    """,
+)
+def events_funnel_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step-conversion rates (view->click, click->purchase, the
+    events_funnel ordering contract) with Wilson 95% score intervals —
+    the small-sample-honest CI (never escapes [0,1], unlike the normal
+    approximation) a growth dashboard should put on every funnel bar.
+
+    Shape: three keyed min-timestamp aggregates (the funnel spine),
+    three 1-row counts, closed-form Wilson arithmetic over a 2-row frame.
+    """
+    ev = T(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s1 = (
+        nv.select(F.col("n").alias("n_prev"))
+        .join(F.broadcast(nc.select(F.col("n").alias("n_next"))))
+        .select(F.lit("stage1_view_to_click").alias("step"), "n_prev", "n_next")
+    )
+    s2 = (
+        nc.select(F.col("n").alias("n_prev"))
+        .join(F.broadcast(np_.select(F.col("n").alias("n_next"))))
+        .select(
+            F.lit("stage2_click_to_purchase").alias("step"), "n_prev", "n_next"
+        )
+    )
+    counts = s1.unionByName(s2)
+    pr = F.col("n_next") / F.col("n_prev").cast("double")
+    n = F.col("n_prev").cast("double")
+    z = F.lit(1.96)
+    center = pr + z * z / (2 * n)
+    half = z * F.sqrt(pr * (1 - pr) / n + z * z / (4 * n * n))
+    denom = 1 + z * z / n
+    return counts.select(
+        "step",
+        "n_prev",
+        "n_next",
+        F.round(pr + 1e-9, 6).alias("rate"),
+        F.round((center - half) / denom + 1e-9, 6).alias("wilson_lo"),
+        F.round((center + half) / denom + 1e-9, 6).alias("wilson_hi"),
+    ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot schema/stats drift profile.
+# ---------------------------------------------------------------------------
+@query(
+    "profile_stats_drift",
+    oracle="""
+    WITH h AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 'H1' ELSE 'H2' END AS half,
+             o_totalprice, o_custkey
+      FROM orders)
+    SELECT 'o_custkey' AS col_name, half,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           ROUND(MIN(o_custkey) + 1e-9, 4) AS min_v,
+           ROUND(MAX(o_custkey) + 1e-9, 4) AS max_v,
+           ROUND(AVG(o_custkey) + 1e-9, 4) AS mean_v
+    FROM h GROUP BY half
+    UNION ALL
+    SELECT 'o_totalprice', half,
+           CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           ROUND(MIN(o_totalprice) + 1e-9, 4), ROUND(MAX(o_totalprice) + 1e-9, 4),
+           ROUND(AVG(o_totalprice) + 1e-9, 4)
+    FROM h GROUP BY half
+    ORDER BY col_name, half
+    """,
+)
+def profile_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot column-stats profile: per column and
+    calendar half (before/after 1998-01-01), row count, distinct count,
+    min/max/mean — the data-contract table a pipeline diffs to catch
+    silent upstream changes (id-space jumps, price rescaling,
+    cardinality collapse) before they poison a training run.
+
+    Shape: one scan, one (column x half) aggregate pair unioned;
+    everything map-side combinable.
+    """
+    o = T(spark, sf_dir, "orders")
+    half = F.when(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "H1"
+    ).otherwise("H2")
+    h = o.select(
+        half.alias("half"), "o_totalprice", "o_custkey"
+    )
+
+    def stats(col: str):
+        return h.groupBy("half").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            F.round(F.min(col) + 1e-9, 4).alias("min_v"),
+            F.round(F.max(col) + 1e-9, 4).alias("max_v"),
+            F.round(F.avg(col) + 1e-9, 4).alias("mean_v"),
+        ).select(F.lit(col).alias("col_name"), "half", "n", "n_distinct",
+                 "min_v", "max_v", "mean_v")
+
+    return (
+        stats("o_custkey")
+        .unionByName(stats("o_totalprice"))
+        .orderBy("col_name", "half")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimate (heavy-tail risk).
+# ---------------------------------------------------------------------------
+@query(
+    "orders_tail_index",
+    oracle="""
+    WITH top AS (
+      SELECT o_totalprice AS x
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 101),
+    r AS (SELECT MIN(x) AS ref FROM top),
+    e AS (
+      SELECT SUM(CASE WHEN x > r.ref THEN LN(x / r.ref) ELSE 0 END) AS s,
+             CAST(SUM(CASE WHEN x > r.ref THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+      FROM top, r)
+    SELECT k AS n_exceedances,
+           ROUND((SELECT ref FROM r) + 1e-9, 4) AS threshold,
+           ROUND(s / k + 1e-9, 6) AS hill_mean_log_excess,
+           ROUND(k / s + 1e-9, 6) AS tail_alpha
+    FROM e
+    """,
+)
+def orders_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index of order values over the top-101 order statistics
+    (tie-tolerant: exceedances are rows strictly above the boundary
+    value, so duplicate boundary prices can't make the estimate
+    engine-dependent): alpha ~ 1/mean(ln(x/threshold)) — the heavy-tail
+    risk gauge (alpha <= 2 means infinite variance: mean-based monitors
+    lie; pair with agg_median_of_means).
+
+    Shape: one TakeOrdered(101) with a full tiebreak (never a global
+    sort), a 1-row min broadcast, one closed-form aggregate.
+    """
+    o = T(spark, sf_dir, "orders")
+    top = (
+        o.select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.col("x").desc(), F.col("o_orderkey").asc())
+        .limit(101)
+        .select("x")
+    )
+    r = top.agg(F.min("x").alias("ref"))
+    e = top.join(F.broadcast(r)).agg(
+        F.sum(
+            F.when(F.col("x") > F.col("ref"), F.log(F.col("x") / F.col("ref"))).otherwise(
+                0.0
+            )
+        ).alias("s"),
+        F.sum((F.col("x") > F.col("ref")).cast("bigint")).cast("bigint").alias("k"),
+        F.round(F.min("ref") + 1e-9, 4).alias("threshold"),
+    )
+    return e.select(
+        F.col("k").alias("n_exceedances"),
+        "threshold",
+        F.round(F.col("s") / F.col("k") + 1e-9, 6).alias("hill_mean_log_excess"),
+        F.round(F.col("k") / F.col("s") + 1e-9, 6).alias("tail_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite projection with cosine-normalized edge weights.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_coorder_projection",
+    oracle="""
+    WITH slim AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    freq AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS f FROM slim GROUP BY 1),
+    co AS (
+      SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS BIGINT) AS co_count
+      FROM slim a JOIN slim b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2),
+    w AS (
+      SELECT co.src, co.dst, co.co_count,
+             ROUND(co.co_count / sqrt(CAST(fa.f AS DOUBLE) * fb.f) + 1e-9, 6)
+               AS weight
+      FROM co JOIN freq fa ON co.src = fa.p JOIN freq fb ON co.dst = fb.p)
+    SELECT src, dst, co_count, weight
+    FROM w ORDER BY weight DESC, src, dst LIMIT 20
+    """,
+)
+def graph_coorder_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted bipartite projection of the order-part graph: top-20 part
+    pairs by cosine-normalized co-occurrence (co_count /
+    sqrt(freq_a * freq_b)) — the association weight that, unlike the raw
+    threshold the triangle/link-prediction queries use, doesn't let two
+    bestsellers look related just because both are everywhere.
+
+    Shape: one distinct, one frequency aggregate, one order-keyed
+    equi self-join for co-counts, two part-keyed joins for the
+    normalizer, TakeOrdered top-20 on the rounded weight.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    slim = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    freq = slim.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    a = slim.select(F.col("o"), F.col("p").alias("src"))
+    b = slim.select(F.col("o"), F.col("p").alias("dst"))
+    co = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co_count"))
+    )
+    fa = freq.select(F.col("p").alias("src"), F.col("f").alias("_fa"))
+    fb = freq.select(F.col("p").alias("dst"), F.col("f").alias("_fb"))
+    w = (
+        co.join(fa, "src")
+        .join(fb, "dst")
+        .select(
+            "src",
+            "dst",
+            "co_count",
+            F.round(
+                F.col("co_count")
+                / F.sqrt(F.col("_fa").cast("double") * F.col("_fb"))
+                + 1e-9,
+                6,
+            ).alias("weight"),
+        )
+    )
+    return w.orderBy(
+        F.col("weight").desc(), F.col("src").asc(), F.col("dst").asc()
+    ).limit(20)

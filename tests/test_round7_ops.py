@@ -440,3 +440,65 @@ def test_duplicate_payments_groups_only(spark, sf_dir):
         spark, sf_dir
     ).collect()
     assert all(r["n_orders"] >= 2 and r["span_days"] >= 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# wave 5: wilson bounds / tail index tie tolerance
+# ---------------------------------------------------------------------------
+def test_funnel_wilson_bounds_bracket_rate(spark, sf_dir):
+    from sqlitedataframe_spark.suite import load_all
+
+    rows = load_all()["events_funnel_wilson"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
+
+
+def test_tail_index_tie_tolerant(spark):
+    """Duplicate boundary values must not change the estimate: the
+    exceedance set is 'strictly above the min of the top frame'."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    vals = [100.0, 50.0, 10.0, 10.0, 10.0, 1.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)],
+        ["o_orderkey", "o_totalprice"],
+    )
+    top = (
+        df.select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.col("x").desc(), F.col("o_orderkey").asc())
+        .limit(5)
+        .select("x")
+    )
+    r = top.agg(F.min("x").alias("ref")).collect()[0]
+    assert r["ref"] == 10.0
+    e = top.join(F.broadcast(top.agg(F.min("x").alias("ref")))).agg(
+        F.sum(
+            F.when(F.col("x") > F.col("ref"), F.log(F.col("x") / F.col("ref")))
+            .otherwise(0.0)
+        ).alias("s"),
+        F.sum((F.col("x") > F.col("ref")).cast("bigint")).alias("k"),
+    ).collect()[0]
+    assert e["k"] == 2  # only 100 and 50 strictly exceed
+    assert abs(e["s"] - (math.log(10.0) + math.log(5.0))) < 1e-12
+
+
+def test_bot_screen_ranks_burst(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(1, base + dt.timedelta(seconds=i)) for i in range(10)]  # burst
+    rows += [(2, base + dt.timedelta(minutes=5 * i)) for i in range(10)]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    perm = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per = {
+        r["user_id"]: r["pk"]
+        for r in perm.groupBy("user_id").agg(F.max("n").alias("pk")).collect()
+    }
+    assert per[1] == 10 and per[2] == 1
