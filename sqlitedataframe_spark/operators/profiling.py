@@ -1942,6 +1942,8 @@ def median_of_means(
     median via sort_array over the n_buckets-element list — never a
     global sort of the data.
     """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     b = (
         F.conv(
             F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10

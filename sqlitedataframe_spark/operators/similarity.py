@@ -789,6 +789,8 @@ def kcenter_coreset(
     choices — and therefore the SELECTED SET — are bit-deterministic;
     ties break on min id.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     from sqlitedataframe_spark.operators.util import register_cache
 
     pts = emb.select(

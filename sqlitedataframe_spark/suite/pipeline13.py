@@ -1896,13 +1896,13 @@ def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
              1.96 AS z, CAST(n_prev AS DOUBLE) AS n
       FROM counts)
     SELECT step, n_prev, n_next,
-           ROUND(p + 1e-9, 6) AS rate,
-           ROUND((p + z * z / (2 * n)
+           ROUND(CASE WHEN n_prev > 0 THEN p END + 1e-9, 6) AS rate,
+           ROUND(CASE WHEN n_prev > 0 THEN (p + z * z / (2 * n)
                   - z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
-                 / (1 + z * z / n) + 1e-9, 6) AS wilson_lo,
-           ROUND((p + z * z / (2 * n)
+                 / (1 + z * z / n) END + 1e-9, 6) AS wilson_lo,
+           ROUND(CASE WHEN n_prev > 0 THEN (p + z * z / (2 * n)
                   + z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
-                 / (1 + z * z / n) + 1e-9, 6) AS wilson_hi
+                 / (1 + z * z / n) END + 1e-9, 6) AS wilson_hi
     FROM w ORDER BY step
     """,
 )
@@ -1955,13 +1955,16 @@ def events_funnel_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     center = pr + z * z / (2 * n)
     half = z * F.sqrt(pr * (1 - pr) / n + z * z / (4 * n * n))
     denom = 1 + z * z / n
+    # empty-stage guard: an upstream stage with zero users yields NULL
+    # stats, not an engine-dependent division-by-zero artifact
+    ok = F.col("n_prev") > 0
     return counts.select(
         "step",
         "n_prev",
         "n_next",
-        F.round(pr + 1e-9, 6).alias("rate"),
-        F.round((center - half) / denom + 1e-9, 6).alias("wilson_lo"),
-        F.round((center + half) / denom + 1e-9, 6).alias("wilson_hi"),
+        F.round(F.when(ok, pr) + 1e-9, 6).alias("rate"),
+        F.round(F.when(ok, (center - half) / denom) + 1e-9, 6).alias("wilson_lo"),
+        F.round(F.when(ok, (center + half) / denom) + 1e-9, 6).alias("wilson_hi"),
     ).orderBy("step")
 
 
@@ -2044,8 +2047,9 @@ def profile_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM top, r)
     SELECT k AS n_exceedances,
            ROUND((SELECT ref FROM r) + 1e-9, 4) AS threshold,
-           ROUND(s / k + 1e-9, 6) AS hill_mean_log_excess,
-           ROUND(k / s + 1e-9, 6) AS tail_alpha
+           ROUND(CASE WHEN k > 0 THEN s / k END + 1e-9, 6)
+             AS hill_mean_log_excess,
+           ROUND(CASE WHEN k > 0 THEN k / s END + 1e-9, 6) AS tail_alpha
     FROM e
     """,
 )
@@ -2077,11 +2081,16 @@ def orders_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") > F.col("ref")).cast("bigint")).cast("bigint").alias("k"),
         F.round(F.min("ref") + 1e-9, 4).alias("threshold"),
     )
+    ok = F.col("k") > 0  # all-ties top frame: NULL, not a 0/0 artifact
     return e.select(
         F.col("k").alias("n_exceedances"),
         "threshold",
-        F.round(F.col("s") / F.col("k") + 1e-9, 6).alias("hill_mean_log_excess"),
-        F.round(F.col("k") / F.col("s") + 1e-9, 6).alias("tail_alpha"),
+        F.round(F.when(ok, F.col("s") / F.col("k")) + 1e-9, 6).alias(
+            "hill_mean_log_excess"
+        ),
+        F.round(F.when(ok, F.col("k") / F.col("s")) + 1e-9, 6).alias(
+            "tail_alpha"
+        ),
     )
 
 
