@@ -455,3 +455,125 @@ def test_png_rejects_garbage_and_unsupported():
     )
     with pytest.raises(ValueError, match="unsupported"):
         png_decode(payload)
+
+
+# ---------------------------------------------------------------------------
+# Property tests: PNG codec round-trip; cap-replay parity when the cap FIRES
+# ---------------------------------------------------------------------------
+def test_png_roundtrip_property():
+    """Randomized round-trip (fixed seeds): any 8-bit image content must
+    survive encode->decode bit-exactly across sizes and channel counts."""
+    import random
+
+    from sqlitedataframe_spark.operators.pngcodec import png_decode, png_encode
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        w, h = rng.randint(1, 40), rng.randint(1, 30)
+        ch = rng.choice([1, 2, 3, 4])
+        rows = [
+            bytearray(rng.randrange(256) for _ in range(w * ch))
+            for _ in range(h)
+        ]
+        dw, dh, dch, drows = png_decode(png_encode(w, h, ch, rows))
+        assert (dw, dh, dch) == (w, h, ch)
+        assert drows == rows
+
+
+def test_levenshtein_cap_oracle_replay_parity(spark):
+    """The salt cap's oracle-replay contract, proven where the cap FIRES:
+    a 1,500-row hot block (above max_block=1000) produces EXACTLY the
+    pair set the DuckDB SQL replay of the salt computes — the property
+    that keeps CORRECTNESS green at any scale factor."""
+    import duckdb
+
+    from sqlitedataframe_spark.operators.linkage import blocked_levenshtein_pairs
+
+    rows = [(i, f"widget item {i % 5}", "hot") for i in range(1500)]
+    df = spark.createDataFrame(rows, ["id", "name", "grp"])
+    got = sorted(
+        (r["id_a"], r["id_b"], r["lev"])
+        for r in blocked_levenshtein_pairs(
+            df, "id", "name", ["grp"], 1, max_block=1000
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, 'widget item {i % 5}', 'hot')" for i in range(1500))
+        + ") AS v(id, name, grp)"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH p AS (
+          SELECT *, CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)
+                         AS BIGINT)
+                    % CAST(CEIL(COUNT(*) OVER (PARTITION BY grp)
+                                / 1000.0) AS BIGINT) AS _salt
+          FROM t)
+        SELECT a.id, b.id, levenshtein(a.name, b.name)
+        FROM p a JOIN p b ON a.grp = b.grp AND a._salt = b._salt
+                         AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 1
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_hub_cap_oracle_replay_parity(spark):
+    """The hub-degree cap's oracle-replay contract where the cap FIRES:
+    predictions over a graph with a 60-degree hub under
+    max_center_degree=50 equal the SQL replay of the wedge filter."""
+    import duckdb
+
+    from sqlitedataframe_spark.operators.graph import neighbor_jaccard
+
+    edges = [(0, i) for i in range(1, 61)]  # hub 0, degree 60
+    edges += [(1, 100), (2, 100), (1, 101), (3, 101)]  # low-degree wedges
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted(
+        (r["u"], r["v"], r["cn"], r["deg_u"], r["deg_v"], r["jaccard"])
+        for r in neighbor_jaccard(
+            df, top_k=10**6, max_center_degree=50
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e0 AS SELECT * FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in edges)
+        + ") AS v(src, dst)"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH e AS (
+          SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM e0 WHERE src <> dst),
+        adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+        wedge AS (
+          SELECT u, v FROM (
+            SELECT u, v, COUNT(*) OVER (PARTITION BY v) AS _wn FROM adj)
+          WHERE _wn <= 50),
+        cn AS (
+          SELECT a.u AS x, b.u AS y, CAST(COUNT(*) AS BIGINT) AS cn
+          FROM wedge a JOIN wedge b ON a.v = b.v AND a.u < b.u GROUP BY 1, 2),
+        nonadj AS (
+          SELECT cn.x, cn.y, cn.cn FROM cn
+          ANTI JOIN e ON cn.x = e.u AND cn.y = e.v)
+        SELECT x, y, cn, du.deg, dv.deg,
+               ROUND(cn / CAST(du.deg + dv.deg - cn AS DOUBLE), 6)
+        FROM nonadj JOIN deg du ON nonadj.x = du.u
+                    JOIN deg dv ON nonadj.y = dv.u
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
