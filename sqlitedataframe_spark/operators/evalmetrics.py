@@ -657,8 +657,13 @@ def macro_f1(
     """Multi-class precision/recall/F1 per class plus the macro averages —
     the imbalance-honest companion to accuracy/kappa (each class counts
     equally regardless of support). Classes are the union of truth and
-    prediction values; a class never predicted gets precision NULL and
-    F1 0 by the usual zero-division convention.
+    prediction values; a class never predicted shows precision NULL in
+    its own row (display honesty: the metric is undefined there), but
+    the MACRO averages fill 0 for those NULLs — sklearn's
+    ``zero_division=0`` — so macro precision/recall and macro F1 all
+    average over the SAME class set (an AVG that skipped NULLs would
+    exclude a never-predicted class from macro precision while its
+    F1=0 still dragged macro F1: internally inconsistent).
 
     Shape: one |classes|^2 confusion aggregate collapses the corpus
     map-side (the cohen_kappa pattern); per-class tp/fp/fn and the macro
@@ -722,8 +727,12 @@ def macro_f1(
         F.sum("tp").cast("bigint").alias("tp"),
         F.sum("n_pred").cast("bigint").alias("n_pred"),
         F.sum("n_true").cast("bigint").alias("n_true"),
-        F.round(F.avg("precision") + 1e-9, round_dp).alias("precision"),
-        F.round(F.avg("recall") + 1e-9, round_dp).alias("recall"),
+        F.round(
+            F.avg(F.coalesce(F.col("precision"), F.lit(0.0))) + 1e-9, round_dp
+        ).alias("precision"),
+        F.round(
+            F.avg(F.coalesce(F.col("recall"), F.lit(0.0))) + 1e-9, round_dp
+        ).alias("recall"),
         F.round(F.avg("f1") + 1e-9, round_dp).alias("f1"),
     )
     return per.unionByName(macro).orderBy("cls")

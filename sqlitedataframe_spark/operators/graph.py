@@ -539,9 +539,13 @@ def degree_assortativity(
 
     Shape: normalize edges, one groupBy for degrees, two vertex-keyed
     hash joins to attach (deg_u, deg_v) to each directed edge end, one
-    global 1-row aggregate. All sums are over BIGINT degrees (exact,
-    order-free); the correlation is a single closed-form float at the
-    end — bit-identical across engines after rounding.
+    global 1-row aggregate. The product moments (x*y, x*x, y*y) are
+    formed and summed in DECIMAL(38,0) — exact and order-free like the
+    bigint path, but safe past int64: a celebrity hub of degree d
+    contributes ~d^3 to sx2, which wraps int64 at d ≈ 2.1e6 while the
+    decimal path stays exact to 1e38 (d ≈ 4.6e12). Only the final
+    closed-form correlation switches to DOUBLE, from those exact sums —
+    bit-identical across engines after rounding.
     """
     e = (
         edges.select(
@@ -556,24 +560,25 @@ def degree_assortativity(
     du = deg.select(F.col("u"), F.col("deg").alias("x"))
     dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("y"))
     pairs = adj.join(du, "u").join(dv, "v")
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     agg = pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("m2"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sx2"),
+        F.sum(yd * F.col("y")).alias("sy2"),
     )
-    # every product is evaluated in DOUBLE (cast the left factor) so (a)
-    # bigint products cannot overflow ANSI arithmetic on huge graphs and
-    # (b) the oracle can mirror the exact same IEEE op sequence
+    # exact decimal sums -> DOUBLE only here; the oracle mirrors the
+    # exact same IEEE op sequence over its own exact (HUGEINT) sums
     n = F.col("m2").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
-    num = n * F.col("sxy") - sx * F.col("sy")
+    num = n * F.col("sxy").cast("double") - sx * F.col("sy")
     den = F.sqrt(
-        (n * F.col("sx2") - sx * F.col("sx"))
-        * (n * F.col("sy2") - sy * F.col("sy"))
+        (n * F.col("sx2").cast("double") - sx * F.col("sx"))
+        * (n * F.col("sy2").cast("double") - sy * F.col("sy"))
     )
     return agg.select(
         F.col("m2"),

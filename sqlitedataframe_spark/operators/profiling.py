@@ -1834,14 +1834,27 @@ def fd_candidates(
     expands them over a single scan); the per-pair verdict table is
     derived from that 1-row frame with a literal explode — no per-pair
     scans, no driver loops over data.
+
+    NULL semantics: every count-distinct is taken over a STRUCT wrapper,
+    so NULL counts as a value on both the single-column and the pair
+    side (a bare countDistinct(a, b) silently drops any row where either
+    column is NULL while countDistinct(a) only drops NULL a — divergent
+    fd verdicts on nullable columns). The oracle mirrors this with
+    COUNT(DISTINCT ROW(a)) / COUNT(DISTINCT (a, b)).
     """
     aggs = []
     for a in cols:
-        aggs.append(F.countDistinct(F.col(a)).cast("bigint").alias(f"_d_{a}"))
+        aggs.append(
+            F.countDistinct(F.struct(F.col(a)))
+            .cast("bigint")
+            .alias(f"_d_{a}")
+        )
     pairs = [(a, b) for a in cols for b in cols if a != b]
     for a, b in pairs:
         aggs.append(
-            F.countDistinct(F.col(a), F.col(b)).cast("bigint").alias(f"_d_{a}_{b}")
+            F.countDistinct(F.struct(F.col(a), F.col(b)))
+            .cast("bigint")
+            .alias(f"_d_{a}_{b}")
         )
     one = df.agg(*aggs)
     rows = F.array(
@@ -1883,28 +1896,40 @@ def welch_ttest_onevsrest(
     1-row broadcast of the grand totals; the complement's moments are
     derived by subtraction, so the data is scanned ONCE for all groups.
     t and the Welch–Satterthwaite df are closed-form floats, rounded.
+
+    Drift-proofing: the per-group sums s and q are computed on values
+    scaled to EXACT integers (round(value * 1e6), summed in
+    DECIMAL(38,0)), so the partial-aggregation order chosen by the
+    engine cannot move the doubles feeding the final ROUND by even one
+    ulp — any engine/partition layout reproduces the same bits. The
+    closed forms switch to double only at the final projection, from
+    those exact integer sums. Values up to ~|3e9| stay exact (iv fits
+    int64; iv*iv is formed in decimal).
     """
-    v = F.col(value_col).cast("double")
+    iv = F.round(F.col(value_col).cast("double") * 1e6).cast("bigint")
+    ivd = iv.cast("decimal(38,0)")
     g = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(v).alias("s"),
-        F.sum(v * v).alias("q"),
+        F.sum(ivd).alias("sc"),
+        F.sum(ivd * iv).alias("qc"),
     )
     tot = g.agg(
         F.sum("n").cast("bigint").alias("tn"),
-        F.sum("s").alias("ts"),
-        F.sum("q").alias("tq"),
+        F.sum("sc").alias("tsc"),
+        F.sum("qc").alias("tqc"),
     )
     j = g.join(F.broadcast(tot))
+    # exact-integer sums -> doubles; identical op sequence in the oracle
+    s = F.col("sc").cast("double") / 1e6
+    q = F.col("qc").cast("double") / 1e12
+    ts = F.col("tsc").cast("double") / 1e6
+    tq = F.col("tqc").cast("double") / 1e12
     n1 = F.col("n").cast("double")
     n2 = (F.col("tn") - F.col("n")).cast("double")
-    m1 = F.col("s") / n1
-    m2 = (F.col("ts") - F.col("s")) / n2
-    v1 = (F.col("q") - F.col("s") * F.col("s") / n1) / (n1 - 1)
-    v2 = (
-        (F.col("tq") - F.col("q"))
-        - (F.col("ts") - F.col("s")) * (F.col("ts") - F.col("s")) / n2
-    ) / (n2 - 1)
+    m1 = s / n1
+    m2 = (ts - s) / n2
+    v1 = (q - s * s / n1) / (n1 - 1)
+    v2 = ((tq - q) - (ts - s) * (ts - s) / n2) / (n2 - 1)
     se2 = v1 / n1 + v2 / n2
     t = (m1 - m2) / F.sqrt(se2)
     dof = (se2 * se2) / (

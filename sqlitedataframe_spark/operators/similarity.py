@@ -768,9 +768,12 @@ def kcenter_coreset(
     the classic 2-approximation of the optimal k-center cover and doubles
     as a diversity readout (how fast does coverage improve?).
 
-    Returns k rows (step, center_id, radius): ``radius`` is the point's
-    min-distance to the previous centers at selection time (sqrt, rounded;
-    NULL for the seed) — monotonically non-increasing by construction.
+    Returns UP TO k rows (step, center_id, radius): ``radius`` is the
+    point's min-distance to the previous centers at selection time
+    (sqrt, rounded; NULL for the seed) — monotonically non-increasing by
+    construction. If k exceeds the number of DISTINCT points, selection
+    stops early when the farthest remaining distance reaches 0 (fewer
+    than k rows) instead of re-selecting chosen centers.
 
     Scale shape: k bounded driver iterations, each ONE distributed pass —
     broadcast the 1-row newly-chosen center vector, fold the squared
@@ -829,6 +832,14 @@ def kcenter_coreset(
             if prev_cached is not None:
                 prev_cached.unpersist()
             prev_cached = cur
+            if float(top["_d"]) <= 0.0:
+                # every point coincides with a chosen center: k exceeds
+                # the number of DISTINCT points, and continuing would
+                # re-select already-chosen centers forever (duplicate
+                # center_id rows at radius 0). Stop with the < k rows
+                # actually selected; callers see n_rows < k as the
+                # "corpus has fewer distinct points than k" signal.
+                break
             chosen = top["_id"]
             rows.append(
                 (step, chosen, round(float(top["_d"]) ** 0.5 + 1e-9, round_dp))

@@ -1410,6 +1410,14 @@ def unicode_quality(
     Scale shape: four vectorized regexp_replace length-diffs inside the
     scan (no explode, no UDF), one group aggregate. Character classes are
     spelled as explicit ranges so Java regex and RE2 count identically.
+
+    Engine portability (verified, incl. NON-BMP input): Spark SQL's
+    length() and regexp_replace() operate on CODE POINTS (UTF8String
+    counts an astral char such as U+1F600 as ONE, length('a😀b') = 3),
+    matching DuckDB's code-point LENGTH — so the ratios agree even on
+    emoji-bearing documents; there is no UTF-16 code-unit mismatch at
+    the SQL layer. (Only JVM java.lang.String.length inside a UDF would
+    count code units — no UDFs here.)
     """
     t = _c(text_col)
     n = F.length(t).cast("double")

@@ -141,9 +141,11 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     a AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS m2,
              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sx2,
-             CAST(SUM(y * y) AS BIGINT) AS sy2
+             -- products formed in HUGEINT: exact past int64 on hub-heavy
+             -- graphs, mirroring the engine's DECIMAL(38,0) sums
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sx2,
+             SUM(CAST(y AS HUGEINT) * y) AS sy2
       FROM pairs)
     SELECT m2,
            ROUND(CASE WHEN sqrt((CAST(m2 AS DOUBLE) * sx2
@@ -165,8 +167,9 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The structural one-liner that predicts whether hub caps will engage.
 
     operators.graph.degree_assortativity: one degree aggregate, two
-    vertex-keyed joins, one 1-row moment aggregate; integer sums, one
-    closed-form float (every product evaluated in DOUBLE on both sides).
+    vertex-keyed joins, one 1-row moment aggregate; exact wide-integer
+    product sums (DECIMAL(38,0) ⇄ HUGEINT — int64-overflow-proof on
+    celebrity hubs), one closed-form float from those exact sums.
     """
     return degree_assortativity(_coorder_edges(spark, sf_dir))
 
@@ -346,7 +349,10 @@ def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'MACRO', CAST(SUM(tp) AS BIGINT), CAST(SUM(n_pred) AS BIGINT),
            CAST(SUM(n_true) AS BIGINT),
-           ROUND(AVG(precision) + 1e-9, 6), ROUND(AVG(recall) + 1e-9, 6),
+           -- zero_division=0: never-predicted classes enter the macro
+           -- averages as 0, matching the class set macro F1 averages over
+           ROUND(AVG(COALESCE(precision, 0)) + 1e-9, 6),
+           ROUND(AVG(COALESCE(recall, 0)) + 1e-9, 6),
            ROUND(AVG(f1) + 1e-9, 6)
     FROM scored
     ORDER BY cls
@@ -359,8 +365,9 @@ def eval_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear as a zero-recall class instead of vanishing).
 
     operators.evalmetrics.macro_f1: one |classes|^2 confusion aggregate,
-    arithmetic over that tiny frame; AVG skips NULL precision (a class
-    never predicted) identically in both engines.
+    arithmetic over that tiny frame; the MACRO row fills 0 for NULL
+    precision/recall (sklearn zero_division=0) so all three macro
+    averages run over the same class set, identically in both engines.
     """
     d = T(spark, sf_dir, "documents")
     preds = d.select(X.lang_id("text").alias("_p"), F.col("lang").alias("_t"))
@@ -594,10 +601,11 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FD_COLS = ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"]
 _FD_ORACLE = "\nUNION ALL\n".join(
     f"""SELECT '{a}' AS det, '{b}' AS dep,
-        (SELECT CAST(COUNT(DISTINCT {a}) AS BIGINT) FROM orders) AS nd_det,
+        (SELECT CAST(COUNT(DISTINCT ROW({a})) AS BIGINT) FROM orders)
+          AS nd_det,
         (SELECT CAST(COUNT(DISTINCT ({a}, {b})) AS BIGINT) FROM orders)
           AS nd_pair,
-        (SELECT COUNT(DISTINCT {a}) = COUNT(DISTINCT ({a}, {b}))
+        (SELECT COUNT(DISTINCT ROW({a})) = COUNT(DISTINCT ({a}, {b}))
          FROM orders) AS fd_holds"""
     for a in _FD_COLS
     for b in _FD_COLS
@@ -734,13 +742,26 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_welch_ttest",
     oracle="""
-    WITH g AS (
+    WITH iv AS (
+      -- exact integer-scaled values: partial-sum order cannot move the
+      -- doubles feeding the final ROUND (the integer-cents recipe)
+      SELECT event_type,
+             CAST(ROUND(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v
+      FROM events),
+    g AS (
       SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(CAST(value AS DOUBLE)) AS s,
-             SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS q
-      FROM events GROUP BY 1),
-    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, SUM(s) AS ts, SUM(q) AS tq
+             SUM(CAST(v AS HUGEINT)) AS sc,
+             SUM(CAST(v AS HUGEINT) * v) AS qc
+      FROM iv GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                   CAST(SUM(sc) AS HUGEINT) AS tsc,
+                   CAST(SUM(qc) AS HUGEINT) AS tqc
             FROM g),
+    d AS (
+      SELECT grp, n, tn,
+             CAST(sc AS DOUBLE) / 1e6 AS s, CAST(qc AS DOUBLE) / 1e12 AS q,
+             CAST(tsc AS DOUBLE) / 1e6 AS ts, CAST(tqc AS DOUBLE) / 1e12 AS tq
+      FROM g, tot),
     f AS (
       SELECT grp, n,
              s / CAST(n AS DOUBLE) AS m1,
@@ -750,7 +771,7 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (CAST(tn - n AS DOUBLE) - 1) AS v2,
              CAST(n AS DOUBLE) AS n1, CAST(tn - n AS DOUBLE) AS n2,
              n >= 2 AND tn - n >= 2 AS ok
-      FROM g, tot)
+      FROM d)
     SELECT grp AS event_type, n,
            ROUND(m1 + 1e-9, 4) AS mean_grp,
            ROUND(m2 + 1e-9, 4) AS mean_rest,
@@ -877,7 +898,11 @@ def _kcenter_oracle(k: int) -> str:
         "SELECT 1 AS step, (SELECT id FROM s1) AS center_id, "
         "CAST(NULL AS DOUBLE) AS radius"
     ] + [
-        f"SELECT {i}, id, ROUND(sqrt(d) + 1e-9, 6) FROM s{i}"
+        # WHERE d > 0 mirrors the operator's early stop: when every point
+        # coincides with a chosen center (k > distinct points), no further
+        # rows are emitted — distances are monotone non-increasing, so one
+        # zero level zeroes all later levels too
+        f"SELECT {i}, id, ROUND(sqrt(d) + 1e-9, 6) FROM s{i} WHERE d > 0"
         for i in range(2, k + 1)
     ]
     return (
