@@ -33,9 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sqlitedataframe_spark.session import get_spark  # noqa: E402
 from sqlitedataframe_spark.suite import load_all  # noqa: E402
 
-#: Headline set: every oracle-checked capability family plus the scale-path
-#: (LSH/approx) operators. sqlite_roundtrip is excluded — it benchmarks a
-#: temp-file SQLite write, not the engine.
+#: Headline set: the registry MINUS genuine harnesses — queries whose wall
+#: time is temp-file IO (sqlite/csv/json/binaryfile round-trips) or
+#: micro-batch streaming orchestration (stream_*), not engine work. Every
+#: pure engine query belongs here (VERDICT r7 #3).
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -346,6 +347,22 @@ HEADLINE = [
     "profile_stats_drift",
     "orders_tail_index",
     "graph_coorder_projection",
+    # round 8: engine queries that had simply never joined HEADLINE
+    # (VERDICT r7 #3) — after this, the excluded list is ONLY genuine
+    # temp-file/streaming harnesses (sqlite/csv/json/binaryfile
+    # round-trips + the 8 stream_* micro-batch harnesses)
+    "filter_glob",
+    "filter_predicates",
+    "join_anti",
+    "join_cross_theta",
+    "expr_case_cast",
+    "window_lag_lead",
+    "set_ops_except",
+    "set_ops_intersect",
+    "subquery_in",
+    "distinct_projection",
+    "agg_group_concat",
+    "date_julianday",
 ]
 
 
