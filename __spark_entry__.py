@@ -107,18 +107,62 @@ def _unseen_names() -> list[str]:
     return [n for n in lead if n in unseen] + [n for n in unseen if n not in lead]
 
 
+#: Rotation leads (VERDICT r7 #5): after the unseen queries, the driver's
+#: remaining budget slots re-prove FLOAT-ROUND-exposed queries — the
+#: welch-class whose oracle ROUNDs float aggregates (all 122 verified
+#: layout-stable by tools/parity_sweep.py this round; the driver row is
+#: the hard signal that the drift-proofing holds in ITS environment too).
+ROTATION_LEADS = [
+    "events_welch_ttest",
+    "events_anova_hour",
+    "agg_stats_moments",
+    "agg_corr_covar",
+    "agg_bootstrap_ci",
+    "agg_winsorized_stats",
+    "orders_theil_sen_trend",
+    "orders_interarrival_stats",
+    "orders_seasonal_decompose",
+    "orders_acf_lags",
+    "eval_brier_ece",
+    "eval_calibration_bins",
+    "eval_average_precision",
+    "eval_auc_by_source",
+    "events_burstiness",
+    "events_ewma_daily",
+    "events_drift_psi",
+    "events_forecast_baseline",
+    "events_user_entropy",
+    "text_token_entropy",
+    "text_jsd_sources",
+    "text_source_kl",
+    "text_perplexity_heldout",
+    "text_bigram_lm",
+    "embed_silhouette",
+    "embed_pca_power",
+    "embed_centroid_distances",
+    "feature_target_encode",
+    "gapfill_timeseries",
+    "graph_pagerank",
+    "profile_stats_drift",
+    "supplier_ship_lag",
+]
+
+
 def _ordered_names() -> list[str]:
-    """Registry names with never-driver-checked queries FIRST.
+    """Registry names with never-driver-checked queries FIRST, then the
+    float-ROUND rotation leads, then everything else in registry order.
 
     The driver records CORRECTNESS rows for a bounded prefix of
     ``queries()`` (~DRIVER_CHECK_BUDGET). Queries absent from every prior
     ``CORRECTNESS_r*.json`` are rotated to the front so they get their
-    driver-green row this round; already-checked ones follow in registry
-    order.
+    driver-green row this round; the rotation leads spend the remaining
+    budget slots on the drift-sensitive queries worth re-proving.
     """
     unseen = _unseen_names()
     head = set(unseen)
-    return unseen + [n for n in load_all() if n not in head]
+    rot = [n for n in ROTATION_LEADS if n not in head and n in load_all()]
+    head |= set(rot)
+    return unseen + rot + [n for n in load_all() if n not in head]
 
 
 def entry(spark: SparkSession) -> DataFrame:

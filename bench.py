@@ -363,6 +363,24 @@ HEADLINE = [
     "distinct_projection",
     "agg_group_concat",
     "date_julianday",
+    # round 8 wave
+    "profile_wasserstein_drift",
+    "events_mann_whitney",
+    "lineitem_spearman",
+    "graph_kcore",
+    "events_hourly_similarity",
+    "events_markov_entropy",
+    "part_pareto_migration",
+    "text_url_parse",
+    "text_url_canonical_dedup",
+    "dedup_per_domain",
+    "sample_stratified_reservoir",
+    "retrieval_query_likelihood",
+    "text_char_trigrams",
+    "text_length_percentiles",
+    "embed_pq_codebook",
+    "embed_pq_codes",
+    "multimodal_channel_stats",
 ]
 
 

@@ -12,7 +12,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sqlitedataframe_spark.session import tune
+from sqlitedataframe_spark.session import ensure_worker_imports, tune
 
 TABLES = (
     "region",
@@ -65,6 +65,7 @@ def normalize(df: DataFrame, name: str) -> DataFrame:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
+    ensure_worker_imports(spark)
     return normalize(spark.read.parquet(table_path(sf_dir, name)), name)
 
 

@@ -586,3 +586,83 @@ def degree_assortativity(
             F.when(den > 0, num / den).otherwise(F.lit(None)) + 1e-9, round_dp
         ).alias("assortativity"),
     )
+
+
+def kcore_rounds(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected edge list: each round
+    drops every node whose degree among SURVIVORS is < k, then recounts.
+    The k-core (the maximal subgraph where everyone keeps >= k neighbors)
+    is the densest-region screen a curation pipeline runs on
+    co-occurrence graphs — spam/bot rings and template farms live in
+    high cores; organic long-tail content does not.
+
+    Returns one row per round: (round, n_nodes, n_edges) of the surviving
+    subgraph — the shrinking sequence is the readout, and round i ==
+    round i-1 is the convergence witness. FIXED round count (not
+    run-to-convergence) is the determinism contract: both engines do
+    exactly ``rounds`` peels, so the output is identical even if some
+    exotic graph hasn't converged by the last round.
+
+    Plan per round: one degree aggregate over the surviving edge frame +
+    one semi-join to keep edges whose BOTH endpoints survive — two hash
+    exchanges on node id, nothing wider than (node, bigint). Each round
+    references its predecessor THREE times (both adjacency directions +
+    the edge filter), so round state is localCheckpoint-TRUNCATED with
+    the explicit block lifecycle from connected_components — persist
+    alone leaves the logical plan growing 3^rounds (measured: round 4
+    took 50 s at sf0.01 under persist, <1 s truncated). The result rows
+    are driver-local scalars, so ALL blocks release before returning.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    seen = _rdd_ids(spark)
+    cur = e.localCheckpoint(eager=True)
+    live = _take_handles(spark, seen)
+    out: list[tuple[int, int, int]] = []
+    for rnd in range(1, rounds + 1):
+        adj = cur.select("u", "v").union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+        keep = deg.filter(F.col("_deg") >= k).select(F.col("u").alias("node"))
+        seen = _rdd_ids(spark)
+        nxt = (
+            cur.join(keep.select(F.col("node").alias("u")), "u", "semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        n_edges = nxt.count()  # materializes the lazy checkpoint
+        new_handles = _take_handles(spark, seen)
+        n_nodes = (
+            nxt.select("u").union(nxt.select("v")).distinct().count()
+            if n_edges
+            else 0
+        )
+        out.append((rnd, n_nodes, n_edges))
+        for h in live:  # previous round's blocks are unreachable now
+            h.unpersist(False)
+        live = new_handles
+        cur = nxt
+    for h in live:  # result is driver-local; nothing re-executes cur
+        h.unpersist(False)
+    return spark.createDataFrame(
+        out, "round: int, n_nodes: bigint, n_edges: bigint"
+    )

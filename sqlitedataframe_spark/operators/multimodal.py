@@ -13,14 +13,40 @@ mapInPandas stage whose batch size is bounded by bytes, not rows.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Repo root, captured at import time so Arrow worker processes can
+#: bootstrap the package import even when the DRIVER's cwd is elsewhere
+#: (cloudpickle ships mapInPandas closures by module reference; a worker
+#: spawned outside the repo dir otherwise fails the import).
+_PKG_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _bootstrap_path():
+    """Make the package importable on an Arrow worker process."""
+    import sys
+
+    if _PKG_ROOT not in sys.path:
+        sys.path.insert(0, _PKG_ROOT)
+
+
+def _worker_imports():
+    """Import the PNG codec on a worker, path-bootstrapped."""
+    _bootstrap_path()
+    from sqlitedataframe_spark.operators.pngcodec import png_decode, png_encode
+
+    return png_decode, png_encode
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -168,6 +194,7 @@ def extract_features(
         if decoder == "pillow":
             decode = lambda p: decode_image(p)  # noqa: E731
         elif decoder == "png":
+            _bootstrap_path()
             from sqlitedataframe_spark.operators.pngcodec import png_dims
 
             decode = lambda p: (*png_dims(p), 1)  # noqa: E731
@@ -249,6 +276,7 @@ def resize_media(media: DataFrame, stride: int = 4, resizer: str = "stride") -> 
         if resizer == "pillow":
             shrink = _pillow_thumb
         elif resizer == "png":
+            _bootstrap_path()
             from sqlitedataframe_spark.operators.pngcodec import png_thumbnail
 
             shrink = lambda raw: png_thumbnail(raw, stride)  # noqa: E731
@@ -401,8 +429,6 @@ def png_roundtrip_dims(
     the production thumbnail-audit job (decode what you encoded, compare
     checksums) at toy dimensions.
     """
-    from sqlitedataframe_spark.operators.pngcodec import png_decode, png_encode
-
     out_schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -413,6 +439,7 @@ def png_roundtrip_dims(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        png_decode, png_encode = _worker_imports()
         for pdf in batches:
             ids, ws, hs, sums = [], [], [], []
             for mid, size in zip(pdf["_id"], pdf["_size"]):
@@ -433,6 +460,73 @@ def png_roundtrip_dims(
                 sums.append(sum(sum(r) for r in drows))
             yield pd.DataFrame(
                 {"media_id": ids, "width": ws, "height": hs, "px_sum": sums}
+            )
+
+    slim = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(size_col).cast("long").alias("_size"),
+    )
+    return slim.mapInPandas(run, schema=out_schema)
+
+
+def png_channel_stats(
+    docs: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """Per-channel pixel statistics from REAL decoded PNGs — the
+    image-QA stage (channel means catch dead channels, colour casts,
+    all-black thumbnails) run through the same encode→decode path as
+    png_roundtrip_dims, with the same closed-form synthetic pixels
+    (``px(x,y,c) = (7x + 13y + 31c) % 256``, ``w = size % 37 + 4``,
+    ``h = id % 23 + 4``) so a SQL oracle recomputes every channel mean
+    without image code and the hash compare proves the decode.
+
+    Output: (media_id, channel, n_px, px_mean) — 3 rows per image, the
+    mean as an exact-integer-ratio double rounded to 4 dp.
+
+    Shape: one Arrow mapInPandas inside the scan (no shuffle); per-row
+    work bounded by the ~40x26 synthetic dims.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("channel", IntegerType()),
+            StructField("n_px", LongType()),
+            StructField("px_mean", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        png_decode, png_encode = _worker_imports()
+        for pdf in batches:
+            ids, chans, npx, means = [], [], [], []
+            for mid, size in zip(pdf["_id"], pdf["_size"]):
+                w = int(size) % 37 + 4
+                h = int(mid) % 23 + 4
+                rows = [
+                    bytearray(
+                        (7 * x + 13 * y + 31 * c) % 256
+                        for x in range(w)
+                        for c in range(3)
+                    )
+                    for y in range(h)
+                ]
+                dw, dh, dch, drows = png_decode(png_encode(w, h, 3, rows))
+                for c in range(dch):
+                    s = sum(
+                        row[x * dch + c] for row in drows for x in range(dw)
+                    )
+                    n = dw * dh
+                    ids.append(int(mid))
+                    chans.append(c)
+                    npx.append(n)
+                    means.append(round(s / n + 1e-9, 4))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "channel": chans,
+                    "n_px": npx,
+                    "px_mean": means,
+                }
             )
 
     slim = docs.select(

@@ -584,17 +584,17 @@ def benford_digits(
     )
 
 
-def pareto_classes(
+def pareto_key_classes(
     df: DataFrame,
     key_col: str,
     weight_col,
     bounds: tuple[float, float] = (0.8, 0.95),
 ) -> DataFrame:
-    """ABC/Pareto classification: rank keys by total weight descending,
-    cut the CUMULATIVE share at ``bounds`` -> class A (top ~80% of
-    weight), B (next ~15%), C (tail). The classic inventory/revenue
-    concentration screen, and a corpus-curation tool (which sources
-    carry the token mass?).
+    """Per-KEY ABC/Pareto classes: (key, _c cents, pareto_class) — the
+    row-level form behind :func:`pareto_classes` (which aggregates it to
+    the class summary) and :func:`pareto migration <suite>` views that
+    need the key->class map itself. Same two-level prefix sum, same
+    integer-cents exactness contract.
 
     The interesting part is the DISTRIBUTED PREFIX SUM: a global
     running total over keys sorted by weight is the textbook
@@ -654,9 +654,40 @@ def pareto_classes(
         .when(F.col("_cum") * 100 <= F.col("_tot") * int(hi * 100), "B")
         .otherwise("C")
     )
+    return cum.withColumn("pareto_class", cls).select(
+        "key", "_c", "_tot", "pareto_class"
+    )
+
+
+def pareto_classes(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    bounds: tuple[float, float] = (0.8, 0.95),
+) -> DataFrame:
+    """ABC/Pareto classification: rank keys by total weight descending,
+    cut the CUMULATIVE share at ``bounds`` -> class A (top ~80% of
+    weight), B (next ~15%), C (tail). The classic inventory/revenue
+    concentration screen, and a corpus-curation tool (which sources
+    carry the token mass?).
+
+    The interesting part is the DISTRIBUTED PREFIX SUM: a global
+    running total over keys sorted by weight is the textbook
+    single-partition trap, so the cumulative builds in two levels —
+    (1) keys bucket by floor(log2(weight)); (2) within a bucket, one
+    PARTITIONED window (ordered weight DESC, key) computes the local
+    running sum; (3) the tiny bucket-totals table (<= 64 rows: one per
+    exponent) joins to itself on ``higher-bucket`` to give each bucket
+    its global offset. Total order = (bucket DESC, weight DESC, key) —
+    exactly the single-sort order, recovered without a global sort.
+
+    Weights are summed in exact integer CENTS after one money rounding,
+    so the cumulative and the class cuts are integer arithmetic both
+    engines reproduce bit-for-bit (the RFM cents-rounding recipe).
+    """
+    keyed = pareto_key_classes(df, key_col, weight_col, bounds)
     return (
-        cum.withColumn("_cls", cls)
-        .groupBy(F.col("_cls").alias("pareto_class"))
+        keyed.groupBy(F.col("pareto_class"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_keys"),
             F.round(F.sum("_c") / 100.0, 2).alias("class_weight"),
@@ -1993,3 +2024,314 @@ def median_of_means(
             "median_of_means"
         ),
     )
+
+
+def _prefix_sum_on_spine(
+    df: DataFrame,
+    value_col: str,
+    sum_col: str,
+    out_col: str,
+    part_cols: list[str] | None = None,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """INCLUSIVE prefix sum of ``sum_col`` over rows ordered by
+    ``value_col`` (within ``part_cols`` if given) — the repo's two-level
+    recipe instead of a banned global ordered window: (1) coarse buckets
+    by floor(value / width); (2) one PARTITIONED window inside each
+    bucket; (3) a tiny bucket-totals frame joined triangularly (bounded
+    by #buckets) supplies each bucket's offset. Adds ``out_col``;
+    preserves all input columns.
+    """
+    parts = list(part_cols or [])
+    d = df.withColumn(
+        "_psbkt", F.floor(F.col(value_col) / F.lit(bucket_width)).cast("bigint")
+    )
+    w = (
+        Window.partitionBy(*(parts + ["_psbkt"]))
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("_pslocal", F.sum(sum_col).over(w))
+    btot = d.groupBy(*(parts + ["_psbkt"])).agg(
+        F.sum(sum_col).alias("_psbn")
+    )
+    lo, hi = btot.alias("lo"), btot.alias("hi")
+    cond = F.col("lo._psbkt") < F.col("hi._psbkt")
+    for p in parts:
+        cond = cond & (F.col(f"lo.{p}") == F.col(f"hi.{p}"))
+    offsets = (
+        hi.join(F.broadcast(lo), cond, "left")
+        .groupBy(
+            *[F.col(f"hi.{p}").alias(p) for p in parts],
+            F.col("hi._psbkt").alias("_psbkt"),
+        )
+        .agg(F.coalesce(F.sum("lo._psbn"), F.lit(0)).alias("_psoff"))
+    )
+    return (
+        local.join(F.broadcast(offsets), parts + ["_psbkt"])
+        .withColumn(out_col, F.col("_psoff") + F.col("_pslocal"))
+        .drop("_psbkt", "_pslocal", "_psoff")
+    )
+
+
+def wasserstein_pairwise(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between every pair of
+    groups' empirical distributions of an INTEGER-valued column — the
+    drift metric that, unlike KS/PSI, weighs HOW FAR mass moved, not
+    just whether it moved (the source-mixture monitor for corpus
+    curation: 'did src3's length distribution drift, and by how many
+    characters?').
+
+    W1(a, b) = sum over the shared value grid of |F_a(v) - F_b(v)| *
+    (next_v - v). Everything before the final division is EXACT integer
+    arithmetic: |cum_a * n_b - cum_b * n_a| * gap summed in
+    DECIMAL(38,0), then one double division by n_a * n_b — so any
+    engine/partition layout reproduces the rounding bit-for-bit (the
+    welch lesson, applied from birth).
+
+    Plan: per-(group, value) counts collapse map-side; the value grid is
+    densified per group (a #groups-bounded spine cross, adjudicated);
+    cumulative counts use the two-level prefix-sum recipe (no global
+    window); pairs join on the grid value (equi) and aggregate — the
+    |a| x |b| pair space never materializes.
+    """
+    c = df.groupBy(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("bigint").alias("_v"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    grid = c.select("_v").distinct()
+    # next grid value: two-level lead (within-bucket lead + next bucket's
+    # min stitched from the tiny bucket frame)
+    g = grid.withColumn(
+        "_bkt", F.floor(F.col("_v") / F.lit(bucket_width)).cast("bigint")
+    )
+    wl = Window.partitionBy("_bkt").orderBy("_v")
+    g = g.withColumn("_lead_in", F.lead("_v").over(wl))
+    bmin = g.groupBy("_bkt").agg(F.min("_v").alias("_bminv"))
+    nb, cur = bmin.alias("nb"), bmin.alias("cur")
+    nxt = (
+        cur.join(F.broadcast(nb), F.col("nb._bkt") > F.col("cur._bkt"), "left")
+        .groupBy(F.col("cur._bkt").alias("_bkt"))
+        .agg(F.min("nb._bminv").alias("_nextbmin"))
+    )
+    grid_gap = (
+        g.join(F.broadcast(nxt), "_bkt")
+        .select(
+            "_v",
+            (
+                F.coalesce(F.col("_lead_in"), F.col("_nextbmin"), F.col("_v"))
+                - F.col("_v")
+            ).alias("_gap"),
+        )
+    )
+    groups = c.select("_g").distinct()
+    dense = (
+        groups.join(grid_gap)  # #groups-bounded spine cross (adjudicated)
+        .join(c, ["_g", "_v"], "left")
+        .select(
+            "_g", "_v", "_gap", F.coalesce("_n", F.lit(0)).alias("_n")
+        )
+    )
+    cum = _prefix_sum_on_spine(
+        dense, "_v", "_n", "_cum", part_cols=["_g"], bucket_width=bucket_width
+    )
+    tot = c.groupBy("_g").agg(F.sum("_n").cast("bigint").alias("_tot"))
+    a = cum.join(tot, "_g").select(
+        F.col("_g").alias("_ga"),
+        "_v",
+        "_gap",
+        F.col("_cum").alias("_cuma"),
+        F.col("_tot").alias("_na"),
+    )
+    b = cum.join(tot, "_g").select(
+        F.col("_g").alias("_gb"),
+        F.col("_v").alias("_vb"),
+        F.col("_cum").alias("_cumb"),
+        F.col("_tot").alias("_nb"),
+    )
+    pairs = a.join(
+        b, (F.col("_v") == F.col("_vb")) & (F.col("_ga") < F.col("_gb"))
+    )
+    term = (
+        F.abs(
+            F.col("_cuma").cast("decimal(38,0)") * F.col("_nb")
+            - F.col("_cumb").cast("decimal(38,0)") * F.col("_na")
+        )
+        * F.col("_gap")
+    )
+    return (
+        pairs.groupBy(
+            F.col("_ga").alias("grp_a"), F.col("_gb").alias("grp_b")
+        )
+        .agg(
+            F.max("_na").cast("bigint").alias("n_a"),
+            F.max("_nb").cast("bigint").alias("n_b"),
+            F.round(
+                F.sum(term).cast("double")
+                / (F.max("_na") * F.max("_nb")).cast("double")
+                + 1e-9,
+                round_dp,
+            ).alias("w1"),
+        )
+        .orderBy("grp_a", "grp_b")
+    )
+
+
+def mannwhitney_onevsrest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+    bucket_width: int = 4096,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) of each group against the rest —
+    the distribution-free sibling of welch_ttest_onevsrest: honest under
+    skew and outliers where the t-test's mean/variance lie. Reports the
+    tie-corrected normal z and the rank-biserial effect size
+    ``r = 2U/(n1*n2) - 1``.
+
+    Exactness: values quantize once to integers (round(value * scale));
+    U is assembled from per-value counts as 2U (an exact integer:
+    ``sum_v 2*c_g(v)*rest_below(v) + c_g(v)*rest_tied(v)``) summed in
+    DECIMAL(38,0); the tie term ``sum(t^3 - t)`` likewise. Only the
+    final z/r are doubles — bit-stable under any partition layout.
+
+    Plan: per-(group, value) counts collapse map-side; ONE two-level
+    prefix sum over the global value spine gives every group its
+    below-counts by subtraction (cum_total - cum_own); no global window,
+    no pair materialization, one 1-row grand-total broadcast.
+    """
+    iv = F.round(F.col(value_col).cast("double") * scale).cast("bigint")
+    cg = df.groupBy(
+        F.col(group_col).alias("_g"), iv.alias("_v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_cg"))
+    ct = cg.groupBy("_v").agg(F.sum("_cg").cast("bigint").alias("_ct"))
+    ct_cum = _prefix_sum_on_spine(
+        ct, "_v", "_ct", "_cumt", bucket_width=bucket_width
+    )
+    cg_cum = _prefix_sum_on_spine(
+        cg, "_v", "_cg", "_cumg", part_cols=["_g"], bucket_width=bucket_width
+    )
+    j = cg_cum.join(ct_cum, "_v")
+    # rest strictly below v, and rest tied at v (exact integers)
+    rest_below = (F.col("_cumt") - F.col("_ct")) - (
+        F.col("_cumg") - F.col("_cg")
+    )
+    rest_tied = F.col("_ct") - F.col("_cg")
+    per_g = j.groupBy("_g").agg(
+        F.sum("_cg").cast("bigint").alias("_n1"),
+        F.sum(
+            (
+                F.lit(2) * F.col("_cg").cast("decimal(38,0)") * rest_below
+                + F.col("_cg").cast("decimal(38,0)") * rest_tied
+            )
+        ).alias("_u2"),
+    )
+    ties = ct.agg(
+        F.sum(
+            F.col("_ct").cast("decimal(38,0)") * F.col("_ct") * F.col("_ct")
+            - F.col("_ct")
+        ).alias("_t3t"),
+        F.sum("_ct").cast("bigint").alias("_nn"),
+    )
+    out = per_g.join(F.broadcast(ties))
+    n1 = F.col("_n1").cast("double")
+    n2 = (F.col("_nn") - F.col("_n1")).cast("double")
+    nn = F.col("_nn").cast("double")
+    u = F.col("_u2").cast("double") / 2.0
+    mu = n1 * n2 / 2.0
+    tie_adj = F.col("_t3t").cast("double") / (nn * (nn - 1.0))
+    sigma = F.sqrt(n1 * n2 / 12.0 * ((nn + 1.0) - tie_adj))
+    ok = (F.col("_n1") >= 1) & (F.col("_nn") - F.col("_n1") >= 1) & (sigma > 0)
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_n1").alias("n"),
+        F.round(u + 1e-9, 2).alias("u_stat"),
+        F.round(F.when(ok, (u - mu) / sigma) + 1e-9, round_dp).alias("z"),
+        F.round(
+            F.when(ok, 2.0 * u / (n1 * n2) - 1.0) + 1e-9, round_dp
+        ).alias("rank_biserial"),
+    ).orderBy(group_col)
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+    x_bucket: int = 16,
+    y_bucket: int = 1 << 20,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation of two INTEGER-valued columns within each
+    group — Pearson on midranks, the monotone-association readout that
+    survives outliers and nonlinearity (quantity vs price: is bigger
+    really dearer, per return-status slice?).
+
+    Exactness: midranks come from per-value counts as 2R = 2*below + t + 1
+    (exact integers; the doubled form keeps tie-midpoints integral), the
+    five correlation moments are DECIMAL(38,0) sums of integer products,
+    and the closed form switches to double once at the end — the doubled
+    factors cancel algebraically, so the output IS Spearman's rho.
+
+    Plan: the (group, x, y) cell frame collapses map-side; each
+    marginal's midranks come from a two-level prefix sum partitioned by
+    group (no global window); two hash joins attach ranks back to cells.
+    """
+    xc = F.col(x_col) if isinstance(x_col, str) else x_col
+    yc = F.col(y_col) if isinstance(y_col, str) else y_col
+    cells = df.groupBy(
+        F.col(group_col).alias("_g"),
+        xc.cast("bigint").alias("_x"),
+        yc.cast("bigint").alias("_y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+
+    def midranks(col: str, bucket: int, out: str) -> DataFrame:
+        marg = cells.groupBy("_g", col).agg(F.sum("_n").alias("_mn"))
+        cum = _prefix_sum_on_spine(
+            marg, col, "_mn", "_mcum", part_cols=["_g"], bucket_width=bucket
+        )
+        return cum.select(
+            "_g",
+            col,
+            (
+                F.lit(2) * (F.col("_mcum") - F.col("_mn"))
+                + F.col("_mn")
+                + F.lit(1)
+            ).alias(out),
+        )
+
+    rx = midranks("_x", x_bucket, "_r2x")
+    ry = midranks("_y", y_bucket, "_r2y")
+    ranked = cells.join(rx, ["_g", "_x"]).join(ry, ["_g", "_y"])
+    nd = F.col("_n").cast("decimal(38,0)")
+    agg = ranked.groupBy("_g").agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum(nd * F.col("_r2x")).alias("_sx"),
+        F.sum(nd * F.col("_r2y")).alias("_sy"),
+        F.sum(nd * F.col("_r2x") * F.col("_r2x")).alias("_sxx"),
+        F.sum(nd * F.col("_r2y") * F.col("_r2y")).alias("_syy"),
+        F.sum(nd * F.col("_r2x") * F.col("_r2y")).alias("_sxy"),
+    )
+    nn = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    num = nn * F.col("_sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (nn * F.col("_sxx").cast("double") - sx * sx)
+        * (nn * F.col("_syy").cast("double") - sy * sy)
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n",
+        F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(None)) + 1e-9, round_dp
+        ).alias("spearman_rho"),
+    ).orderBy(group_col)

@@ -583,3 +583,59 @@ def inverse_propensity_weights(
         F.coalesce("samp_n", F.lit(0)).cast("bigint").alias("samp_n"),
         F.round(w + 1e-9, round_dp).alias("weight"),
     ).orderBy("grp")
+
+
+def stratified_reservoir(
+    df: DataFrame,
+    strata_cols: list[str],
+    key: str,
+    k: int,
+    oversample: int = 16,
+) -> DataFrame:
+    """Deterministic reservoir of ``k`` rows per stratum with a NEAR-
+    SHUFFLE-FREE plan: the shuffle moves ~oversample*k rows per stratum,
+    not the stratum (cap_per_class shuffles everything and then ranks;
+    this is its 100 TB sibling for small k over huge strata).
+
+    Two phases, both pure functions of the data (so an oracle replays
+    them bit-for-bit):
+    1. map-side hash gate: keep a row iff ``h32(key) * n_stratum <
+       oversample * k * 2^32`` (exact integer compare; h32 = first 8 md5
+       hex digits; n from one tiny count aggregate broadcast back). The
+       survivors are the ~oversample*k smallest hashes w.h.p. —
+       P(fewer than k survive) ~ Poisson(oversample*k < k) ~ 1e-26 at
+       the default, and even then both engines agree (the gate replays).
+    2. exact rank: row_number over (h32, md5, key) per stratum on the
+       survivors only; keep rank <= k.
+
+    Returns the sampled rows + (reservoir_rank). The sample equals "the k
+    smallest md5 hashes per stratum" — a uniform simple random sample
+    without replacement, stable under any partitioning and any scale.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    kc = F.col(key).cast("string").cast("binary")
+    h32 = F.conv(F.substring(F.md5(kc), 1, 8), 16, 10).cast("bigint")
+    counts = df.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_res_n")
+    )
+    gated = (
+        df.join(F.broadcast(counts), strata_cols)
+        .withColumn("_res_h", h32)
+        .filter(
+            # DECIMAL product: h32 < 2^32 times n up to ~1e12 would wrap
+            # a bigint product; the oracle mirrors with HUGEINT
+            F.col("_res_h").cast("decimal(38,0)") * F.col("_res_n")
+            < F.lit(int(oversample) * int(k) * 2**32).cast("decimal(38,0)")
+        )
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.col("_res_h").asc(), F.md5(kc).asc(), F.col(key).asc()
+    )
+    return (
+        gated.withColumn("reservoir_rank", F.row_number().over(w))
+        .filter(F.col("reservoir_rank") <= k)
+        .drop("_res_h", "_res_n")
+    )

@@ -853,3 +853,242 @@ def kcenter_coreset(
     return spark.createDataFrame(
         rows, "step: int, center_id: long, radius: double"
     )
+
+
+def _pq_subvectors(
+    emb: DataFrame,
+    m: int,
+    vec_col: str,
+    id_col: str,
+    scale: int,
+) -> DataFrame:
+    """(id, s, sub): each vector's m subspace slices as EXACT integer
+    arrays (round(x * scale) per coordinate) — the quantization that
+    makes every later centroid sum order-free, hence engine-portable."""
+    iv = F.transform(
+        as_double(vec_col),
+        lambda x: F.round(x * scale).cast("bigint"),
+    )
+    base = emb.select(F.col(id_col).alias("_id"), iv.alias("_iv"))
+    dim_expr = F.size("_iv") / m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(
+                    F.col("_iv"),
+                    (F.lit(s) * dim_expr.cast("int") + 1),
+                    dim_expr.cast("int"),
+                ).alias("sub"),
+            )
+            for s in range(m)
+        ]
+    )
+    return base.select("_id", F.explode(subs).alias("_e")).select(
+        "_id", F.col("_e.s").alias("_s"), F.col("_e.sub").alias("_sub")
+    )
+
+
+def _pq_assign(rows: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment per (vector, subspace): distance to the
+    RATIONAL centroid (sum_j / cnt) in doubles derived from exact integer
+    sums (deterministic IEEE both engines); ties -> min code, realized as
+    two aggregates (min distance, then min code at that distance) so no
+    engine-specific struct-ordering semantics are relied on."""
+    cand = rows.join(F.broadcast(cents), "_s")
+    d = F.aggregate(
+        F.zip_with(
+            "_sub",
+            "_sv",
+            lambda x, sx: (
+                x.cast("double") - sx.cast("double") / F.col("_cnt")
+            )
+            * (x.cast("double") - sx.cast("double") / F.col("_cnt")),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = cand.select(
+        "_id", "_s", "_sub", F.col("_c"), d.alias("_d")
+    )
+    dmin = scored.groupBy("_id", "_s").agg(F.min("_d").alias("_dmin"))
+    return (
+        scored.join(dmin, ["_id", "_s"])
+        .filter(F.col("_d") == F.col("_dmin"))
+        .groupBy("_id", "_s")
+        .agg(F.min("_c").alias("_c"), F.first("_sub").alias("_sub"))
+    )
+
+
+def _pq_update(assign: DataFrame, prev: DataFrame, dim: int) -> DataFrame:
+    """New (s, c, sumvec, cnt) from an assignment; clusters that received
+    no members keep their previous centroid (the deterministic
+    empty-cluster convention, mirrored in the oracle)."""
+    sums = assign.groupBy("_s", "_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_newcnt"),
+        F.array(
+            *[
+                F.sum(
+                    F.element_at("_sub", j + 1).cast("decimal(38,0)")
+                ).alias(f"_j{j}")
+                for j in range(dim)
+            ]
+        ).alias("_newsv"),
+    )
+    return (
+        prev.select("_s", "_c", "_sv", "_cnt")
+        .join(sums, ["_s", "_c"], "left")
+        .select(
+            "_s",
+            "_c",
+            F.coalesce("_newsv", "_sv").alias("_sv"),
+            F.coalesce("_newcnt", "_cnt").alias("_cnt"),
+        )
+    )
+
+
+def pq_train_assign(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization training + encoding: split each vector into
+    ``m`` subspaces, run ``iterations`` fixed Lloyd rounds of k-means
+    (k codes) per subspace, then encode every vector — the embedding-
+    compression primitive (a 64-dim float32 vector becomes m bytes)
+    behind billion-scale ANN indexes (IVFPQ) and cheap near-dup sweeps.
+
+    Returns the final assignment (_id, _s, _c, _sub) against the trained
+    codebook. DETERMINISM CONTRACT (what makes a SQL oracle possible):
+    coordinates quantize once to integers, centroids live as exact
+    (integer sumvec, count) rationals — so distances are identical IEEE
+    doubles in any engine — init is the k smallest ids' subvectors,
+    ties break to the smallest code, empty clusters keep their previous
+    centroid, and the round count is FIXED (never run-to-convergence).
+
+    Plan shape: the subvector frame is (n*m) slim rows; each round is
+    one broadcast join against the m*k centroid frame + two bounded
+    aggregates; centroid frames are m*k rows throughout. No windows, no
+    driver loops over data (the k seed rows come from a TakeOrdered).
+    """
+    if k < 1 or m < 1 or iterations < 1:
+        raise ValueError("m, k, iterations must all be >= 1")
+    rows = _pq_subvectors(emb, m, vec_col, id_col, scale).persist()
+    dim_row = rows.select(F.size("_sub").alias("d")).limit(1).collect()
+    if not dim_row:
+        raise ValueError("pq_train_assign: empty input")
+    dim = dim_row[0]["d"]
+    # seed: the k smallest ids' subvectors as 1-member clusters
+    seed_ids = [
+        r["_id"]
+        for r in rows.select("_id").distinct().orderBy("_id").limit(k).collect()
+    ]
+    id_to_code = F.create_map(
+        *[F.lit(x) for pair in zip(seed_ids, range(k)) for x in pair]
+    )
+    cents = (
+        rows.filter(F.col("_id").isin(seed_ids))
+        .select(
+            "_s",
+            id_to_code[F.col("_id")].alias("_c"),
+            F.transform("_sub", lambda x: x.cast("decimal(38,0)")).alias("_sv"),
+            F.lit(1).cast("bigint").alias("_cnt"),
+        )
+    )
+    for _ in range(iterations):
+        assign = _pq_assign(rows, cents)
+        cents = _pq_update(assign, cents, dim)
+    final = _pq_assign(rows, cents)
+    rows.unpersist(False)
+    return final
+
+
+def pq_codebook_stats(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-(subspace, code) cluster size and within-cluster MSE after PQ
+    training — the codebook-quality readout (dead codes, lopsided
+    usage, residual distortion per subspace).
+
+    MSE is computed about each FINAL cluster's own mean via the exact
+    integer identity ``sum_j (C*Sxx_j - Sx_j^2) / C^2`` (all sums
+    DECIMAL(38,0), one double division at the end, /scale^2 to undo the
+    input quantization) — order-free, engine-portable, overflow-safe to
+    ~1e12-member clusters.
+    """
+    final = pq_train_assign(emb, m, k, iterations, vec_col, id_col, scale)
+    dim_row = final.select(F.size("_sub").alias("d")).limit(1).collect()
+    dim = dim_row[0]["d"]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_assigned")]
+    for j in range(dim):
+        xj = F.element_at("_sub", j + 1)
+        aggs.append(F.sum(xj.cast("decimal(38,0)")).alias(f"_sx{j}"))
+        aggs.append(
+            F.sum(xj.cast("decimal(38,0)") * xj).alias(f"_sxx{j}")
+        )
+    g = final.groupBy("_s", "_c").agg(*aggs)
+    cd = F.col("n_assigned").cast("decimal(38,0)")
+    total_num = None
+    for j in range(dim):
+        term = cd * F.col(f"_sxx{j}") - F.col(f"_sx{j}") * F.col(f"_sx{j}")
+        total_num = term if total_num is None else total_num + term
+    nd = F.col("n_assigned").cast("double")
+    # scale^2 folds to ONE double literal in Python so the oracle can
+    # mirror the exact IEEE op sequence: num / ((n*n) * 1e12)
+    scale_sq = float(scale) * float(scale)
+    return g.select(
+        F.col("_s").alias("subspace"),
+        F.col("_c").alias("code"),
+        "n_assigned",
+        F.round(
+            total_num.cast("double") / (nd * nd * F.lit(scale_sq)) + 1e-9,
+            round_dp,
+        ).alias("mse"),
+    ).orderBy("subspace", "code")
+
+
+def pq_code_signatures(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    top: int = 10,
+) -> DataFrame:
+    """Joint PQ code-signature histogram: encode every vector to its
+    m-byte code word ('c0-c1-...'), count signature usage, return the
+    ``top`` most common (ties -> signature asc) — the collision-rate /
+    diversity readout that says whether the codebook actually separates
+    the corpus or funnels it into a few cells.
+    """
+    final = pq_train_assign(emb, m, k, iterations, vec_col, id_col, scale)
+    sig = (
+        final.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_s", "_c"))),
+                    lambda t: t["_c"].cast("string"),
+                ),
+                "-",
+            ).alias("signature")
+        )
+        .groupBy("signature")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy(F.col("n_vectors").desc(), F.col("signature").asc())
+        .limit(top)
+    )
+    return sig

@@ -1559,3 +1559,203 @@ def ttr_stats(
         )
         .orderBy(group_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# URL parsing / canonicalization (the C4-pipeline per-domain stage).
+# ---------------------------------------------------------------------------
+
+#: Query parameters stripped by canonicalization: tracking params that vary
+#: per click without changing the resource (the C4/CommonCrawl recipe).
+URL_TRACKING_PARAMS = ("utm_[a-z]+", "ref", "fbclid", "gclid")
+
+#: Shared regexes — kept lookaround-free so Java regex (Spark) and RE2
+#: (DuckDB) match identically.
+_URL_SCHEME = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_URL_HOSTPORT = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_URL_PATH = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
+_URL_QUERY = r"\?([^#]*)"
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Parse a URL column into (scheme, host, port, registrable domain,
+    path depth, query-param count, tracking-param flag) — the per-domain
+    grouping keys and quality priors a web-corpus pipeline computes
+    before any content heuristic (C4 groups by registrable domain;
+    domain-level spam priors beat per-doc scores at the margin).
+
+    Pure scan-side regexp_extract columns (no UDF, no shuffle); the
+    registrable domain is the last-two-labels heuristic (a full public-
+    suffix list is a broadcast-join lookup table away — the plumbing is
+    identical, the label count is what changes).
+    """
+    u = F.col(url_col)
+    hostport = F.regexp_extract(u, _URL_HOSTPORT, 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    path = F.regexp_extract(u, _URL_PATH, 1)
+    query = F.regexp_extract(u, _URL_QUERY, 1)
+    params = F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
+    return df.select(
+        "*",
+        F.lower(F.regexp_extract(u, _URL_SCHEME, 1)).alias("scheme"),
+        host.alias("host"),
+        F.when(port != "", port.cast("int")).alias("port"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+        (
+            F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+        ).cast("int").alias("path_depth"),
+        F.size(params).cast("int").alias("n_params"),
+        F.exists(
+            params, lambda p: p.rlike("^(" + "|".join(URL_TRACKING_PARAMS) + ")=")
+        ).alias("has_tracking"),
+    )
+
+
+def url_canonical(url_col) -> Column:
+    """Canonical form of a URL: lowercase scheme+host, default ports
+    dropped (:80 http / :443 https), fragment dropped, tracking params
+    removed, surviving params SORTED — so click-variant URLs of the same
+    resource collapse to one dedup key. Pure column expression.
+    """
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME, 1))
+    hostport = F.regexp_extract(u, _URL_HOSTPORT, 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(u, _URL_PATH, 1)
+    query = F.regexp_extract(u, _URL_QUERY, 1)
+    tracking = "^(" + "|".join(URL_TRACKING_PARAMS) + ")="
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != F.lit("")) & ~p.rlike(tracking),
+        )
+    )
+    qs = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.when(path != "", path).otherwise(F.lit("/")),
+        qs,
+    )
+
+
+def char_ngram_topk(
+    docs: DataFrame,
+    n: int = 3,
+    top: int = 10,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Top-k character n-grams per group — the language-ID feature
+    extractor (char trigram profiles separate languages long before a
+    model does) and the template-detector (a handful of trigrams
+    dominating a source = boilerplate).
+
+    Plan: n-grams explode scan-side from a position sequence (no UDF),
+    collapse to (group, gram) counts map-side; top-k is a PARTITIONED
+    rank window over the per-group count frame (bounded by distinct
+    grams), ties -> gram asc.
+    """
+    t = F.lower(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (n - 1)),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+    c = (
+        docs.filter(F.length(t) >= n)
+        .select(F.col(group_col).alias("grp"), F.explode(grams).alias("gram"))
+        .groupBy("grp", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    )
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(
+            F.col("grp").alias(group_col), "rank", "gram", "n_occurrences"
+        )
+        .orderBy(group_col, "rank")
+    )
+
+
+def ql_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = 100.0,
+    k: int = 20,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-``k`` documents by Dirichlet-smoothed query likelihood —
+    BM25's language-model sibling (Zhai & Lafferty):
+    ``score(d) = sum_t ln((tf_td + mu * cf_t / T) / (dl + mu))``.
+    The smoothing borrows from the corpus unigram model, so documents
+    missing a term are penalized, never zeroed — the scorer of choice
+    when query terms are rare.
+
+    Same 100 TB shape as bm25_topk — NO posting shuffle: the |Q| tf
+    counters + doc length compute scan-side from one let-bound token
+    array; ONE 1-row global agg derives (cf_t, T) and broadcasts back;
+    top-k is TakeOrderedAndProject. Every model input (tf, dl, cf, T) is
+    an exact integer, so the log closed form is deterministic IEEE in
+    any engine; 6 dp rounding, ties -> id asc.
+    """
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    per_doc = F.element_at(
+        F.transform(
+            F.array(tokens(text_col)),
+            lambda t: F.struct(
+                F.size(t).alias("dl"),
+                F.transform(
+                    qarr, lambda q: F.size(F.filter(t, lambda tok: tok == q))
+                ).alias("tfs"),
+            ),
+        ),
+        1,
+    )
+    base = docs.select(F.col(id_col), per_doc.alias("_s")).select(
+        F.col(id_col), F.col("_s.dl").alias("dl"), F.col("_s.tfs").alias("tfs")
+    )
+    stats = base.agg(
+        F.sum("dl").cast("bigint").alias("tt"),
+        *[
+            F.sum(F.element_at("tfs", i + 1)).cast("bigint").alias(f"cf_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    def term_score(i: int) -> Column:
+        tf = F.element_at("tfs", i + 1).cast("double")
+        cf = F.col(f"cf_{i}").cast("double")
+        return F.log(
+            (tf + F.lit(mu) * cf / F.col("tt").cast("double"))
+            / (F.col("dl").cast("double") + F.lit(mu))
+        )
+
+    score = None
+    for i in range(len(query_terms)):
+        s = term_score(i)
+        score = s if score is None else score + s
+    return (
+        base.join(F.broadcast(stats))
+        .filter(F.col("dl") > 0)
+        .select(
+            F.col(id_col),
+            F.round(score + 1e-9, round_dp).alias("ql_score"),
+        )
+        .orderBy(F.col("ql_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

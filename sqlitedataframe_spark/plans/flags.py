@@ -91,4 +91,10 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "feature_cramers_v": "1-row total/level-count broadcasts onto the |A|x|B| cell frame",
     "text_jsd_sources": "1-row corpus token grand total broadcast (source_kl shape)",
     "sample_inverse_propensity": "1-row population/sample total broadcasts onto #groups",
+    # --- round-8 additions -------------------------------------------------
+    "profile_wasserstein_drift": "#groups-row spine cross + <=64-row bucket-offset joins (two-level prefix sum)",
+    "events_mann_whitney": "1-row tie-term/grand-total broadcast onto #groups + <=64-row bucket offsets",
+    "events_markov_entropy": "1-row transition grand-total broadcast onto the <=|types|-row entropy frame",
+    "part_pareto_migration": "two <=64-row bucket-offset joins + 1-row totals (pareto recipe, per period)",
+    "retrieval_query_likelihood": "1-row (cf_t, T) corpus-stats broadcast (bm25 shape)",
 }

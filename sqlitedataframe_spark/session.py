@@ -84,3 +84,46 @@ def tune(spark: SparkSession) -> SparkSession:
     except Exception:
         pass
     return spark
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make this package importable on Python WORKER processes regardless
+    of the driver's cwd (idempotent; called from io.load_table).
+
+    cloudpickle ships mapInPandas/pandas_udf closures by value, but any
+    module-level helper they reference (the PNG codec, decode helpers) is
+    pickled by REFERENCE — the worker must import the module. When the
+    driver happens to run from the repo root, workers inherit the cwd and
+    the import works by accident; a driver launched anywhere else (the
+    contract allows it) would hit ModuleNotFoundError. Shipping a zip of
+    the package via addPyFile fixes it structurally: PySpark inserts
+    python-include paths per TASK, so even already-running reused workers
+    pick it up. On a real cluster this is exactly how application code
+    reaches executors (spark-submit --py-files).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_sdf_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"sqlitedataframe_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+                for fn in filenames:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        # e.g. a stopped context mid-teardown; harmless — the cwd
+        # fallback still covers the common layout
+        return
+    sc._sdf_pkg_shipped = True

@@ -68,6 +68,7 @@ def load_all() -> dict[str, Query]:
         pipeline11,
         pipeline12,
         pipeline13,
+        pipeline14,
         eventstream,
         streamingq,
         bridge,
