@@ -381,6 +381,10 @@ HEADLINE = [
     "embed_pq_codebook",
     "embed_pq_codes",
     "multimodal_channel_stats",
+    "events_double_ewma",
+    "text_shared_shingles",
+    "graph_bfs_hops",
+    "graph_local_clustering",
 ]
 
 

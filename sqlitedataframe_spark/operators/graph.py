@@ -666,3 +666,144 @@ def kcore_rounds(
     return spark.createDataFrame(
         out, "round: int, n_nodes: bigint, n_edges: bigint"
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-round BFS from the graph's top-degree hub (ties -> min id):
+    one row per hop with the count of NEWLY reached nodes — the
+    reachability profile that says how fast the giant component closes
+    around its hub (a 2-hop-saturating graph is hub-and-spoke; a long
+    tail of hops is chain-shaped). FIXED round count, like kcore_rounds:
+    both engines do exactly ``rounds`` expansions.
+
+    Plan per round: one hash join frontier->adjacency + one anti-join
+    against the visited set — two node-id exchanges on slim pairs.
+    Round state is localCheckpoint-truncated (each round references both
+    the frontier and the growing visited set; persist alone would stack
+    lineage), with the connected_components block lifecycle. The result
+    rows are driver-local scalars, so all blocks release before return.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    seen = _rdd_ids(spark)
+    adj = adj.localCheckpoint(eager=True)
+    live = _take_handles(spark, seen)
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    seed_row = (
+        deg.orderBy(F.col("_deg").desc(), F.col("u").asc()).limit(1).collect()
+    )
+    out: list[tuple[int, int]] = [(0, 1)]
+    if not seed_row:
+        for h in live:
+            h.unpersist(False)
+        return spark.createDataFrame(out[:0], "hop: int, n_new: bigint")
+    seed = seed_row[0]["u"]
+    visited = spark.createDataFrame([(seed,)], "node: long")
+    frontier = visited
+    vis_handles: list = []
+    for hop in range(1, rounds + 1):
+        nxt = (
+            adj.join(
+                frontier.select(F.col("node").alias("u")), "u", "semi"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "anti")
+        )
+        seen = _rdd_ids(spark)
+        nxt = nxt.localCheckpoint(eager=False)
+        n_new = nxt.count()
+        new_h = _take_handles(spark, seen)
+        out.append((hop, n_new))
+        seen = _rdd_ids(spark)
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        new_vh = _take_handles(spark, seen)
+        for h in vis_handles:
+            h.unpersist(False)
+        vis_handles = new_h + new_vh
+        frontier = nxt
+        # NO early break on an empty frontier: the FIXED round count is
+        # the determinism contract with the unrolled SQL oracle (empty
+        # rounds are cheap), exactly like kcore_rounds
+    for h in vis_handles + live:
+        h.unpersist(False)
+    return spark.createDataFrame(out, "hop: int, n_new: bigint")
+
+
+def local_clustering_topk(
+    edges: DataFrame,
+    top: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-vertex triangle counts and local clustering coefficient
+    ``c_v = 2*T_v / (deg_v * (deg_v - 1))`` for the ``top`` most
+    triangle-heavy vertices (ties -> min id) — the node-level density
+    screen (a vertex whose neighborhood is a clique is inside a spam
+    ring or template cluster; triangle_count's global number can't say
+    WHERE).
+
+    Exactness: T_v and deg_v are exact integers; the coefficient is one
+    closed-form double. Plan: triangles enumerate once as (a<b<c) via
+    two hash joins over the normalized edge list; per-vertex counts come
+    from a 3-role explode of the triangle stream; top-k is
+    TakeOrderedAndProject. At 100 TB the enumeration cost is the
+    standard oriented-triangle bound (sum of min-degree wedge counts).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    roles = F.array(F.col("a"), F.col("b"), F.col("c"))
+    per_v = (
+        tri.select(F.explode(roles).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    out = (
+        per_v.join(deg.select(F.col("u").alias("node"), "deg"), "node")
+        .select(
+            "node",
+            "deg",
+            "triangles",
+            F.round(
+                2.0 * F.col("triangles").cast("double")
+                / (F.col("deg") * (F.col("deg") - F.lit(1))).cast("double")
+                + 1e-9,
+                round_dp,
+            ).alias("clustering_coef"),
+        )
+        .orderBy(F.col("triangles").desc(), F.col("node").asc())
+        .limit(top)
+    )
+    _register_cache(e)
+    return out

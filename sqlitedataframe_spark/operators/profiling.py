@@ -2335,3 +2335,82 @@ def spearman_by_group(
             F.when(den > 0, num / den).otherwise(F.lit(None)) + 1e-9, round_dp
         ).alias("spearman_rho"),
     ).orderBy(group_col)
+
+
+def brown_double_ewma(
+    df: DataFrame,
+    time_col: str,
+    value_agg: Column,
+    decay: float = 0.8,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Brown's double exponential smoothing over a daily aggregate: the
+    trend-aware upgrade of ewma_series — S1 smooths the series, S2
+    smooths S1, and the (level, trend, one-step forecast) triple falls
+    out in closed form (level = 2*S1 - S2, trend = alpha/(1-alpha) *
+    (S1 - S2) with alpha = 1 - decay). The forecasting baseline that
+    tracks a drifting series where single EWMA lags systematically.
+
+    Both smoothing passes are WEIGHT-NORMALIZED over actual day
+    distance (gaps decay more), like ewma_series — and, unlike it,
+    every weighted sum here is a FIXED-ORDER fold over the day-sorted
+    term list (day totals are exact integer cents first), so the floats
+    are bit-identical in any engine/layout by construction.
+
+    Plan: one daily aggregate (data-sized work ends there), then two
+    #days-bounded triangular self-joins (days^2/2 pairs — thousands) —
+    never a date-ordered global window.
+    """
+    daily = df.groupBy(F.to_date(F.col(time_col)).alias("_d")).agg(
+        F.round(value_agg + 1e-9, 2).alias("_x")
+    )
+    daily = daily.select(
+        "_d", (F.round(F.col("_x") * 100).cast("bigint")).alias("_c")
+    )
+
+    def smooth(frame: DataFrame, val_col: str, out: str) -> DataFrame:
+        a = frame.select(F.col("_d").alias("day"))
+        b = frame.select(
+            F.col("_d").alias("_bd"), F.col(val_col).alias("_bx")
+        )
+        pairs = a.join(b, F.col("_bd") <= F.col("day"))
+        lst = F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("_bd").alias("bd"),
+                    F.col("_bx").cast("double").alias("x"),
+                )
+            )
+        )
+        g = pairs.groupBy("day").agg(lst.alias("_l"))
+        w = lambda s: F.pow(  # noqa: E731
+            F.lit(decay), F.datediff(F.col("day"), s["bd"])
+        )
+        num = F.aggregate(
+            F.transform("_l", lambda s: w(s) * s["x"]),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        den = F.aggregate(
+            F.transform("_l", lambda s: w(s)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        return g.select("day", (num / den).alias(out))
+
+    s1 = smooth(daily, "_c", "_s1")  # cents scale
+    s1d = s1.select(F.col("day").alias("_d"), F.col("_s1"))
+    s2 = smooth(s1d, "_s1", "_s2")
+    alpha = 1.0 - decay
+    ratio = alpha / decay
+    j = s1.join(s2, "day")
+    lvl = 2.0 * F.col("_s1") - F.col("_s2")
+    trd = F.lit(ratio) * (F.col("_s1") - F.col("_s2"))
+    return j.select(
+        "day",
+        F.round(F.col("_s1") / 100.0 + 1e-9, round_dp).alias("s1"),
+        F.round(F.col("_s2") / 100.0 + 1e-9, round_dp).alias("s2"),
+        F.round(lvl / 100.0 + 1e-9, round_dp).alias("level"),
+        F.round(trd / 100.0 + 1e-9, round_dp).alias("trend"),
+        F.round((lvl + trd) / 100.0 + 1e-9, round_dp).alias("forecast_next"),
+    ).orderBy("day")

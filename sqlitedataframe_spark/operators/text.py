@@ -1759,3 +1759,61 @@ def ql_topk(
         .orderBy(F.col("ql_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def shared_shingles_topk(
+    docs: DataFrame,
+    n: int = 5,
+    top: int = 20,
+    min_sources: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source boilerplate detector: ``n``-token shingles that appear
+    in >= ``min_sources`` DISTINCT sources, ranked by source spread then
+    total occurrences — the screen that finds license headers, navigation
+    chrome, and template sentences BEFORE near-dup clustering (shared
+    shingles across unrelated sources are boilerplate almost by
+    definition; within-source repeats are just house style).
+
+    Output: (shingle, n_sources, n_occurrences, n_docs), top-``top`` by
+    (n_sources DESC, n_occurrences DESC, shingle ASC) — a total order.
+
+    Plan: shingles explode scan-side from the token array (one slim
+    (shingle, source, doc) stream), collapse to per-shingle counts with
+    map-side combine; top-k is TakeOrderedAndProject. At 100 TB the
+    posting shuffle is the unavoidable cost; everything else is bounded.
+    """
+    t = tokens(text_col)
+    # let-bind the token array: without it the slice-per-position tree
+    # re-splits the text once per shingle
+    sh_bound = F.element_at(
+        F.transform(
+            F.array(t),
+            lambda tt: F.transform(
+                F.sequence(F.lit(1), F.size(tt) - (n - 1)),
+                lambda i: F.array_join(F.slice(tt, i, n), " "),
+            ),
+        ),
+        1,
+    )
+    rows = docs.filter(F.size(t) >= n).select(
+        F.col(id_col).alias("_doc"),
+        F.col(source_col).alias("_src"),
+        F.explode(sh_bound).alias("shingle"),
+    )
+    agg = rows.groupBy("shingle").agg(
+        F.countDistinct("_src").cast("bigint").alias("n_sources"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("_doc").cast("bigint").alias("n_docs"),
+    )
+    return (
+        agg.filter(F.col("n_sources") >= min_sources)
+        .orderBy(
+            F.col("n_sources").desc(),
+            F.col("n_occurrences").desc(),
+            F.col("shingle").asc(),
+        )
+        .limit(top)
+    )

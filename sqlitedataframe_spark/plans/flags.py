@@ -97,4 +97,5 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "events_markov_entropy": "1-row transition grand-total broadcast onto the <=|types|-row entropy frame",
     "part_pareto_migration": "two <=64-row bucket-offset joins + 1-row totals (pareto recipe, per period)",
     "retrieval_query_likelihood": "1-row (cf_t, T) corpus-stats broadcast (bm25 shape)",
+    "events_double_ewma": "two #days-bounded triangular self-joins (days^2/2 pairs each, ewma_daily shape twice)",
 }

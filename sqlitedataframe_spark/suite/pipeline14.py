@@ -1279,3 +1279,204 @@ def multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return png_channel_stats(docs).orderBy("media_id", "channel")
+
+
+# ---------------------------------------------------------------------------
+# Wave 2: Brown double smoothing, shared shingles, BFS hops, local
+# clustering.
+# ---------------------------------------------------------------------------
+@query(
+    "events_double_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(ROUND(ROUND(SUM(CAST(value AS DOUBLE)) + 1e-9, 2) * 100)
+                  AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    p1 AS (
+      SELECT a.d AS day, list((b.d, CAST(b.c AS DOUBLE)) ORDER BY b.d) AS l
+      FROM daily a JOIN daily b ON b.d <= a.d GROUP BY 1),
+    s1 AS (
+      SELECT day,
+             list_aggregate(list_transform(l,
+               s -> pow(0.8, date_diff('day', s[1], day)) * s[2]), 'sum')
+             / list_aggregate(list_transform(l,
+               s -> pow(0.8, date_diff('day', s[1], day))), 'sum') AS v1
+      FROM p1),
+    p2 AS (
+      SELECT a.day AS day, list((b.day, b.v1) ORDER BY b.day) AS l
+      FROM s1 a JOIN s1 b ON b.day <= a.day GROUP BY 1),
+    s2 AS (
+      SELECT day,
+             list_aggregate(list_transform(l,
+               s -> pow(0.8, date_diff('day', s[1], day)) * s[2]), 'sum')
+             / list_aggregate(list_transform(l,
+               s -> pow(0.8, date_diff('day', s[1], day))), 'sum') AS v2
+      FROM p2),
+    f AS (
+      SELECT s1.day, v1, v2,
+             2.0 * v1 - v2 AS lvl,
+             ((1.0 - 0.8) / 0.8) * (v1 - v2) AS trd
+      FROM s1 JOIN s2 ON s1.day = s2.day)
+    SELECT day,
+           ROUND(v1 / 100.0 + 1e-9, 4) AS s1,
+           ROUND(v2 / 100.0 + 1e-9, 4) AS s2,
+           ROUND(lvl / 100.0 + 1e-9, 4) AS level,
+           ROUND(trd / 100.0 + 1e-9, 4) AS trend,
+           ROUND((lvl + trd) / 100.0 + 1e-9, 4) AS forecast_next
+    FROM f ORDER BY day
+    """,
+)
+def events_double_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing of daily event value (decay
+    0.8): level, trend, and one-step forecast per day — the trend-aware
+    forecasting baseline that single EWMA systematically lags on a
+    drifting series.
+
+    operators.profiling.brown_double_ewma: one daily cents aggregate,
+    two #days-bounded triangular self-joins, every weighted sum a
+    FIXED-ORDER fold over the day-sorted term list (drift-proof floats
+    by construction).
+    """
+    from sqlitedataframe_spark.operators.profiling import brown_double_ewma
+
+    ev = T(spark, sf_dir, "events")
+    return brown_double_ewma(
+        ev, "ts", F.sum(F.col("value").cast("double")), decay=0.8
+    )
+
+
+@query(
+    "text_shared_shingles",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    f AS (SELECT doc_id, source, t FROM t WHERE len(t) >= 5),
+    sh AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(t, u.i, u.i + 4), ' ') AS shingle
+      FROM f, UNNEST(range(1, CAST(len(t) AS BIGINT) - 3)) AS u(i)),
+    agg AS (
+      SELECT shingle,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM sh GROUP BY 1)
+    SELECT shingle, n_sources, n_occurrences, n_docs
+    FROM agg WHERE n_sources >= 2
+    ORDER BY n_sources DESC, n_occurrences DESC, shingle LIMIT 20
+    """,
+)
+def text_shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 five-token shingles shared across >= 2 sources — the
+    cross-source boilerplate screen (license headers, template
+    sentences) run BEFORE near-dup clustering; within-source repeats
+    are house style, cross-source repeats are chrome.
+
+    operators.text.shared_shingles_topk: scan-side shingle explode
+    (let-bound token array, one split per doc), map-side-combined
+    counts, TakeOrderedAndProject top-k.
+    """
+    from sqlitedataframe_spark.operators.text import shared_shingles_topk
+
+    return shared_shingles_topk(T(spark, sf_dir, "documents"))
+
+
+def _bfs_oracle(rounds: int = 6) -> str:
+    """Unrolled BFS levels mirroring operators.graph.bfs_hops: frontier
+    r = neighbors of frontier r-1 minus visited; FIXED round count; a
+    hop row is emitted only while the PREVIOUS frontier was nonempty
+    (after the first empty frontier every later one is empty too)."""
+    parts = [
+        "WITH " + _KCORE_EDGES.replace("e0 AS (", "e0 AS MATERIALIZED ("),
+        """adj AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0)""",
+        "dg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY 1)",
+        """f0 AS (SELECT u AS node FROM dg ORDER BY d DESC, u LIMIT 1)""",
+        "v0 AS (SELECT node FROM f0)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""f{r} AS MATERIALIZED (
+      SELECT DISTINCT a.v AS node
+      FROM adj a JOIN f{r - 1} f ON a.u = f.node
+      WHERE a.v NOT IN (SELECT node FROM v{r - 1}))"""
+        )
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+      SELECT node FROM v{r - 1} UNION SELECT node FROM f{r})"""
+        )
+    selects = ["SELECT 0 AS hop, CAST(1 AS BIGINT) AS n_new"]
+    for r in range(1, rounds + 1):
+        guard = (
+            f"WHERE (SELECT COUNT(*) FROM f{r - 1}) > 0" if r >= 2 else ""
+        )
+        selects.append(
+            f"SELECT {r}, (SELECT CAST(COUNT(*) AS BIGINT) FROM f{r}) {guard}"
+        )
+    return (
+        ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY hop"
+    )
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle(6))
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability profile from the co-order graph's top-degree hub:
+    newly reached nodes per hop, 6 fixed rounds — hub-and-spoke graphs
+    saturate in 2 hops, chain-shaped ones trail; the one-glance diameter
+    proxy that says whether hub caps and pointer-jump CC will converge
+    fast on this graph.
+
+    operators.graph.bfs_hops: one hash join + one anti-join per round on
+    slim node pairs, localCheckpoint-truncated round state.
+    """
+    from sqlitedataframe_spark.operators.graph import bfs_hops
+
+    return bfs_hops(_coorder_edges(spark, sf_dir), rounds=6)
+
+
+@query(
+    "graph_local_clustering",
+    oracle=f"""
+    WITH {_KCORE_EDGES},
+    adj AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+    tri AS (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM e0 ab
+      JOIN e0 bc ON ab.v = bc.u
+      JOIN e0 ac ON ac.u = ab.u AND ac.v = bc.v),
+    pv AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY 1)
+    SELECT node, deg, triangles,
+           ROUND(2.0 * CAST(triangles AS DOUBLE)
+                 / CAST(deg * (deg - 1) AS DOUBLE) + 1e-9, 6)
+             AS clustering_coef
+    FROM pv JOIN dg ON pv.node = dg.u
+    ORDER BY triangles DESC, node LIMIT 20
+    """,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts + local clustering coefficient for the
+    20 most triangle-heavy parts — the node-level density screen that
+    locates the cliques graph_triangles can only count globally (a
+    near-1 coefficient on a high-degree node = spam ring / template
+    cluster membership).
+
+    operators.graph.local_clustering_topk: oriented (a<b<c) triangle
+    enumeration via two hash joins, 3-role explode for per-vertex
+    counts, exact integers + one closed-form double,
+    TakeOrderedAndProject.
+    """
+    from sqlitedataframe_spark.operators.graph import local_clustering_topk
+
+    return local_clustering_topk(_coorder_edges(spark, sf_dir), top=20)
