@@ -385,6 +385,13 @@ HEADLINE = [
     "text_shared_shingles",
     "graph_bfs_hops",
     "graph_local_clustering",
+    "text_chao1_vocab",
+    "text_burrows_delta",
+    "lineitem_revenue_bridge",
+    "embed_jl_distortion",
+    "embed_intrinsic_dim",
+    "graph_ktruss",
+    "multimodal_image_entropy",
 ]
 
 

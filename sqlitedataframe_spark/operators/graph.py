@@ -678,8 +678,10 @@ def bfs_hops(
     one row per hop with the count of NEWLY reached nodes — the
     reachability profile that says how fast the giant component closes
     around its hub (a 2-hop-saturating graph is hub-and-spoke; a long
-    tail of hops is chain-shaped). FIXED round count, like kcore_rounds:
-    both engines do exactly ``rounds`` expansions.
+    tail of hops is chain-shaped). At most ``rounds`` expansions; the
+    first EMPTY hop is emitted and then expansion stops (every later
+    frontier is empty too), so the row set is a pure function of the
+    data that the unrolled SQL oracle replays exactly.
 
     Plan per round: one hash join frontier->adjacency + one anti-join
     against the visited set — two node-id exchanges on slim pairs.
@@ -739,9 +741,12 @@ def bfs_hops(
             h.unpersist(False)
         vis_handles = new_h + new_vh
         frontier = nxt
-        # NO early break on an empty frontier: the FIXED round count is
-        # the determinism contract with the unrolled SQL oracle (empty
-        # rounds are cheap), exactly like kcore_rounds
+        # Emit the FIRST empty hop, then stop: once a frontier is empty
+        # every later one is too, so both engines derive the same row
+        # set from the data (the unrolled oracle guards each hop row on
+        # the previous frontier being nonempty)
+        if n_new == 0:
+            break
     for h in vis_handles + live:
         h.unpersist(False)
     return spark.createDataFrame(out, "hop: int, n_new: bigint")
@@ -807,3 +812,93 @@ def local_clustering_topk(
     )
     _register_cache(e)
     return out
+
+
+def ktruss_rounds(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-truss peeling: each round drops every edge whose
+    triangle SUPPORT among surviving edges is < k-2, then recounts.
+    The k-truss is the cohesion screen one notch stricter than k-core —
+    a k-core hub can be a star (zero triangles), a truss edge must sit
+    inside k-2 triangles, so trusses isolate the actually-clique-like
+    spam/template rings that stars and brokers dilute in the core.
+
+    Returns one row per round: (round, n_edges, n_nodes) of the
+    surviving subgraph. FIXED round count (not run-to-convergence) is
+    the determinism contract with the unrolled SQL oracle, exactly like
+    kcore_rounds.
+
+    Plan per round: one oriented triangle enumeration (two hash joins on
+    the a<b<c edge list — the local_clustering_topk shape, standard
+    O(sum of wedge) bound) and a 3-role explode to per-edge support; the
+    support>=k-2 survivors ARE the next round's edges. Round state
+    references its predecessor three times, so it is
+    localCheckpoint-TRUNCATED with the
+    connected_components block lifecycle; the result rows are
+    driver-local scalars, so all blocks release before return.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    seen = _rdd_ids(spark)
+    cur = e.localCheckpoint(eager=True)
+    live = _take_handles(spark, seen)
+    out: list[tuple[int, int, int]] = []
+    need = k - 2
+    for rnd in range(1, rounds + 1):
+        ab = cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        bc = cur.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        ac = cur.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = ab.join(bc, "b").join(ac, ["a", "c"])
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                        F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                        F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("_sup"))
+            .filter(F.col("_sup") >= need)
+            .select("u", "v")
+        )
+        seen = _rdd_ids(spark)
+        # sup is by construction a subset of cur's edges, so it IS the
+        # surviving edge set — no semi join back needed
+        nxt = sup.localCheckpoint(eager=False)
+        n_edges = nxt.count()  # materializes the lazy checkpoint
+        new_handles = _take_handles(spark, seen)
+        n_nodes = (
+            nxt.select("u").union(nxt.select("v")).distinct().count()
+            if n_edges
+            else 0
+        )
+        out.append((rnd, n_nodes, n_edges))
+        for h in live:
+            h.unpersist(False)
+        live = new_handles
+        cur = nxt
+    for h in live:
+        h.unpersist(False)
+    return spark.createDataFrame(
+        out, "round: int, n_nodes: bigint, n_edges: bigint"
+    )

@@ -534,3 +534,79 @@ def png_channel_stats(
         F.col(size_col).cast("long").alias("_size"),
     )
     return slim.mapInPandas(run, schema=out_schema)
+
+
+def png_image_entropy(
+    docs: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """Per-image Shannon entropy of the decoded pixel-value histogram
+    (all channels pooled) — the flat/synthetic-image screen (a natural
+    photo sits near 7-8 bits; solid fills, letterboxed frames, and
+    generated gradients sit far lower), run through the same real
+    encode->decode PNG path as png_roundtrip_dims with the same
+    closed-form synthetic pixels (``px(x,y,c) = (7x + 13y + 31c) % 256``,
+    ``w = size % 37 + 4``, ``h = id % 23 + 4``) so a SQL oracle
+    recomputes every histogram without image code and the hash compare
+    proves the decode.
+
+    Output: (media_id, n_px, n_distinct_vals, entropy_bits) — one row
+    per image; the entropy folds over the histogram in ascending pixel
+    value, so the float accumulates in the same order in any engine.
+
+    Shape: one Arrow mapInPandas inside the scan (no shuffle); per-row
+    work bounded by the ~40x26x3 synthetic dims.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("n_px", LongType()),
+            StructField("n_distinct_vals", LongType()),
+            StructField("entropy_bits", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        png_decode, png_encode = _worker_imports()
+        for pdf in batches:
+            ids, npx, ndist, ent = [], [], [], []
+            for mid, size in zip(pdf["_id"], pdf["_size"]):
+                w = int(size) % 37 + 4
+                h = int(mid) % 23 + 4
+                rows = [
+                    bytearray(
+                        (7 * x + 13 * y + 31 * c) % 256
+                        for x in range(w)
+                        for c in range(3)
+                    )
+                    for y in range(h)
+                ]
+                dw, dh, dch, drows = png_decode(png_encode(w, h, 3, rows))
+                hist: dict[int, int] = {}
+                for row in drows:
+                    for b in row:
+                        hist[b] = hist.get(b, 0) + 1
+                n = dw * dh * dch
+                acc = 0.0
+                for v in sorted(hist):  # ascending-value fold, both engines
+                    p = hist[v] / n
+                    acc = acc + (-(p) * math.log2(p))
+                ids.append(int(mid))
+                npx.append(n)
+                ndist.append(len(hist))
+                ent.append(round(acc + 1e-9, 4))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_px": npx,
+                    "n_distinct_vals": ndist,
+                    "entropy_bits": ent,
+                }
+            )
+
+    slim = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(size_col).cast("long").alias("_size"),
+    )
+    return slim.mapInPandas(run, schema=out_schema)

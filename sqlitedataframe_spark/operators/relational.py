@@ -904,3 +904,102 @@ def peak_days(
         .select("d", "n")
         .orderBy("d")
     )
+
+
+def revenue_bridge(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_col: str = "l_shipdate",
+    group_col: str = "p_brand",
+) -> DataFrame:
+    """Price/volume/mix revenue bridge between consecutive ship years,
+    per part brand: decomposes each brand's year-over-year revenue delta
+    into a VOLUME effect ``(q1 - q0) * p0`` (sold more units at last
+    year's unit price) and a PRICE effect ``q1 * (p1 - p0)`` (this
+    year's units at the price change), with ``p = revenue / qty``. The
+    two effects sum to the delta EXACTLY by construction; brands that
+    appear or disappear between the years are tagged ``new`` /
+    ``discontinued`` and carried entirely as volume. The standard
+    finance waterfall, computed over the whole fact table.
+
+    Exactness: revenue is summed in 1e-4 currency units as
+    DECIMAL(38,0) (extendedprice cents x discount-complement percent —
+    both exact 2-dp inputs), quantity as BIGINT; the effects are
+    closed-form doubles over those exact sums.
+
+    Plan: one join lineitem->part (AQE picks broadcast when part fits),
+    one (year, brand) aggregate, then a year-shifted self-join of the
+    #years x #brands frame — bounded. The year-bounds guard is a 1-row
+    broadcast.
+    """
+    rev_u = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100).cast("long")
+    ).cast("decimal(38,0)")
+    g = (
+        lineitem.join(part, lineitem["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.year(F.col(date_col)).alias("yr"),
+            F.col(group_col).alias("brand"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long"))
+            .cast("bigint")
+            .alias("q"),
+            F.sum(rev_u).alias("r"),
+        )
+    )
+    bounds = g.agg(
+        F.min("yr").alias("_ymin"), F.max("yr").alias("_ymax")
+    )
+    prev = g.select(
+        (F.col("yr") + 1).alias("year_to"),
+        "brand",
+        F.col("q").alias("q0"),
+        F.col("r").alias("r0"),
+    )
+    curr = g.select(
+        F.col("yr").alias("year_to"),
+        "brand",
+        F.col("q").alias("q1"),
+        F.col("r").alias("r1"),
+    )
+    j = prev.join(curr, ["year_to", "brand"], "full").crossJoin(
+        F.broadcast(bounds)
+    )
+    j = j.filter(
+        (F.col("year_to") > F.col("_ymin")) & (F.col("year_to") <= F.col("_ymax"))
+    )
+    r0d = F.col("r0").cast("double")
+    r1d = F.col("r1").cast("double")
+    q0d = F.col("q0").cast("double")
+    q1d = F.col("q1").cast("double")
+    status = (
+        F.when(F.col("q0").isNull(), F.lit("new"))
+        .when(F.col("q1").isNull(), F.lit("discontinued"))
+        .otherwise(F.lit("both"))
+    )
+    vol = (
+        F.when(F.col("q0").isNull(), r1d / 10000.0)
+        .when(F.col("q1").isNull(), -(r0d / 10000.0))
+        .otherwise(((q1d - q0d) * (r0d / q0d)) / 10000.0)
+    )
+    price = (
+        F.when(
+            F.col("q0").isNotNull() & F.col("q1").isNotNull(),
+            (r1d - (q1d * (r0d / q0d))) / 10000.0,
+        ).otherwise(F.lit(0.0))
+    )
+    delta_u = F.coalesce(F.col("r1"), F.lit(0).cast("decimal(38,0)")) - F.coalesce(
+        F.col("r0"), F.lit(0).cast("decimal(38,0)")
+    )
+    return j.select(
+        "year_to",
+        "brand",
+        status.alias("status"),
+        F.round(r0d / 10000.0 + 1e-9, 2).alias("rev_prev"),
+        F.round(r1d / 10000.0 + 1e-9, 2).alias("rev_curr"),
+        F.round(delta_u.cast("double") / 10000.0 + 1e-9, 2).alias("rev_delta"),
+        F.round(vol + 1e-9, 4).alias("volume_effect"),
+        F.round(price + 1e-9, 4).alias("price_effect"),
+    ).orderBy("year_to", "brand")

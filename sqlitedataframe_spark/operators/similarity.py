@@ -1092,3 +1092,147 @@ def pq_code_signatures(
         .limit(top)
     )
     return sig
+
+
+def jl_signs(out_dim: int, in_dim: int) -> list[list[int]]:
+    """Deterministic +/-1 Johnson-Lindenstrauss sign matrix: entry (i, j)
+    is +1 iff the top 32 bits of md5("jl:i:j") are even. A pure function
+    of the indices, so an oracle in any engine (or an inlined literal)
+    replays the projection bit-for-bit — the same portability trick as
+    the md5-affine MinHash signatures."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def jl_distortion_hist(
+    emb: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Norm-distortion histogram of a +/-1 Johnson-Lindenstrauss
+    projection: project every embedding to ``out_dim`` dims with the
+    deterministic sign matrix, compute
+    ``ratio = (||y||^2 / out_dim) / ||x||^2`` (JL preserves norms — and
+    hence pairwise distances — in expectation with spread ~1/sqrt(k)),
+    and histogram the ratios at 0.1 width. The readout that says whether
+    a 4x embedding compression is safe for the downstream ANN stage
+    BEFORE re-indexing 100 TB of vectors.
+
+    Exactness: each y_i and both squared norms are sequential
+    left-to-right folds (``dot``), so the doubles are engine-identical;
+    the bucket edges come after a +1e-9 nudge.
+
+    Plan: pure scan-side map (out_dim x in_dim multiply-adds per row,
+    JVM-side HOFs) + one tiny bucket aggregate — no joins, no windows.
+    """
+    signs = jl_signs(out_dim, in_dim)
+    vd = emb.select(as_double(vec_col).alias("v"))
+    ys = [
+        dot(
+            F.col("v"),
+            F.array(*[F.lit(float(s)) for s in signs[i]]),
+        ).alias(f"_y{i}")
+        for i in range(out_dim)
+    ]
+    proj = vd.select(F.col("v"), *ys)
+    ysq = None
+    for i in range(out_dim):
+        term = F.col(f"_y{i}") * F.col(f"_y{i}")
+        ysq = term if ysq is None else ysq + term
+    scored = proj.select(
+        ((ysq / float(out_dim)) / dot(F.col("v"), F.col("v"))).alias("ratio")
+    ).where(dot(F.col("v"), F.col("v")) > 0)
+    return (
+        scored.select(F.round(F.col("ratio") + 1e-9, 1).alias("ratio_bucket"))
+        .groupBy("ratio_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .orderBy("ratio_bucket")
+    )
+
+
+def intrinsic_dim_twonn(
+    emb: DataFrame,
+    max_id: int = 300,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017, public) on
+    a fixture-bounded sample: for each point, the ratio
+    ``mu = d2 / d1`` of its second- to first-nearest-neighbor distance;
+    the MLE intrinsic dimension is ``n / sum(ln mu)``. The
+    embedding-geometry readout that says how aggressively PQ / JL can
+    compress before neighborhoods collapse (a 64-d table with intrinsic
+    dim ~9 compresses happily; ~40 does not).
+
+    Sample is bounded by ``vec_id < max_id`` (constant work at any SF —
+    the estimator needs hundreds of points, not the corpus). Squared
+    distances are sequential folds; per-point NN extraction sorts the
+    bounded candidate list; the final sum folds in vec_id order. One
+    closed-form division at the end.
+
+    Plan: one fixture-bounded self-join (max_id^2 slim rows), one
+    collect_list per point, one 1-row reduce.
+    """
+    pts = emb.filter(F.col(id_col) < max_id).select(
+        F.col(id_col).alias("i"), as_double(vec_col).alias("v")
+    )
+    b = pts.select(F.col("i").alias("j"), F.col("v").alias("w"))
+    d2 = (
+        pts.crossJoin(b)
+        .where(F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), F.col("w"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("dsq"),
+        )
+    )
+    nn = d2.groupBy("i").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("dsq").alias("dsq"), F.col("j").alias("j"))
+                )
+            ),
+            1,
+            2,
+        ).alias("_nn")
+    )
+    mu = nn.where(F.element_at("_nn", 1)["dsq"] > 0).select(
+        "i",
+        (
+            F.element_at("_nn", 2)["dsq"] / F.element_at("_nn", 1)["dsq"]
+        ).alias("_musq"),
+    )
+    logs = mu.select(
+        "i", (F.log(F.col("_musq")) * 0.5).alias("_lnmu")
+    )
+    one = logs.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("i").alias("i"), F.col("_lnmu").alias("x")))
+        ).alias("_l")
+    )
+    total = F.aggregate("_l", F.lit(0.0), lambda a, s: a + s["x"])
+    return one.select(
+        F.size("_l").cast("bigint").alias("n_used"),
+        F.round(total + 1e-9, 6).alias("sum_log_mu"),
+        F.round(F.size("_l").cast("double") / total + 1e-9, 4).alias(
+            "intrinsic_dim"
+        ),
+    )

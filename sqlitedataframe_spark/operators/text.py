@@ -1817,3 +1817,168 @@ def shared_shingles_topk(
         )
         .limit(top)
     )
+
+
+def chao1_vocab(
+    docs,
+    text_col: str = "text",
+    group_col: str = "source",
+):
+    """Chao1 vocabulary-richness estimate + Good-Turing unseen mass per
+    group: from the per-group token-frequency spectrum, ``V`` observed
+    types, ``f1``/``f2`` singleton/doubleton counts, the bias-corrected
+    Chao1 lower bound on TRUE vocabulary size
+    ``V + f1*(f1-1) / (2*(f2+1))``, and the Good-Turing estimate of the
+    probability mass on UNSEEN types ``f1/N`` — the corpus-coverage
+    readout that says whether a source is exhausted or still surfacing
+    new vocabulary (a high unseen mass argues for collecting more data
+    before freezing a tokenizer).
+
+    Exactness: V, f1, f2, N are exact integers; the two estimates are
+    one closed-form double each — drift-proof under any partitioning.
+
+    Plan: one token explode + two keyed aggregations (map-side combined),
+    nothing wider than (group, token); no windows, no driver loops.
+    """
+    t = tokens(text_col)
+    tok = docs.select(
+        F.col(group_col).alias("g"), F.explode(t).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = tok.groupBy("g", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    spec = freq.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    f1d = F.col("f1").cast("double")
+    return spec.select(
+        F.col("g").alias(group_col),
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(
+            F.col("vocab").cast("double")
+            + (f1d * (f1d - 1.0)) / (2.0 * (F.col("f2").cast("double") + 1.0))
+            + 1e-9,
+            4,
+        ).alias("chao1_est"),
+        F.round(
+            f1d / F.col("n_tokens").cast("double") + 1e-9, 6
+        ).alias("gt_unseen_mass"),
+    ).orderBy(group_col)
+
+
+def burrows_delta(
+    docs,
+    top_m: int = 30,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_dp: int = 4,
+):
+    """Burrows' Delta stylometric distance between every pair of groups:
+    over the ``top_m`` globally most-frequent tokens, z-score each
+    group's relative token frequency against the across-group
+    mean/population-std, then Delta(a, b) = mean absolute z difference —
+    the classic authorship/style screen (two "sources" with near-zero
+    Delta are the same template farm wearing different domains).
+
+    Drift-proofing: counts and totals are exact integers; every float
+    reduction over groups or tokens is a FIXED-ORDER fold over an
+    array_sort'ed struct list (group asc / token asc), so both engines
+    execute bit-identical IEEE sequences (the brown_double_ewma recipe).
+
+    Plan: token counts (one shuffle), a broadcast-sized top-m frame, a
+    #groups x top_m grid, per-token folds, then a pairs^2/2 join over
+    #groups rows — everything after the first aggregate is
+    frame-bounded.
+    """
+    t = tokens(text_col)
+    tok = docs.select(
+        F.col(group_col).alias("g"), F.explode(t).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = tok.groupBy("g", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = cnt.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
+    top = (
+        cnt.groupBy("tok")
+        .agg(F.sum("c").cast("bigint").alias("tc"))
+        .orderBy(F.col("tc").desc(), F.col("tok").asc())
+        .limit(top_m)
+        .select("tok")
+    )
+    grid = totals.select("g", "n").crossJoin(F.broadcast(top))
+    f = grid.join(cnt, ["g", "tok"], "left").select(
+        "g",
+        "tok",
+        (
+            F.coalesce(F.col("c"), F.lit(0)).cast("double")
+            / F.col("n").cast("double")
+        ).alias("f"),
+    )
+    lst = F.array_sort(
+        F.collect_list(F.struct(F.col("g").alias("g"), F.col("f").alias("f")))
+    )
+    per_tok = f.groupBy("tok").agg(lst.alias("_l"))
+    s_cnt = F.size("_l").cast("double")
+    mean = (
+        F.aggregate("_l", F.lit(0.0), lambda a, s: a + s["f"]) / s_cnt
+    )
+    per_tok = per_tok.select("tok", "_l", mean.alias("_m"))
+    var = (
+        F.aggregate(
+            "_l",
+            F.lit(0.0),
+            lambda a, s: a + (s["f"] - F.col("_m")) * (s["f"] - F.col("_m")),
+        )
+        / s_cnt
+    )
+    per_tok = per_tok.select("tok", "_l", "_m", F.sqrt(var).alias("_sd"))
+    z = (
+        per_tok.filter(F.col("_sd") > 0)
+        .select("tok", "_m", "_sd", F.explode("_l").alias("s"))
+        .select(
+            "tok",
+            F.col("s.g").alias("g"),
+            ((F.col("s.f") - F.col("_m")) / F.col("_sd")).alias("z"),
+        )
+    )
+    za = z.select(
+        F.col("tok"), F.col("g").alias("ga"), F.col("z").alias("za")
+    )
+    zb = z.select(
+        F.col("tok").alias("tok2"),
+        F.col("g").alias("gb"),
+        F.col("z").alias("zb"),
+    )
+    pairs = za.join(
+        zb, (F.col("tok") == F.col("tok2")) & (F.col("ga") < F.col("gb"))
+    ).select(
+        "ga",
+        "gb",
+        "tok",
+        F.abs(F.col("za") - F.col("zb")).alias("ad"),
+    )
+    plst = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("tok").alias("tok"), F.col("ad").alias("ad"))
+        )
+    )
+    agg = pairs.groupBy("ga", "gb").agg(plst.alias("_p"))
+    total = F.aggregate("_p", F.lit(0.0), lambda a, s: a + s["ad"])
+    return agg.select(
+        F.col("ga").alias("source_a"),
+        F.col("gb").alias("source_b"),
+        F.size("_p").cast("bigint").alias("n_tokens_used"),
+        F.round(total / F.size("_p").cast("double") + 1e-9, round_dp).alias(
+            "delta"
+        ),
+    ).orderBy("source_a", "source_b")

@@ -98,4 +98,7 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "part_pareto_migration": "two <=64-row bucket-offset joins + 1-row totals (pareto recipe, per period)",
     "retrieval_query_likelihood": "1-row (cf_t, T) corpus-stats broadcast (bm25 shape)",
     "events_double_ewma": "two #days-bounded triangular self-joins (days^2/2 pairs each, ewma_daily shape twice)",
+    "text_burrows_delta": "#sources x top-30 token grid cross (<=600 rows) + frame-bounded z-pair join",
+    "embed_intrinsic_dim": "fixture-bounded distance matrix (vec_id < 300 both sides — constant at any SF)",
+    "lineitem_revenue_bridge": "1-row year-bounds broadcast onto the #years x #brands frame",
 }

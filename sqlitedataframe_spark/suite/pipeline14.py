@@ -1480,3 +1480,368 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlitedataframe_spark.operators.graph import local_clustering_topk
 
     return local_clustering_topk(_coorder_edges(spark, sf_dir), top=20)
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: vocabulary richness, stylometry, revenue bridge, JL distortion,
+# intrinsic dimension, k-truss, image entropy.
+# ---------------------------------------------------------------------------
+_TOK_CTE = r"""
+    tok AS (
+      SELECT g, u.tok FROM (
+        SELECT source AS g,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents), UNNEST(t) AS u(tok)
+      WHERE u.tok <> '')
+"""
+
+
+@query(
+    "text_chao1_vocab",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    freq AS (
+      SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+    spec AS (
+      SELECT g,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM freq GROUP BY 1)
+    SELECT g AS source, n_tokens, vocab, f1, f2,
+           ROUND(CAST(vocab AS DOUBLE)
+                 + (CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0))
+                   / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) + 1e-9, 4)
+             AS chao1_est,
+           ROUND(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) + 1e-9, 6)
+             AS gt_unseen_mass
+    FROM spec ORDER BY source
+    """,
+)
+def text_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness lower bound + Good-Turing unseen-type
+    mass per source — the corpus-coverage readout (a source with high
+    unseen mass is still surfacing new vocabulary; freeze the tokenizer
+    later).
+
+    operators.text.chao1_vocab: one token explode + two keyed
+    aggregations; every estimate a closed form of exact integers.
+    """
+    from sqlitedataframe_spark.operators.text import chao1_vocab
+
+    return chao1_vocab(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_burrows_delta",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    cnt AS (
+      SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+    tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+    top AS (
+      SELECT tok FROM (SELECT tok, SUM(c) AS tc FROM cnt GROUP BY 1)
+      ORDER BY tc DESC, tok ASC LIMIT 30),
+    grid AS (SELECT tot.g, tot.n, top.tok FROM tot CROSS JOIN top),
+    f AS (
+      SELECT grid.g, grid.tok,
+             CAST(COALESCE(cnt.c, 0) AS DOUBLE) / CAST(grid.n AS DOUBLE) AS f
+      FROM grid LEFT JOIN cnt ON cnt.g = grid.g AND cnt.tok = grid.tok),
+    pt AS (SELECT tok, list((g, f) ORDER BY g) AS l FROM f GROUP BY 1),
+    m AS (
+      SELECT tok, l,
+             list_aggregate(list_transform(l, s -> s[2]), 'sum')
+               / CAST(len(l) AS DOUBLE) AS m
+      FROM pt),
+    sd AS (
+      SELECT tok, l, m,
+             sqrt(list_aggregate(list_transform(l,
+                    s -> (s[2] - m) * (s[2] - m)), 'sum')
+                  / CAST(len(l) AS DOUBLE)) AS sd
+      FROM m),
+    z AS (
+      SELECT tok, u.s[1] AS g, (u.s[2] - m) / sd AS z
+      FROM sd, UNNEST(l) AS u(s) WHERE sd > 0),
+    pairs AS (
+      SELECT a.g AS ga, b.g AS gb, a.tok, abs(a.z - b.z) AS ad
+      FROM z a JOIN z b ON a.tok = b.tok AND a.g < b.g),
+    agg AS (
+      SELECT ga, gb, list((tok, ad) ORDER BY tok) AS p
+      FROM pairs GROUP BY 1, 2)
+    SELECT ga AS source_a, gb AS source_b,
+           CAST(len(p) AS BIGINT) AS n_tokens_used,
+           ROUND(list_aggregate(list_transform(p, s -> s[2]), 'sum')
+                 / CAST(len(p) AS DOUBLE) + 1e-9, 4) AS delta
+    FROM agg ORDER BY source_a, source_b
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair over
+    the 30 globally most-frequent tokens — the authorship/style screen
+    (two sources with near-zero Delta are the same template farm wearing
+    different domains).
+
+    operators.text.burrows_delta: exact integer counts; every float
+    reduction a FIXED-ORDER fold over an array_sort'ed struct list
+    (group asc / token asc) — bit-identical in any engine or layout.
+    """
+    from sqlitedataframe_spark.operators.text import burrows_delta
+
+    return burrows_delta(T(spark, sf_dir, "documents"), top_m=30)
+
+
+@query(
+    "lineitem_revenue_bridge",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS yr,
+             p_brand AS brand,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                      AS HUGEINT)) AS r
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2),
+    b AS (SELECT MIN(yr) AS ymin, MAX(yr) AS ymax FROM g),
+    prev AS (SELECT yr + 1 AS year_to, brand, q AS q0, r AS r0 FROM g),
+    curr AS (SELECT yr AS year_to, brand, q AS q1, r AS r1 FROM g),
+    j AS (
+      SELECT COALESCE(prev.year_to, curr.year_to) AS year_to,
+             COALESCE(prev.brand, curr.brand) AS brand, q0, r0, q1, r1
+      FROM prev FULL JOIN curr
+        ON prev.year_to = curr.year_to AND prev.brand = curr.brand),
+    f AS (
+      SELECT j.* FROM j CROSS JOIN b
+      WHERE j.year_to > b.ymin AND j.year_to <= b.ymax)
+    SELECT year_to, brand,
+           CASE WHEN q0 IS NULL THEN 'new'
+                WHEN q1 IS NULL THEN 'discontinued'
+                ELSE 'both' END AS status,
+           ROUND(CAST(r0 AS DOUBLE) / 10000.0 + 1e-9, 2) AS rev_prev,
+           ROUND(CAST(r1 AS DOUBLE) / 10000.0 + 1e-9, 2) AS rev_curr,
+           ROUND(CAST(COALESCE(r1, 0) - COALESCE(r0, 0) AS DOUBLE)
+                 / 10000.0 + 1e-9, 2) AS rev_delta,
+           ROUND(CASE WHEN q0 IS NULL THEN CAST(r1 AS DOUBLE) / 10000.0
+                      WHEN q1 IS NULL THEN -(CAST(r0 AS DOUBLE) / 10000.0)
+                      ELSE ((CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
+                            * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)))
+                           / 10000.0 END + 1e-9, 4) AS volume_effect,
+           ROUND(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+                      THEN (CAST(r1 AS DOUBLE)
+                            - (CAST(q1 AS DOUBLE)
+                               * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))))
+                           / 10000.0
+                      ELSE 0.0 END + 1e-9, 4) AS price_effect
+    FROM f ORDER BY year_to, brand
+    """,
+)
+def lineitem_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume/mix revenue bridge per brand between consecutive ship
+    years — the finance waterfall that says whether revenue moved because
+    of units sold (volume) or realized unit price, with new/discontinued
+    brands tagged; volume + price == delta exactly by construction.
+
+    operators.relational.revenue_bridge: revenue summed in exact 1e-4
+    currency units (DECIMAL(38,0) ⇄ HUGEINT), qty as BIGINT; the effects
+    are closed-form doubles over those exact sums.
+    """
+    from sqlitedataframe_spark.operators.relational import revenue_bridge
+
+    return revenue_bridge(
+        T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "part")
+    )
+
+
+def _jl_oracle(out_dim: int = 16, in_dim: int = 64) -> str:
+    """Inlined-literal JL oracle: each projected coordinate folds
+    v[t] * sign[t] over t = 1..in_dim with list_aggregate (the
+    sequential-sum twin of the Spark-side ``dot`` fold), signs from the
+    shared md5 matrix (similarity.jl_signs)."""
+    from sqlitedataframe_spark.operators.similarity import jl_signs
+
+    signs = jl_signs(out_dim, in_dim)
+    ys = []
+    for i in range(out_dim):
+        lit = "[" + ", ".join(f"{float(s):.1f}" for s in signs[i]) + "]"
+        ys.append(
+            f"list_aggregate(list_transform(range(1, {in_dim + 1}), "
+            f"t -> v[t] * ({lit})[t]), 'sum') AS y{i}"
+        )
+    ysq = " + ".join(f"(y{i} * y{i})" for i in range(out_dim))
+    return f"""
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT v, list_aggregate(list_transform(v, x -> x * x), 'sum') AS vv
+      FROM e),
+    p AS (
+      SELECT vv, {", ".join(ys)}
+      FROM n WHERE vv > 0),
+    r AS (
+      SELECT (({ysq}) / {float(out_dim)}) / vv AS ratio FROM p)
+    SELECT ROUND(ratio + 1e-9, 1) AS ratio_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM r GROUP BY 1 ORDER BY ratio_bucket
+    """
+
+
+@query("embed_jl_distortion", oracle=_jl_oracle(16, 64))
+def embed_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm-distortion histogram of a deterministic +/-1
+    Johnson-Lindenstrauss projection 64 -> 16 dims — the is-4x-compression
+    -safe readout run BEFORE re-indexing the vector table (JL preserves
+    norms/distances with ~1/sqrt(k) spread; a fat or shifted histogram
+    says the ANN recall will crater).
+
+    operators.similarity.jl_distortion_hist: pure scan-side JVM fold
+    (16 x 64 multiply-adds per row, the ``dot`` sequential fold) + one
+    tiny bucket aggregate; the md5 sign matrix is replayed inline in the
+    oracle.
+    """
+    from sqlitedataframe_spark.operators.similarity import jl_distortion_hist
+
+    return jl_distortion_hist(
+        T(spark, sf_dir, "embeddings"), out_dim=16, in_dim=64
+    )
+
+
+@query(
+    "embed_intrinsic_dim",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id AS i, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 300),
+    d AS (
+      SELECT a.i, b.i AS j,
+             list_aggregate(list_transform(range(1, 65),
+               t -> (a.v[t] - b.v[t]) * (a.v[t] - b.v[t])), 'sum') AS dsq
+      FROM e a JOIN e b ON a.i <> b.i),
+    nn AS (SELECT i, list((dsq, j) ORDER BY dsq, j) AS l FROM d GROUP BY 1),
+    mu AS (
+      SELECT i, l[2][1] / l[1][1] AS musq FROM nn WHERE l[1][1] > 0),
+    lg AS (SELECT i, ln(musq) * 0.5 AS lnmu FROM mu),
+    one AS (SELECT list((i, lnmu) ORDER BY i) AS l FROM lg)
+    SELECT CAST(len(l) AS BIGINT) AS n_used,
+           ROUND(list_aggregate(list_transform(l, s -> s[2]), 'sum')
+                 + 1e-9, 6) AS sum_log_mu,
+           ROUND(CAST(len(l) AS DOUBLE)
+                 / list_aggregate(list_transform(l, s -> s[2]), 'sum')
+                 + 1e-9, 4) AS intrinsic_dim
+    FROM one
+    """,
+)
+def embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate of the embedding manifold
+    (Facco et al. 2017): MLE ``n / sum(ln d2/d1)`` over each sampled
+    point's two nearest neighbors — how aggressively PQ/JL can compress
+    before neighborhoods collapse.
+
+    operators.similarity.intrinsic_dim_twonn: fixture-bounded sample
+    (vec_id < 300 — constant work at any SF), sequential-fold distances,
+    vec_id-ordered final fold; one closed-form division.
+    """
+    from sqlitedataframe_spark.operators.similarity import intrinsic_dim_twonn
+
+    return intrinsic_dim_twonn(T(spark, sf_dir, "embeddings"), max_id=300)
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled CTE chain mirroring ktruss_rounds' fixed peels: level r
+    keeps edges sitting in >= k-2 triangles among level r-1 survivors.
+    Pure integer set arithmetic — any engine agrees. MATERIALIZED for
+    the same CTE-inlining reason as _kcore_oracle."""
+    need = k - 2
+    parts = ["WITH " + _KCORE_EDGES.replace("e0 AS (", "e0 AS MATERIALIZED (")]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""tri{r} AS (
+          SELECT ab.u AS a, ab.v AS b, bc.v AS c
+          FROM e{r - 1} ab
+          JOIN e{r - 1} bc ON ab.v = bc.u
+          JOIN e{r - 1} ac ON ac.u = ab.u AND ac.v = bc.v)"""
+        )
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+          SELECT u, v FROM (
+            SELECT a AS u, b AS v FROM tri{r}
+            UNION ALL SELECT b AS u, c AS v FROM tri{r}
+            UNION ALL SELECT a AS u, c AS v FROM tri{r})
+          GROUP BY 1, 2 HAVING COUNT(*) >= {need})"""
+        )
+    selects = [
+        f"""SELECT {r} AS round,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT u FROM e{r} UNION SELECT v FROM e{r})) AS n_nodes,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_edges"""
+        for r in range(1, rounds + 1)
+    ]
+    return (
+        ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+@query("graph_ktruss", oracle=_ktruss_oracle(4, 4))
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss peeling of the part co-order graph, 4 FIXED rounds: each
+    round keeps only edges inside >= 2 surviving triangles and reports
+    (round, n_nodes, n_edges). One notch stricter than graph_kcore — a
+    core hub can be a triangle-free star, a truss edge cannot, so the
+    truss isolates the actually-clique-like spam/template rings.
+
+    operators.graph.ktruss_rounds: per round one oriented triangle
+    enumeration (two hash joins) + a 3-role explode to per-edge support;
+    localCheckpoint-truncated round state, kcore block lifecycle.
+    """
+    from sqlitedataframe_spark.operators.graph import ktruss_rounds
+
+    return ktruss_rounds(_coorder_edges(spark, sf_dir), k=4, rounds=4)
+
+
+@query(
+    "multimodal_image_entropy",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 37 + 4 AS w, doc_id % 23 + 4 AS h
+      FROM documents WHERE doc_id % 7 = 0),
+    cells AS (
+      SELECT d.doc_id, d.w, d.h,
+             (7 * x.i + 13 * y.i + 31 * c.i) % 256 AS v
+      FROM d,
+           generate_series(0, 40) AS x(i),
+           generate_series(0, 26) AS y(i),
+           generate_series(0, 2) AS c(i)
+      WHERE x.i < d.w AND y.i < d.h),
+    hist AS (
+      SELECT doc_id, w, h, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cells GROUP BY 1, 2, 3, 4),
+    img AS (
+      SELECT doc_id, CAST(w * h * 3 AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             list((v, c) ORDER BY v) AS l
+      FROM hist GROUP BY 1, 2)
+    SELECT doc_id AS media_id, n AS n_px, nd AS n_distinct_vals,
+           ROUND(list_aggregate(list_transform(l,
+                   s -> -(CAST(s[2] AS DOUBLE) / n)
+                        * log2(CAST(s[2] AS DOUBLE) / n)), 'sum')
+                 + 1e-9, 4) AS entropy_bits
+    FROM img ORDER BY media_id
+    """,
+)
+def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image Shannon entropy of REAL decoded pixel histograms — the
+    flat/synthetic-image screen (natural photos sit near 8 bits; solid
+    fills and generated gradients sit far lower), through the same
+    encode->decode PNG path as png_roundtrip_dims with closed-form
+    synthetic pixels so the SQL oracle recomputes every histogram.
+
+    operators.multimodal.png_image_entropy: one Arrow mapInPandas inside
+    the scan; the entropy folds over the histogram in ascending pixel
+    value — the same float order in any engine.
+    """
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    from sqlitedataframe_spark.operators.multimodal import png_image_entropy
+
+    return png_image_entropy(docs).orderBy("media_id")
