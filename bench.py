@@ -392,6 +392,10 @@ HEADLINE = [
     "embed_intrinsic_dim",
     "graph_ktruss",
     "multimodal_image_entropy",
+    "orders_skyline_customers",
+    "events_periodogram",
+    "customer_mahalanobis_top",
+    "graph_rich_club",
 ]
 
 

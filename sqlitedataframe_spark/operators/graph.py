@@ -902,3 +902,76 @@ def ktruss_rounds(
     return spark.createDataFrame(
         out, "round: int, n_nodes: bigint, n_edges: bigint"
     )
+
+
+def rich_club(
+    edges: DataFrame,
+    thresholds: tuple[int, ...] = (2, 4, 8, 16, 32),
+    src: str = "src",
+    dst: str = "dst",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Rich-club coefficient at fixed degree thresholds: for each k,
+    ``phi(k) = 2 * E_k / (N_k * (N_k - 1))`` where N_k nodes have degree
+    > k and E_k edges connect two such nodes — rising phi(k) means the
+    hubs preferentially wire to EACH OTHER (an elite template/spam
+    clique); flat phi means hubs are independent stars. The
+    hub-structure readout degree_stats alone cannot give.
+
+    Exactness: N_k and E_k are exact integers; phi is one closed-form
+    double per threshold row.
+
+    Plan: one degree aggregate, two hash joins to tag each edge with its
+    endpoint degrees, one explode over the constant threshold list, two
+    tiny conditional aggregates — no triangular or nested-loop joins.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    ks = F.array(*[F.lit(int(k)) for k in thresholds])
+    nk = (
+        deg.select("deg", F.explode(ks).alias("k"))
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    tagged = (
+        e.join(deg.select(F.col("u"), F.col("deg").alias("du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v"
+        )
+        .select(F.least("du", "dv").alias("dmin"))
+    )
+    ek = (
+        tagged.select("dmin", F.explode(ks).alias("k"))
+        .filter(F.col("dmin") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    out = nk.join(ek, "k", "left").select(
+        "k",
+        "n_nodes",
+        F.coalesce(F.col("n_edges"), F.lit(0)).cast("bigint").alias("n_edges"),
+    )
+    phi = F.when(
+        F.col("n_nodes") > 1,
+        F.round(
+            (2.0 * F.col("n_edges").cast("double"))
+            / (
+                F.col("n_nodes").cast("double")
+                * (F.col("n_nodes").cast("double") - 1.0)
+            )
+            + 1e-9,
+            round_dp,
+        ),
+    )
+    return out.select("k", "n_nodes", "n_edges", phi.alias("rich_club_coef")).orderBy(
+        "k"
+    )

@@ -2414,3 +2414,151 @@ def brown_double_ewma(
         F.round(trd / 100.0 + 1e-9, round_dp).alias("trend"),
         F.round((lvl + trd) / 100.0 + 1e-9, round_dp).alias("forecast_next"),
     ).orderBy("day")
+
+
+def periodogram_daily(
+    df: DataFrame,
+    time_col: str,
+    max_k: int = 12,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Discrete-Fourier periodogram of the daily event-count series at
+    harmonics k = 1..max_k, reported as the NORMALIZED power fraction
+    ``(C_k^2 + S_k^2) / (sum x)^2`` with
+    ``C_k = sum_t x_t cos(2*pi*k*t/N)`` (S_k with sin) — the seasonality
+    detector that says WHICH cycle dominates (k = N/7 spikes on weekly
+    traffic) where ACF only says "some lag correlates".
+
+    Drift-proofing: daily counts are exact integers; the day index t is
+    a count-of-earlier-days (triangular join over the #days frame, the
+    repo's rank recipe — no global window); C_k and S_k fold over the
+    t-ascending struct list, and 2*pi enters as the same double literal
+    in both engines.
+
+    Plan: one daily aggregate (data-sized work ends there), one
+    #days-triangular index join, a 1-list x max_k harmonic cross, and
+    per-k fixed-order folds — everything after the aggregate is
+    frame-bounded.
+    """
+    spark = df.sparkSession
+    daily = df.groupBy(F.to_date(F.col(time_col)).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    other = daily.select(F.col("d").alias("d2"))
+    idx = (
+        daily.join(other, F.col("d2") < F.col("d"), "left")
+        .groupBy("d", "x")
+        .agg(F.count("d2").cast("bigint").alias("t"))
+    )
+    series = idx.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("t").alias("t"), F.col("x").cast("double").alias("x")
+                )
+            )
+        ).alias("_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("_sx"),
+    )
+    ks = spark.range(1, max_k + 1).select(F.col("id").cast("int").alias("k"))
+    j = series.crossJoin(ks)
+    two_pi = 6.283185307179586
+    ang = lambda s: (  # noqa: E731
+        F.lit(two_pi) * F.col("k").cast("double") * s["t"].cast("double")
+    ) / F.col("n_days").cast("double")
+    c = F.aggregate(
+        "_s", F.lit(0.0), lambda acc, s: acc + s["x"] * F.cos(ang(s))
+    )
+    s_ = F.aggregate(
+        "_s", F.lit(0.0), lambda acc, s: acc + s["x"] * F.sin(ang(s))
+    )
+    j = j.select("k", "n_days", "_sx", c.alias("_c"), s_.alias("_sv"))
+    # normalized power (P_k / (sum x)^2, an O(1) fraction): rounding the
+    # RAW power would round a ~1e10 double at 4 dp — libm-fragile
+    sxd = F.col("_sx").cast("double")
+    return j.select(
+        "k",
+        "n_days",
+        F.round(
+            F.col("n_days").cast("double") / F.col("k").cast("double") + 1e-9,
+            2,
+        ).alias("period_days"),
+        F.round(
+            (F.col("_c") * F.col("_c") + F.col("_sv") * F.col("_sv"))
+            / (sxd * sxd)
+            + 1e-9,
+            round_dp,
+        ).alias("power_frac"),
+    ).orderBy("k")
+
+
+def mahalanobis_top(
+    df: DataFrame,
+    key_col: str,
+    x_col,
+    y_col,
+    top: int = 20,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Top-``top`` bivariate outliers by squared Mahalanobis distance
+    over two per-key aggregates (e.g. order count x total spend): the
+    multivariate screen that catches the "normal count, absurd spend"
+    keys a per-column z-score calls ordinary. The 2x2 covariance is
+    inverted in closed form, so no linear algebra library enters.
+
+    Exactness: all five moment sums (Sx, Sy, Sxx, Syy, Sxy) accumulate
+    as exact integers (DECIMAL(38,0) — products of cents overflow
+    int64), and every double is a closed form of those sums — the Welch
+    integer-moments recipe, drift-free under any partitioning.
+
+    Plan: one keyed aggregate, one 1-row moments broadcast back onto the
+    keys, one TakeOrderedAndProject.
+    """
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        x_col.cast("long").alias("x"), y_col.cast("long").alias("y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum((dec("x") * dec("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((dec("y") * dec("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((dec("x") * dec("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    j = per.crossJoin(F.broadcast(mom))
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    vxx = F.col("sxx").cast("double") / nd - mx * mx
+    vyy = F.col("syy").cast("double") / nd - my * my
+    vxy = F.col("sxy").cast("double") / nd - mx * my
+    det = vxx * vyy - vxy * vxy
+    dx = F.col("x").cast("double") - mx
+    dy = F.col("y").cast("double") - my
+    j = j.select(
+        "k",
+        "x",
+        "y",
+        (vyy / det).alias("_ivxx"),
+        (vxx / det).alias("_ivyy"),
+        (-(vxy) / det).alias("_ivxy"),
+        dx.alias("_dx"),
+        dy.alias("_dy"),
+    )
+    d2 = F.col("_dx") * (
+        F.col("_ivxx") * F.col("_dx") + F.col("_ivxy") * F.col("_dy")
+    ) + F.col("_dy") * (
+        F.col("_ivxy") * F.col("_dx") + F.col("_ivyy") * F.col("_dy")
+    )
+    return (
+        j.select(
+            F.col("k").alias(key_col),
+            F.col("x").alias("x_val"),
+            F.col("y").alias("y_val"),
+            F.round(d2 + 1e-9, round_dp).alias("mahalanobis_sq"),
+        )
+        .orderBy(F.col("mahalanobis_sq").desc(), F.col(key_col).asc())
+        .limit(top)
+    )

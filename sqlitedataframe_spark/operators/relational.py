@@ -1003,3 +1003,47 @@ def revenue_bridge(
         F.round(vol + 1e-9, 4).alias("volume_effect"),
         F.round(price + 1e-9, 4).alias("price_effect"),
     ).orderBy("year_to", "brand")
+
+
+def skyline_2d(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact 2-D skyline (Pareto front, maximize both): keeps every row
+    no other row strictly dominates (>= in both dims, > in at least
+    one). Equal points are mutually non-dominating and all kept. The
+    classic dominance operator — "which customers are on the
+    spend/frequency frontier" — that a top-k by either single column
+    cannot answer.
+
+    Scale shape: a naive skyline is an n^2 self-join; this one collapses
+    to the per-x maxima FIRST (one keyed aggregate over the full data),
+    then resolves dominance with a triangular join over the #distinct-x
+    frame (bounded by the x cardinality — order counts, ratings, day
+    indices — not by row count), and one hash join back to recover the
+    winning rows. A point (x, y) survives iff y == max_y(x) and
+    max_y(x) > max_y(x') for every x' > x.
+    """
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    mx = base.groupBy("x").agg(F.max("y").alias("my"))
+    hi = mx.select(F.col("x").alias("x2"), F.col("my").alias("my2"))
+    # triangular: for each x, the best y among strictly larger x
+    dom = (
+        mx.join(hi, F.col("x2") > F.col("x"), "left")
+        .groupBy("x", "my")
+        .agg(F.max("my2").alias("best_hi"))
+    )
+    sky = dom.filter(
+        F.col("best_hi").isNull() | (F.col("my") > F.col("best_hi"))
+    ).select("x", F.col("my").alias("y"))
+    return (
+        base.join(sky, ["x", "y"], "semi")
+        .select("k", "x", "y")
+        .orderBy("x", "k")
+    )

@@ -101,4 +101,7 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "text_burrows_delta": "#sources x top-30 token grid cross (<=600 rows) + frame-bounded z-pair join",
     "embed_intrinsic_dim": "fixture-bounded distance matrix (vec_id < 300 both sides — constant at any SF)",
     "lineitem_revenue_bridge": "1-row year-bounds broadcast onto the #years x #brands frame",
+    "orders_skyline_customers": "triangular join over the #distinct-order-counts frame (<=64 rows)",
+    "events_periodogram": "#days triangular index join + 1-list x 12-harmonic cross",
+    "customer_mahalanobis_top": "1-row moments broadcast onto the per-customer frame (Welch shape)",
 }

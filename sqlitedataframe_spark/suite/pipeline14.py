@@ -1845,3 +1845,223 @@ def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlitedataframe_spark.operators.multimodal import png_image_entropy
 
     return png_image_entropy(docs).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: skyline, periodogram, Mahalanobis outliers, rich club.
+# ---------------------------------------------------------------------------
+_CUST_PER = """
+    per AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1)
+"""
+
+
+@query(
+    "orders_skyline_customers",
+    oracle=f"""
+    WITH {_CUST_PER},
+    mx AS (SELECT x, MAX(y) AS my FROM per GROUP BY 1),
+    dom AS (
+      SELECT a.x, a.my, MAX(b.my) AS best_hi
+      FROM mx a LEFT JOIN mx b ON b.x > a.x
+      GROUP BY 1, 2),
+    sky AS (
+      SELECT x, my AS y FROM dom
+      WHERE best_hi IS NULL OR my > best_hi)
+    SELECT per.k AS o_custkey, per.x AS n_orders,
+           ROUND(CAST(per.y AS DOUBLE) / 100.0 + 1e-9, 2) AS total_spend
+    FROM per JOIN sky ON per.x = sky.x AND per.y = sky.y
+    ORDER BY n_orders, o_custkey
+    """,
+)
+def orders_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-D skyline (Pareto front) of customers on (order count,
+    total spend), maximizing both — the dominance frontier a top-k by
+    either single column cannot answer ("who is undominated?").
+
+    operators.relational.skyline_2d: collapses to per-count maxima first
+    (one keyed aggregate over the full data), resolves dominance with a
+    triangular join over the #distinct-counts frame (bounded), one semi
+    join back — never an n^2 row self-join.
+    """
+    from sqlitedataframe_spark.operators.relational import skyline_2d
+
+    per = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("bigint")
+            .alias("_cents"),
+        )
+    )
+    sky = skyline_2d(per, "o_custkey", "n_orders", "_cents")
+    return sky.select(
+        F.col("k").alias("o_custkey"),
+        F.col("x").alias("n_orders"),
+        F.round(F.col("y").cast("double") / 100.0 + 1e-9, 2).alias(
+            "total_spend"
+        ),
+    ).orderBy("n_orders", "o_custkey")
+
+
+@query(
+    "events_periodogram",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    idx AS (
+      SELECT a.d, a.x, CAST(COUNT(b.d) AS BIGINT) AS t
+      FROM daily a LEFT JOIN daily b ON b.d < a.d GROUP BY 1, 2),
+    series AS (
+      SELECT list((t, CAST(x AS DOUBLE)) ORDER BY t) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx
+      FROM idx),
+    j AS (SELECT u.k, s, n_days, sx FROM series, UNNEST(range(1, 13)) AS u(k)),
+    f AS (
+      SELECT CAST(k AS INT) AS k, n_days, sx,
+             list_aggregate(list_transform(s, e -> e[2]
+               * cos((6.283185307179586 * CAST(k AS DOUBLE)
+                      * CAST(e[1] AS DOUBLE))
+                     / CAST(n_days AS DOUBLE))), 'sum') AS c,
+             list_aggregate(list_transform(s, e -> e[2]
+               * sin((6.283185307179586 * CAST(k AS DOUBLE)
+                      * CAST(e[1] AS DOUBLE))
+                     / CAST(n_days AS DOUBLE))), 'sum') AS sv
+      FROM j)
+    SELECT k, n_days,
+           ROUND(CAST(n_days AS DOUBLE) / CAST(k AS DOUBLE) + 1e-9, 2)
+             AS period_days,
+           ROUND((c * c + sv * sv)
+                 / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) + 1e-9, 6)
+             AS power_frac
+    FROM f ORDER BY k
+    """,
+)
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram of daily event counts at harmonics
+    k = 1..12 (normalized power fraction) — the seasonality detector
+    that says WHICH cycle dominates where ACF only says "some lag
+    correlates".
+
+    operators.profiling.periodogram_daily: one daily aggregate, a
+    #days-triangular index join (the rank recipe, no global window),
+    per-k fixed-order folds with 2*pi as the same double literal both
+    engines.
+    """
+    from sqlitedataframe_spark.operators.profiling import periodogram_daily
+
+    return periodogram_daily(T(spark, sf_dir, "events"), "ts", max_k=12)
+
+
+@query(
+    "customer_mahalanobis_top",
+    oracle=f"""
+    WITH {_CUST_PER},
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+             SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+      FROM per),
+    cf AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+             CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS vxx,
+             CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vyy,
+             CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vxy
+      FROM mom),
+    iv AS (
+      SELECT vyy / (vxx * vyy - vxy * vxy) AS ivxx,
+             vxx / (vxx * vyy - vxy * vxy) AS ivyy,
+             -(vxy) / (vxx * vyy - vxy * vxy) AS ivxy,
+             mx, my
+      FROM cf),
+    d AS (
+      SELECT per.k, per.x, per.y,
+             (CAST(per.x AS DOUBLE) - mx) AS dx,
+             (CAST(per.y AS DOUBLE) - my) AS dy,
+             ivxx, ivyy, ivxy
+      FROM per CROSS JOIN iv)
+    SELECT k AS o_custkey, x AS x_val, y AS y_val,
+           ROUND(dx * (ivxx * dx + ivxy * dy)
+                 + dy * (ivxy * dx + ivyy * dy) + 1e-9, 4)
+             AS mahalanobis_sq
+    FROM d
+    ORDER BY mahalanobis_sq DESC, o_custkey ASC LIMIT 20
+    """,
+)
+def customer_mahalanobis_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by squared Mahalanobis distance over (order
+    count, total spend cents) — the multivariate outlier screen that
+    catches "normal count, absurd spend" keys a per-column z-score calls
+    ordinary; the 2x2 covariance inverts in closed form.
+
+    operators.profiling.mahalanobis_top: five exact integer moment sums
+    (DECIMAL(38,0) ⇄ HUGEINT — the Welch recipe), one 1-row broadcast,
+    one TakeOrderedAndProject.
+    """
+    from sqlitedataframe_spark.operators.profiling import mahalanobis_top
+
+    return mahalanobis_top(
+        T(spark, sf_dir, "orders"),
+        "o_custkey",
+        F.count(F.lit(1)),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+        top=20,
+    )
+
+
+@query(
+    "graph_rich_club",
+    oracle=f"""
+    WITH {_KCORE_EDGES},
+    adj AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+    ks AS (SELECT UNNEST([2, 4, 8, 16, 32]) AS k),
+    nk AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM dg, ks WHERE deg > k GROUP BY 1),
+    tg AS (
+      SELECT LEAST(da.deg, db.deg) AS dmin
+      FROM e0 JOIN dg da ON e0.u = da.u JOIN dg db ON e0.v = db.u),
+    ek AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+      FROM tg, ks WHERE dmin > k GROUP BY 1)
+    SELECT nk.k, n_nodes,
+           CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+           CASE WHEN n_nodes > 1 THEN
+             ROUND((2.0 * CAST(COALESCE(ek.n_edges, 0) AS DOUBLE))
+                   / (CAST(n_nodes AS DOUBLE)
+                      * (CAST(n_nodes AS DOUBLE) - 1.0)) + 1e-9, 6)
+           END AS rich_club_coef
+    FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY nk.k
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the co-order graph at degree thresholds
+    {{2,4,8,16,32}}: do hubs preferentially wire to EACH OTHER (rising
+    phi = an elite template/spam clique) or sit as independent stars —
+    the hub-structure readout degree_stats cannot give.
+
+    operators.graph.rich_club: one degree aggregate, two hash joins to
+    tag each edge's min endpoint degree, one threshold explode, exact
+    integer counts + one closed-form double.
+    """
+    from sqlitedataframe_spark.operators.graph import rich_club
+
+    return rich_club(_coorder_edges(spark, sf_dir))
