@@ -993,13 +993,26 @@ def revenue_bridge(
     delta_u = F.coalesce(F.col("r1"), F.lit(0).cast("decimal(38,0)")) - F.coalesce(
         F.col("r0"), F.lit(0).cast("decimal(38,0)")
     )
+
+    def money(v):
+        # exact half-up integer rounding of 1e-4 currency units to cents,
+        # THEN one division: the true values have 4 decimals, so a float
+        # ROUND(x, 2) lands exactly on .5 midpoints where Java's
+        # shortest-repr BigDecimal and C round() break ties differently
+        # (observed: last-cent flip at sf0.1). Integer arithmetic first
+        # makes the tie-break explicit and engine-free.
+        cents = F.when(
+            v >= 0, F.floor((v + 50) / 100)
+        ).otherwise(-F.floor((-v + 50) / 100))
+        return cents.cast("double") / 100.0
+
     return j.select(
         "year_to",
         "brand",
         status.alias("status"),
-        F.round(r0d / 10000.0 + 1e-9, 2).alias("rev_prev"),
-        F.round(r1d / 10000.0 + 1e-9, 2).alias("rev_curr"),
-        F.round(delta_u.cast("double") / 10000.0 + 1e-9, 2).alias("rev_delta"),
+        money(F.col("r0")).alias("rev_prev"),
+        money(F.col("r1")).alias("rev_curr"),
+        money(delta_u).alias("rev_delta"),
         F.round(vol + 1e-9, 4).alias("volume_effect"),
         F.round(price + 1e-9, 4).alias("price_effect"),
     ).orderBy("year_to", "brand")

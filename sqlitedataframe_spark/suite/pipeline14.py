@@ -1618,10 +1618,19 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN q0 IS NULL THEN 'new'
                 WHEN q1 IS NULL THEN 'discontinued'
                 ELSE 'both' END AS status,
-           ROUND(CAST(r0 AS DOUBLE) / 10000.0 + 1e-9, 2) AS rev_prev,
-           ROUND(CAST(r1 AS DOUBLE) / 10000.0 + 1e-9, 2) AS rev_curr,
-           ROUND(CAST(COALESCE(r1, 0) - COALESCE(r0, 0) AS DOUBLE)
-                 / 10000.0 + 1e-9, 2) AS rev_delta,
+           -- exact half-up integer rounding of the 1e-4 units to cents
+           -- (float ROUND at 2 dp hits true .5 midpoints here and the
+           -- engines break ties differently)
+           CAST(CASE WHEN r0 >= 0 THEN (r0 + 50) // 100
+                     ELSE -((-r0 + 50) // 100) END AS DOUBLE) / 100.0
+             AS rev_prev,
+           CAST(CASE WHEN r1 >= 0 THEN (r1 + 50) // 100
+                     ELSE -((-r1 + 50) // 100) END AS DOUBLE) / 100.0
+             AS rev_curr,
+           CAST(CASE WHEN COALESCE(r1, 0) - COALESCE(r0, 0) >= 0
+                     THEN (COALESCE(r1, 0) - COALESCE(r0, 0) + 50) // 100
+                     ELSE -((-(COALESCE(r1, 0) - COALESCE(r0, 0)) + 50) // 100)
+                END AS DOUBLE) / 100.0 AS rev_delta,
            ROUND(CASE WHEN q0 IS NULL THEN CAST(r1 AS DOUBLE) / 10000.0
                       WHEN q1 IS NULL THEN -(CAST(r0 AS DOUBLE) / 10000.0)
                       ELSE ((CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
