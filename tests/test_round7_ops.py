@@ -138,8 +138,12 @@ def test_macro_f1_never_predicted_class(spark):
     rows = {r["cls"]: r for r in macro_f1(df).collect()}
     assert rows["c"]["precision"] is None  # never predicted
     assert rows["c"]["recall"] == 0.0 and rows["c"]["f1"] == 0.0
-    # macro precision averages over non-null per-class values only
-    assert rows["MACRO"]["precision"] == rows["a"]["precision"]
+    # MACRO averages fill 0 for never-predicted classes (sklearn
+    # zero_division=0; ADVICE r7): (0.5 + 0) / 2 here — the per-class
+    # row keeps NULL so the undefined precision stays visible
+    assert rows["MACRO"]["precision"] == round(
+        rows["a"]["precision"] / 2 + 1e-9, 6
+    )
 
 
 def test_mcnemar_hand_computed(spark):
