@@ -174,3 +174,183 @@ def test_char_ngram_topk_counts(spark):
     en = [(r["gram"], r["n_occurrences"]) for r in rows if r["lang"] == "en"]
     assert en == [("aba", 3), ("bab", 1)]  # 'fr' doc too short -> absent
     assert all(r["lang"] == "en" for r in rows)
+
+
+# --- waves 2-4 ------------------------------------------------------------
+
+
+def test_skyline_keeps_undominated_and_ties(spark):
+    from sqlitedataframe_spark.operators.relational import skyline_2d
+
+    rows = [
+        ("p1", 1, 100),  # skyline (best y at x=1, no higher-x beats 100)
+        ("p2", 1, 90),   # dominated by p1
+        ("p3", 2, 80),   # skyline
+        ("p4", 3, 80),   # dominates p3? x=3>2, y equal -> p3 dominated
+        ("p5", 3, 80),   # tie with p4 -> both kept
+        ("p6", 4, 10),   # skyline (max x)
+    ]
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    out = [(r["k"], r["x"], r["y"]) for r in skyline_2d(df, "k", "x", "y").collect()]
+    assert out == [("p1", 1, 100), ("p4", 3, 80), ("p5", 3, 80), ("p6", 4, 10)]
+
+
+def test_ktruss_keeps_clique_drops_star(spark):
+    from sqlitedataframe_spark.operators.graph import ktruss_rounds
+
+    # K4 clique (every edge in 2 triangles) + a degree-5 star hub:
+    # the 4-truss keeps exactly the clique, the star dies round 1
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    star = [(100, 100 + i) for i in range(1, 6)]
+    df = spark.createDataFrame(k4 + star, "src long, dst long")
+    out = {r["round"]: r for r in ktruss_rounds(df, k=4, rounds=3).collect()}
+    assert (out[1]["n_nodes"], out[1]["n_edges"]) == (4, 6)
+    assert (out[3]["n_nodes"], out[3]["n_edges"]) == (4, 6)  # stable
+
+
+def test_bfs_hops_stops_after_first_empty(spark):
+    from sqlitedataframe_spark.operators.graph import bfs_hops
+
+    # path graph 0-1-2 plus isolated edge 10-11: hub = node 1 (deg 2);
+    # hop1 reaches {0,2}, hop2 empty (emitted), then stop
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "src long, dst long"
+    )
+    out = [(r["hop"], r["n_new"]) for r in bfs_hops(df, rounds=6).collect()]
+    assert out == [(0, 1), (1, 2), (2, 0)]
+
+
+def test_rich_club_elite_clique(spark):
+    from sqlitedataframe_spark.operators.graph import rich_club
+
+    # 4 hubs in a clique, each hub also wired to 3 private leaves:
+    # deg(hub) = 6, deg(leaf) = 1 -> at k=2 only hubs survive and their
+    # subgraph is complete: phi = 1.0
+    hubs = [(a, b) for a in range(4) for b in range(4) if a < b]
+    leaves = [(h, 100 + 10 * h + i) for h in range(4) for i in range(3)]
+    df = spark.createDataFrame(hubs + leaves, "src long, dst long")
+    out = {r["k"]: r for r in rich_club(df, thresholds=(2,)).collect()}
+    assert out[2]["n_nodes"] == 4 and out[2]["n_edges"] == 6
+    assert out[2]["rich_club_coef"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_chao1_closed_form(spark):
+    from sqlitedataframe_spark.operators.text import chao1_vocab
+
+    # tokens: a a b c -> V=3, N=4, f1=2 (b,c), f2=1 (a)
+    df = spark.createDataFrame([("s", "a a b c")], "source string, text string")
+    r = chao1_vocab(df).collect()[0]
+    assert (r["vocab"], r["n_tokens"], r["f1"], r["f2"]) == (3, 4, 2, 1)
+    assert r["chao1_est"] == pytest.approx(3 + 2 * 1 / (2 * 2), abs=1e-6)
+    assert r["gt_unseen_mass"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_burrows_delta_identical_and_disjoint(spark):
+    from sqlitedataframe_spark.operators.text import burrows_delta
+
+    # s1 == s2 exactly, s3 flips the token balance: Delta(s1,s2) = 0 and
+    # Delta(s1,s3) > 0
+    rows = [
+        ("s1", "x x x y"),
+        ("s2", "x x x y"),
+        ("s3", "y y y x"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r["source_a"], r["source_b"]): r for r in burrows_delta(df, top_m=2).collect()}
+    assert out[("s1", "s2")]["delta"] == 0.0
+    assert out[("s1", "s3")]["delta"] > 0.5
+
+
+def test_revenue_bridge_effects_sum_to_delta(spark):
+    from sqlitedataframe_spark.operators.relational import revenue_bridge
+
+    li = spark.createDataFrame(
+        [
+            # year 2000, brand B: 10 units @ 100.00, no discount
+            (1, 1, 10.0, 100.0, 0.0, "2000-06-01"),
+            # year 2001, brand B: 20 units @ 110.00
+            (2, 1, 20.0, 110.0, 0.0, "2001-06-01"),
+            # year 2001, brand C appears (new)
+            (3, 2, 5.0, 50.0, 0.0, "2001-06-01"),
+        ],
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, _d string",
+    ).withColumn("l_shipdate", F.col("_d").cast("timestamp"))
+    part = spark.createDataFrame(
+        [(1, "B"), (2, "C")], "p_partkey long, p_brand string"
+    )
+    out = {r["brand"]: r for r in revenue_bridge(li, part).collect()}
+    b = out["B"]
+    # unit price 10.0 -> volume = (20-10)*10 = 100? NO: revenue is the
+    # extendedprice itself (TPC-H extendedprice is the line total):
+    # r0=100, q0=10, p0=10; r1=110, q1=20 -> volume=(20-10)*10=100,
+    # price=110-20*10=-90, delta=10
+    assert b["status"] == "both" and b["rev_delta"] == pytest.approx(10.0)
+    assert b["volume_effect"] == pytest.approx(100.0, abs=1e-6)
+    assert b["price_effect"] == pytest.approx(-90.0, abs=1e-6)
+    assert b["volume_effect"] + b["price_effect"] == pytest.approx(
+        b["rev_delta"], abs=1e-6
+    )
+    c = out["C"]
+    assert c["status"] == "new" and c["volume_effect"] == pytest.approx(50.0)
+    assert c["price_effect"] == 0.0
+
+
+def test_mahalanobis_flags_covariance_breaker(spark):
+    from sqlitedataframe_spark.operators.profiling import mahalanobis_top
+
+    # x and y strongly correlated for 40 keys; one key breaks the
+    # correlation (normal x, absurd y) and must rank first even though
+    # its per-column values are inside the marginal ranges
+    rows = [(f"k{i}", float(i % 20 + 1), float((i % 20 + 1) * 10)) for i in range(40)]
+    rows.append(("odd", 5.0, 195.0))
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = mahalanobis_top(
+        df, "k", F.first("x"), F.first("y"), top=3
+    ).collect()
+    assert out[0]["k"] == "odd"
+
+
+def test_double_ewma_constant_series_is_flat(spark):
+    from sqlitedataframe_spark.operators.profiling import brown_double_ewma
+
+    rows = [(f"2024-01-{d:02d} 00:00:00", 10.0) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = brown_double_ewma(df, "ts", F.sum("value"), decay=0.8).collect()
+    for r in out:
+        assert r["level"] == pytest.approx(10.0, abs=1e-4)
+        assert r["trend"] == pytest.approx(0.0, abs=1e-4)
+        assert r["forecast_next"] == pytest.approx(10.0, abs=1e-4)
+
+
+def test_jl_signs_deterministic_and_balanced():
+    from sqlitedataframe_spark.operators.similarity import jl_signs
+
+    s1 = jl_signs(16, 64)
+    s2 = jl_signs(16, 64)
+    assert s1 == s2
+    flat = [v for row in s1 for v in row]
+    assert set(flat) == {-1, 1}
+    # md5 bits are balanced enough that neither sign exceeds ~65%
+    assert 0.35 < flat.count(1) / len(flat) < 0.65
+
+
+def test_intrinsic_dim_line_is_one_dimensional(spark):
+    from sqlitedataframe_spark.operators.similarity import intrinsic_dim_twonn
+
+    # TwoNN assumes DENSITY sampling (mu = d2/d1 ~ Pareto(ID)); a
+    # deterministic grid makes mu constant and the estimate 1/ln(mu),
+    # not the geometric dimension. Seeded-uniform points on a 1-D line
+    # embedded in 4-D -> estimate ~1.
+    import random as _r
+
+    rng = _r.Random(42)
+    pts = [
+        (i, [rng.random() * 100.0, 0.0, 0.0, 0.0], 0) for i in range(120)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>, label int")
+    r = intrinsic_dim_twonn(df, max_id=120).collect()[0]
+    assert r["n_used"] == 120
+    assert 0.6 < r["intrinsic_dim"] < 1.6
