@@ -752,6 +752,39 @@ def bfs_hops(
     return spark.createDataFrame(out, "hop: int, n_new: bigint")
 
 
+def _degree_oriented_triangles(e: DataFrame) -> DataFrame:
+    """Enumerate every triangle of the normalized undirected edge list
+    ``e`` (u < v by id, distinct) EXACTLY once as (a, b, c) — the
+    compact-forward orientation shared with triangle_count: direct each
+    edge from its lower (degree, id) endpoint to the higher one, form
+    wedges at the orientation-minimal vertex, close against the oriented
+    list. Only the wedge whose legs agree with the closing edge's
+    orientation closes, so no explicit wedge dedup is needed.
+
+    The orientation is the scale story: oriented out-degree is O(sqrt(m))
+    on any graph, so wedge count is bounded even when a hub would emit
+    ~deg^2 wedges under id-ordering.
+    """
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("n").alias("u"), F.col("d").alias("_du"))
+    db = deg.select(F.col("n").alias("v"), F.col("d").alias("_dv"))
+    lower_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(da, "u")
+        .join(db, "v")
+        .filter(lower_first)
+        .select(F.col("u").alias("x"), F.col("v").alias("y"))
+    )
+    w1 = oriented.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    w2 = oriented.select(F.col("x").alias("a"), F.col("y").alias("c"))
+    wedges = w1.join(w2, "a").filter(F.col("b") != F.col("c"))
+    closing = oriented.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    return wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+
+
 def local_clustering_topk(
     edges: DataFrame,
     top: int = 20,
@@ -767,11 +800,12 @@ def local_clustering_topk(
     WHERE).
 
     Exactness: T_v and deg_v are exact integers; the coefficient is one
-    closed-form double. Plan: triangles enumerate once as (a<b<c) via
-    two hash joins over the normalized edge list; per-vertex counts come
-    from a 3-role explode of the triangle stream; top-k is
-    TakeOrderedAndProject. At 100 TB the enumeration cost is the
-    standard oriented-triangle bound (sum of min-degree wedge counts).
+    closed-form double. Plan: triangles enumerate once via the
+    degree-ordered compact-forward join (_degree_oriented_triangles —
+    O(sqrt(m)) oriented out-degree, hub-safe where the id-ordered a<b<c
+    join the oracle uses would emit ~deg^2 wedges at a low-id hub);
+    per-vertex counts come from a 3-role explode of the triangle stream;
+    top-k is TakeOrderedAndProject.
     """
     e = (
         edges.select(
@@ -784,10 +818,7 @@ def local_clustering_topk(
     )
     adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    tri = _degree_oriented_triangles(e)
     roles = F.array(F.col("a"), F.col("b"), F.col("c"))
     per_v = (
         tri.select(F.explode(roles).alias("node"))
@@ -833,14 +864,14 @@ def ktruss_rounds(
     the determinism contract with the unrolled SQL oracle, exactly like
     kcore_rounds.
 
-    Plan per round: one oriented triangle enumeration (two hash joins on
-    the a<b<c edge list — the local_clustering_topk shape, standard
-    O(sum of wedge) bound) and a 3-role explode to per-edge support; the
-    support>=k-2 survivors ARE the next round's edges. Round state
-    references its predecessor three times, so it is
-    localCheckpoint-TRUNCATED with the
-    connected_components block lifecycle; the result rows are
-    driver-local scalars, so all blocks release before return.
+    Plan per round: one degree-ordered compact-forward triangle
+    enumeration (_degree_oriented_triangles — O(sqrt(m)) oriented
+    out-degree, hub-safe) and a 3-role explode to id-normalized per-edge
+    support; the support>=k-2 survivors ARE the next round's edges.
+    Round state references its predecessor several times, so it is
+    localCheckpoint-TRUNCATED with the connected_components block
+    lifecycle; the result rows are driver-local scalars, so all blocks
+    release before return.
     """
     if k < 3:
         raise ValueError(f"k must be >= 3, got {k}")
@@ -861,18 +892,21 @@ def ktruss_rounds(
     out: list[tuple[int, int, int]] = []
     need = k - 2
     for rnd in range(1, rounds + 1):
-        ab = cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        bc = cur.select(F.col("u").alias("b"), F.col("v").alias("c"))
-        ac = cur.select(F.col("u").alias("a"), F.col("v").alias("c"))
-        tri = ab.join(bc, "b").join(ac, ["a", "c"])
+        # degree-ordered enumeration: triangle vertices arrive in
+        # orientation order, so re-normalize each edge to (min, max) by
+        # id before counting support (cur stores edges u < v by id)
+        tri = _degree_oriented_triangles(cur)
+
+        def edge(x: str, y: str):
+            return F.struct(
+                F.least(F.col(x), F.col(y)).alias("u"),
+                F.greatest(F.col(x), F.col(y)).alias("v"),
+            )
+
         sup = (
             tri.select(
                 F.explode(
-                    F.array(
-                        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-                        F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
-                        F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
-                    )
+                    F.array(edge("a", "b"), edge("b", "c"), edge("a", "c"))
                 ).alias("e")
             )
             .select("e.u", "e.v")
