@@ -396,6 +396,7 @@ HEADLINE = [
     "events_periodogram",
     "customer_mahalanobis_top",
     "graph_rich_club",
+    "graph_label_modularity",
 ]
 
 

@@ -1009,3 +1009,118 @@ def rich_club(
     return out.select("k", "n_nodes", "n_edges", phi.alias("rich_club_coef")).orderBy(
         "k"
     )
+
+
+def label_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Newman modularity of a GIVEN node partition (labels), per
+    community and in total: ``Q = sum_c [ e_c/m - (d_c/(2m))^2 ]`` with
+    ``e_c`` within-community edges, ``d_c`` the community degree sum,
+    ``m`` total edges. The does-this-attribute-explain-the-graph test:
+    Q near 0 means the labeling (brand, source, language) is irrelevant
+    to who links to whom; Q >> 0 means the communities are real and the
+    label is a usable blocking key for dedup/linkage.
+
+    Exactness: m, e_c, d_c are exact integers; per-community
+    contributions are closed-form doubles, and the TOTAL row folds the
+    exact integer sums (sum e_c, sum d_c^2) before any division — fully
+    drift-proof. Nodes without a label are dropped from communities but
+    still count in m and in their neighbors' degrees (documented
+    convention; labels joined on the node id).
+
+    Plan: two broadcast-ish label joins onto the slim edge list, one
+    degree aggregate, one 1-row m broadcast onto the #communities frame.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(node_col).alias("n"), F.col(label_col).alias("c")
+    ).distinct()
+    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    m_row = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    tagged = e.join(
+        lab.select(F.col("n").alias("u"), F.col("c").alias("cu")), "u"
+    ).join(lab.select(F.col("n").alias("v"), F.col("c").alias("cv")), "v")
+    within = (
+        tagged.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("within_edges"))
+    )
+    dsum = (
+        deg.join(lab.select(F.col("n").alias("u"), "c"), "u")
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+        )
+    )
+    per = dsum.join(within, "c", "left").select(
+        "c",
+        "n_nodes",
+        F.coalesce(F.col("within_edges"), F.lit(0))
+        .cast("bigint")
+        .alias("within_edges"),
+        "degree_sum",
+    )
+    # both output branches (per-community rows + TOTAL) read this
+    # #communities-row frame; persist so the edge/degree aggregates run
+    # once, not twice (the frame is community-cardinality tiny)
+    per = per.crossJoin(F.broadcast(m_row)).persist()
+    _register_cache(per)
+    md = F.col("m").cast("double")
+    contrib = F.col("within_edges").cast("double") / md - (
+        F.col("degree_sum").cast("double") / (2.0 * md)
+    ) * (F.col("degree_sum").cast("double") / (2.0 * md))
+    rows = per.select(
+        F.col("c").cast("string").alias("community"),
+        "n_nodes",
+        "within_edges",
+        "degree_sum",
+        F.round(contrib + 1e-9, round_dp).alias("contribution"),
+    )
+    tot = (
+        per.groupBy("m")
+        .agg(
+            F.sum("n_nodes").cast("bigint").alias("n_nodes"),
+            F.sum("within_edges").cast("bigint").alias("within_edges"),
+            F.sum("degree_sum").cast("bigint").alias("degree_sum"),
+            F.sum(
+                (
+                    F.col("degree_sum").cast("decimal(38,0)")
+                    * F.col("degree_sum").cast("decimal(38,0)")
+                ).cast("decimal(38,0)")
+            ).alias("_d2"),
+        )
+        .select(
+            F.lit("TOTAL").alias("community"),
+            "n_nodes",
+            "within_edges",
+            "degree_sum",
+            F.round(
+                F.col("within_edges").cast("double")
+                / F.col("m").cast("double")
+                - F.col("_d2").cast("double")
+                / (
+                    (2.0 * F.col("m").cast("double"))
+                    * (2.0 * F.col("m").cast("double"))
+                )
+                + 1e-9,
+                round_dp,
+            ).alias("contribution"),
+        )
+    )
+    return rows.unionByName(tot).orderBy("community")

@@ -104,4 +104,5 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "orders_skyline_customers": "triangular join over the #distinct-order-counts frame (<=64 rows)",
     "events_periodogram": "#days triangular index join + 1-list x 12-harmonic cross",
     "customer_mahalanobis_top": "1-row moments broadcast onto the per-customer frame (Welch shape)",
+    "graph_label_modularity": "1-row edge-count broadcast onto the #communities frame",
 }

@@ -2074,3 +2074,69 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlitedataframe_spark.operators.graph import rich_club
 
     return rich_club(_coorder_edges(spark, sf_dir))
+
+
+@query(
+    "graph_label_modularity",
+    oracle=f"""
+    WITH {_KCORE_EDGES},
+    lab AS (SELECT DISTINCT p_partkey AS n, p_brand AS c FROM part),
+    adj AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+    tg AS (
+      SELECT lu.c AS cu, lv.c AS cv
+      FROM e0 JOIN lab lu ON e0.u = lu.n JOIN lab lv ON e0.v = lv.n),
+    w AS (
+      SELECT cu AS c, CAST(COUNT(*) AS BIGINT) AS within_edges
+      FROM tg WHERE cu = cv GROUP BY 1),
+    ds AS (
+      SELECT lab.c, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(dg.deg) AS BIGINT) AS degree_sum
+      FROM dg JOIN lab ON dg.u = lab.n GROUP BY 1),
+    per AS (
+      SELECT ds.c, ds.n_nodes,
+             CAST(COALESCE(w.within_edges, 0) AS BIGINT) AS within_edges,
+             ds.degree_sum, mm.m
+      FROM ds LEFT JOIN w ON ds.c = w.c CROSS JOIN mm),
+    rows_ AS (
+      SELECT CAST(c AS VARCHAR) AS community, n_nodes, within_edges,
+             degree_sum,
+             ROUND(CAST(within_edges AS DOUBLE) / CAST(m AS DOUBLE)
+                   - (CAST(degree_sum AS DOUBLE)
+                      / (2.0 * CAST(m AS DOUBLE)))
+                     * (CAST(degree_sum AS DOUBLE)
+                        / (2.0 * CAST(m AS DOUBLE))) + 1e-9, 6)
+               AS contribution
+      FROM per),
+    tot AS (
+      SELECT 'TOTAL' AS community,
+             CAST(SUM(n_nodes) AS BIGINT) AS n_nodes,
+             CAST(SUM(within_edges) AS BIGINT) AS within_edges,
+             CAST(SUM(degree_sum) AS BIGINT) AS degree_sum,
+             ROUND(CAST(SUM(within_edges) AS DOUBLE) / CAST(ANY_VALUE(m) AS DOUBLE)
+                   - CAST(SUM(CAST(degree_sum AS HUGEINT)
+                              * CAST(degree_sum AS HUGEINT)) AS DOUBLE)
+                     / ((2.0 * CAST(ANY_VALUE(m) AS DOUBLE))
+                        * (2.0 * CAST(ANY_VALUE(m) AS DOUBLE))) + 1e-9, 6)
+               AS contribution
+      FROM per)
+    SELECT * FROM rows_ UNION ALL SELECT * FROM tot ORDER BY community
+    """,
+)
+def graph_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the p_brand partition over the co-order
+    graph, per community + TOTAL — does the brand attribute explain who
+    co-orders with whom (Q >> 0 means brand is a usable blocking key for
+    dedup/linkage; Q ~ 0 means the communities are fictional).
+
+    operators.graph.label_modularity: exact integer m / e_c / d_c, the
+    TOTAL row folds exact integer sums (sum e_c, sum d_c^2 as
+    DECIMAL(38,0) ⇄ HUGEINT) before any division — drift-proof.
+    """
+    from sqlitedataframe_spark.operators.graph import label_modularity
+
+    part = T(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("label")
+    )
+    return label_modularity(_coorder_edges(spark, sf_dir), part)
