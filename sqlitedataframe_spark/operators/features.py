@@ -158,8 +158,10 @@ def woe_iv(
             "n",
             "n_pos",
             "n_neg",
-            F.round(woe + 1e-9, 6).alias("woe"),
-            F.round((ps - ns) * woe + 1e-9, 6).alias("iv_term"),
+            # + 0.0: signed-zero convention (WOE/IV straddle zero near
+            # uninformative bins; DuckDB ROUND -> -0.0 vs Spark +0.0)
+            (F.round(woe + 1e-9, 6) + 0.0).alias("woe"),
+            (F.round((ps - ns) * woe + 1e-9, 6) + 0.0).alias("iv_term"),
         )
         .orderBy("bin")
     )

@@ -582,8 +582,13 @@ def degree_assortativity(
     )
     return agg.select(
         F.col("m2"),
-        F.round(
-            F.when(den > 0, num / den).otherwise(F.lit(None)) + 1e-9, round_dp
+        # + 0.0: signed-zero convention — assortativity can be a tiny
+        # negative, and DuckDB ROUND would emit -0.0 vs Spark's +0.0
+        (
+            F.round(
+                F.when(den > 0, num / den).otherwise(F.lit(None)) + 1e-9, round_dp
+            )
+            + 0.0
         ).alias("assortativity"),
     )
 
@@ -1090,7 +1095,9 @@ def label_modularity(
         "n_nodes",
         "within_edges",
         "degree_sum",
-        F.round(contrib + 1e-9, round_dp).alias("contribution"),
+        # + 0.0: signed-zero convention — per-community contribution can be
+        # a tiny negative (DuckDB ROUND -> -0.0 vs Spark +0.0)
+        (F.round(contrib + 1e-9, round_dp) + 0.0).alias("contribution"),
     )
     tot = (
         per.groupBy("m")
@@ -1110,16 +1117,19 @@ def label_modularity(
             "n_nodes",
             "within_edges",
             "degree_sum",
-            F.round(
-                F.col("within_edges").cast("double")
-                / F.col("m").cast("double")
-                - F.col("_d2").cast("double")
-                / (
-                    (2.0 * F.col("m").cast("double"))
-                    * (2.0 * F.col("m").cast("double"))
+            (
+                F.round(
+                    F.col("within_edges").cast("double")
+                    / F.col("m").cast("double")
+                    - F.col("_d2").cast("double")
+                    / (
+                        (2.0 * F.col("m").cast("double"))
+                        * (2.0 * F.col("m").cast("double"))
+                    )
+                    + 1e-9,
+                    round_dp,
                 )
-                + 1e-9,
-                round_dp,
+                + 0.0
             ).alias("contribution"),
         )
     )

@@ -305,7 +305,9 @@ def ab_ztest(
             F.col("n_b").cast("bigint").alias("n_b"),
             F.round(F.col("_ma") + 1e-9, round_dp).alias("mean_a"),
             F.round(F.col("_mb") + 1e-9, round_dp).alias("mean_b"),
-            F.round(z + 1e-9, round_dp).alias("z"),
+            # + 0.0: signed-zero convention (tiny-negative z -> -0.0 in
+            # DuckDB ROUND but +0.0 in Spark; driver hash distinguishes)
+            (F.round(z + 1e-9, round_dp) + 0.0).alias("z"),
             (F.abs(z) > z_crit).alias("significant"),
         )
     )
@@ -1812,7 +1814,8 @@ def runs_test(
         "n_below",
         runs.alias("runs"),
         F.round(exp_runs + 1e-9, round_dp).alias("exp_runs"),
-        F.round((runs - exp_runs) / F.sqrt(var) + 1e-9, round_dp).alias("z"),
+        # + 0.0: signed-zero convention (z is signed, can round to -0.0)
+        (F.round((runs - exp_runs) / F.sqrt(var) + 1e-9, round_dp) + 0.0).alias("z"),
     )
 
 
@@ -1972,8 +1975,11 @@ def welch_ttest_onevsrest(
         F.col("n"),
         F.round(m1 + 1e-9, round_dp).alias("mean_grp"),
         F.round(m2 + 1e-9, round_dp).alias("mean_rest"),
-        F.round(F.when(ok, t) + 1e-9, round_dp).alias("t_stat"),
-        F.round(F.when(ok, dof) + 1e-9, round_dp).alias("welch_df"),
+        # + 0.0 after the ROUND: a tiny-negative t rounds to a zero whose
+        # SIGN the engines disagree on (DuckDB ROUND -> -0.0, Spark's
+        # BigDecimal round -> +0.0); IEEE -0.0 + 0.0 = +0.0 in both.
+        (F.round(F.when(ok, t) + 1e-9, round_dp) + 0.0).alias("t_stat"),
+        (F.round(F.when(ok, dof) + 1e-9, round_dp) + 0.0).alias("welch_df"),
     ).orderBy(group_col)
 
 
@@ -2254,9 +2260,10 @@ def mannwhitney_onevsrest(
         F.col("_g").alias(group_col),
         F.col("_n1").alias("n"),
         F.round(u + 1e-9, 2).alias("u_stat"),
-        F.round(F.when(ok, (u - mu) / sigma) + 1e-9, round_dp).alias("z"),
-        F.round(
-            F.when(ok, 2.0 * u / (n1 * n2) - 1.0) + 1e-9, round_dp
+        # + 0.0: signed-zero convention (z / rank-biserial straddle zero)
+        (F.round(F.when(ok, (u - mu) / sigma) + 1e-9, round_dp) + 0.0).alias("z"),
+        (
+            F.round(F.when(ok, 2.0 * u / (n1 * n2) - 1.0) + 1e-9, round_dp) + 0.0
         ).alias("rank_biserial"),
     ).orderBy(group_col)
 
@@ -2331,8 +2338,13 @@ def spearman_by_group(
     return agg.select(
         F.col("_g").alias(group_col),
         "n",
-        F.round(
-            F.when(den > 0, num / den).otherwise(F.lit(None)) + 1e-9, round_dp
+        # + 0.0: signed-zero convention — rho near 0 can round to a zero
+        # whose sign DuckDB and Spark disagree on (the welch lesson)
+        (
+            F.round(
+                F.when(den > 0, num / den).otherwise(F.lit(None)) + 1e-9, round_dp
+            )
+            + 0.0
         ).alias("spearman_rho"),
     ).orderBy(group_col)
 
@@ -2411,7 +2423,8 @@ def brown_double_ewma(
         F.round(F.col("_s1") / 100.0 + 1e-9, round_dp).alias("s1"),
         F.round(F.col("_s2") / 100.0 + 1e-9, round_dp).alias("s2"),
         F.round(lvl / 100.0 + 1e-9, round_dp).alias("level"),
-        F.round(trd / 100.0 + 1e-9, round_dp).alias("trend"),
+        # + 0.0: trend is signed and can cross zero (signed-zero convention)
+        (F.round(trd / 100.0 + 1e-9, round_dp) + 0.0).alias("trend"),
         F.round((lvl + trd) / 100.0 + 1e-9, round_dp).alias("forecast_next"),
     ).orderBy("day")
 

@@ -685,16 +685,22 @@ def seasonal_decompose(
         "year", "month", "revenue", "trend",
         (F.col("revenue") - F.col("trend")).alias("_det"),
     )
+    # + 0.0 on seasonal/residual: both are signed and hover near zero, so a
+    # DuckDB ROUND can mint a -0.0 the driver's hash distinguishes from
+    # Spark's +0.0 (the welch lesson); IEEE -0.0 + 0.0 = +0.0 on both
     seasonal = detrended.groupBy("month").agg(
-        F.round(F.avg("_det") + 1e-9, round_dp).alias("seasonal")
+        (F.round(F.avg("_det") + 1e-9, round_dp) + 0.0).alias("seasonal")
     )
     return (
         detrended.join(F.broadcast(seasonal), "month")
         .select(
             "year", "month", "revenue", "trend", "seasonal",
-            F.round(
-                F.col("revenue") - F.col("trend") - F.col("seasonal") + 1e-9,
-                round_dp,
+            (
+                F.round(
+                    F.col("revenue") - F.col("trend") - F.col("seasonal") + 1e-9,
+                    round_dp,
+                )
+                + 0.0
             ).alias("residual"),
         )
         .orderBy("year", "month")
@@ -808,7 +814,8 @@ def acf_lags(
         pairs.groupBy("lag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.round(F.corr("val", "val2") + 1e-9, round_dp).alias("acf"),
+            # + 0.0: signed-zero convention for signed stats (welch lesson)
+            (F.round(F.corr("val", "val2") + 1e-9, round_dp) + 0.0).alias("acf"),
         )
         .orderBy("lag")
     )
@@ -1013,8 +1020,9 @@ def revenue_bridge(
         money(F.col("r0")).alias("rev_prev"),
         money(F.col("r1")).alias("rev_curr"),
         money(delta_u).alias("rev_delta"),
-        F.round(vol + 1e-9, 4).alias("volume_effect"),
-        F.round(price + 1e-9, 4).alias("price_effect"),
+        # + 0.0: signed-zero convention (effects straddle zero)
+        (F.round(vol + 1e-9, 4) + 0.0).alias("volume_effect"),
+        (F.round(price + 1e-9, 4) + 0.0).alias("price_effect"),
     ).orderBy("year_to", "brand")
 
 

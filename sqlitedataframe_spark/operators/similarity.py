@@ -870,6 +870,15 @@ def _pq_subvectors(
         lambda x: F.round(x * scale).cast("bigint"),
     )
     base = emb.select(F.col(id_col).alias("_id"), iv.alias("_iv"))
+    # fail loudly on a non-divisible dimension: size/m cast to int would
+    # silently DROP the trailing coordinates of every vector (and diverge
+    # from the oracle, which assumes an exact split)
+    probe = base.select(F.size("_iv").alias("d")).limit(1).collect()
+    if probe and probe[0]["d"] % m != 0:
+        raise ValueError(
+            f"_pq_subvectors: embedding dimension {probe[0]['d']} is not "
+            f"divisible by m={m}; trailing coordinates would be dropped"
+        )
     dim_expr = F.size("_iv") / m
     subs = F.array(
         *[

@@ -104,22 +104,41 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_sdf_pkg_shipped", False):
         return
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
+    # Key the zip on a content hash of the package sources, NOT the driver
+    # PID: PID reuse (or a leftover temp file from an older checkout) would
+    # silently ship a stale copy of the package to executors.
+    sources = []
+    for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                sources.append(os.path.join(dirpath, fn))
+    sources.sort()
+    h = hashlib.sha256()
+    for full in sources:
+        h.update(os.path.relpath(full, root).encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
     zpath = os.path.join(
-        tempfile.gettempdir(), f"sqlitedataframe_spark_pkg_{os.getpid()}.zip"
+        tempfile.gettempdir(),
+        f"sqlitedataframe_spark_pkg_{h.hexdigest()[:16]}.zip",
     )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-            for dirpath, _dirnames, filenames in os.walk(pkg_dir):
-                for fn in filenames:
-                    if not fn.endswith(".py"):
-                        continue
-                    full = os.path.join(dirpath, fn)
-                    zf.write(full, os.path.relpath(full, root))
+        # write-then-rename so a concurrent driver never addPyFiles a
+        # half-written zip
+        fd, tmp = tempfile.mkstemp(
+            suffix=".zip", dir=tempfile.gettempdir()
+        )
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for full in sources:
+                zf.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zpath)
     try:
         sc.addPyFile(zpath)
     except Exception:

@@ -135,9 +135,9 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(stddev_samp(l_quantity) + 1e-9, 4)                     AS sd_qty,
            ROUND(var_samp(l_extendedprice) + 1e-9, 2)                   AS var_price,
-           ROUND(corr(l_extendedprice, l_quantity) + 1e-9, 4)           AS corr_price_qty,
-           ROUND(covar_samp(l_extendedprice, l_quantity) + 1e-9, 2)     AS cov_price_qty,
-           ROUND(skewness(l_discount) + 1e-9, 4)                        AS skew_disc
+           ROUND(corr(l_extendedprice, l_quantity) + 1e-9, 4) + 0.0     AS corr_price_qty,
+           ROUND(covar_samp(l_extendedprice, l_quantity) + 1e-9, 2) + 0.0 AS cov_price_qty,
+           ROUND(skewness(l_discount) + 1e-9, 4) + 0.0                  AS skew_disc
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -158,10 +158,13 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.stddev_samp("l_quantity") + 1e-9, 4).alias("sd_qty"),
             F.round(F.var_samp("l_extendedprice") + 1e-9, 2).alias("var_price"),
-            F.round(F.corr("l_extendedprice", "l_quantity") + 1e-9, 4).alias(
+            # signed stats get `ROUND(...) + 0.0` on BOTH sides: a tiny
+            # negative rounds to -0.0 in DuckDB but +0.0 in Spark, and the
+            # driver's hash distinguishes the two (the welch r7/r8 lesson)
+            (F.round(F.corr("l_extendedprice", "l_quantity") + 1e-9, 4) + 0.0).alias(
                 "corr_price_qty"
             ),
-            F.round(F.covar_samp("l_extendedprice", "l_quantity") + 1e-9, 2).alias(
+            (F.round(F.covar_samp("l_extendedprice", "l_quantity") + 1e-9, 2) + 0.0).alias(
                 "cov_price_qty"
             ),
             F.skewness("l_discount").alias("g1"),
@@ -173,7 +176,7 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_price",
             "corr_price_qty",
             "cov_price_qty",
-            F.round(F.col("g1") * g1_to_G1 + 1e-9, 4).alias("skew_disc"),
+            (F.round(F.col("g1") * g1_to_G1 + 1e-9, 4) + 0.0).alias("skew_disc"),
         )
         .orderBy("l_returnflag")
     )
@@ -336,9 +339,9 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr_covar",
     oracle="""
     SELECT l_linestatus,
-           ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS corr_qty_price,
-           ROUND(covar_pop(l_quantity, l_discount) + 1e-9, 6) AS covar_qty_disc,
-           ROUND(covar_samp(l_quantity, l_discount) + 1e-9, 6) AS covars_qty_disc
+           ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 6) + 0.0 AS corr_qty_price,
+           ROUND(covar_pop(l_quantity, l_discount) + 1e-9, 6) + 0.0 AS covar_qty_disc,
+           ROUND(covar_samp(l_quantity, l_discount) + 1e-9, 6) + 0.0 AS covars_qty_disc
     FROM lineitem
     GROUP BY l_linestatus
     ORDER BY l_linestatus
@@ -351,13 +354,14 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_linestatus")
         .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice") + 1e-9, 6).alias(
+            # + 0.0 after ROUND: signed-zero convention (see agg_stats_moments)
+            (F.round(F.corr("l_quantity", "l_extendedprice") + 1e-9, 6) + 0.0).alias(
                 "corr_qty_price"
             ),
-            F.round(F.covar_pop("l_quantity", "l_discount") + 1e-9, 6).alias(
+            (F.round(F.covar_pop("l_quantity", "l_discount") + 1e-9, 6) + 0.0).alias(
                 "covar_qty_disc"
             ),
-            F.round(F.covar_samp("l_quantity", "l_discount") + 1e-9, 6).alias(
+            (F.round(F.covar_samp("l_quantity", "l_discount") + 1e-9, 6) + 0.0).alias(
                 "covars_qty_disc"
             ),
         )

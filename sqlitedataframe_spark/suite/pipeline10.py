@@ -430,11 +430,11 @@ def eval_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_pos AS BIGINT) AS n_pos,
            CAST(n_neg AS BIGINT) AS n_neg,
            ROUND(LN(((n_pos + 0.5) / (p + 0.5 * b))
-                    / ((n_neg + 0.5) / (nn + 0.5 * b))) + 1e-9, 6) AS woe,
+                    / ((n_neg + 0.5) / (nn + 0.5 * b))) + 1e-9, 6) + 0.0 AS woe,
            ROUND(((n_pos + 0.5) / (p + 0.5 * b)
                   - (n_neg + 0.5) / (nn + 0.5 * b))
                  * LN(((n_pos + 0.5) / (p + 0.5 * b))
-                      / ((n_neg + 0.5) / (nn + 0.5 * b))) + 1e-9, 6)
+                      / ((n_neg + 0.5) / (nn + 0.5 * b))) + 1e-9, 6) + 0.0
              AS iv_term
     FROM per, tot ORDER BY bin
     """,

@@ -88,7 +88,7 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags AS (SELECT CAST(UNNEST(range(1, 8)) AS INT) AS lag)
     SELECT lag,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(corr(a.val, b.val) + 1e-9, 4) AS acf
+           ROUND(corr(a.val, b.val) + 1e-9, 4) + 0.0 AS acf
     FROM daily a JOIN lags ON TRUE
     JOIN daily b ON b.d = a.d + lag
     GROUP BY lag ORDER BY lag
@@ -149,7 +149,7 @@ def orders_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sqrt((2.0 * n_above * n_below
                          * (2.0 * n_above * n_below - n_days))
                         / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
-                           * (CAST(n_days AS DOUBLE) - 1.0))) + 1e-9, 4)
+                           * (CAST(n_days AS DOUBLE) - 1.0))) + 1e-9, 4) + 0.0
              AS z
     FROM counts CROSS JOIN chg
     """,

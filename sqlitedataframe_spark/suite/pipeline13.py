@@ -157,7 +157,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
                               - CAST(sx AS DOUBLE) * sx)
                              * (CAST(m2 AS DOUBLE) * sy2
                                 - CAST(sy AS DOUBLE) * sy))
-                 END + 1e-9, 6) AS assortativity
+                 END + 1e-9, 6) + 0.0 AS assortativity
     FROM a
     """,
 )
@@ -775,13 +775,15 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT grp AS event_type, n,
            ROUND(m1 + 1e-9, 4) AS mean_grp,
            ROUND(m2 + 1e-9, 4) AS mean_rest,
+           -- + 0.0 de-signs the zero: DuckDB ROUND(-6.6e-6,4) -> -0.0 while
+           -- Spark's BigDecimal round -> +0.0; IEEE -0.0 + 0.0 = +0.0
            ROUND(CASE WHEN ok THEN (m1 - m2) / sqrt(v1 / n1 + v2 / n2) END
-                 + 1e-9, 4) AS t_stat,
+                 + 1e-9, 4) + 0.0 AS t_stat,
            ROUND(CASE WHEN ok THEN
                  (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
                  / ((v1 / n1) * (v1 / n1) / (n1 - 1)
                     + (v2 / n2) * (v2 / n2) / (n2 - 1)) END
-                 + 1e-9, 4) AS welch_df
+                 + 1e-9, 4) + 0.0 AS welch_df
     FROM f ORDER BY event_type
     """,
 )

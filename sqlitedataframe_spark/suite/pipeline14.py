@@ -138,9 +138,9 @@ def profile_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g AS event_type, n1 AS n,
            ROUND(u + 1e-9, 2) AS u_stat,
            ROUND(CASE WHEN okc AND sigma > 0
-                 THEN (u - n1d * n2d / 2.0) / sigma END + 1e-9, 4) AS z,
+                 THEN (u - n1d * n2d / 2.0) / sigma END + 1e-9, 4) + 0.0 AS z,
            ROUND(CASE WHEN okc AND sigma > 0
-                 THEN 2.0 * u / (n1d * n2d) - 1.0 END + 1e-9, 4)
+                 THEN 2.0 * u / (n1d * n2d) - 1.0 END + 1e-9, 4) + 0.0
              AS rank_biserial
     FROM s ORDER BY event_type
     """,
@@ -207,7 +207,7 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS den
       FROM agg)
     SELECT g AS l_returnflag, n,
-           ROUND(CASE WHEN den > 0 THEN num / den END + 1e-9, 6)
+           ROUND(CASE WHEN den > 0 THEN num / den END + 1e-9, 6) + 0.0
              AS spearman_rho
     FROM d ORDER BY l_returnflag
     """,
@@ -1322,7 +1322,7 @@ def multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(v1 / 100.0 + 1e-9, 4) AS s1,
            ROUND(v2 / 100.0 + 1e-9, 4) AS s2,
            ROUND(lvl / 100.0 + 1e-9, 4) AS level,
-           ROUND(trd / 100.0 + 1e-9, 4) AS trend,
+           ROUND(trd / 100.0 + 1e-9, 4) + 0.0 AS trend,
            ROUND((lvl + trd) / 100.0 + 1e-9, 4) AS forecast_next
     FROM f ORDER BY day
     """,
@@ -1408,7 +1408,12 @@ def _bfs_oracle(rounds: int = 6) -> str:
             f"""v{r} AS MATERIALIZED (
       SELECT node FROM v{r - 1} UNION SELECT node FROM f{r})"""
         )
-    selects = ["SELECT 0 AS hop, CAST(1 AS BIGINT) AS n_new"]
+    # hop-0 guarded on the seed existing: operators.graph.bfs_hops returns
+    # an EMPTY frame on an empty edge set, and the oracle must mirror that
+    selects = [
+        "SELECT 0 AS hop, CAST(1 AS BIGINT) AS n_new"
+        " WHERE EXISTS (SELECT 1 FROM f0)"
+    ]
     for r in range(1, rounds + 1):
         guard = (
             f"WHERE (SELECT COUNT(*) FROM f{r - 1}) > 0" if r >= 2 else ""
@@ -1472,10 +1477,12 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-1 coefficient on a high-degree node = spam ring / template
     cluster membership).
 
-    operators.graph.local_clustering_topk: oriented (a<b<c) triangle
-    enumeration via two hash joins, 3-role explode for per-vertex
-    counts, exact integers + one closed-form double,
-    TakeOrderedAndProject.
+    operators.graph.local_clustering_topk: degree-ordered compact-forward
+    triangle enumeration (edges oriented low-degree -> high-degree, so
+    oriented out-degree is O(sqrt m) and hub-skewed graphs cannot emit
+    deg^2 wedges; only the ORACLE uses the simple a<b<c orientation),
+    3-role explode for per-vertex counts, exact integers + one
+    closed-form double, TakeOrderedAndProject.
     """
     from sqlitedataframe_spark.operators.graph import local_clustering_topk
 
@@ -1635,13 +1642,13 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHEN q1 IS NULL THEN -(CAST(r0 AS DOUBLE) / 10000.0)
                       ELSE ((CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
                             * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)))
-                           / 10000.0 END + 1e-9, 4) AS volume_effect,
+                           / 10000.0 END + 1e-9, 4) + 0.0 AS volume_effect,
            ROUND(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
                       THEN (CAST(r1 AS DOUBLE)
                             - (CAST(q1 AS DOUBLE)
                                * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))))
                            / 10000.0
-                      ELSE 0.0 END + 1e-9, 4) AS price_effect
+                      ELSE 0.0 END + 1e-9, 4) + 0.0 AS price_effect
     FROM f ORDER BY year_to, brand
     """,
 )
@@ -2106,7 +2113,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - (CAST(degree_sum AS DOUBLE)
                       / (2.0 * CAST(m AS DOUBLE)))
                      * (CAST(degree_sum AS DOUBLE)
-                        / (2.0 * CAST(m AS DOUBLE))) + 1e-9, 6)
+                        / (2.0 * CAST(m AS DOUBLE))) + 1e-9, 6) + 0.0
                AS contribution
       FROM per),
     tot AS (
@@ -2118,7 +2125,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - CAST(SUM(CAST(degree_sum AS HUGEINT)
                               * CAST(degree_sum AS HUGEINT)) AS DOUBLE)
                      / ((2.0 * CAST(ANY_VALUE(m) AS DOUBLE))
-                        * (2.0 * CAST(ANY_VALUE(m) AS DOUBLE))) + 1e-9, 6)
+                        * (2.0 * CAST(ANY_VALUE(m) AS DOUBLE))) + 1e-9, 6) + 0.0
                AS contribution
       FROM per)
     SELECT * FROM rows_ UNION ALL SELECT * FROM tot ORDER BY community

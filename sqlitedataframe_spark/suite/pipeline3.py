@@ -434,7 +434,8 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang,
            ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
-                 / (STDDEV_SAMP(n_chars) OVER (PARTITION BY lang)) + 1e-9, 4) AS z
+                 / (STDDEV_SAMP(n_chars) OVER (PARTITION BY lang)) + 1e-9, 4)
+             + 0.0 AS z
     FROM documents ORDER BY doc_id
     """,
 )
@@ -459,7 +460,8 @@ def pandas_zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu = pdf["n_chars"].mean()
         sd = pdf["n_chars"].std(ddof=1)
         out = pdf[["doc_id", "lang"]].copy()
-        out["z"] = ((pdf["n_chars"] - mu) / sd + 1e-9).round(4)
+        # + 0.0 de-signs any -0.0 from numpy's round (signed-zero convention)
+        out["z"] = ((pdf["n_chars"] - mu) / sd + 1e-9).round(4) + 0.0
         return out
 
     return (

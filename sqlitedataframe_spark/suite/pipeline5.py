@@ -1023,7 +1023,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(a.mean + 1e-9, 4) AS mean_a,
            ROUND(b.mean + 1e-9, 4) AS mean_b,
            ROUND((a.mean - b.mean) / sqrt(a.v / a.n + b.v / b.n) + 1e-9, 4)
-             AS z,
+             + 0.0 AS z,
            (abs((a.mean - b.mean) / sqrt(a.v / a.n + b.v / b.n)) > 1.96)
              AS significant
     FROM s a JOIN s b

@@ -896,10 +896,10 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2, 3 HAVING COUNT(*) = 13),
     dt AS (SELECT year, month, revenue, trend,
                   revenue - trend AS det FROM tr),
-    se AS (SELECT month, ROUND(AVG(det) + 1e-9, 2) AS seasonal
+    se AS (SELECT month, ROUND(AVG(det) + 1e-9, 2) + 0.0 AS seasonal
            FROM dt GROUP BY 1)
     SELECT dt.year, dt.month, dt.revenue, dt.trend, se.seasonal,
-           ROUND(dt.revenue - dt.trend - se.seasonal + 1e-9, 2) AS residual
+           ROUND(dt.revenue - dt.trend - se.seasonal + 1e-9, 2) + 0.0 AS residual
     FROM dt JOIN se USING (month) ORDER BY year, month
     """,
 )

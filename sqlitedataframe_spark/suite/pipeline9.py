@@ -669,7 +669,7 @@ def embed_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     slopes AS (
       SELECT (b.rev - a.rev) / (b.idx - a.idx) AS s
       FROM m a JOIN m b ON b.idx > a.idx)
-    SELECT ROUND(quantile_cont(s, 0.5) + 1e-9, 2) AS ts_slope,
+    SELECT ROUND(quantile_cont(s, 0.5) + 1e-9, 2) + 0.0 AS ts_slope,
            CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_months,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM slopes
@@ -702,7 +702,8 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nm = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
     return slopes.join(F.broadcast(nm)).agg(
-        F.round(F.percentile("s", F.lit(0.5)) + 1e-9, 2).alias("ts_slope"),
+        # + 0.0: signed-zero convention (slope can be a tiny negative)
+        (F.round(F.percentile("s", F.lit(0.5)) + 1e-9, 2) + 0.0).alias("ts_slope"),
         F.max("n_months").alias("n_months"),
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
     )

@@ -35,6 +35,12 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # -0.0 is a DISTINCT cell: the driver's hash distinguishes it from
+        # +0.0 (DuckDB ROUND of a tiny negative yields -0.0, Spark's
+        # BigDecimal round yields +0.0), so the local gate must too —
+        # collapsing both to "0" hid the events_welch_ttest r7/r8 red.
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))
