@@ -397,6 +397,14 @@ HEADLINE = [
     "customer_mahalanobis_top",
     "graph_rich_club",
     "graph_label_modularity",
+    # round 9 wave
+    "lineitem_kendall_tau",
+    "retrieval_rank_agreement",
+    "retrieval_rerank_features",
+    "dedup_lcs_spans",
+    "embed_source_whitening",
+    "embed_abtt_projections",
+    "events_poisson_rate",
 ]
 
 

@@ -982,6 +982,91 @@ def containment_pairs(
     )
 
 
+def lcs_span_stats(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+    stride: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Longest-common-substring ESTIMATE for candidate document pairs —
+    the suffix-automaton-free span measure that upgrades an LSH
+    candidate list (resemblance: "these two look alike") into the
+    ExactSubstr-style evidence ("they share one contiguous ~N-char
+    span") that decides quote/boilerplate vs true rewrite.
+
+    Method — diagonal anchor runs: both documents are cut into length-
+    ``k`` char windows every ``stride`` chars (shared with
+    :func:`substring_span_stats`; windows hash map-side, text never
+    shuffles). Equal-hash windows across a candidate pair are ANCHORS
+    (pos_a, pos_b); a common substring of length L lays its anchors on
+    one DIAGONAL (pos_a - pos_b constant) at consecutive lattice
+    positions, so the longest run of stride-consecutive anchors on a
+    diagonal estimates L as k + (run - 1) * stride (within a stride of
+    truth; both engines compute the identical integer).
+
+    Scale shape: shingles are semi-joined to the pair population first,
+    the anchor join keys on (id_b, hash) after fanning pairs over doc
+    A's slim (id, pos, digest) stream, run detection is the arithmetic
+    grouping trick pos - row_number * stride (one window PARTITIONED BY
+    (pair, diagonal) — bounded partitions, never a global sort), and
+    every output is an exact integer except the final ratio (one
+    division of exact integers). No text moves after the scan stage.
+
+    Returns (id_a, id_b, n_anchors, n_diags, lcs_est, lcs_ratio) with
+    lcs_ratio = lcs_est / min(len_a, len_b).
+
+    Reference parity: no span surface exists in SQLiteDataFrame.swift
+    (the bridge delegates queries to SQLite); Tier-D extension per
+    Lee et al. 2021's ExactSubstr motivation.
+    """
+    ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .union(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sh = _char_shingles(df, id_col, text_col, k, stride).join(
+        ids, "_id", "left_semi"
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("pos").alias("_pa"), "_h")
+    b = sh.select(F.col("_id").alias("id_b"), F.col("pos").alias("_pb"), "_h")
+    anchors = pairs.select("id_a", "id_b").join(a, "id_a").join(
+        b, ["id_b", "_h"]
+    ).select("id_a", "id_b", "_pa", "_pb", (F.col("_pa") - F.col("_pb")).alias("_diag"))
+    w = Window.partitionBy("id_a", "id_b", "_diag").orderBy("_pa")
+    runs = (
+        anchors.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_grp", F.col("_pa") - F.col("_rn") * stride)
+        .groupBy("id_a", "id_b", "_diag", "_grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_run"))
+    )
+    per_pair = runs.groupBy("id_a", "id_b").agg(
+        F.sum("_run").cast("bigint").alias("n_anchors"),
+        F.count_distinct("_diag").cast("bigint").alias("n_diags"),
+        (F.lit(k) + (F.max("_run") - 1) * stride).cast("bigint").alias("lcs_est"),
+    )
+    lens = df.select(
+        F.col(id_col).alias("_id"), F.length(text_col).cast("bigint").alias("_len")
+    )
+    return (
+        per_pair.join(lens.withColumnRenamed("_id", "id_a").withColumnRenamed("_len", "_la"), "id_a")
+        .join(lens.withColumnRenamed("_id", "id_b").withColumnRenamed("_len", "_lb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_anchors",
+            "n_diags",
+            "lcs_est",
+            F.round(
+                F.col("lcs_est") / F.least("_la", "_lb") + 1e-9, round_dp
+            ).alias("lcs_ratio"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def prefix_suffix_groups(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -2349,6 +2349,171 @@ def spearman_by_group(
     ).orderBy(group_col)
 
 
+def kendall_tau_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact Kendall's tau-b of two INTEGER-VALUED columns within each
+    group — the rank-stats family's missing member next to
+    :func:`spearman_by_group` and :func:`mannwhitney_onevsrest`: unlike
+    Spearman it counts pairwise order agreements directly, so it is the
+    statistic of record for small-grid ordinal data (ratings, bucketed
+    scores) where Spearman's midranks wash out.
+
+    Scale shape — the contingency-grid trick instead of the O(n log n)
+    merge-sort inversion count (which needs a global sort, the
+    audit-banned shape): collapse the data ONCE to per-(group, x, y)
+    cell counts (map-side combine; cells are bounded by the value GRID,
+    not the row count — quantity 1..50 x discount 0..10 is 550 cells per
+    group at ANY data scale), then classify every unordered cell pair
+    with one group-keyed equi-join over the tiny cell frame:
+
+      concordant   (x_a - x_b)(y_a - y_b) > 0  ->  C += n_a * n_b
+      discordant   (x_a - x_b)(y_a - y_b) < 0  ->  D += n_a * n_b
+      x-tie / y-tie pairs feed the tau-b denominator corrections.
+
+    Exactness (the welch lesson, applied from birth): C, D and the tie
+    terms are pure integer counts summed in DECIMAL(38,0) (pair counts
+    reach n^2/2, past int64 at corpus scale), so every engine and
+    partition layout produces identical integers; tau-b goes double only
+    in the final closed form, and the ROUND output carries the `+ 0.0`
+    signed-zero convention (tau straddles zero).
+
+    tau_b = (C - D) / sqrt((n0 - n1) * (n0 - n2)), with n0 = n(n-1)/2,
+    n1 = sum_x t_x(t_x-1)/2, n2 = sum_y u_y(u_y-1)/2.
+
+    The reference has no rank-correlation surface (SQLiteDataFrame.swift
+    delegates all analytics to SQLite, which ships neither corr nor
+    tau); Tier-D extension.
+    """
+    cells = (
+        df.groupBy(
+            F.col(group_col).alias("_g"),
+            F.col(x_col).cast("bigint").alias("_x"),
+            F.col(y_col).cast("bigint").alias("_y"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    # unordered cell pairs, lexicographic (x, y) guard so each pair counts
+    # once; the join key is the GROUP (equi/hash join) and the pair space
+    # is grid^2 per group — input-size-independent
+    pair_lex = (F.col("a._x") < F.col("b._x")) | (
+        (F.col("a._x") == F.col("b._x")) & (F.col("a._y") < F.col("b._y"))
+    )
+    prod = (F.col("a._n").cast("decimal(38,0)") * F.col("b._n")).cast(
+        "decimal(38,0)"
+    )
+    sgn = (F.col("a._x") - F.col("b._x")) * (F.col("a._y") - F.col("b._y"))
+    pairs = (
+        a.join(b, F.col("a._g") == F.col("b._g"))
+        .filter(pair_lex)
+        .groupBy(F.col("a._g").alias("_g"))
+        .agg(
+            F.sum(F.when(sgn > 0, prod).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("_c"),
+            F.sum(F.when(sgn < 0, prod).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("_d"),
+        )
+    )
+    dec2 = lambda c: (c.cast("decimal(38,0)") * (c - 1) / 2).cast("decimal(38,0)")  # noqa: E731
+    n_tot = cells.groupBy("_g").agg(F.sum("_n").cast("bigint").alias("_nn"))
+    tx = (
+        cells.groupBy("_g", "_x")
+        .agg(F.sum("_n").cast("bigint").alias("_t"))
+        .groupBy("_g")
+        .agg(F.sum(dec2(F.col("_t"))).alias("_n1"))
+    )
+    uy = (
+        cells.groupBy("_g", "_y")
+        .agg(F.sum("_n").cast("bigint").alias("_u"))
+        .groupBy("_g")
+        .agg(F.sum(dec2(F.col("_u"))).alias("_n2"))
+    )
+    j = (
+        n_tot.join(pairs, "_g", "left")
+        .join(tx, "_g")
+        .join(uy, "_g")
+        .na.fill(0, ["_c", "_d"])
+    )
+    n0 = (
+        F.col("_nn").cast("decimal(38,0)") * (F.col("_nn") - 1) / 2
+    ).cast("decimal(38,0)")
+    den = F.sqrt(
+        (n0 - F.col("_n1")).cast("double") * (n0 - F.col("_n2")).cast("double")
+    )
+    num = (F.col("_c") - F.col("_d")).cast("double")
+    return j.select(
+        F.col("_g").alias(group_col),
+        F.col("_nn").alias("n"),
+        # internal sums are decimal(38,0) (pair counts pass int64 at corpus
+        # scale); the OUTPUT casts to bigint so both engines hash the same
+        # integer rendering — n(n-1)/2 < 2^63 up to ~4e9 rows per group
+        (F.col("_c") - F.col("_d")).cast("bigint").alias("c_minus_d"),
+        # + 0.0: signed-zero convention (tau straddles zero)
+        (F.round(F.when(den > 0, num / den) + 1e-9, round_dp) + 0.0).alias(
+            "tau_b"
+        ),
+    ).orderBy(group_col)
+
+
+def poisson_rate_shift(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Two-Poisson rate-shift test per group: split the observation
+    window at its midpoint and test whether each group's event RATE
+    changed between the halves — the conditional test (Przyborowski &
+    Wilenski): under H0, n_first | total ~ Binomial(total, 1/2), so
+    z = (n_first - n_second) / sqrt(n_first + n_second). The volume
+    monitor that catches a feed going quiet or doubling, per segment,
+    without any distributional assumption on values.
+
+    Exactness: the midpoint is INTEGER epoch-microsecond arithmetic
+    (lo + (hi - lo) / 2 floored) computed once from one min/max
+    aggregate and broadcast; the halves are integer counts; z and the
+    rate ratio go double only in the final projection. z carries the
+    `+ 0.0` signed-zero convention.
+
+    Plan: two aggregates (1-row bounds, then per-group conditional
+    counts off one scan), one broadcast join — no window, no shuffle
+    beyond the group-by exchange.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    bounds = df.agg(
+        F.min(us).alias("_lo"), F.max(us).alias("_hi")
+    ).select(
+        (F.col("_lo") + F.floor((F.col("_hi") - F.col("_lo")) / 2)).alias("_mid")
+    )
+    counted = (
+        df.join(F.broadcast(bounds))
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.sum((us < F.col("_mid")).cast("int")).cast("bigint").alias("n_first"),
+            F.sum((us >= F.col("_mid")).cast("int")).cast("bigint").alias("n_second"),
+        )
+    )
+    n1 = F.col("n_first").cast("double")
+    n2 = F.col("n_second").cast("double")
+    ok = (F.col("n_first") + F.col("n_second")) > 0
+    return counted.select(
+        F.col("_g").alias(group_col),
+        "n_first",
+        "n_second",
+        F.round(F.when(F.col("n_second") > 0, n1 / n2) + 1e-9, round_dp).alias(
+            "rate_ratio"
+        ),
+        # + 0.0: signed-zero convention (z straddles zero by construction)
+        (
+            F.round(F.when(ok, (n1 - n2) / F.sqrt(n1 + n2)) + 1e-9, round_dp)
+            + 0.0
+        ).alias("z"),
+    ).orderBy(group_col)
+
+
 def brown_double_ewma(
     df: DataFrame,
     time_col: str,

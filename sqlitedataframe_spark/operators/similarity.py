@@ -500,6 +500,141 @@ def top_component(
     )
 
 
+def whitening_params(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group DIAGONAL whitening parameter table: for every
+    (group, dimension), the mean, standard deviation, and share of the
+    group's total per-dimension variance — the broadcastable model a
+    100 TB pipeline applies as z = (x - mean) / sd to normalize each
+    source's embedding distribution before mixing sources (per-source
+    whitening: retrieval and dedup thresholds tuned on one source
+    transfer to another only after their embedding clouds are brought
+    to a common scale), and the anisotropy diagnostic on its own
+    (var_share far from 1/dim = a rogue dimension dominating one feed).
+
+    Exactness (the welch recipe): coordinates quantize once to
+    round(x * scale) integers; per-(group, dim) n / sum / sum-of-squares
+    accumulate in DECIMAL(38,0), so every engine and partition layout
+    produces identical integers. mean and sd go double only in the final
+    closed form; var_share is a ratio of EXACT integer variance
+    numerators (q*n - s^2, summed exactly over the group's dims), so
+    even the share is drift-proof. Means carry the `+ 0.0` signed-zero
+    convention (they straddle zero).
+
+    Plan shape: one posexplode inside the scan (n*dim slim rows,
+    map-side partial combine to #groups*dim cells before the exchange),
+    one #groups*dim-sized self-aggregation for the group totals,
+    broadcast-joined back. Output is model-sized: #groups * dim rows.
+    """
+    iv = F.transform(
+        as_double(vec_col), lambda x: F.round(x * scale).cast("bigint")
+    )
+    e = df.select(
+        F.col(group_col).alias("_g"), F.posexplode(iv).alias("dim", "_xi")
+    )
+    ivd = F.col("_xi").cast("decimal(38,0)")
+    cells = e.groupBy("_g", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(ivd).alias("_s"),
+        F.sum(ivd * F.col("_xi")).alias("_q"),
+    )
+    # exact integer variance numerator: q*n - s^2 (decimal arithmetic)
+    vnum = (
+        F.col("_q") * F.col("n") - F.col("_s") * F.col("_s")
+    ).cast("decimal(38,0)")
+    cells = cells.withColumn("_vnum", vnum)
+    tot = cells.groupBy("_g").agg(F.sum("_vnum").alias("_vtot"))
+    nn = F.col("n").cast("double")
+    mean = F.col("_s").cast("double") / scale / nn
+    var = F.col("_vnum").cast("double") / (scale * float(scale)) / (nn * (nn - 1.0))
+    return (
+        cells.join(F.broadcast(tot), "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            # + 0.0: signed-zero convention (per-dim means straddle zero)
+            (F.round(mean + 1e-9, round_dp) + 0.0).alias("mean"),
+            F.round(F.sqrt(var) + 1e-9, round_dp).alias("sd"),
+            F.round(
+                F.col("_vnum").cast("double") / F.col("_vtot").cast("double")
+                + 1e-9,
+                round_dp,
+            ).alias("var_share"),
+        )
+        .orderBy(group_col, "dim")
+    )
+
+
+def abtt_projections(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    iters: int = 3,
+    top: int = 20,
+    round_dp: int = 6,
+) -> DataFrame:
+    """All-but-the-top (Mu & Viswanath, ICLR 2018) projection screen:
+    project every vector onto the corpus's top principal direction
+    (:func:`top_component` — distributed Gram build + deterministic
+    rounded power iteration) and report the ``top`` vectors most
+    dominated by it, with the residual norm each would keep after the
+    common-direction removal. The embedding post-processing step that
+    fixes anisotropic encoder outputs before cosine search — and, as a
+    screen, the detector for vectors that are ~pure common direction
+    (boilerplate / collapsed encodings contributing nothing to
+    retrieval).
+
+    Determinism: the component is a pure function of the data (rounded
+    Gram cells, rounded iterates); projection and norm are FIXED-ORDER
+    folds over the array (identical IEEE sequence both engines);
+    ordering is on the pre-rounded |projection| with the id tiebreak.
+    Plan: one data-sized Gram aggregate (dim^2-cell shuffle), one scan
+    with two array folds against the 64-float broadcast literal, one
+    TakeOrderedAndProject. proj carries `+ 0.0` (signed).
+    """
+    comp = top_component(df, vec_col, dim=dim, iters=iters, round_dp=round_dp)
+    u = [0.0] * dim
+    for r in comp.collect():
+        u[r["pos"] - 1] = float(r["loading"])
+    ulit = F.array(*[F.lit(x) for x in u])
+    v = as_double(vec_col)
+    proj = F.aggregate(
+        F.zip_with(v, ulit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    norm2 = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, t: acc + t
+    )
+    scored = df.select(
+        F.col(id_col),
+        proj.alias("_proj"),
+        norm2.alias("_n2"),
+    )
+    return (
+        scored.select(
+            id_col,
+            (F.round(F.col("_proj") + 1e-9, round_dp) + 0.0).alias("proj"),
+            F.round(
+                F.sqrt(F.greatest(F.lit(0.0), F.col("_n2") - F.col("_proj") * F.col("_proj")))
+                + 1e-9,
+                round_dp,
+            ).alias("resid_norm"),
+            F.round(F.abs("_proj") + 1e-9, round_dp).alias("_absp"),
+        )
+        .orderBy(F.col("_absp").desc(), id_col)
+        .limit(top)
+        .drop("_absp")
+    )
+
+
 def label_centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

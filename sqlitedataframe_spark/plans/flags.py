@@ -105,4 +105,8 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "events_periodogram": "#days triangular index join + 1-list x 12-harmonic cross",
     "customer_mahalanobis_top": "1-row moments broadcast onto the per-customer frame (Welch shape)",
     "graph_label_modularity": "1-row edge-count broadcast onto the #communities frame",
+    # --- round-9 additions -------------------------------------------------
+    "events_poisson_rate": "1-row epoch-midpoint bounds broadcast onto the scan",
+    "retrieval_rank_agreement": "1-row query vector + 1-row BM25 stats broadcasts; tau runs on the <=50-row shared-rank frame",
+    "retrieval_rerank_features": "1-row query vector + 1-row BM25 stats broadcasts; features join on the <=100-row candidate frame",
 }

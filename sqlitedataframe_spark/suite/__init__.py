@@ -69,6 +69,7 @@ def load_all() -> dict[str, Query]:
         pipeline12,
         pipeline13,
         pipeline14,
+        pipeline15,
         eventstream,
         streamingq,
         bridge,

@@ -1,0 +1,521 @@
+"""Round-9 wave: exact Kendall's tau-b via the contingency-grid pair
+count (the rank-stats family's missing member); cross-encoder rerank
+data prep (the pointwise feature table over the hybrid BM25 + cosine
+candidate pool) and retriever rank agreement; LCS span estimates for
+LSH candidate pairs (diagonal anchor runs — the suffix-automaton-free
+ExactSubstr upgrade); per-source diagonal embedding whitening
+parameters; all-but-the-top principal-direction projections; and a
+two-Poisson rate-shift monitor.
+
+Every float output derives from exact integer (DECIMAL(38,0) ⇄
+HUGEINT) sums or fixed-order array folds, and every signed statistic
+carries the `ROUND(...) + 0.0` signed-zero convention (the welch
+r7/r8 lesson) from birth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlitedataframe_spark.operators import dedup as D
+from sqlitedataframe_spark.operators.profiling import (
+    kendall_tau_by_group,
+    poisson_rate_shift,
+)
+from sqlitedataframe_spark.operators.similarity import (
+    abtt_projections,
+    brute_force_topk,
+    whitening_params,
+)
+from sqlitedataframe_spark.operators.text import bm25_topk, tokens
+from sqlitedataframe_spark.suite import query
+from sqlitedataframe_spark.suite.pipeline import MH_EST_CTE, shared_doc_sigs
+from sqlitedataframe_spark.suite.pipeline4 import _PCA_ITER
+from sqlitedataframe_spark.suite.pipeline6 import BM25_QUERY_TERMS
+from sqlitedataframe_spark.suite.pipeline7 import _BM25_TOP50, _COS_TOP50
+from sqlitedataframe_spark.suite.relational import T
+
+
+# ---------------------------------------------------------------------------
+# Exact Kendall's tau-b per group (contingency-grid pair counting).
+# ---------------------------------------------------------------------------
+@query(
+    "lineitem_kendall_tau",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS g,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+      FROM lineitem),
+    cells AS (
+      SELECT g, x, y, CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY 1, 2, 3),
+    pr AS (
+      SELECT a.g,
+             SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                      THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS c,
+             SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                      THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS d
+      FROM cells a JOIN cells b
+        ON a.g = b.g AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+      GROUP BY 1),
+    nt AS (SELECT g, CAST(SUM(n) AS BIGINT) AS nn FROM cells GROUP BY 1),
+    tx AS (
+      SELECT g, SUM(CAST(t AS HUGEINT) * (t - 1) / 2) AS n1
+      FROM (SELECT g, x, CAST(SUM(n) AS BIGINT) AS t
+            FROM cells GROUP BY 1, 2) GROUP BY 1),
+    uy AS (
+      SELECT g, SUM(CAST(u AS HUGEINT) * (u - 1) / 2) AS n2
+      FROM (SELECT g, y, CAST(SUM(n) AS BIGINT) AS u
+            FROM cells GROUP BY 1, 2) GROUP BY 1),
+    f AS (
+      SELECT nt.g, nn,
+             COALESCE(pr.c, 0) AS c, COALESCE(pr.d, 0) AS d,
+             tx.n1, uy.n2,
+             CAST(nn AS HUGEINT) * (nn - 1) / 2 AS n0
+      FROM nt LEFT JOIN pr ON nt.g = pr.g
+      JOIN tx ON nt.g = tx.g JOIN uy ON nt.g = uy.g)
+    SELECT g AS l_returnflag, nn AS n,
+           CAST(c - d AS BIGINT) AS c_minus_d,
+           ROUND(CASE WHEN sqrt(CAST(n0 - n1 AS DOUBLE)
+                                * CAST(n0 - n2 AS DOUBLE)) > 0
+                 THEN CAST(c - d AS DOUBLE)
+                      / sqrt(CAST(n0 - n1 AS DOUBLE)
+                             * CAST(n0 - n2 AS DOUBLE)) END + 1e-9, 6) + 0.0
+             AS tau_b
+    FROM f ORDER BY l_returnflag
+    """,
+)
+def lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall's tau-b of quantity vs discount bucket per return
+    flag — the concordance statistic of record for small-grid ordinal
+    data, where Spearman's midranks wash out.
+
+    operators.profiling.kendall_tau_by_group: one map-side collapse to
+    per-(group, x, y) contingency cells (bounded by the value GRID, not
+    the row count), one group-keyed equi-join over the tiny cell frame
+    classifying every cell pair, DECIMAL(38,0) exact pair counts,
+    double only in the final closed form.
+    """
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc100"),
+    )
+    return kendall_tau_by_group(li, "l_returnflag", "qty", "disc100")
+
+
+# ---------------------------------------------------------------------------
+# Retriever rank agreement: Kendall tau between BM25 and cosine rankings.
+# ---------------------------------------------------------------------------
+@query(
+    "retrieval_rank_agreement",
+    oracle=f"""
+    WITH {_BM25_TOP50},
+    {_COS_TOP50},
+    lr AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rl
+      FROM lex),
+    sr AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rs
+      FROM sem),
+    b AS (
+      SELECT CAST(1 AS BIGINT) AS g, lr.rl AS x, sr.rs AS y
+      FROM lr JOIN sr USING (id)),
+    cells AS (
+      SELECT g, x, y, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2, 3),
+    pr AS (
+      SELECT a.g,
+             SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                      THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS c,
+             SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                      THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS d
+      FROM cells a JOIN cells b
+        ON a.g = b.g AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+      GROUP BY 1),
+    nt AS (SELECT g, CAST(SUM(n) AS BIGINT) AS nn FROM cells GROUP BY 1),
+    tx AS (
+      SELECT g, SUM(CAST(t AS HUGEINT) * (t - 1) / 2) AS n1
+      FROM (SELECT g, x, CAST(SUM(n) AS BIGINT) AS t
+            FROM cells GROUP BY 1, 2) GROUP BY 1),
+    uy AS (
+      SELECT g, SUM(CAST(u AS HUGEINT) * (u - 1) / 2) AS n2
+      FROM (SELECT g, y, CAST(SUM(n) AS BIGINT) AS u
+            FROM cells GROUP BY 1, 2) GROUP BY 1),
+    f AS (
+      SELECT nt.g, nn,
+             COALESCE(pr.c, 0) AS c, COALESCE(pr.d, 0) AS d,
+             tx.n1, uy.n2,
+             CAST(nn AS HUGEINT) * (nn - 1) / 2 AS n0
+      FROM nt LEFT JOIN pr ON nt.g = pr.g
+      JOIN tx ON nt.g = tx.g JOIN uy ON nt.g = uy.g)
+    SELECT nn AS n,
+           CAST(c - d AS BIGINT) AS c_minus_d,
+           ROUND(CASE WHEN sqrt(CAST(n0 - n1 AS DOUBLE)
+                                * CAST(n0 - n2 AS DOUBLE)) > 0
+                 THEN CAST(c - d AS DOUBLE)
+                      / sqrt(CAST(n0 - n1 AS DOUBLE)
+                             * CAST(n0 - n2 AS DOUBLE)) END + 1e-9, 6) + 0.0
+             AS tau_b
+    FROM f
+    """,
+)
+def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau between the BM25 and cosine rankings over their shared
+    top-50 candidates — the retriever-diversity readout that decides
+    whether hybrid fusion adds signal (tau near 1 = the retrievers are
+    redundant; near 0 = genuinely complementary evidence).
+
+    Reuses operators.profiling.kendall_tau_by_group over the inner-joined
+    rank pairs (<= 50 rows, all ranks distinct): both retrievers are
+    k-bounded TakeOrderedAndProject lists, ranks assign per retriever
+    over pre-rounded scores, and the tau machinery is the same exact
+    integer pair count as lineitem_kendall_tau.
+    """
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, BM25_QUERY_TERMS, k=50).select(
+        F.col("doc_id").alias("id"), F.col("bm25").alias("score")
+    )
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    sem = brute_force_topk(emb, qdf, k=50).select(
+        F.col("vec_id").alias("id"), F.col("cos_sim").alias("score")
+    )
+    wtag = F.row_number()
+    from pyspark.sql import Window
+
+    lr = lex.withColumn(
+        "rl",
+        wtag.over(Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), "id")),
+    ).select("id", "rl")
+    sr = sem.withColumn(
+        "rs",
+        wtag.over(Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), "id")),
+    ).select("id", "rs")
+    joined = lr.join(sr, "id").select(
+        F.lit(1).cast("bigint").alias("g"), "rl", "rs"
+    )
+    return kendall_tau_by_group(joined, "g", "rl", "rs").drop("g")
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder rerank data prep: pointwise features for hybrid candidates.
+# ---------------------------------------------------------------------------
+@query(
+    "retrieval_rerank_features",
+    oracle=f"""
+    WITH {_BM25_TOP50},
+    {_COS_TOP50},
+    lr AS (
+      SELECT id, score AS bm25,
+             ROW_NUMBER() OVER (ORDER BY score DESC, id) AS lex_rank
+      FROM lex),
+    sr AS (
+      SELECT id, score AS cos_sim,
+             ROW_NUMBER() OVER (ORDER BY score DESC, id) AS sem_rank
+      FROM sem),
+    cand AS (
+      SELECT COALESCE(lr.id, sr.id) AS id,
+             lr.bm25, CAST(lr.lex_rank AS BIGINT) AS lex_rank,
+             sr.cos_sim, CAST(sr.sem_rank AS BIGINT) AS sem_rank
+      FROM lr FULL OUTER JOIN sr ON lr.id = sr.id),
+    feats AS (
+      SELECT doc_id AS id, CAST(dl AS BIGINT) AS n_tokens,
+             CAST((CASE WHEN tfs[1] > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN tfs[2] > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN tfs[3] > 0 THEN 1 ELSE 0 END) AS INT)
+               AS n_query_hits
+      FROM bmbase)
+    SELECT cand.id AS doc_id, bm25, lex_rank, cos_sim, sem_rank,
+           n_tokens, n_query_hits,
+           ROUND(COALESCE(1.0 / (60.0 + lex_rank), 0.0)
+                 + COALESCE(1.0 / (60.0 + sem_rank), 0.0), 6) AS rrf,
+           (lex_rank IS NOT NULL AND sem_rank IS NOT NULL) AS in_both
+    FROM cand JOIN feats ON feats.id = cand.id
+    ORDER BY rrf DESC, doc_id
+    """,
+)
+def retrieval_rerank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder/LTR rerank DATA PREP: the pointwise feature table
+    over the hybrid candidate pool (BM25 top-50 ∪ cosine top-50) — per
+    candidate, both retrievers' scores and ranks, the RRF prior, doc
+    length, and query-term coverage. This is exactly the frame a
+    reranker trains/scorse on; producing it is the pipeline stage, the
+    model itself is out of scope (and out of SQL).
+
+    Plan shape: both candidate lists are k-bounded
+    TakeOrderedAndProject (the corpus is never globally sorted), ranks
+    assign per retriever over <= 50-row partitions, the outer join and
+    the documents join key on the candidate ids (a <= 100-row broadcast
+    side against the scan), so the only data-sized work is the two
+    retriever passes already benchmarked in retrieval_rrf_hybrid.
+    """
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, BM25_QUERY_TERMS, k=50).select(
+        F.col("doc_id").alias("id"), F.col("bm25")
+    )
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    sem = brute_force_topk(emb, qdf, k=50).select(
+        F.col("vec_id").alias("id"), F.col("cos_sim")
+    )
+    lr = lex.withColumn(
+        "lex_rank",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("bm25"), "id"))
+        .cast("bigint"),
+    )
+    sr = sem.withColumn(
+        "sem_rank",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("cos_sim"), "id"))
+        .cast("bigint"),
+    )
+    cand = lr.join(sr, "id", "full_outer")
+    t = tokens("text")
+    qhits = None
+    for term in BM25_QUERY_TERMS:
+        h = (F.size(F.filter(t, lambda tok: tok == F.lit(term))) > 0).cast("int")
+        qhits = h if qhits is None else qhits + h
+    feats = docs.select(
+        F.col("doc_id").alias("id"),
+        F.size(t).cast("bigint").alias("n_tokens"),
+        qhits.cast("int").alias("n_query_hits"),
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (60.0 + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (60.0 + F.col("sem_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        cand.join(feats, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "bm25",
+            "lex_rank",
+            "cos_sim",
+            "sem_rank",
+            "n_tokens",
+            "n_query_hits",
+            rrf.alias("rrf"),
+            (F.col("lex_rank").isNotNull() & F.col("sem_rank").isNotNull()).alias(
+                "in_both"
+            ),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LCS span estimates for LSH candidate pairs (diagonal anchor runs).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_lcs_spans",
+    oracle=MH_EST_CTE
+    + """,
+    prs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.3),
+    pids AS (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs),
+    d2 AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= 30 AND doc_id IN (SELECT id FROM pids)),
+    shg AS (
+      SELECT doc_id, i AS pos, md5(substr(text, i, 30)) AS h
+      FROM d2, UNNEST(generate_series(1, length(text) - 29, 10)) AS r(i)),
+    anch AS (
+      SELECT p.id_a, p.id_b, sa.pos AS pa, sa.pos - sb.pos AS diag
+      FROM prs p
+      JOIN shg sa ON sa.doc_id = p.id_a
+      JOIN shg sb ON sb.doc_id = p.id_b AND sb.h = sa.h),
+    rn AS (
+      SELECT id_a, id_b, diag,
+             pa - 10 * ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+                                          ORDER BY pa) AS grp
+      FROM anch),
+    runs AS (
+      SELECT id_a, id_b, diag, grp, CAST(COUNT(*) AS BIGINT) AS run
+      FROM rn GROUP BY 1, 2, 3, 4),
+    per AS (
+      SELECT id_a, id_b,
+             CAST(SUM(run) AS BIGINT) AS n_anchors,
+             CAST(COUNT(DISTINCT diag) AS BIGINT) AS n_diags,
+             CAST(30 + (MAX(run) - 1) * 10 AS BIGINT) AS lcs_est
+      FROM runs GROUP BY 1, 2),
+    lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM documents)
+    SELECT p.id_a, p.id_b, n_anchors, n_diags, lcs_est,
+           ROUND(CAST(lcs_est AS DOUBLE) / LEAST(la.len, lb.len) + 1e-9, 4)
+             AS lcs_ratio
+    FROM per p
+    JOIN lens la ON la.doc_id = p.id_a
+    JOIN lens lb ON lb.doc_id = p.id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_lcs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-common-substring estimates for the MinHash-LSH candidate
+    pairs: diagonal runs of stride-consecutive matching 30-char windows
+    upgrade "these two resemble each other" into "they share one
+    contiguous ~N-char span" — the quote/boilerplate vs true-rewrite
+    discriminator ExactSubstr dedup acts on.
+
+    operators.dedup.lcs_span_stats over the SAME candidate pairs as
+    dedup_minhash_lsh (shared persisted signature table); shingles
+    hash map-side and semi-join to the pair population, anchors key on
+    (id, digest), run detection is pos - stride*row_number per
+    (pair, diagonal) — bounded window partitions, exact integers
+    throughout, one final ratio division.
+    """
+    d = T(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, min_jaccard=0.3, sig=shared_doc_sigs(spark, sf_dir)
+    ).select("id_a", "id_b")
+    return D.lcs_span_stats(d, pairs, k=30, stride=10)
+
+
+# ---------------------------------------------------------------------------
+# Per-source diagonal whitening parameters.
+# ---------------------------------------------------------------------------
+@query(
+    "embed_source_whitening",
+    oracle="""
+    WITH j AS (
+      SELECT d.source AS g, e.embedding::DOUBLE[] AS v
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+    ex AS (
+      SELECT g, t.i AS dim,
+             CAST(ROUND(v[t.i + 1] * 1000000) AS BIGINT) AS xi
+      FROM j, UNNEST(generate_series(0, 63)) AS t(i)),
+    cells AS (
+      SELECT g, dim, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(xi AS HUGEINT)) AS s,
+             SUM(CAST(xi AS HUGEINT) * xi) AS q
+      FROM ex GROUP BY 1, 2),
+    c2 AS (SELECT *, q * n - s * s AS vnum FROM cells),
+    tot AS (SELECT g, SUM(vnum) AS vtot FROM c2 GROUP BY 1)
+    SELECT c2.g AS source, CAST(dim AS INT) AS dim, n,
+           ROUND(CAST(s AS DOUBLE) / 1000000 / n + 1e-9, 6) + 0.0 AS mean,
+           ROUND(sqrt(CAST(vnum AS DOUBLE) / 1e12
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 + 1e-9, 6) AS sd,
+           ROUND(CAST(vnum AS DOUBLE) / CAST(vtot AS DOUBLE) + 1e-9, 6)
+             AS var_share
+    FROM c2 JOIN tot USING (g)
+    ORDER BY source, dim
+    """,
+)
+def embed_source_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source diagonal whitening parameter table (mean/sd/variance
+    share per dimension) — the broadcastable model that normalizes each
+    feed's embedding cloud before cross-source mixing, and the
+    anisotropy diagnostic (a dimension's var_share far above 1/64 =
+    one rogue axis dominating a feed).
+
+    operators.similarity.whitening_params: coordinates quantize once to
+    integers, per-(source, dim) moments accumulate in DECIMAL(38,0)
+    (map-side combine to #sources*64 cells), variance numerators stay
+    EXACT integers through the share ratio — drift-proof end to end.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    src = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    joined = emb.join(src, "vec_id").select("source", "embedding")
+    return whitening_params(joined, "source")
+
+
+# ---------------------------------------------------------------------------
+# All-but-the-top principal-direction projections.
+# ---------------------------------------------------------------------------
+@query(
+    "embed_abtt_projections",
+    oracle=f"""
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    cells AS (
+      SELECT ii.i AS i, jj.j AS j,
+             ROUND(SUM(e.v[ii.i + 1] * e.v[jj.j + 1]), 3) AS c
+      FROM e,
+           UNNEST(generate_series(0, 63)) ii(i),
+           UNNEST(generate_series(0, 63)) jj(j)
+      GROUP BY ii.i, jj.j),
+    v0 AS (SELECT t.j, CAST(0.125 AS DOUBLE) AS val
+           FROM UNNEST(generate_series(0, 63)) t(j)),
+    {_PCA_ITER.format(n=1, p=0)},
+    {_PCA_ITER.format(n=2, p=1)},
+    {_PCA_ITER.format(n=3, p=2)},
+    u AS (SELECT list(val ORDER BY j) AS u FROM v3),
+    sc AS (
+      SELECT vec_id,
+             list_dot_product(embedding::DOUBLE[], u.u) AS proj,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+      FROM embeddings, u)
+    SELECT vec_id,
+           ROUND(proj + 1e-9, 6) + 0.0 AS proj,
+           ROUND(sqrt(GREATEST(0.0, n2 - proj * proj)) + 1e-9, 6)
+             AS resid_norm
+    FROM sc
+    ORDER BY ROUND(abs(proj) + 1e-9, 6) DESC, vec_id
+    LIMIT 20
+    """,
+)
+def embed_abtt_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top screen (Mu & Viswanath 2018): the 20 vectors most
+    dominated by the corpus's top principal direction, with the residual
+    norm each keeps after common-direction removal — the embedding
+    post-processing step that fixes anisotropic encoders before cosine
+    search, and a detector for collapsed/boilerplate encodings.
+
+    operators.similarity.abtt_projections: distributed Gram build
+    (dim^2-cell shuffle, the sketch pattern) + deterministic rounded
+    power iteration (shared with embed_pca_power, whose oracle CTEs this
+    one extends), then one scan with two FIXED-ORDER array folds against
+    the 64-float broadcast model and a TakeOrderedAndProject.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    return abtt_projections(emb, dim=64, iters=3, top=20)
+
+
+# ---------------------------------------------------------------------------
+# Two-Poisson rate-shift monitor.
+# ---------------------------------------------------------------------------
+@query(
+    "events_poisson_rate",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi
+      FROM events),
+    m AS (SELECT lo + (hi - lo) // 2 AS mid FROM b),
+    c AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_first,
+             CAST(SUM(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_second
+      FROM events, m GROUP BY 1)
+    SELECT event_type, n_first, n_second,
+           ROUND(CASE WHEN n_second > 0
+                 THEN CAST(n_first AS DOUBLE) / n_second END + 1e-9, 4)
+             AS rate_ratio,
+           ROUND(CASE WHEN n_first + n_second > 0
+                 THEN (CAST(n_first AS DOUBLE) - n_second)
+                      / sqrt(CAST(n_first + n_second AS DOUBLE)) END
+                 + 1e-9, 4) + 0.0 AS z
+    FROM c ORDER BY event_type
+    """,
+)
+def events_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-Poisson rate-shift test per event type between the first and
+    second half of the observation window — the per-segment volume
+    monitor (feed went quiet / doubled) with no distributional
+    assumption on values: under H0 the split is Binomial(n, 1/2), so
+    z = (n1 - n2) / sqrt(n1 + n2).
+
+    operators.profiling.poisson_rate_shift: integer epoch-microsecond
+    midpoint from one 1-row min/max aggregate (broadcast), one grouped
+    conditional count off one scan, closed-form double at the end.
+    """
+    return poisson_rate_shift(
+        T(spark, sf_dir, "events"), "event_type", "ts"
+    )

@@ -1,0 +1,337 @@
+"""Round-9 operators: exact Kendall tau-b, LCS span estimates, whitening
+parameters, ABTT projections, the Poisson rate-shift test — plus the
+signed-zero conventions and advisor fixes shipped this round."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau_by_group
+# ---------------------------------------------------------------------------
+def _tau_b_reference(xy):
+    """O(n^2) textbook tau-b for small lists (concordant/discordant pair
+    walk) — the independent check the grid method must reproduce."""
+    n = len(xy)
+    c = d = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = xy[i][0] - xy[j][0]
+            dy = xy[i][1] - xy[j][1]
+            s = dx * dy
+            if s > 0:
+                c += 1
+            elif s < 0:
+                d += 1
+            elif dx == 0 and dy != 0:
+                tx += 1
+            elif dy == 0 and dx != 0:
+                ty += 1
+    n0 = n * (n - 1) // 2
+    from collections import Counter
+
+    n1 = sum(t * (t - 1) // 2 for t in Counter(x for x, _ in xy).values())
+    n2 = sum(t * (t - 1) // 2 for t in Counter(y for _, y in xy).values())
+    den = math.sqrt((n0 - n1) * (n0 - n2))
+    return c, d, (c - d) / den if den > 0 else None
+
+
+def test_kendall_tau_matches_pairwise_reference(spark):
+    from sqlitedataframe_spark.operators.profiling import kendall_tau_by_group
+
+    xy = [(1, 2), (2, 1), (3, 3), (3, 4), (4, 4), (5, 6), (5, 6), (6, 5)]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in xy], "g string, x long, y long"
+    )
+    row = kendall_tau_by_group(df, "g", "x", "y").collect()[0]
+    c, d, tau = _tau_b_reference(xy)
+    assert row["n"] == len(xy)
+    assert row["c_minus_d"] == c - d
+    assert row["tau_b"] == pytest.approx(tau, abs=1e-6)
+
+
+def test_kendall_tau_perfect_and_reversed(spark):
+    from sqlitedataframe_spark.operators.profiling import kendall_tau_by_group
+
+    inc = [("a", i, i) for i in range(10)]
+    dec = [("b", i, 9 - i) for i in range(10)]
+    df = spark.createDataFrame(inc + dec, "g string, x long, y long")
+    rows = {r["g"]: r for r in kendall_tau_by_group(df, "g", "x", "y").collect()}
+    assert rows["a"]["tau_b"] == pytest.approx(1.0)
+    assert rows["b"]["tau_b"] == pytest.approx(-1.0)
+
+
+def test_kendall_tau_all_tied_is_null(spark):
+    from sqlitedataframe_spark.operators.profiling import kendall_tau_by_group
+
+    df = spark.createDataFrame(
+        [("g", 1, i) for i in range(5)], "g string, x long, y long"
+    )
+    row = kendall_tau_by_group(df, "g", "x", "y").collect()[0]
+    assert row["tau_b"] is None  # denominator 0: x carries no order at all
+
+
+# ---------------------------------------------------------------------------
+# lcs_span_stats
+# ---------------------------------------------------------------------------
+def test_lcs_spans_recovers_planted_substring(spark):
+    from sqlitedataframe_spark.operators.dedup import lcs_span_stats
+
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    shared = "".join(rng.choice(alpha) for _ in range(200))
+    pad_a = "".join(rng.choice(alpha) for _ in range(100))
+    pad_b = "".join(rng.choice(alpha) for _ in range(150))
+    docs = spark.createDataFrame(
+        [(1, pad_a + shared), (2, pad_b + shared + "zz")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = lcs_span_stats(docs, pairs, k=30, stride=10).collect()[0]
+    # anchors only live on the shingle lattice, so the estimate is within
+    # one stride+k of the planted 200-char span, never above it + k
+    assert 140 <= row["lcs_est"] <= 230
+    assert row["n_anchors"] >= 10
+    assert row["lcs_ratio"] > 0.4
+
+
+def test_lcs_spans_no_shared_text_drops_pair(spark):
+    from sqlitedataframe_spark.operators.dedup import lcs_span_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 100), (2, "b" * 100)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    assert lcs_span_stats(docs, pairs).count() == 0
+
+
+def test_lcs_spans_scattered_matches_capped_by_run(spark):
+    from sqlitedataframe_spark.operators.dedup import lcs_span_stats
+
+    import random
+
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    block = "".join(rng.choice(alpha) for _ in range(40))
+    # the same 40-char block twice in A, once in B, separated by noise:
+    # runs stay short even though anchors repeat
+    noise = lambda n: "".join(rng.choice(alpha) for _ in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [(1, block + noise(100) + block), (2, noise(60) + block + noise(60))],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = lcs_span_stats(docs, pairs, k=30, stride=10).collect()[0]
+    assert row["lcs_est"] <= 60  # a 40-char block can't estimate past ~k+stride
+
+
+# ---------------------------------------------------------------------------
+# whitening_params
+# ---------------------------------------------------------------------------
+def test_whitening_params_exact_moments(spark):
+    from sqlitedataframe_spark.operators.similarity import whitening_params
+
+    rows = [
+        ("s1", [1.0, -2.0]),
+        ("s1", [3.0, 0.0]),
+        ("s1", [5.0, 2.0]),
+        ("s2", [0.5, 0.5]),
+        ("s2", [1.5, -0.5]),
+    ]
+    df = spark.createDataFrame(rows, "source string, embedding array<double>")
+    out = {
+        (r["source"], r["dim"]): r
+        for r in whitening_params(df, "source").collect()
+    }
+    # s1 dim0: mean 3, sample sd 2; dim1: mean 0, sd 2
+    assert out[("s1", 0)]["mean"] == pytest.approx(3.0)
+    assert out[("s1", 0)]["sd"] == pytest.approx(2.0)
+    assert out[("s1", 1)]["mean"] == pytest.approx(0.0)
+    assert out[("s1", 1)]["sd"] == pytest.approx(2.0)
+    # equal variances -> equal var_share halves
+    assert out[("s1", 0)]["var_share"] == pytest.approx(0.5)
+    # var_share sums to 1 within each source
+    for g in ("s1", "s2"):
+        total = sum(v["var_share"] for (src, _), v in out.items() if src == g)
+        assert total == pytest.approx(1.0, abs=1e-5)
+    # signed-zero convention: the 0.0 mean must be +0.0
+    m = out[("s1", 1)]["mean"]
+    assert math.copysign(1.0, m) > 0
+
+
+# ---------------------------------------------------------------------------
+# abtt_projections
+# ---------------------------------------------------------------------------
+def test_abtt_projection_pythagoras(spark, sf_dir):
+    from sqlitedataframe_spark.io import load_table
+    from sqlitedataframe_spark.operators.similarity import abtt_projections
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = abtt_projections(emb, dim=64, iters=3, top=5).collect()
+    assert len(rows) == 5
+    norms = {
+        r["vec_id"]: r
+        for r in emb.select(
+            "vec_id",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col("embedding").cast("array<double>"),
+                        lambda x: x * x,
+                    ),
+                    F.lit(0.0),
+                    lambda a, t: a + t,
+                )
+            ).alias("nrm"),
+        ).collect()
+    }
+    for r in rows:
+        nrm = norms[r["vec_id"]]["nrm"]
+        # proj^2 + resid^2 == ||v||^2 (within the 6-dp output rounding)
+        assert r["proj"] ** 2 + r["resid_norm"] ** 2 == pytest.approx(
+            nrm**2, rel=1e-3
+        )
+        assert abs(r["proj"]) <= nrm + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# poisson_rate_shift
+# ---------------------------------------------------------------------------
+def test_poisson_rate_shift_counts_and_z(spark):
+    from sqlitedataframe_spark.operators.profiling import poisson_rate_shift
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # type 'a': 9 events in the first half, 1 in the second (strong drop)
+    for i in range(9):
+        rows.append(("a", t0 + dt.timedelta(hours=i)))
+    rows.append(("a", t0 + dt.timedelta(hours=95)))
+    # type 'b': 5 and 5 (no shift); window spans hour 0 .. hour 100
+    for i in range(5):
+        rows.append(("b", t0 + dt.timedelta(hours=i * 2)))
+        rows.append(("b", t0 + dt.timedelta(hours=60 + i * 2)))
+    rows.append(("b", t0 + dt.timedelta(hours=100)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in poisson_rate_shift(df, "event_type", "ts").collect()}
+    a = out["a"]
+    assert a["n_first"] == 9 and a["n_second"] == 1
+    assert a["z"] == pytest.approx((9 - 1) / math.sqrt(10), abs=1e-3)
+    b = out["b"]
+    assert b["n_first"] + b["n_second"] == 11
+
+
+def test_poisson_rate_shift_zero_second_half_null_ratio(spark):
+    from sqlitedataframe_spark.operators.profiling import poisson_rate_shift
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0), ("a", t0 + dt.timedelta(seconds=1)),
+            ("b", t0 + dt.timedelta(seconds=100))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in poisson_rate_shift(df, "event_type", "ts").collect()}
+    assert out["a"]["rate_ratio"] is None  # n_second = 0 -> undefined ratio
+    assert out["a"]["z"] == pytest.approx(2 / math.sqrt(2), abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Signed-zero conventions (the r9 welch fix) + checker strictness.
+# ---------------------------------------------------------------------------
+def test_norm_cell_distinguishes_negative_zero():
+    from tools.oracle_check import norm_cell
+
+    assert norm_cell(-0.0) != norm_cell(0.0)
+    assert norm_cell(0.0) == "0"
+    assert norm_cell(-0.0) == "-0"
+    # lists descend
+    assert norm_cell([0.0]) != norm_cell([-0.0])
+
+
+def test_welch_rounds_tiny_negative_to_positive_zero(spark):
+    from sqlitedataframe_spark.operators.profiling import welch_ttest_onevsrest
+
+    import random
+
+    rng = random.Random(3)
+    rows = [("x", rng.gauss(50, 10)) for _ in range(500)]
+    rows += [("y", v + 1e-7) for (_, v) in rows]  # near-identical means
+    df = spark.createDataFrame(rows, "g string, v double")
+    for r in welch_ttest_onevsrest(df, "g", "v").collect():
+        if r["t_stat"] == 0.0:
+            assert math.copysign(1.0, r["t_stat"]) > 0
+
+
+def test_signed_zero_scan_helper_counts_nested():
+    from tools.signed_zero_scan import _neg_zero_cells
+
+    assert _neg_zero_cells(-0.0) == 1
+    assert _neg_zero_cells(0.0) == 0
+    assert _neg_zero_cells([1.0, -0.0, [-0.0, 2]]) == 2
+    assert _neg_zero_cells("x") == 0
+
+
+# ---------------------------------------------------------------------------
+# Advisor fixes.
+# ---------------------------------------------------------------------------
+def test_pq_subvectors_rejects_non_divisible_dim(spark):
+    from sqlitedataframe_spark.operators.similarity import pq_train_assign
+
+    df = spark.createDataFrame(
+        [(i, [float(j) for j in range(6)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="not\\s+divisible|divisible"):
+        pq_train_assign(df, m=4, k=2, iterations=1)
+
+
+def test_worker_zip_keyed_on_content_hash():
+    import glob
+    import os
+    import tempfile
+
+    from sqlitedataframe_spark import session as S
+
+    pkg_dir = os.path.dirname(os.path.abspath(S.__file__))
+    # replicate the keying: the zip name must not contain the pid and must
+    # be deterministic across calls
+    import hashlib
+
+    root = os.path.dirname(pkg_dir)
+    sources = []
+    for dirpath, _d, filenames in os.walk(pkg_dir):
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                sources.append(os.path.join(dirpath, fn))
+    sources.sort()
+    h = hashlib.sha256()
+    for full in sources:
+        h.update(os.path.relpath(full, root).encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    expected = os.path.join(
+        tempfile.gettempdir(),
+        f"sqlitedataframe_spark_pkg_{h.hexdigest()[:16]}.zip",
+    )
+    pid_style = glob.glob(
+        os.path.join(tempfile.gettempdir(), f"sqlitedataframe_spark_pkg_{os.getpid()}.zip")
+    )
+    assert not pid_style or pid_style == [expected]
+    # the name is a pure function of the sources
+    assert f"{os.getpid()}" not in os.path.basename(expected).replace(
+        h.hexdigest()[:16], ""
+    )
+
+
+def test_bfs_oracle_hop0_guarded():
+    from sqlitedataframe_spark.suite import load_all
+
+    q = load_all()["graph_bfs_hops"]
+    assert "EXISTS (SELECT 1 FROM f0)" in q.oracle
