@@ -405,6 +405,10 @@ HEADLINE = [
     "embed_source_whitening",
     "embed_abtt_projections",
     "events_poisson_rate",
+    "profile_inclusion_deps",
+    "embed_ivf_recall",
+    "dedup_simhash_hist",
+    "lineitem_price_index",
 ]
 
 

@@ -707,6 +707,79 @@ def seasonal_decompose(
     )
 
 
+def price_index_pairs(
+    df: DataFrame,
+    item_col: str,
+    year_col: Column,
+    qty_col: str,
+    price_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indexes between every adjacent
+    year pair over the MATCHED basket (items transacting in both years)
+    — the index-number decomposition that separates price inflation from
+    volume mix, per the classic formulas:
+
+      L = sum(p1*q0) / sum(p0*q0)   (base-year basket)
+      P = sum(p1*q1) / sum(p0*q1)   (current-year basket)
+      F = sqrt(L * P)
+
+    Exactness (the revenue-bridge discipline): per (item, year) the
+    quantity sum is an exact BIGINT and revenue an exact integer-cents
+    sum; the unit price quantizes ONCE to integer micro-currency
+    (round(cents * 1e4 / qty) — one deterministic double division of
+    exact integers, then a half-up round both engines reproduce), so
+    every index numerator/denominator is an exact DECIMAL(38,0) sum of
+    integer products and the indexes are single double divisions at the
+    end. No float accumulates across rows anywhere.
+
+    Plan: one map-side-combined aggregate to the (item, year) grain, one
+    self-join on (item, year+1) — co-partitioned on the item key — and
+    one tiny per-pair aggregate.
+    """
+    per = df.groupBy(
+        F.col(item_col).alias("_item"), year_col.alias("_y")
+    ).agg(
+        F.sum(F.col(qty_col).cast("bigint")).cast("bigint").alias("_q"),
+        F.sum(F.round(F.col(price_col) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("_r100"),
+    )
+    # integer micro-currency unit price: exact ints in, one deterministic
+    # division, half-up round (+1e-9 nudges the engines off true midpoints)
+    unit = F.round(
+        F.col("_r100").cast("double") * 1e4 / F.col("_q").cast("double") + 1e-9
+    ).cast("bigint")
+    per = per.withColumn("_p", unit)
+    a = per.select(
+        F.col("_item"), F.col("_y").alias("_y0"),
+        F.col("_q").alias("_q0"), F.col("_p").alias("_p0"),
+    )
+    b = per.select(
+        F.col("_item"), (F.col("_y") - 1).alias("_y0"),
+        F.col("_q").alias("_q1"), F.col("_p").alias("_p1"),
+    )
+    j = a.join(b, ["_item", "_y0"])
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = j.groupBy(F.col("_y0").alias("year_from")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(dec(F.col("_p1")) * F.col("_q0")).alias("_l_num"),
+        F.sum(dec(F.col("_p0")) * F.col("_q0")).alias("_l_den"),
+        F.sum(dec(F.col("_p1")) * F.col("_q1")).alias("_p_num"),
+        F.sum(dec(F.col("_p0")) * F.col("_q1")).alias("_p_den"),
+    )
+    lasp = F.col("_l_num").cast("double") / F.col("_l_den").cast("double")
+    paas = F.col("_p_num").cast("double") / F.col("_p_den").cast("double")
+    return agg.select(
+        F.col("year_from").cast("int").alias("year_from"),
+        (F.col("year_from") + 1).cast("int").alias("year_to"),
+        "n_items",
+        F.round(lasp + 1e-9, round_dp).alias("laspeyres"),
+        F.round(paas + 1e-9, round_dp).alias("paasche"),
+        F.round(F.sqrt(lasp * paas) + 1e-9, round_dp).alias("fisher"),
+    ).orderBy("year_from")
+
+
 def level_shift_locate(
     df: DataFrame, ts_col: str, round_dp: int = 4
 ) -> DataFrame:

@@ -17,7 +17,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sqlitedataframe_spark.operators.util import spread as _spread
@@ -437,6 +437,99 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embe
         F.transform(F.array(as_double(vec_col)), lambda v: argmin_cell(v)), 1
     )
     return df.withColumn("ivf_cell", cell.cast("int") - 1)
+
+
+def ivf_recall(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_queries: int = 8,
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF candidate path against exact brute-force
+    cosine, per (n_probe, query) — the tuning curve that decides how many
+    cells a 100 TB ANN deployment must probe to hit its recall SLO
+    (sim_ann_recall's twin for the IVF index instead of sign-LSH).
+
+    Multi-query, multi-probe, ONE plan: every vector argmin-assigns to
+    its cell once (:func:`ivf_assign`, centroid literals = broadcast),
+    the ``n_queries`` query vectors rank all cells by distance (a
+    #queries x #cells frame), the probe grid crosses that tiny frame
+    with the nprobe values, candidates come from one hash join on the
+    cell id, and the per-(nprobe, query) top-k is a window over bounded
+    candidate partitions. The corpus is scanned twice (exact scoring +
+    assignment) regardless of how many probe settings are evaluated —
+    no per-query jobs, no driver loops.
+
+    Determinism: centroids are caller-fixed literals; distance folds are
+    sequential; argmin and probe ranking tie-break on cell id; top-k
+    orders on the pre-rounded score with the id tiebreak (the
+    sim_ivf_topk contract, extended).
+    """
+    e = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    qs = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col("_v").alias("_q")
+    )
+    w_exact = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col(id_col))
+    scored = e.crossJoin(F.broadcast(qs)).select(
+        "qid",
+        id_col,
+        F.round(cosine(F.col("_v"), F.col("_q")), 6).alias("cos_sim"),
+    )
+    exact = (
+        scored.withColumn("_rnk", F.row_number().over(w_exact))
+        .filter(F.col("_rnk") <= k)
+        .select("qid", id_col)
+    )
+    assign = ivf_assign(df, centroids, vec_col).select(
+        F.col(id_col), F.col("ivf_cell").alias("_cell")
+    )
+    # query -> ranked cells (a #queries x #cells frame), crossed with the
+    # probe grid
+    qcell = qs.select(
+        "qid",
+        F.posexplode(
+            F.array(*[_sqdist(F.col("_q"), c) for c in centroids])
+        ).alias("_cell", "_d"),
+    )
+    w_probe = Window.partitionBy("qid").orderBy("_d", "_cell")
+    ranked = qcell.withColumn("_crnk", F.row_number().over(w_probe))
+    grid = df.sparkSession.createDataFrame(
+        [(int(p),) for p in nprobes], "n_probe int"
+    )
+    probes = ranked.crossJoin(F.broadcast(grid)).filter(
+        F.col("_crnk") <= F.col("n_probe")
+    ).select("n_probe", "qid", "_cell")
+    cands = probes.join(assign, "_cell").select("n_probe", "qid", id_col)
+    cand_scored = cands.join(scored, ["qid", id_col])
+    w_top = Window.partitionBy("n_probe", "qid").orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    approx = (
+        cand_scored.withColumn("_rnk", F.row_number().over(w_top))
+        .filter(F.col("_rnk") <= k)
+        .select("n_probe", "qid", id_col)
+    )
+    hits = (
+        approx.join(exact, ["qid", id_col])
+        .groupBy("n_probe", "qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    spine = grid.crossJoin(qs.select("qid"))
+    return (
+        spine.join(hits, ["n_probe", "qid"], "left")
+        .select(
+            "n_probe",
+            "qid",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / float(k), 2
+            ).alias(f"recall_at_{k}"),
+        )
+        .orderBy("n_probe", "qid")
+    )
 
 
 def gram_matrix(

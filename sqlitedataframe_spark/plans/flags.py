@@ -109,4 +109,6 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "events_poisson_rate": "1-row epoch-midpoint bounds broadcast onto the scan",
     "retrieval_rank_agreement": "1-row query vector + 1-row BM25 stats broadcasts; tau runs on the <=50-row shared-rank frame",
     "retrieval_rerank_features": "1-row query vector + 1-row BM25 stats broadcasts; features join on the <=100-row candidate frame",
+    "profile_inclusion_deps": "per-candidate cross of two 1-row count aggregates (distinct-set sizes)",
+    "embed_ivf_recall": "8-query broadcast crosses (exact scoring + cell ranking) + 3-row probe-grid cross over the #queries x #cells frame",
 }

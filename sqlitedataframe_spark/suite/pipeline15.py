@@ -20,12 +20,15 @@ from pyspark.sql import functions as F
 
 from sqlitedataframe_spark.operators import dedup as D
 from sqlitedataframe_spark.operators.profiling import (
+    inclusion_deps,
     kendall_tau_by_group,
     poisson_rate_shift,
 )
+from sqlitedataframe_spark.operators.relational import price_index_pairs
 from sqlitedataframe_spark.operators.similarity import (
     abtt_projections,
     brute_force_topk,
+    ivf_recall,
     whitening_params,
 )
 from sqlitedataframe_spark.operators.text import bm25_topk, tokens
@@ -518,4 +521,283 @@ def events_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return poisson_rate_shift(
         T(spark, sf_dir, "events"), "event_type", "ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inclusion-dependency screen (cross-table FK discovery).
+# ---------------------------------------------------------------------------
+#: (label, src_table, src_col, dst_table, dst_col): the TPC-H referential
+#: skeleton plus one deliberate NON-dependency (order keys are not customer
+#: keys) so the screen demonstrably distinguishes holds from not-holds.
+_IND_PAIRS = [
+    ("customer.c_nationkey->nation.n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region.r_regionkey",
+     "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("orders.o_orderkey->customer.c_custkey",
+     "orders", "o_orderkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation.n_nationkey",
+     "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+_IND_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{label}' AS dependency,
+       CAST(nd AS BIGINT) AS n_distinct,
+       CAST(nd - nm AS BIGINT) AS n_contained,
+       ROUND((nd - nm) / CAST(nd AS DOUBLE) + 1e-9, 6) AS containment,
+       nm = 0 AS holds
+    FROM (SELECT
+      (SELECT COUNT(*) FROM (SELECT DISTINCT {sc} FROM {st}
+                             WHERE {sc} IS NOT NULL)) AS nd,
+      (SELECT COUNT(*) FROM (SELECT DISTINCT {sc} AS v FROM {st}
+                             WHERE {sc} IS NOT NULL) s
+       WHERE NOT EXISTS (SELECT 1 FROM {dt} d WHERE d.{dc} = s.v)) AS nm)"""
+    for label, st, sc, dt, dc in _IND_PAIRS
+)
+
+
+@query(
+    "profile_inclusion_deps",
+    oracle=_IND_ORACLE + "\nORDER BY dependency",
+)
+def profile_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency screen over the TPC-H referential skeleton
+    plus one deliberate non-dependency — foreign-key discovery and
+    referential-integrity audit (fd_candidates' cross-table sibling).
+
+    operators.profiling.inclusion_deps: each candidate collapses both
+    sides to DISTINCT keys map-side, containment is one LEFT ANTI hash
+    join between the distinct sets — nothing row-sized survives the
+    first exchange at any scale.
+    """
+    tables = {
+        name: T(spark, sf_dir, name)
+        for name in {p[1] for p in _IND_PAIRS} | {p[3] for p in _IND_PAIRS}
+    }
+    pairs = [
+        (label, tables[st], sc, tables[dt], dc)
+        for label, st, sc, dt, dc in _IND_PAIRS
+    ]
+    return inclusion_deps(pairs)
+
+
+# ---------------------------------------------------------------------------
+# IVF recall curve (nprobe sweep against brute-force cosine).
+# ---------------------------------------------------------------------------
+@query(
+    "embed_ivf_recall",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+    qs AS (SELECT vec_id AS qid, v AS q FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT qs.qid, e.vec_id,
+             ROUND(list_dot_product(e.v, qs.q)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(qs.q, qs.q))), 6) AS cos_sim
+      FROM e CROSS JOIN qs),
+    exact AS (
+      SELECT qid, vec_id FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, vec_id) <= 10),
+    ad AS (
+      SELECT e.vec_id, c.cell,
+             list_sum(list_transform(range(1, 65),
+                      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+      FROM e CROSS JOIN c),
+    assign AS (
+      SELECT vec_id, cell FROM ad
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+    qd AS (
+      SELECT qs.qid, c.cell,
+             list_sum(list_transform(range(1, 65),
+                      i -> (qs.q[i] - c.cv[i]) * (qs.q[i] - c.cv[i]))) AS d
+      FROM qs CROSS JOIN c),
+    qrank AS (
+      SELECT qid, cell,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cell) AS crnk
+      FROM qd),
+    grid(n_probe) AS (VALUES (1), (2), (4)),
+    probes AS (
+      SELECT g.n_probe, qid, cell FROM qrank, grid g WHERE crnk <= g.n_probe),
+    cand AS (
+      SELECT p.n_probe, p.qid, a.vec_id
+      FROM probes p JOIN assign a USING (cell)),
+    cs AS (
+      SELECT c.n_probe, s.qid, s.vec_id, s.cos_sim
+      FROM cand c JOIN scored s ON s.qid = c.qid AND s.vec_id = c.vec_id),
+    approx AS (
+      SELECT n_probe, qid, vec_id FROM cs
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY n_probe, qid
+                                 ORDER BY cos_sim DESC, vec_id) <= 10),
+    hits AS (
+      SELECT ap.n_probe, ap.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM approx ap JOIN exact ex
+        ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+      GROUP BY 1, 2),
+    spine AS (
+      SELECT g.n_probe, d.qid
+      FROM grid g CROSS JOIN (SELECT DISTINCT qid FROM qs) d)
+    SELECT CAST(s.n_probe AS INT) AS n_probe, s.qid,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / 10.0, 2) AS recall_at_10
+    FROM spine s LEFT JOIN hits h USING (n_probe, qid)
+    ORDER BY n_probe, qid
+    """,
+)
+def embed_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF candidate path vs exact brute-force cosine,
+    per (n_probe in {1,2,4}, query) over 8 queries — the probe-count
+    tuning curve that decides how many cells a deployed IVF index must
+    visit to hit its recall SLO (sim_ann_recall's IVF twin).
+
+    operators.similarity.ivf_recall: every vector argmin-assigns once
+    (centroid literals = broadcast), probe choice ranks a
+    #queries x #cells frame, candidates come from one hash join on the
+    cell id, and every top-k is a window over bounded partitions — the
+    corpus is scanned twice regardless of how many probe settings run.
+    """
+    e = T(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return ivf_recall(e, cents, n_queries=8, k=10, nprobes=(1, 2, 4))
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-distance histogram (threshold-tuning diagnostic).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_simhash_hist",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents),
+    th AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hi,
+             CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS lo
+      FROM t, UNNEST(t) AS u(tok)),
+    nn AS (SELECT doc_id, COUNT(*) AS n FROM th GROUP BY doc_id),
+    ones AS (
+      SELECT th.doc_id, r.b,
+             SUM(((CASE WHEN r.b < 32 THEN lo ELSE hi END) >> (r.b % 32)) & 1)
+               AS ones
+      FROM th, UNNEST(generate_series(0, 63)) AS r(b)
+      GROUP BY th.doc_id, r.b),
+    bits AS (
+      SELECT o.doc_id, o.b,
+             CASE WHEN 2 * o.ones > nn.n THEN 1 ELSE 0 END AS bit
+      FROM ones o JOIN nn USING (doc_id)),
+    bands AS (
+      SELECT doc_id, b // 16 AS band,
+             CAST(SUM(bit * (1 << (b % 16))) AS BIGINT) AS bucket
+      FROM bits GROUP BY doc_id, b // 16),
+    live AS (
+      SELECT * FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 10000),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM live a JOIN live b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INT)
+               AS hamming
+      FROM cand c
+      JOIN bits ba ON ba.doc_id = c.id_a
+      JOIN bits bb ON bb.doc_id = c.id_b AND bb.b = ba.b
+      GROUP BY c.id_a, c.id_b)
+    SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM ham GROUP BY hamming ORDER BY hamming
+    """,
+)
+def dedup_simhash_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram over ALL SimHash banded candidate pairs
+    (no threshold) — the threshold-tuning diagnostic: where the bimodal
+    gap sits between true near-dups (low distances) and band-collision
+    noise decides the max_hamming a production sweep should ship.
+
+    operators.dedup.simhash_pairs with max_hamming=64 (the banding still
+    bounds candidates; only the final filter is lifted), then one tiny
+    group-by on the distance — same signatures, buckets and hot-bucket
+    guard as dedup_simhash, bit-for-bit.
+    """
+    d = T(spark, sf_dir, "documents")
+    return (
+        D.simhash_pairs(d, max_hamming=64)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indexes between adjacent years.
+# ---------------------------------------------------------------------------
+@query(
+    "lineitem_price_index",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey AS item, EXTRACT(year FROM l_shipdate) AS y,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS r100
+      FROM lineitem GROUP BY 1, 2),
+    pp AS (
+      SELECT item, y, q,
+             CAST(ROUND(CAST(r100 AS DOUBLE) * 1e4 / CAST(q AS DOUBLE) + 1e-9)
+                  AS BIGINT) AS p
+      FROM li),
+    j AS (
+      SELECT a.item, a.y AS y0, a.q AS q0, a.p AS p0, b.q AS q1, b.p AS p1
+      FROM pp a JOIN pp b ON b.item = a.item AND b.y = a.y + 1),
+    agg AS (
+      SELECT y0, CAST(COUNT(*) AS BIGINT) AS n_items,
+             SUM(CAST(p1 AS HUGEINT) * q0) AS lnum,
+             SUM(CAST(p0 AS HUGEINT) * q0) AS lden,
+             SUM(CAST(p1 AS HUGEINT) * q1) AS pnum,
+             SUM(CAST(p0 AS HUGEINT) * q1) AS pden
+      FROM j GROUP BY 1)
+    SELECT CAST(y0 AS INT) AS year_from, CAST(y0 + 1 AS INT) AS year_to,
+           n_items,
+           ROUND(CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE) + 1e-9, 6)
+             AS laspeyres,
+           ROUND(CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE) + 1e-9, 6)
+             AS paasche,
+           ROUND(sqrt((CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE))
+                      * (CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE)))
+                 + 1e-9, 6) AS fisher
+    FROM agg ORDER BY year_from
+    """,
+)
+def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indexes between adjacent ship
+    years over the matched part basket — the index-number decomposition
+    separating price inflation from volume mix (revenue_bridge's
+    corpus-level sibling).
+
+    operators.relational.price_index_pairs: one map-side-combined
+    aggregate to the (part, year) grain, unit prices quantized ONCE to
+    integer micro-currency, every index numerator/denominator an exact
+    DECIMAL(38,0) sum of integer products, co-partitioned year+1
+    self-join on the part key.
+    """
+    return price_index_pairs(
+        T(spark, sf_dir, "lineitem"),
+        "l_partkey",
+        F.year("l_shipdate"),
+        "l_quantity",
+        "l_extendedprice",
     )

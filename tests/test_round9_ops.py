@@ -335,3 +335,126 @@ def test_bfs_oracle_hop0_guarded():
 
     q = load_all()["graph_bfs_hops"]
     assert "EXISTS (SELECT 1 FROM f0)" in q.oracle
+
+
+# ---------------------------------------------------------------------------
+# inclusion_deps
+# ---------------------------------------------------------------------------
+def test_inclusion_deps_holds_and_violations(spark):
+    from sqlitedataframe_spark.operators.profiling import inclusion_deps
+
+    src = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)], "fk long"
+    )
+    dst_full = spark.createDataFrame([(1,), (2,), (3,), (4,)], "pk long")
+    dst_part = spark.createDataFrame([(1,), (2,)], "pk long")
+    out = {
+        r["dependency"]: r
+        for r in inclusion_deps(
+            [
+                ("full", src, "fk", dst_full, "pk"),
+                ("partial", src, "fk", dst_part, "pk"),
+            ]
+        ).collect()
+    }
+    assert out["full"]["holds"] is True
+    assert out["full"]["n_distinct"] == 3  # NULL excluded
+    assert out["full"]["n_contained"] == 3
+    assert out["partial"]["holds"] is False
+    assert out["partial"]["n_contained"] == 2
+    assert out["partial"]["containment"] == pytest.approx(2 / 3, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# ivf_recall
+# ---------------------------------------------------------------------------
+def test_ivf_recall_probe_monotone_and_bounded(spark, sf_dir):
+    from sqlitedataframe_spark.io import load_table
+    from sqlitedataframe_spark.operators.similarity import ivf_recall
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    rows = ivf_recall(e, cents, n_queries=4, k=5, nprobes=(1, 2, 8)).collect()
+    assert len(rows) == 12  # 3 probes x 4 queries
+    by_q = {}
+    for r in rows:
+        assert 0.0 <= r["recall_at_5"] <= 1.0
+        by_q.setdefault(r["qid"], {})[r["n_probe"]] = r["n_hits"]
+    for q, d in by_q.items():
+        # more probes can only widen the candidate set
+        assert d[1] <= d[2] <= d[8]
+        # probing ALL 8 cells = exhaustive = exact top-k
+        assert d[8] == 5
+
+
+# ---------------------------------------------------------------------------
+# price_index_pairs
+# ---------------------------------------------------------------------------
+def test_price_index_hand_computed(spark):
+    from sqlitedataframe_spark.operators.relational import price_index_pairs
+
+    import datetime as dt
+
+    # item 1: price 10 -> 11 (10% up); item 2: price 20 -> 18 (10% down),
+    # quantities constant -> L = P = F
+    rows = [
+        (1, dt.date(2020, 1, 1), 2, 20.0),
+        (1, dt.date(2021, 1, 1), 2, 22.0),
+        (2, dt.date(2020, 1, 1), 1, 20.0),
+        (2, dt.date(2021, 1, 1), 1, 18.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "item long, d date, qty long, price double"
+    )
+    out = price_index_pairs(df, "item", F.year("d"), "qty", "price").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["year_from"] == 2020 and r["year_to"] == 2021
+    assert r["n_items"] == 2
+    # L = (2*11 + 1*18) / (2*10 + 1*20) = 40/40 = 1.0
+    assert r["laspeyres"] == pytest.approx(1.0)
+    assert r["paasche"] == pytest.approx(1.0)
+    assert r["fisher"] == pytest.approx(1.0)
+
+
+def test_price_index_pure_inflation(spark):
+    from sqlitedataframe_spark.operators.relational import price_index_pairs
+
+    import datetime as dt
+
+    rows = [
+        (1, dt.date(2020, 1, 1), 3, 30.0),
+        (1, dt.date(2021, 1, 1), 5, 55.0),  # unit 10 -> 11
+        (2, dt.date(2020, 1, 1), 4, 8.0),
+        (2, dt.date(2021, 1, 1), 2, 4.4),   # unit 2 -> 2.2
+    ]
+    df = spark.createDataFrame(
+        rows, "item long, d date, qty long, price double"
+    )
+    r = price_index_pairs(df, "item", F.year("d"), "qty", "price").collect()[0]
+    # uniform +10% prices -> all three indexes = 1.1 exactly
+    assert r["laspeyres"] == pytest.approx(1.1, abs=1e-6)
+    assert r["paasche"] == pytest.approx(1.1, abs=1e-6)
+    assert r["fisher"] == pytest.approx(1.1, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# simhash hamming histogram
+# ---------------------------------------------------------------------------
+def test_simhash_hist_consistent_with_thresholded_pairs(spark, sf_dir):
+    from sqlitedataframe_spark.io import load_table
+    from sqlitedataframe_spark.operators.dedup import simhash_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    hist = (
+        simhash_pairs(d, max_hamming=64)
+        .groupBy("hamming")
+        .count()
+        .collect()
+    )
+    n_low = sum(r["count"] for r in hist if r["hamming"] <= 3)
+    n_thresh = simhash_pairs(d, max_hamming=3).count()
+    assert n_low == n_thresh  # the histogram's low tail IS the shipped query
