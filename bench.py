@@ -409,6 +409,10 @@ HEADLINE = [
     "embed_ivf_recall",
     "dedup_simhash_hist",
     "lineitem_price_index",
+    "asof_forward_tolerance",
+    "sample_contrastive_triplets",
+    "profile_dp_counts",
+    "text_bpe_merges",
 ]
 
 

@@ -2814,3 +2814,48 @@ def mahalanobis_top(
         .orderBy(F.col("mahalanobis_sq").desc(), F.col(key_col).asc())
         .limit(top)
     )
+
+
+def dp_released_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Differentially-private count release per group via the Laplace
+    mechanism with DETERMINISTIC seeded noise: u = uniform(0,1) from the
+    md5 of the group key (the repo's portable hash-uniform), noise =
+    -(1/eps) * sign(u - 1/2) * ln(1 - 2|u - 1/2|) — the inverse-CDF
+    Laplace draw with sensitivity 1. Seeding noise from the key makes
+    the release a pure function of the data (reproducible audits, exact
+    SQL oracle); a production release would swap the seed for fresh
+    randomness per publication, changing NOTHING else in the plan.
+
+    Shape: one grouped count (map-side combine), noise is a scan-side
+    expression over the #groups frame. The noised count carries the
+    `+ 0.0` signed-zero convention (noise straddles zero).
+    """
+    b = 1.0 / epsilon
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # first 8 hex chars of md5(key), half-offset -> uniform in (0, 1):
+    # the +0.5 keeps u strictly inside the interval so ln(1 - 2|u - 1/2|)
+    # can never hit ln(0) on a pathological hash
+    u = (
+        F.conv(F.substring(F.md5(F.col("_g").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / float(16**8)
+    centered = u - 0.5
+    noise = (
+        -b
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    return counts.select(
+        F.col("_g").alias(group_col),
+        "n",
+        (F.round(noise + 1e-9, round_dp) + 0.0).alias("noise"),
+        (F.round(F.col("n") + noise + 1e-9, round_dp) + 0.0).alias("released"),
+    ).orderBy(group_col)

@@ -639,3 +639,62 @@ def stratified_reservoir(
         .filter(F.col("reservoir_rank") <= k)
         .drop("_res_h", "_res_n")
     )
+
+
+def contrastive_triplets(
+    pairs: DataFrame,
+    corpus_ids: DataFrame,
+    id_col: str = "doc_id",
+    min_pos_score: float = 0.5,
+    score_col: str = "est_jaccard",
+    mult: int = 2_654_435_761,
+    offset: int = 13,
+) -> DataFrame:
+    """(anchor, positive, negative) triplet table for contrastive
+    embedding training: positives are near-duplicate pairs above
+    ``min_pos_score`` (both directions of each LSH pair — each doc
+    anchors once per partner), negatives are drawn by a DETERMINISTIC
+    Knuth-style multiplicative hash over the dense id space
+    (``(anchor * mult + offset) mod N``), re-rolled once if the draw
+    collides with the anchor or the positive — the in-batch-negative
+    prep stage of every embedding-model data pipeline, reproducible
+    across engines and runs.
+
+    Scale shape: the positive side arrives k-bounded from the LSH
+    candidate table (never all-pairs); the negative draw is a pure
+    scan-side expression plus one hash join back to the corpus id set
+    (to guarantee the drawn id exists); one 1-row count broadcast
+    supplies N. Shuffles carry id triples only.
+    """
+    n_row = corpus_ids.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    pos = pairs.filter(F.col(score_col) >= min_pos_score)
+    anchors = pos.select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("positive"),
+        F.col(score_col).alias("pos_score"),
+    ).unionByName(
+        pos.select(
+            F.col("id_b").alias("anchor"),
+            F.col("id_a").alias("positive"),
+            F.col(score_col).alias("pos_score"),
+        )
+    )
+    draw0 = (F.col("anchor") * F.lit(mult) + F.lit(offset)) % F.col("_n")
+    with_neg = anchors.join(F.broadcast(n_row)).withColumn("_d0", draw0)
+    # one deterministic re-roll on collision with anchor or positive
+    reroll = (F.col("_d0") + F.lit(1)) % F.col("_n")
+    neg = F.when(
+        (F.col("_d0") == F.col("anchor")) | (F.col("_d0") == F.col("positive")),
+        reroll,
+    ).otherwise(F.col("_d0"))
+    out = with_neg.withColumn("negative", neg.cast("bigint"))
+    # keep only negatives that exist in the corpus (dense ids make this a
+    # no-op; sparse ids drop the row rather than emit a phantom id)
+    exists = corpus_ids.select(F.col(id_col).alias("negative"))
+    return (
+        out.join(exists, "negative")
+        .select("anchor", "positive", "negative", "pos_score")
+        .orderBy("anchor", "positive")
+    )

@@ -1982,3 +1982,113 @@ def burrows_delta(
             "delta"
         ),
     ).orderBy("source_a", "source_b")
+
+
+BPE_SEP = "␟"
+
+
+def bpe_merge_rounds(
+    docs, text_col: str = "text", n_merges: int = 5
+):
+    """Learn-and-apply ``n_merges`` BPE merge rounds over the corpus and
+    report each round's chosen merge plus the total symbol count after
+    applying it — the train->apply loop of the tokenizer family
+    (:func:`bpe_pair_counts` is one round's counting kernel; this runs
+    the actual greedy iteration).
+
+    The textbook formulation: the corpus first collapses to the DISTINCT
+    word table with frequencies (one aggregate — the only data-sized
+    pass), and every round then runs over the model-sized vocabulary
+    with frequency-weighted pair counts. Symbol totals, merge choices
+    and supports are IDENTICAL to the per-occurrence formulation (count
+    of pair p = sum of f(word) * occurrences-in-word), but each round
+    costs a vocab-sized job instead of a corpus-sized one — at 100 TB
+    the vocabulary is the compressible object, the corpus is not.
+
+    Each round: (1) frequency-weighted adjacent-pair counts over the
+    vocab, (2) argmax pair (count DESC, pair ASC — the deterministic
+    greedy rule; a 1-row driver collect, the train_centroids
+    model-state pattern), (3) the merge applied with a left-to-right
+    non-overlapping FOLD over each word's symbol array (``F.aggregate``
+    with a string accumulator — whole-symbol comparisons, so a merge
+    can never fire across symbol boundaries the way a plain substring
+    replace would). Words are ␟-separated symbol strings; symbols never
+    contain the separator.
+
+    Exactness: pair counts and symbol totals are integers; the argmax
+    tie-break is a binary string compare; the fold is the identical
+    sequential recurrence in both engines (DuckDB ``list_reduce``) — the
+    whole trajectory is a pure function of the corpus.
+
+    Returns an ``n_merges``-row literal frame (round, merge_a, merge_b,
+    n_pair, total_symbols) — all stats cross the driver as model state,
+    the corpus never does.
+    """
+    from pyspark.sql import functions as F
+
+    S = BPE_SEP
+    spark = docs.sparkSession
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.length("w") >= 1)
+    vocab = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    cur = vocab.select(F.array_join(chars, S).alias("s"), "f").persist()
+    rows = []
+    try:
+        for r in range(1, n_merges + 1):
+            arr = F.split(F.col("s"), S)
+            pair_list = F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.concat(
+                    F.element_at(arr, i), F.lit(S), F.element_at(arr, i + 1)
+                ),
+            )
+            top = (
+                cur.filter(F.size(arr) >= 2)
+                .select(F.explode(pair_list).alias("p"), "f")
+                .groupBy("p")
+                .agg(F.sum("f").cast("bigint").alias("n"))
+                .orderBy(F.desc("n"), "p")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            p, n_pair = top[0]["p"], int(top[0]["n"])
+            a, b = p.split(S)
+            sa, sb = F.lit(a), F.lit(b)
+            merged = F.aggregate(
+                arr,
+                F.lit(""),
+                lambda acc, x: F.when(
+                    (x == sb) & ((acc == sa) | acc.endswith(S + a)),
+                    F.concat(
+                        acc.substr(F.lit(1), F.length(acc) - F.lit(len(a))),
+                        F.lit(a + b),
+                    ),
+                ).otherwise(
+                    F.when(acc == "", x).otherwise(F.concat(acc, F.lit(S), x))
+                ),
+            )
+            nxt = cur.select(merged.alias("s"), "f").persist()
+            total = nxt.agg(
+                F.sum(F.col("f") * F.size(F.split(F.col("s"), S)))
+                .cast("bigint")
+                .alias("t")
+            ).collect()[0]["t"]
+            cur.unpersist()
+            cur = nxt
+            rows.append((r, a, b, n_pair, int(total)))
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "round int, merge_a string, merge_b string, "
+        "n_pair bigint, total_symbols bigint",
+    )

@@ -111,4 +111,5 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "retrieval_rerank_features": "1-row query vector + 1-row BM25 stats broadcasts; features join on the <=100-row candidate frame",
     "profile_inclusion_deps": "per-candidate cross of two 1-row count aggregates (distinct-set sizes)",
     "embed_ivf_recall": "8-query broadcast crosses (exact scoring + cell ranking) + 3-row probe-grid cross over the #queries x #cells frame",
+    "sample_contrastive_triplets": "1-row corpus-count broadcast onto the k-bounded LSH positive pairs",
 }

@@ -801,3 +801,256 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         "l_extendedprice",
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join with a max-gap tolerance.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_forward_tolerance",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(MAX(o_totalprice), 2) AS max_price
+      FROM orders GROUP BY 1, 2),
+    j AS (
+      SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+             CAST(o.o_orderdate AS TIMESTAMP) AS od,
+             o.n_orders, o.max_price
+      FROM events e
+      ASOF LEFT JOIN o ON e.user_id = o.o_custkey
+                      AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP)
+      WHERE e.event_id < 2000)
+    SELECT event_id, user_id, ts,
+           CASE WHEN date_diff('second', ts, od) <= 2592000 THEN od END
+             AS o_orderdate,
+           CASE WHEN date_diff('second', ts, od) <= 2592000 THEN n_orders END
+             AS n_orders,
+           CASE WHEN date_diff('second', ts, od) <= 2592000 THEN max_price END
+             AS max_price
+    FROM j ORDER BY event_id
+    """,
+)
+def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a 30-day max-gap tolerance: each event
+    picks the user's EARLIEST order-day at or after the event, and a
+    match further than 30 days out is voided (NULL payload) — the
+    other half of the as-of surface (asof_join_events_orders covers
+    backward/no-tolerance), the shape behind "next conversion within
+    the attribution window".
+
+    operators.relational.asof_join(direction='forward',
+    tolerance_seconds=30d): union + ordered-window merge formulation —
+    one shuffle per side, the tolerance rides the same window, no range
+    cross-join.
+    """
+    from sqlitedataframe_spark.operators.relational import asof_join
+
+    e = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "ts")
+    )
+    o = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate"),
+            "n_orders",
+            "max_price",
+        )
+    )
+    return (
+        asof_join(
+            e,
+            o,
+            on="user_id",
+            left_ts="ts",
+            right_ts="o_orderdate",
+            direction="forward",
+            tolerance_seconds=30 * 86400,
+        )
+        .select("event_id", "user_id", "ts", "o_orderdate", "n_orders", "max_price")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training triplets from the LSH candidate table.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_contrastive_triplets",
+    oracle=MH_EST_CTE
+    + """,
+    pos AS (SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5),
+    anch AS (
+      SELECT id_a AS anchor, id_b AS positive, est_jaccard AS pos_score
+      FROM pos
+      UNION ALL
+      SELECT id_b AS anchor, id_a AS positive, est_jaccard AS pos_score
+      FROM pos),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    d0 AS (
+      SELECT anchor, positive, pos_score,
+             (anchor * 2654435761 + 13) % nn.n AS d0, nn.n AS n
+      FROM anch, nn),
+    neg AS (
+      SELECT anchor, positive, pos_score,
+             CAST(CASE WHEN d0 = anchor OR d0 = positive
+                  THEN (d0 + 1) % n ELSE d0 END AS BIGINT) AS negative
+      FROM d0)
+    SELECT anchor, positive, negative, pos_score
+    FROM neg
+    WHERE negative IN (SELECT doc_id FROM documents)
+    ORDER BY anchor, positive
+    """,
+)
+def sample_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplet table for contrastive
+    embedding training: positives = the MinHash-LSH near-dup pairs at
+    est_jaccard >= 0.5 (both directions), negatives = a deterministic
+    Knuth multiplicative-hash draw over the id space with one re-roll on
+    collision — the embedding-model data-prep stage, reproducible across
+    engines and runs.
+
+    operators.sampling.contrastive_triplets over the SAME shared
+    signature table as dedup_minhash_lsh; the negative draw is a
+    scan-side expression plus one id hash join; shuffles carry id
+    triples only.
+    """
+    d = T(spark, sf_dir, "documents")
+    from sqlitedataframe_spark.operators.sampling import contrastive_triplets
+
+    pairs = D.minhash_lsh_pairs(
+        d, min_jaccard=0.5, sig=shared_doc_sigs(spark, sf_dir)
+    )
+    return contrastive_triplets(
+        pairs, d.select("doc_id"), id_col="doc_id", min_pos_score=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# DP count release with deterministic seeded Laplace noise.
+# ---------------------------------------------------------------------------
+@query(
+    "profile_dp_counts",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    u AS (
+      SELECT g, n,
+             (CAST(CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS DOUBLE)
+              + 0.5) / 4294967296.0 AS u
+      FROM c),
+    v AS (
+      SELECT g, n,
+             ((-1.0) * (CASE WHEN u - 0.5 > 0 THEN 1.0
+                             WHEN u - 0.5 < 0 THEN -1.0
+                             ELSE 0.0 END))
+               * ln(1.0 - 2.0 * abs(u - 0.5)) AS nz
+      FROM u)
+    SELECT g AS event_type, n,
+           ROUND(nz + 1e-9, 4) + 0.0 AS noise,
+           ROUND(n + nz + 1e-9, 4) + 0.0 AS released
+    FROM v ORDER BY event_type
+    """,
+)
+def profile_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release per event type (Laplace
+    mechanism, eps=1, sensitivity 1) with DETERMINISTIC md5-seeded noise
+    — the privacy-release stage made a pure function of the data so the
+    mechanism itself is exactly testable; a production release swaps the
+    seed for fresh randomness and changes nothing else in the plan.
+
+    operators.profiling.dp_released_counts: one grouped count, noise is
+    a scan-side inverse-CDF expression over the #groups frame; noise and
+    released carry the `+ 0.0` signed-zero convention.
+    """
+    from sqlitedataframe_spark.operators.profiling import dp_released_counts
+
+    return dp_released_counts(
+        T(spark, sf_dir, "events"), "event_type", epsilon=1.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE greedy merge rounds (the tokenizer train->apply loop).
+# ---------------------------------------------------------------------------
+_BPE_SEP = "␟"
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    S = _BPE_SEP
+    parts = [
+        f"""WITH v AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) >= 1 GROUP BY word),
+    w0 AS (
+      SELECT array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, i, 1)), '{S}') AS s, f
+      FROM v)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""m{r} AS (
+      SELECT p AS pair, CAST(SUM(f) AS BIGINT) AS n,
+             string_split(p, '{S}')[1] AS a, string_split(p, '{S}')[2] AS b
+      FROM (
+        SELECT t.a[i.i] || '{S}' || t.a[i.i + 1] AS p, t.f AS f
+        FROM (SELECT string_split(s, '{S}') AS a, f FROM w{r - 1}) t,
+             UNNEST(generate_series(1, len(t.a) - 1)) i(i))
+      GROUP BY p ORDER BY n DESC, p LIMIT 1)"""
+        )
+        parts.append(
+            f"""w{r} AS (
+      SELECT list_reduce(string_split(s, '{S}'), (acc, x) ->
+        CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, '{S}' || m.a))
+             THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
+             ELSE acc || '{S}' || x END) AS s, f
+      FROM w{r - 1} CROSS JOIN m{r} m)"""
+        )
+    selects = [
+        f"""SELECT {r} AS round,
+           (SELECT a FROM m{r}) AS merge_a,
+           (SELECT b FROM m{r}) AS merge_b,
+           (SELECT n FROM m{r}) AS n_pair,
+           (SELECT CAST(SUM(f * len(string_split(s, '{S}'))) AS BIGINT)
+            FROM w{r}) AS total_symbols"""
+        for r in range(1, n_merges + 1)
+    ]
+    return (
+        ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+@query("text_bpe_merges", oracle=_bpe_oracle(5))
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five greedy BPE merge rounds learned AND applied over the corpus:
+    each round's chosen merge (count DESC, pair ASC), its support, and
+    the total symbol count after applying it — the tokenizer
+    train->apply loop (text_bpe_pairs is one round's counting kernel).
+
+    operators.text.bpe_merge_rounds: per round one bounded pair-count
+    aggregate + a 1-row argmax collect (the train_centroids model-state
+    pattern), merges applied with a left-to-right whole-symbol FOLD
+    (F.aggregate / DuckDB list_reduce — a merge can never fire across
+    symbol boundaries the way substring replace would). The corpus
+    never crosses the driver; the 5-row result is model state.
+    """
+    from sqlitedataframe_spark.operators.text import bpe_merge_rounds
+
+    return bpe_merge_rounds(
+        T(spark, sf_dir, "documents"), "text", n_merges=5
+    )

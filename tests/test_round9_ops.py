@@ -458,3 +458,137 @@ def test_simhash_hist_consistent_with_thresholded_pairs(spark, sf_dir):
     n_low = sum(r["count"] for r in hist if r["hamming"] <= 3)
     n_thresh = simhash_pairs(d, max_hamming=3).count()
     assert n_low == n_thresh  # the histogram's low tail IS the shipped query
+
+
+# ---------------------------------------------------------------------------
+# asof forward + tolerance
+# ---------------------------------------------------------------------------
+def test_asof_forward_tolerance_semantics(spark):
+    from sqlitedataframe_spark.operators.relational import asof_join
+
+    import datetime as dt
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t("2024-01-01T00:00:00")),
+         (2, 10, t("2024-01-20T00:00:00")),
+         (3, 10, t("2024-03-01T00:00:00"))],
+        "eid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, t("2024-01-15T00:00:00"), "jan"),
+         (10, t("2024-02-10T00:00:00"), "feb")],
+        "k long, rts timestamp, tag string",
+    )
+    out = {
+        r["eid"]: r
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            direction="forward", tolerance_seconds=20 * 86400,
+        ).collect()
+    }
+    assert out[1]["tag"] == "jan"  # 14 days ahead, inside tolerance
+    # eid 2's forward match (feb) is 21 days out > 20-day tolerance -> voided
+    assert out[2]["tag"] is None
+    assert out[3]["tag"] is None  # no right row at/after 2024-03-01 at all
+
+
+def test_asof_forward_tolerance_voids_far_match(spark):
+    from sqlitedataframe_spark.operators.relational import asof_join
+
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, 5, dt.datetime(2024, 1, 1))], "eid long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(5, dt.datetime(2024, 6, 1), "far")], "k long, rts timestamp, tag string"
+    )
+    r = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        direction="forward", tolerance_seconds=86400,
+    ).collect()[0]
+    assert r["tag"] is None and r["rts"] is None
+
+
+# ---------------------------------------------------------------------------
+# contrastive_triplets
+# ---------------------------------------------------------------------------
+def test_contrastive_triplets_valid_and_deterministic(spark):
+    from sqlitedataframe_spark.operators.sampling import contrastive_triplets
+
+    pairs = spark.createDataFrame(
+        [(0, 3, 0.9), (1, 2, 0.6), (4, 5, 0.4)],
+        "id_a long, id_b long, est_jaccard double",
+    )
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    out = contrastive_triplets(pairs, ids, min_pos_score=0.5).collect()
+    # 2 qualifying pairs x both directions = 4 triplets; the 0.4 pair drops
+    assert len(out) == 4
+    for r in out:
+        assert r["negative"] not in (r["anchor"], r["positive"])
+        assert 0 <= r["negative"] < 6
+    out2 = contrastive_triplets(pairs, ids, min_pos_score=0.5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+# ---------------------------------------------------------------------------
+# dp_released_counts
+# ---------------------------------------------------------------------------
+def test_dp_counts_noise_closed_form(spark):
+    from sqlitedataframe_spark.operators.profiling import dp_released_counts
+
+    import hashlib
+
+    df = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 3, "g string"
+    )
+    out = {r["g"]: r for r in dp_released_counts(df, "g", epsilon=1.0).collect()}
+    for g, n in (("a", 7), ("b", 3)):
+        u = (int(hashlib.md5(g.encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+        c = u - 0.5
+        sign = 1.0 if c > 0 else (-1.0 if c < 0 else 0.0)
+        noise = -1.0 * sign * math.log(1.0 - 2.0 * abs(c))
+        assert out[g]["n"] == n
+        assert out[g]["noise"] == pytest.approx(round(noise + 1e-9, 4), abs=1e-9)
+        assert out[g]["released"] == pytest.approx(
+            round(n + noise + 1e-9, 4), abs=1e-9
+        )
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_rounds
+# ---------------------------------------------------------------------------
+def test_bpe_merges_toy_corpus(spark):
+    from sqlitedataframe_spark.operators.text import bpe_merge_rounds
+
+    # "ab" appears in every word; greedy round 1 must merge (a, b)
+    docs = spark.createDataFrame(
+        [("abab abc",), ("ab abab",)], "text string"
+    )
+    out = bpe_merge_rounds(docs, "text", n_merges=2).collect()
+    assert out[0]["round"] == 1
+    assert (out[0]["merge_a"], out[0]["merge_b"]) == ("a", "b")
+    # words: abab x2 (4 syms->2), abc (3->2), ab x2... vocab: abab f=2 (2 occurrences? corpus: abab, abc, ab, abab)
+    # after merging ab: abab->[ab,ab], abc->[ab,c], ab->[ab]
+    # round 2 best pair is (ab, ab) with weighted count = f(abab)=2
+    assert (out[1]["merge_a"], out[1]["merge_b"]) == ("ab", "ab")
+    # totals decrease monotonically
+    assert out[1]["total_symbols"] < out[0]["total_symbols"]
+
+
+def test_bpe_merge_fold_never_crosses_symbol_boundary(spark):
+    from sqlitedataframe_spark.operators.text import bpe_merge_rounds
+
+    # corpus engineered so the naive substring replace would corrupt:
+    # after merging (x, a), the string "xa␟b" must NOT let a later (a, b)
+    # merge fire inside the symbol "xa"
+    docs = spark.createDataFrame(
+        [("xaxb xa xa xaxb ab",)], "text string"
+    )
+    out = bpe_merge_rounds(docs, "text", n_merges=3).collect()
+    # round 1: pair (x, a) dominates (weighted 6: xaxb f=2 has 1 each + x? count)
+    assert (out[0]["merge_a"], out[0]["merge_b"]) == ("x", "a")
+    for r in out:
+        # supports and totals remain positive integers
+        assert r["n_pair"] >= 1 and r["total_symbols"] >= 1
