@@ -113,7 +113,19 @@ def _unseen_names() -> list[str]:
 #: layout-stable by tools/parity_sweep.py this round; the driver row is
 #: the hard signal that the drift-proofing holds in ITS environment too).
 ROTATION_LEADS = [
+    # r9: the signed-zero-convention set first — every query whose ROUND
+    # output is a signed near-zero statistic now carries `+ 0.0` on both
+    # sides (the welch fix generalized); the driver row re-proves it
     "events_welch_ttest",
+    "lineitem_spearman",
+    "events_mann_whitney",
+    "orders_runs_test",
+    "events_ab_ztest",
+    "pandas_zscore_groups",
+    "feature_woe_iv",
+    "graph_assortativity",
+    "graph_label_modularity",
+    "events_double_ewma",
     "events_anova_hour",
     "agg_stats_moments",
     "agg_corr_covar",

@@ -413,6 +413,8 @@ HEADLINE = [
     "sample_contrastive_triplets",
     "profile_dp_counts",
     "text_bpe_merges",
+    "events_cuped",
+    "embed_prefix_recall",
 ]
 
 

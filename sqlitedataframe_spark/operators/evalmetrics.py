@@ -775,3 +775,72 @@ def mcnemar_test(
         "n_neither",
         F.round(stat + 1e-9, round_dp).alias("mcnemar_chi2"),
     )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    variant_col: str,
+    pre_col: str,
+    post_col: str,
+    scale: int = 100,
+    round_dp: int = 6,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM'13):
+    adjust each variant's post-period mean with the pooled pre-period
+    covariate, Y_cuped = Y - theta * (X - E[X]) with
+    theta = cov(X, Y) / var(X) — the standard trick that shrinks A/B
+    confidence intervals by the pre/post correlation^2 without touching
+    the estimate's expectation (events_ab_ztest's variance-reduction
+    upgrade).
+
+    Closed form on MOMENTS, not rows: mean_cuped(v) =
+    mean_y(v) - theta * (mean_x(v) - mean_x_all), so after one grouped
+    moment aggregate (per variant) and one 1-row pooled-moment broadcast,
+    no per-row adjusted value is ever materialized. Exactness: pre/post
+    quantize once to integers (round(x * scale)); all sums accumulate in
+    DECIMAL(38,0); theta, the adjusted means, and the variance-reduction
+    ratio (= corr^2) go double only in the final projection. Signed
+    outputs carry the `+ 0.0` convention.
+    """
+    ix = F.round(F.col(pre_col).cast("double") * scale).cast("bigint")
+    iy = F.round(F.col(post_col).cast("double") * scale).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = df.groupBy(F.col(variant_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(ix)).alias("_sx"),
+        F.sum(dec(iy)).alias("_sy"),
+    )
+    pooled = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_tn"),
+        F.sum(dec(ix)).alias("_tsx"),
+        F.sum(dec(iy)).alias("_tsy"),
+        F.sum(dec(ix) * ix).alias("_txx"),
+        F.sum(dec(iy) * iy).alias("_tyy"),
+        F.sum(dec(ix) * iy).alias("_txy"),
+    )
+    j = per.join(F.broadcast(pooled))
+    s = float(scale)
+    tn = F.col("_tn").cast("double")
+    tsx = F.col("_tsx").cast("double") / s
+    tsy = F.col("_tsy").cast("double") / s
+    txx = F.col("_txx").cast("double") / (s * s)
+    tyy = F.col("_tyy").cast("double") / (s * s)
+    txy = F.col("_txy").cast("double") / (s * s)
+    cov = (txy - tsx * tsy / tn) / (tn - 1.0)
+    varx = (txx - tsx * tsx / tn) / (tn - 1.0)
+    vary = (tyy - tsy * tsy / tn) / (tn - 1.0)
+    theta = cov / varx
+    nn = F.col("n").cast("double")
+    mean_y = F.col("_sy").cast("double") / s / nn
+    mean_x = F.col("_sx").cast("double") / s / nn
+    mean_x_all = tsx / tn
+    mean_cuped = mean_y - theta * (mean_x - mean_x_all)
+    corr2 = (cov * cov) / (varx * vary)
+    return j.select(
+        F.col("_v").alias(variant_col),
+        "n",
+        (F.round(mean_y + 1e-9, round_dp) + 0.0).alias("mean_post"),
+        (F.round(mean_cuped + 1e-9, round_dp) + 0.0).alias("mean_cuped"),
+        (F.round(theta + 1e-9, round_dp) + 0.0).alias("theta"),
+        F.round(corr2 + 1e-9, round_dp).alias("var_reduction"),
+    ).orderBy(variant_col)

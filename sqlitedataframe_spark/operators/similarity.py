@@ -532,6 +532,88 @@ def ivf_recall(
     )
 
 
+def prefix_recall(
+    df: DataFrame,
+    prefix_dims: tuple[int, ...] = (16, 32),
+    n_queries: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style prefix-dimension recall: recall@k of cosine
+    search over only the FIRST ``d`` coordinates against full-dimension
+    brute force, per (prefix_dim, query) — the measurement that decides
+    whether a deployment can store/scan truncated vectors (MRL-trained
+    encoders pack information front-first; this is the check that the
+    corpus's embeddings actually permit it, and by how much).
+
+    One plan for all prefix dims: the full-dim exact top-k computes once
+    (corpus x broadcast queries, the sim_ann_recall shape), each prefix
+    scoring is another scan-side fold over a sliced array, and per-query
+    top-k is a window over bounded candidate partitions. Determinism:
+    slices are positional, folds are fixed-order, ordering is on the
+    pre-rounded score with the id tiebreak.
+    """
+    e = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    qs = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col("_v").alias("_q")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col(id_col))
+    joined = e.crossJoin(F.broadcast(qs))
+    exact = (
+        joined.select(
+            "qid",
+            id_col,
+            F.round(cosine(F.col("_v"), F.col("_q")), 6).alias("cos_sim"),
+        )
+        .withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .select("qid", id_col)
+    )
+    outs = []
+    for d in prefix_dims:
+        approx = (
+            joined.select(
+                "qid",
+                id_col,
+                F.round(
+                    cosine(
+                        F.slice(F.col("_v"), 1, d), F.slice(F.col("_q"), 1, d)
+                    ),
+                    6,
+                ).alias("cos_sim"),
+            )
+            .withColumn("_rnk", F.row_number().over(w))
+            .filter(F.col("_rnk") <= k)
+            .select(F.lit(d).cast("int").alias("prefix_dim"), "qid", id_col)
+        )
+        outs.append(approx)
+    allx = outs[0]
+    for o in outs[1:]:
+        allx = allx.unionByName(o)
+    hits = (
+        allx.join(exact, ["qid", id_col])
+        .groupBy("prefix_dim", "qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    grid = df.sparkSession.createDataFrame(
+        [(int(d),) for d in prefix_dims], "prefix_dim int"
+    )
+    spine = grid.crossJoin(qs.select("qid"))
+    return (
+        spine.join(hits, ["prefix_dim", "qid"], "left")
+        .select(
+            "prefix_dim",
+            "qid",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / float(k), 2
+            ).alias(f"recall_at_{k}"),
+        )
+        .orderBy("prefix_dim", "qid")
+    )
+
+
 def gram_matrix(
     df: DataFrame, vec_col: str = "embedding", round_dp: int = 3
 ) -> DataFrame:

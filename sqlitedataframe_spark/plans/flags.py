@@ -112,4 +112,6 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "profile_inclusion_deps": "per-candidate cross of two 1-row count aggregates (distinct-set sizes)",
     "embed_ivf_recall": "8-query broadcast crosses (exact scoring + cell ranking) + 3-row probe-grid cross over the #queries x #cells frame",
     "sample_contrastive_triplets": "1-row corpus-count broadcast onto the k-bounded LSH positive pairs",
+    "events_cuped": "1-row epoch-midpoint bounds + 1-row pooled-moment broadcasts (welch shape)",
+    "embed_prefix_recall": "8-query broadcast crosses (full-dim + per-prefix sliced scoring) + 2-row dim-grid spine",
 }

@@ -1054,3 +1054,162 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_rounds(
         T(spark, sf_dir, "documents"), "text", n_merges=5
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout.
+# ---------------------------------------------------------------------------
+@query(
+    "events_cuped",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi
+      FROM events),
+    m AS (SELECT lo + (hi - lo) // 2 AS mid FROM b),
+    u AS (
+      SELECT user_id % 2 AS variant,
+             CAST(SUM(CASE WHEN epoch_us(ts) < mid
+                      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN epoch_us(ts) >= mid
+                      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events, m GROUP BY user_id, user_id % 2),
+    per AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy
+      FROM u GROUP BY 1),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS tn,
+             SUM(CAST(x AS HUGEINT)) AS tsx, SUM(CAST(y AS HUGEINT)) AS tsy,
+             SUM(CAST(x AS HUGEINT) * x) AS txx,
+             SUM(CAST(y AS HUGEINT) * y) AS tyy,
+             SUM(CAST(x AS HUGEINT) * y) AS txy
+      FROM u),
+    d AS (
+      SELECT variant, n,
+             CAST(tn AS DOUBLE) AS tn,
+             CAST(tsx AS DOUBLE) / 1.0 AS tsx, CAST(tsy AS DOUBLE) / 1.0 AS tsy,
+             CAST(txx AS DOUBLE) / 1.0 AS txx, CAST(tyy AS DOUBLE) / 1.0 AS tyy,
+             CAST(txy AS DOUBLE) / 1.0 AS txy,
+             CAST(sx AS DOUBLE) / 1.0 AS sx, CAST(sy AS DOUBLE) / 1.0 AS sy,
+             CAST(n AS DOUBLE) AS nn
+      FROM per CROSS JOIN pooled),
+    f AS (
+      SELECT variant, n,
+             (txy - tsx * tsy / tn) / (tn - 1.0) AS cov,
+             (txx - tsx * tsx / tn) / (tn - 1.0) AS varx,
+             (tyy - tsy * tsy / tn) / (tn - 1.0) AS vary,
+             sy / 1.0 / nn AS mean_y, sx / 1.0 / nn AS mean_x,
+             tsx / tn AS mean_x_all
+      FROM d)
+    SELECT variant, n,
+           ROUND(mean_y + 1e-9, 6) + 0.0 AS mean_post,
+           ROUND(mean_y - (cov / varx) * (mean_x - mean_x_all) + 1e-9, 6)
+             + 0.0 AS mean_cuped,
+           ROUND(cov / varx + 1e-9, 6) + 0.0 AS theta,
+           ROUND((cov * cov) / (varx * vary) + 1e-9, 6) AS var_reduction
+    FROM f ORDER BY variant
+    """,
+)
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout: per-user pre-period spend (in
+    integer cents, first half of the window) adjusts the post-period
+    mean per variant, theta = cov(X,Y)/var(X) pooled — the standard
+    experimentation trick that shrinks CIs by corr^2 without moving the
+    expectation (events_ab_ztest's variance-reduction upgrade).
+
+    operators.evalmetrics.cuped_adjustment: closed form on MOMENTS —
+    one per-variant aggregate + one 1-row pooled-moment broadcast; no
+    per-row adjusted value ever materializes; every sum is an exact
+    DECIMAL(38,0) of integer cents.
+    """
+    from sqlitedataframe_spark.operators.evalmetrics import cuped_adjustment
+
+    ev = T(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(
+        F.min(us).alias("_lo"), F.max(us).alias("_hi")
+    ).select(
+        (F.col("_lo") + F.floor((F.col("_hi") - F.col("_lo")) / 2)).alias("_mid")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = (
+        ev.join(F.broadcast(bounds))
+        .groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.sum(F.when(us < F.col("_mid"), cents).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(us >= F.col("_mid"), cents).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    return cuped_adjustment(per_user, "variant", "x", "y", scale=1)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension recall.
+# ---------------------------------------------------------------------------
+@query(
+    "embed_prefix_recall",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id AS qid, v AS q FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT qs.qid, e.vec_id,
+             ROUND(list_dot_product(e.v, qs.q)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(qs.q, qs.q))), 6) AS cos_sim
+      FROM e CROSS JOIN qs),
+    exact AS (
+      SELECT qid, vec_id FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, vec_id) <= 10),
+    dims(prefix_dim) AS (VALUES (16), (32)),
+    pscored AS (
+      SELECT d.prefix_dim, qs.qid, e.vec_id,
+             ROUND(list_dot_product(e.v[1:d.prefix_dim], qs.q[1:d.prefix_dim])
+                   / (sqrt(list_dot_product(e.v[1:d.prefix_dim],
+                                            e.v[1:d.prefix_dim]))
+                      * sqrt(list_dot_product(qs.q[1:d.prefix_dim],
+                                              qs.q[1:d.prefix_dim]))), 6)
+               AS cos_sim
+      FROM e CROSS JOIN qs CROSS JOIN dims d),
+    approx AS (
+      SELECT prefix_dim, qid, vec_id FROM pscored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY prefix_dim, qid
+                                 ORDER BY cos_sim DESC, vec_id) <= 10),
+    hits AS (
+      SELECT ap.prefix_dim, ap.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM approx ap JOIN exact ex
+        ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+      GROUP BY 1, 2),
+    spine AS (
+      SELECT d.prefix_dim, q.qid
+      FROM dims d CROSS JOIN (SELECT DISTINCT qid FROM qs) q)
+    SELECT CAST(s.prefix_dim AS INT) AS prefix_dim, s.qid,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / 10.0, 2) AS recall_at_10
+    FROM spine s LEFT JOIN hits h USING (prefix_dim, qid)
+    ORDER BY prefix_dim, qid
+    """,
+)
+def embed_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension recall: recall@10 of cosine search
+    over only the first 16/32 coordinates vs full 64-dim brute force,
+    per query — the measurement behind truncated-vector serving (can the
+    index store half the floats, and at what recall cost?).
+
+    operators.similarity.prefix_recall: one corpus x 8-query broadcast
+    cross scored at full dim (the sim_ann_recall shape) plus one
+    scan-side sliced fold per prefix dim; per-(dim, query) top-k windows
+    over bounded partitions; the corpus scans once per prefix setting,
+    never per query.
+    """
+    from sqlitedataframe_spark.operators.similarity import prefix_recall
+
+    e = T(spark, sf_dir, "embeddings")
+    return prefix_recall(e, prefix_dims=(16, 32), n_queries=8, k=10)

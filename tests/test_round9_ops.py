@@ -592,3 +592,62 @@ def test_bpe_merge_fold_never_crosses_symbol_boundary(spark):
     for r in out:
         # supports and totals remain positive integers
         assert r["n_pair"] >= 1 and r["total_symbols"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# cuped_adjustment
+# ---------------------------------------------------------------------------
+def test_cuped_reduces_to_plain_mean_when_theta_applied(spark):
+    from sqlitedataframe_spark.operators.evalmetrics import cuped_adjustment
+
+    # construct Y = 2*X + variant-effect + noiseless: theta must be 2 and
+    # the adjusted means must equal mean_y - 2 * (mean_x(v) - mean_x_all)
+    rows = []
+    for i in range(40):
+        v = i % 2
+        x = float(i)
+        y = 2.0 * x + (5.0 if v == 1 else 0.0)
+        rows.append((v, x, y))
+    df = spark.createDataFrame(rows, "variant int, x double, y double")
+    out = {r["variant"]: r for r in cuped_adjustment(df, "variant", "x", "y").collect()}
+    # theta ~ 2 with a small exact excess: the variant indicator correlates
+    # slightly with X in this construction (cov(i, i%2) = 0.25 over 0..39)
+    assert out[0]["theta"] == pytest.approx(2.0, abs=0.05)
+    # after adjustment the variant gap collapses to ~the true effect 5
+    diff = out[1]["mean_cuped"] - out[0]["mean_cuped"]
+    assert diff == pytest.approx(5.0, abs=0.05)
+    # correlation is near-perfect -> var_reduction ~ 1
+    assert out[0]["var_reduction"] > 0.9
+
+
+def test_cuped_zero_correlation_no_adjustment(spark):
+    from sqlitedataframe_spark.operators.evalmetrics import cuped_adjustment
+
+    # X constant within the pooled frame varies but uncorrelated with Y:
+    # alternating pattern makes cov ~ 0 -> theta ~ 0 -> cuped == post mean
+    rows = []
+    for i in range(32):
+        x = float(i % 2)            # 0,1,0,1...
+        y = float((i // 2) % 2)     # 0,0,1,1... uncorrelated with x
+        rows.append((0, x, y))
+    df = spark.createDataFrame(rows, "variant int, x double, y double")
+    r = cuped_adjustment(df, "variant", "x", "y").collect()[0]
+    assert r["theta"] == pytest.approx(0.0, abs=1e-6)
+    assert r["mean_cuped"] == pytest.approx(r["mean_post"], abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# prefix_recall
+# ---------------------------------------------------------------------------
+def test_prefix_recall_full_dim_is_perfect(spark, sf_dir):
+    from sqlitedataframe_spark.io import load_table
+    from sqlitedataframe_spark.operators.similarity import prefix_recall
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = prefix_recall(e, prefix_dims=(64, 16), n_queries=4, k=5).collect()
+    by = {(r["prefix_dim"], r["qid"]): r for r in rows}
+    assert len(rows) == 8
+    for q in range(4):
+        # prefix = full dimension reproduces exact search exactly
+        assert by[(64, q)]["n_hits"] == 5
+        assert 0 <= by[(16, q)]["n_hits"] <= 5
