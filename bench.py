@@ -415,6 +415,7 @@ HEADLINE = [
     "text_bpe_merges",
     "events_cuped",
     "embed_prefix_recall",
+    "eval_auc_delong",
 ]
 
 

@@ -844,3 +844,90 @@ def cuped_adjustment(
         (F.round(theta + 1e-9, round_dp) + 0.0).alias("theta"),
         F.round(corr2 + 1e-9, round_dp).alias("var_reduction"),
     ).orderBy(variant_col)
+
+
+def delong_auc_ci(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    scale: int = 1_000_000,
+    z: float = 1.959963985,
+    round_dp: int = 6,
+) -> DataFrame:
+    """DeLong (1988) variance and confidence interval for the ROC AUC —
+    the readout that upgrades "AUC = 0.84" to "0.84 ± 0.02", i.e. the
+    decision-grade answer to "is model A actually better than B on this
+    corpus slice". Nonparametric: Var(AUC) = S10/m + S01/n from the
+    per-positive placements V10 (fraction of negatives below, ties half)
+    and the per-negative placements V01.
+
+    Exactness — the placements-from-buckets trick: the data collapses
+    once to score-bucket (pos, neg) counts; every positive at score s
+    shares the placement (neg_below(s) + neg_at(s)/2) / n, so the
+    placement FIRST and SECOND moments are exact integer sums over the
+    bucket frame when placements are kept as DOUBLED integer numerators
+    (u10 = 2*neg_below + neg_at over 2n). S10, S01, the AUC and the CI
+    go double only in the final projection from DECIMAL(38,0) sums —
+    engine- and layout-independent to the last bit.
+
+    Scale shape: one map-side-combined bucket aggregate (grid-bounded),
+    cumulative counts via the two-level distributed prefix sum (never a
+    global window), one 1-row final projection. CI bounds are NOT
+    clamped to [0, 1] (DeLong intervals can overshoot; clamping hides
+    that the normal approximation is straining).
+    """
+    from sqlitedataframe_spark.operators.profiling import _prefix_sum_on_spine
+
+    iscore = F.round(F.col(score_col).cast("double") * scale).cast("bigint")
+    y = F.col(label_col).cast("int")
+    g = df.groupBy(iscore.alias("_s")).agg(
+        F.sum(y).cast("bigint").alias("_pos"),
+        F.sum(1 - y).cast("bigint").alias("_neg"),
+    )
+    # coarse-bucket width sized to the integer-score RANGE (~scale), so the
+    # offsets frame stays ~64 rows regardless of the quantization grid
+    bw = max(64, scale // 64)
+    cum = _prefix_sum_on_spine(g, "_s", "_neg", "_cneg", bucket_width=bw)
+    cum = _prefix_sum_on_spine(cum, "_s", "_pos", "_cpos", bucket_width=bw)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    one = cum.groupBy().agg(
+        F.sum("_pos").cast("bigint").alias("_m"),
+        F.sum("_neg").cast("bigint").alias("_n"),
+        # u10 = 2*neg_below + neg_at, neg_below = cumulative-inclusive - at
+        F.sum(
+            dec(F.col("_pos")) * (2 * (F.col("_cneg") - F.col("_neg")) + F.col("_neg"))
+        ).alias("_su10"),
+        F.sum(
+            dec(F.col("_pos"))
+            * dec(2 * (F.col("_cneg") - F.col("_neg")) + F.col("_neg"))
+            * (2 * (F.col("_cneg") - F.col("_neg")) + F.col("_neg"))
+        ).alias("_sq10"),
+    )
+    # positives ABOVE a negative's score need the pos total; join the
+    # 1-row moments back onto the bucket frame for the V01 pass
+    tot = one.select("_m", "_n")
+    cum2 = cum.join(F.broadcast(tot))
+    u01 = 2 * (F.col("_m") - F.col("_cpos")) + F.col("_pos")
+    two = cum2.groupBy().agg(
+        F.sum(dec(F.col("_neg")) * u01).alias("_su01"),
+        F.sum(dec(F.col("_neg")) * dec(u01) * u01).alias("_sq01"),
+    )
+    j = one.join(F.broadcast(two))
+    m = F.col("_m").cast("double")
+    n = F.col("_n").cast("double")
+    su10 = F.col("_su10").cast("double")
+    sq10 = F.col("_sq10").cast("double")
+    su01 = F.col("_su01").cast("double")
+    sq01 = F.col("_sq01").cast("double")
+    auc = su10 / (2.0 * n) / m
+    s10 = (sq10 - su10 * su10 / m) / (m - 1.0) / (2.0 * n) / (2.0 * n)
+    s01 = (sq01 - su01 * su01 / n) / (n - 1.0) / (2.0 * m) / (2.0 * m)
+    se = F.sqrt(s10 / m + s01 / n)
+    return j.select(
+        F.col("_m").alias("n_pos"),
+        F.col("_n").alias("n_neg"),
+        F.round(auc + 1e-9, round_dp).alias("auc"),
+        F.round(se + 1e-9, round_dp).alias("se"),
+        (F.round(auc - z * se + 1e-9, round_dp) + 0.0).alias("ci_lo"),
+        F.round(auc + z * se + 1e-9, round_dp).alias("ci_hi"),
+    )

@@ -1213,3 +1213,75 @@ def embed_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = T(spark, sf_dir, "embeddings")
     return prefix_recall(e, prefix_dims=(16, 32), n_queries=8, k=10)
+
+
+# ---------------------------------------------------------------------------
+# DeLong AUC variance / confidence interval.
+# ---------------------------------------------------------------------------
+from sqlitedataframe_spark.suite.pipeline10 import _SCORED_CTE, _scored  # noqa: E402
+
+
+@query(
+    "eval_auc_delong",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    b AS (
+      SELECT CAST(ROUND(s * 1000000) AS BIGINT) AS sc,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(1 - y) AS BIGINT) AS neg
+      FROM scored GROUP BY 1),
+    c AS (
+      SELECT sc, pos, neg,
+             SUM(neg) OVER (ORDER BY sc) AS cneg,
+             SUM(pos) OVER (ORDER BY sc) AS cpos
+      FROM b),
+    tt AS (SELECT CAST(SUM(pos) AS BIGINT) AS m,
+                  CAST(SUM(neg) AS BIGINT) AS n FROM b),
+    mo AS (
+      SELECT
+        SUM(CAST(pos AS HUGEINT) * (2 * (cneg - neg) + neg)) AS su10,
+        SUM(CAST(pos AS HUGEINT)
+            * CAST(2 * (cneg - neg) + neg AS HUGEINT)
+            * (2 * (cneg - neg) + neg)) AS sq10,
+        SUM(CAST(neg AS HUGEINT) * (2 * (tt.m - cpos) + pos)) AS su01,
+        SUM(CAST(neg AS HUGEINT)
+            * CAST(2 * (tt.m - cpos) + pos AS HUGEINT)
+            * (2 * (tt.m - cpos) + pos)) AS sq01
+      FROM c, tt),
+    f AS (
+      SELECT tt.m, tt.n,
+             CAST(su10 AS DOUBLE) AS su10, CAST(sq10 AS DOUBLE) AS sq10,
+             CAST(su01 AS DOUBLE) AS su01, CAST(sq01 AS DOUBLE) AS sq01,
+             CAST(tt.m AS DOUBLE) AS md, CAST(tt.n AS DOUBLE) AS nd
+      FROM mo, tt),
+    r AS (
+      SELECT m, n,
+             su10 / (2.0 * nd) / md AS auc,
+             sqrt((sq10 - su10 * su10 / md) / (md - 1.0)
+                    / (2.0 * nd) / (2.0 * nd) / md
+                  + (sq01 - su01 * su01 / nd) / (nd - 1.0)
+                    / (2.0 * md) / (2.0 * md) / nd) AS se
+      FROM f)
+    SELECT m AS n_pos, n AS n_neg,
+           ROUND(auc + 1e-9, 6) AS auc,
+           ROUND(se + 1e-9, 6) AS se,
+           ROUND(auc - 1.959963985 * se + 1e-9, 6) + 0.0 AS ci_lo,
+           ROUND(auc + 1.959963985 * se + 1e-9, 6) AS ci_hi
+    FROM r
+    """,
+)
+def eval_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong variance and 95% CI for the quality-score AUC — upgrades
+    the point estimate eval_auc_quality_lang reports to a
+    decision-grade interval (is the score actually predictive on this
+    slice, or within noise of 0.5?).
+
+    operators.evalmetrics.delong_auc_ci: placements-from-buckets — the
+    per-positive/per-negative placement moments are exact integer sums
+    over the score-bucket frame (DOUBLED numerators keep tie-halves
+    integer), cumulative counts via the two-level distributed prefix
+    sum, S10/S01/AUC/CI double only in the 1-row final projection.
+    """
+    from sqlitedataframe_spark.operators.evalmetrics import delong_auc_ci
+
+    return delong_auc_ci(_scored(spark, sf_dir), "s", "y")

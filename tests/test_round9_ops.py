@@ -651,3 +651,57 @@ def test_prefix_recall_full_dim_is_perfect(spark, sf_dir):
         # prefix = full dimension reproduces exact search exactly
         assert by[(64, q)]["n_hits"] == 5
         assert 0 <= by[(16, q)]["n_hits"] <= 5
+
+
+# ---------------------------------------------------------------------------
+# delong_auc_ci
+# ---------------------------------------------------------------------------
+def _delong_reference(scores, labels):
+    """Textbook O(m*n) DeLong: per-positive/per-negative placements."""
+    pos = [s for s, y in zip(scores, labels) if y == 1]
+    neg = [s for s, y in zip(scores, labels) if y == 0]
+    m, n = len(pos), len(neg)
+    v10 = [
+        sum(1.0 if x > yv else (0.5 if x == yv else 0.0) for yv in neg) / n
+        for x in pos
+    ]
+    v01 = [
+        sum(1.0 if x > yv else (0.5 if x == yv else 0.0) for x in pos) / m
+        for yv in neg
+    ]
+    auc = sum(v10) / m
+    s10 = sum((v - auc) ** 2 for v in v10) / (m - 1)
+    s01 = sum((v - auc) ** 2 for v in v01) / (n - 1)
+    return auc, math.sqrt(s10 / m + s01 / n)
+
+
+def test_delong_matches_pairwise_reference(spark):
+    from sqlitedataframe_spark.operators.evalmetrics import delong_auc_ci
+
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for _ in range(60):
+        y = rng.randint(0, 1)
+        s = round(rng.gauss(0.5 + 0.2 * y, 0.15), 3)  # ties guaranteed at 3dp
+        rows.append((s, y))
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = delong_auc_ci(df, "s", "y").collect()[0]
+    auc, se = _delong_reference([s for s, _ in rows], [y for _, y in rows])
+    assert r["auc"] == pytest.approx(auc, abs=1e-5)
+    assert r["se"] == pytest.approx(se, abs=1e-5)
+    assert r["ci_lo"] == pytest.approx(auc - 1.959963985 * se, abs=1e-4)
+    assert r["ci_hi"] == pytest.approx(auc + 1.959963985 * se, abs=1e-4)
+
+
+def test_delong_perfect_separation_zero_variance(spark):
+    from sqlitedataframe_spark.operators.evalmetrics import delong_auc_ci
+
+    rows = [(0.1 * i, 0) for i in range(1, 6)] + [
+        (0.1 * i + 1.0, 1) for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = delong_auc_ci(df, "s", "y").collect()[0]
+    assert r["auc"] == pytest.approx(1.0)
+    assert r["se"] == pytest.approx(0.0, abs=1e-9)
