@@ -416,6 +416,7 @@ HEADLINE = [
     "events_cuped",
     "embed_prefix_recall",
     "eval_auc_delong",
+    "dedup_soft_weights",
 ]
 
 

@@ -1297,3 +1297,100 @@ def eval_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlitedataframe_spark.operators.evalmetrics import delong_auc_ci
 
     return delong_auc_ci(_scored(spark, sf_dir), "s", "y")
+
+
+# ---------------------------------------------------------------------------
+# Soft-dedup loss weights (duplicate-aware mixture accounting).
+# ---------------------------------------------------------------------------
+from sqlitedataframe_spark.suite.pipeline2 import _CC_EDGE_SQL  # noqa: E402
+
+
+@query(
+    "dedup_soft_weights",
+    oracle=f"""
+    WITH RECURSIVE {_CC_EDGE_SQL},
+    sym AS (SELECT src, dst FROM edges
+            UNION SELECT dst, src FROM edges),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
+      FROM walk GROUP BY node),
+    csize AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS k
+      FROM comp GROUP BY 1),
+    d AS (
+      SELECT c.doc_id, cs.k, doc.source,
+             CAST(len(string_split(lower(trim(doc.text)), ' ')) AS BIGINT)
+               AS toks
+      FROM comp c
+      JOIN csize cs USING (component)
+      JOIN documents doc USING (doc_id))
+    SELECT source, CAST(k AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           ROUND(1.0 / k + 1e-9, 6) AS weight
+    FROM d GROUP BY source, k ORDER BY source, cluster_size
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-dedup loss-weight table: instead of DROPPING near-duplicates,
+    weight each document by 1/|its dup cluster| (so every cluster
+    contributes one unit of training signal) and report the
+    (source, cluster_size) grain a mixture planner consumes — raw vs
+    effective doc/token counts per feed without losing coverage of
+    rare-but-duplicated content.
+
+    Exactness: n_docs/n_tokens are integer sums over the grain; the
+    weight is a SINGLE division per output row (never a float sum of
+    1/k terms across rows — the (source, cluster_size) grain exists
+    precisely so effective sizes stay downstream arithmetic on exact
+    integers). Components come from the same consecutive-id Jaccard
+    edges + pointer-jumped CC as dedup_connected_components.
+    """
+    from sqlitedataframe_spark.operators.graph import connected_components
+    from sqlitedataframe_spark.operators.text import tokens as _toks
+
+    d = T(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.array_distinct(_toks("text")).alias("t"))
+    a, b = tk.alias("a"), tk.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.t"), F.col("b.t")))
+    union = F.size(F.array_union(F.col("a.t"), F.col("b.t")))
+    edges = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(inter.cast("double") / union >= 0.5)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    comp = connected_components(
+        edges, nodes=d.select("doc_id"), node_col="doc_id"
+    ).select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+    csize = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    joined = (
+        comp.join(csize, "component")
+        .join(
+            d.select(
+                "doc_id", "source", F.size(_toks("text")).cast("bigint").alias("toks")
+            ),
+            "doc_id",
+        )
+    )
+    return (
+        joined.groupBy("source", F.col("k").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "cluster_size",
+            "n_docs",
+            "n_tokens",
+            F.round(1.0 / F.col("cluster_size") + 1e-9, 6).alias("weight"),
+        )
+        .orderBy("source", "cluster_size")
+    )

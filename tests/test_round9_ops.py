@@ -705,3 +705,24 @@ def test_delong_perfect_separation_zero_variance(spark):
     r = delong_auc_ci(df, "s", "y").collect()[0]
     assert r["auc"] == pytest.approx(1.0)
     assert r["se"] == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# dedup_soft_weights (query-level invariants)
+# ---------------------------------------------------------------------------
+def test_soft_weights_cluster_accounting(spark, sf_dir):
+    from sqlitedataframe_spark.suite import load_all
+
+    q = load_all()["dedup_soft_weights"]
+    rows = q.spark_fn(spark, sf_dir).collect()
+    assert rows, "soft-weight table must be nonempty"
+    for r in rows:
+        assert r["n_docs"] >= 1 and r["n_tokens"] >= 0
+        assert r["weight"] == pytest.approx(
+            round(1.0 / r["cluster_size"] + 1e-9, 6), abs=1e-9
+        )
+    # total docs across the grain equals the corpus size
+    from sqlitedataframe_spark.io import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
