@@ -889,6 +889,13 @@ def delong_auc_ci(
     bw = max(64, scale // 64)
     cum = _prefix_sum_on_spine(g, "_s", "_neg", "_cneg", bucket_width=bw)
     cum = _prefix_sum_on_spine(cum, "_s", "_pos", "_cpos", bucket_width=bw)
+    # three consumers read cum (the V10 moments, the V01 moments, and the
+    # totals join) — cache it so the bucket aggregate and both two-level
+    # prefix sums run once, not three times; released by the harness via
+    # util.release_caches after the query is consumed
+    from sqlitedataframe_spark.operators.util import eager_cache
+
+    cum = eager_cache(cum)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     one = cum.groupBy().agg(
         F.sum("_pos").cast("bigint").alias("_m"),

@@ -681,7 +681,14 @@ def contrastive_triplets(
             F.col(score_col).alias("pos_score"),
         )
     )
-    draw0 = (F.col("anchor") * F.lit(mult) + F.lit(offset)) % F.col("_n")
+    # decimal(38,0): anchor * mult exceeds int64 once anchor > ~3.4e9 and
+    # Spark int64 would silently wrap (DuckDB HUGEINT stays exact) — wide
+    # decimal keeps the draw exact at 100TB-scale id spaces, then the
+    # modulo result (< N) drops back to bigint.
+    draw0 = (
+        (F.col("anchor").cast("decimal(38,0)") * F.lit(mult) + F.lit(offset))
+        % F.col("_n")
+    ).cast("bigint")
     with_neg = anchors.join(F.broadcast(n_row)).withColumn("_d0", draw0)
     # one deterministic re-roll on collision with anchor or positive
     reroll = (F.col("_d0") + F.lit(1)) % F.col("_n")

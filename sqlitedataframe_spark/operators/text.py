@@ -2077,11 +2077,17 @@ def bpe_merge_rounds(
                 ),
             )
             nxt = cur.select(merged.alias("s"), "f").persist()
-            total = nxt.agg(
-                F.sum(F.col("f") * F.size(F.split(F.col("s"), S)))
-                .cast("bigint")
-                .alias("t")
-            ).collect()[0]["t"]
+            try:
+                total = nxt.agg(
+                    F.sum(F.col("f") * F.size(F.split(F.col("s"), S)))
+                    .cast("bigint")
+                    .alias("t")
+                ).collect()[0]["t"]
+            except Exception:
+                # cur is still the finally-covered frame; release nxt here
+                # so a mid-round failure cannot leak its cached blocks
+                nxt.unpersist()
+                raise
             cur.unpersist()
             cur = nxt
             rows.append((r, a, b, n_pair, int(total)))

@@ -909,8 +909,14 @@ def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pos),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
     d0 AS (
+      -- HUGEINT: anchor*mult exceeds int64 once anchor > ~3.4e9; DuckDB
+      -- BIGINT would raise Out of Range while Spark int64 silently wraps.
+      -- Both engines now compute the draw in wide arithmetic (Spark side:
+      -- decimal(38,0) in operators.sampling.contrastive_triplets).
       SELECT anchor, positive, pos_score,
-             (anchor * 2654435761 + 13) % nn.n AS d0, nn.n AS n
+             CAST((CAST(anchor AS HUGEINT) * 2654435761 + 13) % nn.n
+                  AS BIGINT) AS d0,
+             nn.n AS n
       FROM anch, nn),
     neg AS (
       SELECT anchor, positive, pos_score,
@@ -1324,8 +1330,8 @@ from sqlitedataframe_spark.suite.pipeline2 import _CC_EDGE_SQL  # noqa: E402
       FROM comp GROUP BY 1),
     d AS (
       SELECT c.doc_id, cs.k, doc.source,
-             CAST(len(string_split(lower(trim(doc.text)), ' ')) AS BIGINT)
-               AS toks
+             CAST(len(regexp_split_to_array(lower(trim(doc.text)), '\\s+'))
+                  AS BIGINT) AS toks
       FROM comp c
       JOIN csize cs USING (component)
       JOIN documents doc USING (doc_id))
