@@ -8,6 +8,7 @@ properties, not hopes.
 from sqlitedataframe_spark.plans.introspect import (
     broadcast_join_count,
     codegen_stage_count,
+    foldable_partition_window_count,
     exchange_count,
     explain_text,
     global_window_count,
@@ -21,6 +22,7 @@ from sqlitedataframe_spark.plans.introspect import (
 __all__ = [
     "broadcast_join_count",
     "codegen_stage_count",
+    "foldable_partition_window_count",
     "exchange_count",
     "explain_text",
     "global_window_count",

@@ -185,6 +185,70 @@ def _upstream_global_sort_count_text(text: str) -> int:
     return count
 
 
+def _window_bracket_groups(line: str) -> list[str]:
+    """Top-level ``[...]`` groups of a plan-tree ``Window`` line (shared by
+    the physical and logical window parsers)."""
+    stripped = line.strip().lstrip("+-*:( )0123456789")
+    if not stripped.startswith("Window "):
+        return []
+    body = stripped[len("Window ") :]
+    depth, start, groups = 0, None, []
+    for i, ch in enumerate(body):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start is not None:
+                groups.append(body[start : i + 1])
+                start = None
+    return groups
+
+
+def foldable_partition_window_count(df: DataFrame) -> int:
+    """Number of Window operators in the ANALYZED logical plan whose
+    partition spec is non-empty but contains NO attribute reference —
+    i.e. every key is a literal Catalyst will constant-fold away, turning
+    the window into a single-task GLOBAL window at execution (the r9
+    ``partitionBy(lit(0))`` retrieval-rank bug, caught then only by a
+    manual audit-diff read).
+
+    Why the analyzed plan: by physical-plan time the foldable keys are
+    already GONE (the window prints as plain global and is merely
+    counted by :func:`global_window_count`, which historically was a
+    reportable number, not an error). The analyzed plan still shows the
+    author's literal key (e.g. ``[0]``), so this rule catches the exact
+    API misuse before optimization can disguise intent. Attribute
+    references always print as ``name#id`` in the analyzed tree, so a
+    partition group without ``#`` can only hold literals/foldables.
+    """
+    text = explain_text(df, "extended")
+    try:
+        ana = text.split("== Analyzed Logical Plan ==")[1].split(
+            "== Optimized"
+        )[0]
+    except IndexError:
+        return 0
+    count = 0
+    for line in ana.splitlines():
+        groups = _window_bracket_groups(line)
+        if len(groups) < 2:
+            continue  # no partition spec: plain global, not this rule
+        if len(groups) == 2:
+            # [exprs],[partition] vs [exprs],[order]: order entries carry
+            # sort directions, partition entries never do
+            part = groups[1]
+            if " ASC" in part or " DESC" in part:
+                continue
+        else:
+            part = groups[1]
+        inner = part.strip("[] ")
+        if inner and "#" not in inner:
+            count += 1
+    return count
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen spans; fewer spans for the same plan
     means wider fused pipelines."""

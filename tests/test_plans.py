@@ -420,3 +420,74 @@ def test_neighbor_jaccard_all_joins_hashed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert global_window_count(q) == 0
+
+
+def test_foldable_partition_window_rule_catches_r9_bug(spark):
+    """VERDICT r9 #5: ``Window.partitionBy(lit(0))`` constant-folds to a
+    single-task GLOBAL window in the physical plan. The static rule must
+    fire on the r9 retrieval-rank bug shape VERBATIM (a row_number ranked
+    over a lit(0)-partitioned, score-ordered window), stay silent on real
+    partition keys, and compose with the physical counter (which sees the
+    same window only after Catalyst has folded the key away)."""
+    from pyspark.sql import Window
+
+    from sqlitedataframe_spark.plans import foldable_partition_window_count
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 13).cast("double").alias("score")
+    )
+    # the r9 bug, verbatim (commit 7edc7cf's minus side)
+    bug = df.withColumn(
+        "rl",
+        F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), "id")
+        ),
+    )
+    assert foldable_partition_window_count(bug) == 1
+    # physical counter agrees only AFTER folding — both must fire
+    assert global_window_count(bug) == 1
+    # multi-literal key set: still foldable
+    two_lits = df.withColumn(
+        "rl",
+        F.row_number().over(
+            Window.partitionBy(F.lit(0), F.lit("x")).orderBy("id")
+        ),
+    )
+    assert foldable_partition_window_count(two_lits) == 1
+    # real partition key: silent
+    good = df.withColumn(
+        "rl",
+        F.row_number().over(
+            Window.partitionBy((F.col("id") % 3).alias("g")).orderBy("id")
+        ),
+    )
+    assert foldable_partition_window_count(good) == 0
+    # partitioned-unordered and global-ordered: not THIS rule's business
+    assert foldable_partition_window_count(
+        df.withColumn("c", F.count("*").over(Window.partitionBy((F.col("id") % 3))))
+    ) == 0
+    assert foldable_partition_window_count(
+        df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    ) == 0
+
+
+def test_plan_audit_errors_on_foldable_window(spark):
+    """The audit row records the rule and the gate treats >0 as an ERROR
+    (no adjudication allowlist applies)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from pyspark.sql import Window
+
+    from tools.plan_audit import audit_one
+
+    df = spark.range(50).withColumn("g", F.col("id") % 5)
+    bug = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("id"))
+    )
+    row = audit_one(bug)
+    assert row["foldable_partition_windows"] == 1
+    good = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert audit_one(good)["foldable_partition_windows"] == 0

@@ -30,6 +30,7 @@ from sqlitedataframe_spark.plans import (  # noqa: E402
     broadcast_join_count,
     exchange_count,
     explain_text,
+    foldable_partition_window_count,
     global_window_count,
     scan_count,
     upstream_global_sort_count,
@@ -46,6 +47,10 @@ def audit_one(df) -> dict:
             "NestedLoop" in plan or "Cartesian" in plan
         ),
         "global_windows": global_window_count(df),
+        # partitionBy key set made entirely of literals: Catalyst folds it
+        # to a GLOBAL window (the r9 retrieval-rank bug). An ERROR, never
+        # an adjudicatable flag — there is no benign reading of it.
+        "foldable_partition_windows": foldable_partition_window_count(df),
         "python_row_udf": "BatchEvalPython" in plan,
         # global Sort / range Exchange / CollectLimit feeding a WIDE
         # downstream operator (presentation-tail orderBys don't count):
@@ -112,6 +117,17 @@ def main() -> None:
     unadjudicated = sorted(set(flagged) - set(BENIGN_NESTED_LOOP))
     if unadjudicated:
         print(f"UNADJUDICATED FLAGS: {unadjudicated}", file=sys.stderr)
+        sys.exit(1)
+    # HARD ERRORS (no adjudication path): a window over a constant-foldable
+    # partition key set, or any plain global window — both serialize the
+    # whole input through one task at scale (VERDICT r9 task #5).
+    errors = sorted(
+        name
+        for name, row in out.items()
+        if row.get("foldable_partition_windows") or row.get("global_windows")
+    )
+    if errors:
+        print(f"GLOBAL/FOLDABLE WINDOW ERRORS: {errors}", file=sys.stderr)
         sys.exit(1)
 
 
