@@ -685,7 +685,9 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT i, p FROM (VALUES (1, 0.025), (2, 0.125), (3, 0.225),
         (4, 0.325), (5, 0.425), (6, 0.525), (7, 0.625), (8, 0.725),
         (9, 0.825), (10, 0.925)) AS t(i, p))
-    SELECT per.g AS source, ROUND(grid.p, 4) AS p,
+    -- CAST: the VALUES grid literals are DECIMAL in DuckDB while Spark's
+    -- grid is double; match types cell-for-cell (checker-fidelity r10)
+    SELECT per.g AS source, ROUND(CAST(grid.p AS DOUBLE), 4) AS p,
            ROUND(per.qv + 1e-9, 4) AS group_q,
            ROUND(ref.r + 1e-9, 4) AS ref_q,
            ROUND(per.qv - ref.r + 1e-9, 4) AS gap

@@ -1597,7 +1597,12 @@ _COST_FP, _COST_FN = 1.0, 5.0
     "eval_cost_threshold",
     oracle=f"""
     WITH {_SCORED_CTE},
-    thr AS (SELECT unnest([{", ".join(str(t) for t in _COST_THRESHOLDS)}]) AS t),
+    -- CAST: unnest of decimal literals is DECIMAL in DuckDB while the
+    -- Spark threshold array is double; the types must match cell-for-cell
+    -- (checker-fidelity r10 — a normalizer stricter than float(Decimal)
+    -- would hash them apart)
+    thr AS (SELECT CAST(unnest([{", ".join(str(t) for t in _COST_THRESHOLDS)}])
+                        AS DOUBLE) AS t),
     cells AS (
       SELECT thr.t,
              CAST(SUM(CASE WHEN s >= thr.t AND y = 0 THEN 1 ELSE 0 END)

@@ -30,6 +30,13 @@ def norm_cell(v):
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
+    # Decimal -> float is KEPT: queries whose oracle emits DECIMAL cells
+    # where Spark emits double (eval_cost_threshold, feature_quantile_
+    # normalize pre-r10) were driver-GREEN at sf0.01 with those exact
+    # divergent raw types, so the driver provably applies the same
+    # float() collapse (checker-fidelity r10 evidence). The r10 scan
+    # gate (tools/checker_fidelity_scan.py) nevertheless holds the suite
+    # to STRICT type agreement, so no query relies on this.
     if isinstance(v, Decimal):
         v = float(v)
     if isinstance(v, float):
@@ -43,7 +50,13 @@ def norm_cell(v):
             return "-0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return repr(round(v, 9))
+        # FULL repr, no 9-dp rounding (tightened r10): the suite's own
+        # ROUND-on-both-sides convention must leave bit-identical doubles;
+        # rounding here could hide a sub-9dp cross-engine divergence the
+        # driver would red (the welch hazard class). The whole registry is
+        # strict-OK under tools/checker_fidelity_scan.py, so nothing
+        # relies on the old collapse.
+        return repr(v)
     if isinstance(v, dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, (bytes, bytearray)):
