@@ -113,7 +113,15 @@ def _unseen_names() -> list[str]:
 #: layout-stable by tools/parity_sweep.py this round; the driver row is
 #: the hard signal that the drift-proofing holds in ITS environment too).
 ROTATION_LEADS = [
-    # r9: the signed-zero-convention set first — every query whose ROUND
+    # r10 (VERDICT r9 #3): the checker-fidelity flag list first — the two
+    # queries whose oracles emitted DECIMAL cells where Spark emits double
+    # (now CAST-aligned; the driver row re-proves the fix in ITS hash),
+    # then the r9 signed-zero set. The three new probe queries for the
+    # Decimal / >1e15-int / >9-dp-float cell classes (agg_decimal_ledger,
+    # profile_key_checksums, profile_exact_ratios) front as unseen.
+    "eval_cost_threshold",
+    "feature_quantile_normalize",
+    # r9: the signed-zero-convention set — every query whose ROUND
     # output is a signed near-zero statistic now carries `+ 0.0` on both
     # sides (the welch fix generalized); the driver row re-proves it
     "events_welch_ttest",

@@ -846,6 +846,77 @@ def cuped_adjustment(
     ).orderBy(variant_col)
 
 
+def cuped_stratified(
+    df: DataFrame,
+    strata_col: str,
+    variant_col: str,
+    pre_col: str,
+    post_col: str,
+    scale: int = 100,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Group-aware CUPED (VERDICT r9 #2e): one theta PER STRATUM instead
+    of one global theta. When the pre/post relationship differs across
+    strata (new vs tenured users, mobile vs desktop), a pooled theta
+    under-corrects the strata where the covariate is most informative;
+    stratum-local theta_s = cov_s(X,Y)/var_s(X) recovers the full
+    variance reduction inside each stratum (post-stratified CUPED, the
+    standard composition of Deng et al.'s CUPED with blocking).
+
+    Shape is :func:`cuped_adjustment` keyed one level deeper: one
+    (stratum, variant) moment aggregate plus one per-stratum pooled
+    moment aggregate, joined on the stratum key (broadcastable — the
+    pooled frame is |strata| rows of model state). Exactness: identical
+    integer-quantization + DECIMAL(38,0) convention; doubles appear
+    only in the final projection, signed outputs carry `+ 0.0`.
+    """
+    ix = F.round(F.col(pre_col).cast("double") * scale).cast("bigint")
+    iy = F.round(F.col(post_col).cast("double") * scale).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = df.groupBy(
+        F.col(strata_col).alias("_g"), F.col(variant_col).alias("_v")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(ix)).alias("_sx"),
+        F.sum(dec(iy)).alias("_sy"),
+    )
+    pooled = df.groupBy(F.col(strata_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_tn"),
+        F.sum(dec(ix)).alias("_tsx"),
+        F.sum(dec(iy)).alias("_tsy"),
+        F.sum(dec(ix) * ix).alias("_txx"),
+        F.sum(dec(iy) * iy).alias("_tyy"),
+        F.sum(dec(ix) * iy).alias("_txy"),
+    )
+    j = per.join(F.broadcast(pooled), "_g")
+    s = float(scale)
+    tn = F.col("_tn").cast("double")
+    tsx = F.col("_tsx").cast("double") / s
+    tsy = F.col("_tsy").cast("double") / s
+    txx = F.col("_txx").cast("double") / (s * s)
+    tyy = F.col("_tyy").cast("double") / (s * s)
+    txy = F.col("_txy").cast("double") / (s * s)
+    cov = (txy - tsx * tsy / tn) / (tn - 1.0)
+    varx = (txx - tsx * tsx / tn) / (tn - 1.0)
+    vary = (tyy - tsy * tsy / tn) / (tn - 1.0)
+    theta = cov / varx
+    nn = F.col("n").cast("double")
+    mean_y = F.col("_sy").cast("double") / s / nn
+    mean_x = F.col("_sx").cast("double") / s / nn
+    mean_x_all = tsx / tn
+    mean_cuped = mean_y - theta * (mean_x - mean_x_all)
+    corr2 = (cov * cov) / (varx * vary)
+    return j.select(
+        F.col("_g").alias(strata_col),
+        F.col("_v").alias(variant_col),
+        "n",
+        (F.round(mean_y + 1e-9, round_dp) + 0.0).alias("mean_post"),
+        (F.round(mean_cuped + 1e-9, round_dp) + 0.0).alias("mean_cuped"),
+        (F.round(theta + 1e-9, round_dp) + 0.0).alias("theta"),
+        F.round(corr2 + 1e-9, round_dp).alias("var_reduction"),
+    ).orderBy(strata_col, variant_col)
+
+
 def delong_auc_ci(
     df: DataFrame,
     score_col: str,

@@ -391,3 +391,103 @@ def minhash_overlap_pairs(
             ),
         )
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: Column | str,
+    k: int = 256,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Per-group bottom-k sample: the ``k`` rows whose md5(key) is
+    smallest — a DETERMINISTIC uniform sample (the KMV/bottom-k sketch
+    family) that is MERGEABLE: the bottom-k of a union is the bottom-k
+    of the per-shard bottom-ks, so shard samples roll up without
+    re-reading data, exactly like the HLL/count-min/histogram rollups.
+
+    The plan itself uses the merge property: rows are first reduced to a
+    per-(group, shard) bottom-k with a window over BOUNDED partitions
+    (at most the shard's rows), then the ≤ ``n_shards * k`` survivors
+    per group merge to the final bottom-k — no window ever sees a whole
+    group, so a hot group cannot serialize a task at 100 TB. Both
+    levels order by (md5 hex, key): md5 collisions aside, a total
+    order, so the sample is a pure function of the data (bit-identical
+    in any engine with md5 — the oracle replays one flat bottom-k).
+    """
+    kc = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.md5(kc.cast("string").cast("binary"))
+    shard = (
+        F.conv(F.substring(h, 29, 4), 16, 10).cast("bigint") % n_shards
+    )
+    from pyspark.sql import Window
+
+    base = df.withColumn("_h", h).withColumn("_shard", shard)
+    w1 = Window.partitionBy(group_col, "_shard").orderBy("_h", kc)
+    lvl1 = (
+        base.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_h", kc)
+    return (
+        lvl1.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_h", "_shard")
+    )
+
+
+def bottomk_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: Column | str,
+    k: int = 256,
+    qs: tuple = (0.5, 0.9),
+    round_dp: int = 4,
+) -> DataFrame:
+    """Quantile estimates from the per-group bottom-k sample NEXT TO the
+    exact interpolated quantiles — the sketch-vs-truth readout that
+    qualifies the sketch's error before it replaces the exact pass in a
+    100 TB profile job (VERDICT r9 #2d: mergeable quantiles beside
+    agg_hist_quantiles; this is the sampling-sketch sibling of the
+    fixed-grid histogram sketch).
+
+    Exactness: the sample is deterministic (see :func:`bottomk_sample`),
+    interpolated percentiles over sample and population use the same
+    engine primitive on both sides (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, the agg_percentile_exact anchor), and outputs
+    round at ``round_dp``.
+    """
+    qlist = list(qs)
+    exact = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.percentile(value_col, F.lit(q)).alias(f"_xq{i}")
+            for i, q in enumerate(qlist)
+        ],
+    )
+    samp = bottomk_sample(df, group_col, key_col, k=k)
+    est = samp.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+        *[
+            F.percentile(value_col, F.lit(q)).alias(f"_sq{i}")
+            for i, q in enumerate(qlist)
+        ],
+    )
+    out = exact.join(est, group_col)
+    cols = [F.col(group_col), F.col("n"), F.col("k_eff")]
+    for i, q in enumerate(qlist):
+        tag = f"p{round(q * 100):d}"
+        cols.append(
+            F.round(F.col(f"_xq{i}") + 1e-9, round_dp).alias(f"{tag}_exact")
+        )
+        cols.append(
+            F.round(F.col(f"_sq{i}") + 1e-9, round_dp).alias(f"{tag}_est")
+        )
+        cols.append(
+            F.round(
+                F.abs(F.col(f"_sq{i}") - F.col(f"_xq{i}")) + 1e-9, round_dp
+            ).alias(f"{tag}_abs_err")
+        )
+    return out.select(*cols).orderBy(group_col)

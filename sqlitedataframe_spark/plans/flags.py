@@ -113,6 +113,7 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "embed_ivf_recall": "8-query broadcast crosses (exact scoring + cell ranking) + 3-row probe-grid cross over the #queries x #cells frame",
     "sample_contrastive_triplets": "1-row corpus-count broadcast onto the k-bounded LSH positive pairs",
     "events_cuped": "1-row epoch-midpoint bounds + 1-row pooled-moment broadcasts (welch shape)",
+    "events_cuped_stratified": "1-row epoch-midpoint bounds broadcast (events_cuped shape; pooled moments join keyed on stratum)",
     "embed_prefix_recall": "8-query broadcast crosses (full-dim + per-prefix sliced scoring) + 2-row dim-grid spine",
     "eval_auc_delong": "<=64-row bucket-offset prefix-sum joins + 1-row moment crosses (auc_quality_lang shape)",
 }

@@ -70,6 +70,7 @@ def load_all() -> dict[str, Query]:
         pipeline13,
         pipeline14,
         pipeline15,
+        pipeline16,
         eventstream,
         streamingq,
         bridge,

@@ -327,10 +327,10 @@ def retrieval_rerank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # LCS span estimates for LSH candidate pairs (diagonal anchor runs).
 # ---------------------------------------------------------------------------
-@query(
-    "dedup_lcs_spans",
-    oracle=MH_EST_CTE
-    + """,
+#: CTE chain (appended to MH_EST_CTE) ending in ``spanstats`` = the
+#: per-candidate-pair LCS span evidence table. Shared by dedup_lcs_spans
+#: and the r10 span-cluster rollup (pipeline16.dedup_span_clusters).
+LCS_SPANS_CTES = """,
     prs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.3),
     pids AS (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs),
     d2 AS (
@@ -358,13 +358,22 @@ def retrieval_rerank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(DISTINCT diag) AS BIGINT) AS n_diags,
              CAST(30 + (MAX(run) - 1) * 10 AS BIGINT) AS lcs_est
       FROM runs GROUP BY 1, 2),
-    lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM documents)
-    SELECT p.id_a, p.id_b, n_anchors, n_diags, lcs_est,
-           ROUND(CAST(lcs_est AS DOUBLE) / LEAST(la.len, lb.len) + 1e-9, 4)
-             AS lcs_ratio
-    FROM per p
-    JOIN lens la ON la.doc_id = p.id_a
-    JOIN lens lb ON lb.doc_id = p.id_b
+    lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM documents),
+    spanstats AS (
+      SELECT p.id_a, p.id_b, n_anchors, n_diags, lcs_est,
+             ROUND(CAST(lcs_est AS DOUBLE) / LEAST(la.len, lb.len) + 1e-9, 4)
+               AS lcs_ratio
+      FROM per p
+      JOIN lens la ON la.doc_id = p.id_a
+      JOIN lens lb ON lb.doc_id = p.id_b)
+"""
+
+
+@query(
+    "dedup_lcs_spans",
+    oracle=MH_EST_CTE + LCS_SPANS_CTES + """
+    SELECT id_a, id_b, n_anchors, n_diags, lcs_est, lcs_ratio
+    FROM spanstats
     ORDER BY id_a, id_b
     """,
 )

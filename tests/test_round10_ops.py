@@ -1,0 +1,286 @@
+"""Round-10 operators: bottom-k quantile sketch (merge parity + layout
+invariance), stratified CUPED, BPE fertility, LCS span clusters, and the
+three checker-fidelity probe queries' type contracts."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# bottomk_sample: mergeability + layout invariance
+# ---------------------------------------------------------------------------
+def test_bottomk_sample_merge_parity(spark):
+    """The sketch law: bottom-k of the union == bottom-k of the per-shard
+    bottom-ks. Computed three ways — flat one-level, the operator's
+    two-level plan, and a manual 4-shard merge — all must agree row-set
+    exactly."""
+    from sqlitedataframe_spark.operators.sketch import bottomk_sample
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("k"),
+        (F.col("id") * 7 % 101).alias("v"),
+    )
+    k = 16
+    two_level = bottomk_sample(df, "g", F.col("k"), k=k)
+    rows = sorted((r["g"], r["k"]) for r in two_level.collect())
+    # flat reference: order ALL rows per group by (md5, key)
+    import hashlib
+
+    by_g: dict = {}
+    for r in df.collect():
+        h = hashlib.md5(str(r["k"]).encode()).hexdigest()
+        by_g.setdefault(r["g"], []).append((h, str(r["k"]), r["k"]))
+    flat = sorted(
+        (g, t[2])
+        for g, items in by_g.items()
+        for t in sorted(items)[:k]
+    )
+    assert rows == flat
+    # manual merge: split into 4 arbitrary shards, bottom-k each, merge
+    shards = [df.filter(F.col("id") % 4 == i) for i in range(4)]
+    parts = shards[0]
+    for s in shards[1:]:
+        parts = parts.unionByName(s)
+    merged = bottomk_sample(
+        # union of per-shard bottom-ks, then one more bottom-k pass
+        bottomk_sample(shards[0], "g", F.col("k"), k=k)
+        .unionByName(bottomk_sample(shards[1], "g", F.col("k"), k=k))
+        .unionByName(bottomk_sample(shards[2], "g", F.col("k"), k=k))
+        .unionByName(bottomk_sample(shards[3], "g", F.col("k"), k=k)),
+        "g",
+        F.col("k"),
+        k=k,
+    )
+    assert sorted((r["g"], r["k"]) for r in merged.collect()) == flat
+
+
+def test_bottomk_sample_layout_invariant(spark):
+    """The sample is a pure function of the data: any partition layout
+    yields the identical row set."""
+    from sqlitedataframe_spark.operators.sketch import bottomk_sample
+
+    df = spark.range(500).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("k")
+    )
+    a = bottomk_sample(df.repartition(1), "g", F.col("k"), k=10)
+    b = bottomk_sample(df.repartition(17, "k"), "g", F.col("k"), k=10)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bottomk_quantiles_err_bounds(spark, sf_dir):
+    """Sample p50/p90 must land within a loose sampling-error band of the
+    exact percentiles on the real fixture (k=256 per group)."""
+    from sqlitedataframe_spark.io import load_table
+    from sqlitedataframe_spark.operators.sketch import bottomk_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = bottomk_quantiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        F.concat_ws(":", "l_orderkey", "l_linenumber"),
+        k=256,
+        qs=(0.5, 0.9),
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        span = r["p90_exact"] - r["p50_exact"] + 1.0
+        assert r["p50_abs_err"] <= span, r
+        assert r["k_eff"] <= 256
+
+
+# ---------------------------------------------------------------------------
+# cuped_stratified
+# ---------------------------------------------------------------------------
+def test_cuped_stratified_matches_per_stratum_cuped(spark):
+    """Running plain cuped_adjustment on each stratum's slice must equal
+    the stratified operator's rows for that stratum."""
+    from sqlitedataframe_spark.operators.evalmetrics import (
+        cuped_adjustment,
+        cuped_stratified,
+    )
+
+    df = spark.range(400).select(
+        (F.col("id") % 2).alias("s"),
+        (F.col("id") % 4 < 2).cast("int").alias("variant"),
+        # stratum 0: y strongly tracks x; stratum 1: weakly
+        (F.col("id") % 37).cast("double").alias("x"),
+        F.when(
+            F.col("id") % 2 == 0, (F.col("id") % 37) * 3 + (F.col("id") % 5)
+        )
+        .otherwise((F.col("id") % 11))
+        .cast("double")
+        .alias("y"),
+    )
+    strat = {
+        (r["s"], r["variant"]): (r["theta"], r["mean_cuped"])
+        for r in cuped_stratified(df, "s", "variant", "x", "y", scale=1).collect()
+    }
+    for s_val in (0, 1):
+        plain = cuped_adjustment(
+            df.filter(F.col("s") == s_val), "variant", "x", "y", scale=1
+        ).collect()
+        for r in plain:
+            assert strat[(s_val, r["variant"])] == (
+                r["theta"],
+                r["mean_cuped"],
+            )
+    # the two strata genuinely differ (otherwise the test proves nothing)
+    assert strat[(0, 0)][0] != strat[(1, 0)][0]
+
+
+# ---------------------------------------------------------------------------
+# bpe_fertility_by_group
+# ---------------------------------------------------------------------------
+def test_bpe_fertility_small_corpus(spark):
+    """Hand-checkable corpus: after 1 merge ('a','b')->'ab' dominates,
+    fertility counts follow exactly."""
+    from sqlitedataframe_spark.operators.text import bpe_fertility_by_group
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "s1", "abab ab"),
+            (2, "en", "s1", "ab abab"),
+            (3, "de", "s2", "cd cd cd"),
+        ],
+        "doc_id bigint, lang string, source string, text string",
+    )
+    out = {
+        (r["lang"], r["source"]): r
+        for r in bpe_fertility_by_group(
+            docs, ["lang", "source"], "text", n_merges=1
+        ).collect()
+    }
+    # merge 1 is ('a','b') with support 6 (abab:2 words x2 + ab:2 words x1
+    # each -> pairs: 'a b' appears 2+1+1+2 = 6 times, beats 'b a'=2, 'c d'=3)
+    r1 = out[("en", "s1")]
+    # words: abab, ab, ab, abab -> symbols after merge: 2,1,1,2 = 6
+    assert r1["n_words"] == 4 and r1["n_symbols"] == 6
+    assert abs(r1["fertility"] - 1.5) < 1e-6
+    r2 = out[("de", "s2")]
+    # 'cd' unaffected by the (a,b) merge: 2 symbols each, 3 words
+    assert r2["n_words"] == 3 and r2["n_symbols"] == 6
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_clusters: synthetic cross-source syndication
+# ---------------------------------------------------------------------------
+def test_span_cluster_rollup_shape(spark):
+    """Three docs sharing one long span (two sources) must land in ONE
+    cluster with cross_source=True; an unrelated doc stays out."""
+    from sqlitedataframe_spark.operators.dedup import lcs_span_stats
+    from sqlitedataframe_spark.operators.graph import connected_components
+
+    shared = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, "A", shared + "tail one"),
+            # NOTE the 10-char prefix: a shift must be ≡ 0 mod the stride
+            # for the lattice shingles to align (the estimator's documented
+            # stride-sampling property)
+            (2, "B", "head twos " + shared),
+            (3, "A", shared + "closing remarks"),
+            (4, "C", "completely different content " * 8),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a bigint, id_b bigint"
+    )
+    spans = lcs_span_stats(docs, pairs, k=30, stride=10)
+    ed = spans.filter(F.col("lcs_ratio") >= 0.2)
+    assert ed.count() == 3
+    nodes = (
+        ed.select(F.col("id_a").alias("doc_id"))
+        .unionByName(ed.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components(
+        ed.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        nodes=nodes,
+        node_col="doc_id",
+    )
+    comps = {r["node"]: r["comp"] for r in comp.collect()}
+    assert comps == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# probe queries: type contracts
+# ---------------------------------------------------------------------------
+def test_decimal_ledger_emits_decimals(spark, sf_dir):
+    from sqlitedataframe_spark.suite import load_all
+
+    q = load_all()["agg_decimal_ledger"]
+    rows = q.spark_fn(spark, sf_dir).collect()
+    assert rows, "empty ledger"
+    for r in rows:
+        assert isinstance(r["gross_usd"], Decimal)
+        assert isinstance(r["disc_micros"], Decimal)
+        assert isinstance(r["charged_e10"], Decimal)
+        # scale-4 dollars: exponent must be exactly -4
+        assert r["gross_usd"].as_tuple().exponent == -4
+        # charged ledger actually exercises the >int64 range at sf>=0.01
+        assert r["charged_e10"] == int(r["charged_e10"])
+
+
+def test_key_checksums_past_float_boundary(spark, sf_dir):
+    """Checksums must be plain ints in [0, prime) — and on the standard
+    fixtures at least one lands beyond 2^53 (the double-mantissa edge
+    where any float round-trip in a normalizer mangles the value)."""
+    from sqlitedataframe_spark.suite import load_all
+    from sqlitedataframe_spark.suite.pipeline16 import _CHK_PRIME
+
+    rows = load_all()["profile_key_checksums"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert isinstance(r["key_checksum"], int)
+        assert 0 <= r["key_checksum"] < _CHK_PRIME
+    assert any(r["key_checksum"] > 2**53 for r in rows)
+
+
+def test_exact_ratios_bit_identical_to_python(spark, sf_dir):
+    """Each ratio is one division of exact ints: python float division of
+    the integer columns must reproduce the Spark double BIT-exactly."""
+    from sqlitedataframe_spark.suite import load_all
+
+    rows = load_all()["profile_exact_ratios"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["chars_per_doc"] == r["sum_chars"] / r["n_docs"]
+        assert r["tokens_per_doc"] == r["sum_tokens"] / r["n_docs"]
+        assert r["chars_per_token"] == r["sum_chars"] / r["sum_tokens"]
+        # and the cells genuinely exercise the >9-dp repr class
+    assert any(len(repr(r["chars_per_token"]).split(".")[-1]) > 9 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV: invariants
+# ---------------------------------------------------------------------------
+def test_cohort_ltv_invariants(spark, sf_dir):
+    """Cumulative revenue is monotone per cohort; offset-0 active count
+    equals the cohort size at offset 0 (every member's first order is in
+    their cohort month); total revenue reconciles with orders."""
+    from sqlitedataframe_spark.io import load_table
+    from sqlitedataframe_spark.suite import load_all
+
+    rows = load_all()["orders_cohort_ltv"].spark_fn(spark, sf_dir).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_month"], []).append(r)
+    for c, rs in by_cohort.items():
+        rs = sorted(rs, key=lambda r: r["month_offset"])
+        assert rs[0]["month_offset"] == 0
+        assert rs[0]["n_active"] == rs[0]["cohort_users"]
+        cums = [r["cum_rev_cents"] for r in rs]
+        assert cums == sorted(cums)
+    total = sum(r["rev_cents"] for r in rows)
+    o = load_table(spark, sf_dir, "orders")
+    expect = o.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+    ).collect()[0][0]
+    assert total == expect
