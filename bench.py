@@ -525,14 +525,25 @@ def main() -> None:
                   file=sys.stderr, flush=True)
         finally:
             # release operator-registered caches (minhash signature tables
-            # etc. — safe: persist keeps lineage) and any persist() a query
-            # left behind: queries stay independent and blocks don't build
-            # memory pressure across the 160+-query session
+            # etc. — safe: persist keeps lineage): queries stay independent
+            # and blocks don't build memory pressure across the
+            # 160+-query session. NOT spark.catalog.clearCache(): that
+            # also unpersisted the KEYED session-shared frames
+            # (shared_eager_cache — the MinHash signature table, the
+            # co-order edge list), silently re-charging every later rep
+            # for a rebuild the architecture deliberately amortizes; the
+            # oracle gate's hygiene (release_caches only) is the correct
+            # one, and every operator persist() is register_cache-tracked
+            # (r10; this is what made graph_local_clustering's solo median
+            # ~2x its r8 close — VERDICT r9 #4).
             try:
-                from sqlitedataframe_spark.operators.util import release_caches
+                from sqlitedataframe_spark.operators.util import (
+                    release_caches,
+                    sweep_unshared_rdds,
+                )
 
                 release_caches()
-                spark.catalog.clearCache()
+                sweep_unshared_rdds(spark)
             except Exception:
                 pass
             gc.collect()

@@ -94,6 +94,10 @@ def release_caches() -> int:
 
 
 _SHARED_CACHES: dict[tuple, DataFrame] = {}
+#: Pinned-RDD ids belonging to shared_eager_cache frames (the delta of
+#: persistent ids across each eager materialization) — what
+#: :func:`sweep_unshared_rdds` must NOT release.
+_SHARED_RDD_IDS: set[int] = set()
 
 
 def shared_eager_cache(spark, key: tuple, builder) -> DataFrame:
@@ -122,13 +126,17 @@ def shared_eager_cache(spark, key: tuple, builder) -> DataFrame:
             # an unrelated release_caches() on an identically-planned frame
             # drops this entry too — re-persist rather than silently
             # degrading every later consumer to recompute.
+            pre = persistent_rdd_ids(spark)
             df.persist(StorageLevel.MEMORY_AND_DISK)
             df.count()
+            _SHARED_RDD_IDS.update(persistent_rdd_ids(spark) - pre)
             return df
         except Exception:
             pass  # stopped session etc. — rebuild below
+    pre = persistent_rdd_ids(spark)
     out = builder().persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
+    _SHARED_RDD_IDS.update(persistent_rdd_ids(spark) - pre)
     _SHARED_CACHES[full_key] = out
     return out
 
@@ -142,7 +150,28 @@ def release_shared_caches() -> int:
         except Exception:
             pass
     _SHARED_CACHES.clear()
+    _SHARED_RDD_IDS.clear()
     return n
+
+
+def sweep_unshared_rdds(spark) -> int:
+    """Unpersist every pinned RDD that does NOT belong to a
+    shared_eager_cache frame — the bench/harness hygiene that replaced
+    ``spark.catalog.clearCache()`` (r10): clearCache also destroyed the
+    deliberately session-shared frames (MinHash signatures, the co-order
+    edge list), re-charging every later rep for their rebuild, which is
+    what doubled graph_local_clustering's solo median at the r9 close.
+    This sweep keeps clearCache's guarantee — an unregistered persist()
+    cannot accumulate storage across a 380+-query session — while the
+    shared frames keep amortizing. Safe at any time: persisted frames
+    keep lineage, so a late consumer recomputes instead of failing."""
+    handles = take_rdd_handles(spark, exclude=_SHARED_RDD_IDS)
+    for h in handles:
+        try:
+            h.unpersist(False)
+        except Exception:
+            pass
+    return len(handles)
 
 
 _BYTE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
