@@ -417,6 +417,16 @@ HEADLINE = [
     "embed_prefix_recall",
     "eval_auc_delong",
     "dedup_soft_weights",
+    # r10 wave — all pure engine queries
+    "dedup_span_clusters",
+    "text_tokenizer_fertility",
+    "dedup_decontam_stratified",
+    "agg_bottomk_quantiles",
+    "events_cuped_stratified",
+    "agg_decimal_ledger",
+    "profile_key_checksums",
+    "profile_exact_ratios",
+    "orders_cohort_ltv",
 ]
 
 

@@ -369,6 +369,27 @@ LCS_SPANS_CTES = """,
 """
 
 
+def shared_lcs_spanstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-candidate-pair LCS span-stats table at the default params
+    (min_jaccard=0.3, k=30, stride=10), built ONCE per (app, sf_dir) via
+    the keyed shared cache: dedup_lcs_spans and the r10
+    dedup_span_clusters consume exactly this frame, and it is
+    pair-stats-sized (five ints + a ratio per surviving candidate pair),
+    never text-sized — the signature-table precedent."""
+    from sqlitedataframe_spark.operators.util import shared_eager_cache
+
+    def build() -> DataFrame:
+        d = T(spark, sf_dir, "documents")
+        pairs = D.minhash_lsh_pairs(
+            d, min_jaccard=0.3, sig=shared_doc_sigs(spark, sf_dir)
+        ).select("id_a", "id_b")
+        return D.lcs_span_stats(d, pairs, k=30, stride=10)
+
+    return shared_eager_cache(
+        spark, ("lcs_spanstats", sf_dir, 0.3, 30, 10), build
+    )
+
+
 @query(
     "dedup_lcs_spans",
     oracle=MH_EST_CTE + LCS_SPANS_CTES + """
@@ -389,13 +410,11 @@ def dedup_lcs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash map-side and semi-join to the pair population, anchors key on
     (id, digest), run detection is pos - stride*row_number per
     (pair, diagonal) — bounded window partitions, exact integers
-    throughout, one final ratio division.
+    throughout, one final ratio division. The stats table is built once
+    per session and shared with dedup_span_clusters
+    (shared_lcs_spanstats, r10).
     """
-    d = T(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(
-        d, min_jaccard=0.3, sig=shared_doc_sigs(spark, sf_dir)
-    ).select("id_a", "id_b")
-    return D.lcs_span_stats(d, pairs, k=30, stride=10)
+    return shared_lcs_spanstats(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

@@ -86,11 +86,10 @@ def dedup_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     component id. The corpus text never shuffles past the shingle
     stage; everything after the span filter is id-sized.
     """
+    from sqlitedataframe_spark.suite.pipeline15 import shared_lcs_spanstats
+
     d = T(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(
-        d, min_jaccard=0.3, sig=shared_doc_sigs(spark, sf_dir)
-    ).select("id_a", "id_b")
-    spans = D.lcs_span_stats(d, pairs, k=30, stride=10)
+    spans = shared_lcs_spanstats(spark, sf_dir)
     ed = spans.filter(F.col("lcs_ratio") >= 0.2).select(
         "id_a", "id_b", "lcs_est"
     )
