@@ -427,6 +427,10 @@ HEADLINE = [
     "profile_key_checksums",
     "profile_exact_ratios",
     "orders_cohort_ltv",
+    "graph_hyperball_harmonic",
+    "eval_bradley_terry",
+    "dedup_lsh_tuning",
+    "sample_preference_pairs",
 ]
 
 

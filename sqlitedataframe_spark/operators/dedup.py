@@ -1111,3 +1111,89 @@ def prefix_suffix_groups(
         .filter(F.col("group_size") >= min_group)
         .orderBy("kind", "key")
     )
+
+
+def lsh_tuning_curve(
+    pairs: DataFrame,
+    est_col: str = "est_jaccard",
+    n_hashes: int = 64,
+    configs: tuple = ((2, 32), (4, 16), (8, 8), (16, 4), (32, 2)),
+    hi: float = 0.5,
+    lo: float = 0.3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Banding-parameter tuning curve for the MinHash LSH: for each
+    (bands b, rows-per-band r) split of the ``n_hashes`` signature, the
+    analytic S-curve midpoint ``(1/b)^(1/r)`` plus the EXPECTED detection
+    probability ``P(j) = 1 - (1 - j^r)^b`` averaged over the observed
+    candidate-pair similarity distribution — split into the high-sim
+    population (est >= ``hi``: the recall you would keep) and the low-sim
+    population (est < ``lo``: the candidate-generation waste you would
+    pay). The table that answers "should this corpus run 16x4 or 8x8"
+    from data instead of folklore.
+
+    Exactness: pairs collapse to integer match-count cells (est_jaccard
+    is k/n_hashes by construction, so k = round(est * n) is exact);
+    expected values are fixed-order folds over the <= n_hashes+1 cells
+    (k ascending) of n_k * P(k/n) against exact integer denominators.
+    Scale: the input is the already-bounded candidate table; everything
+    after the one cell aggregate is a |configs| x |cells| literal grid.
+    """
+    spark = pairs.sparkSession
+    kc = F.round(F.col(est_col) * n_hashes).cast("int")
+    cells = pairs.groupBy(kc.alias("_k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    grid = spark.createDataFrame(
+        [(int(b), int(r)) for b, r in configs], "bands int, rows_per_band int"
+    )
+    jf = F.col("_k").cast("double") / n_hashes
+    p_det = 1.0 - F.pow(
+        1.0 - F.pow(jf, F.col("rows_per_band")), F.col("bands")
+    )
+    hi_k = int(round(hi * n_hashes))
+    lo_k = int(round(lo * n_hashes))
+    j = cells.crossJoin(F.broadcast(grid)).select(
+        "bands",
+        "rows_per_band",
+        "_k",
+        "_n",
+        F.when(F.col("_k") >= hi_k, F.col("_n") * p_det).otherwise(0.0).alias("_whi"),
+        F.when(F.col("_k") < lo_k, F.col("_n") * p_det).otherwise(0.0).alias("_wlo"),
+    )
+    fold = lambda name: F.aggregate(  # noqa: E731
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_k", name))),
+            lambda s: s[name],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    agg = j.groupBy("bands", "rows_per_band").agg(
+        fold("_whi").alias("_shi"),
+        fold("_wlo").alias("_slo"),
+        F.sum(F.when(F.col("_k") >= hi_k, F.col("_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_pairs_high"),
+        F.sum(F.when(F.col("_k") < lo_k, F.col("_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_pairs_low"),
+    )
+    return agg.select(
+        "bands",
+        "rows_per_band",
+        F.round(
+            F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band")) + 1e-9,
+            round_dp,
+        ).alias("thr50"),
+        "n_pairs_high",
+        "n_pairs_low",
+        F.round(
+            F.col("_shi") / F.greatest(F.col("n_pairs_high"), F.lit(1)) + 1e-9,
+            round_dp,
+        ).alias("exp_recall_highsim"),
+        F.round(
+            F.col("_slo") / F.greatest(F.col("n_pairs_low"), F.lit(1)) + 1e-9,
+            round_dp,
+        ).alias("exp_prob_lowsim"),
+    ).orderBy("bands")

@@ -1134,3 +1134,96 @@ def label_modularity(
         )
     )
     return rows.unionByName(tot).orderBy("community")
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    rounds: int = 3,
+    p: int = 4,
+    top: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HyperBall harmonic-centrality estimates (Boldi & Vigna 2013): per
+    node, an HLL sketch of its radius-r ball, grown one hop per round by
+    register-max MERGE over neighbors — harmonic centrality falls out as
+    sum_r (|ball_r| - |ball_{r-1}|) / r. THE web-scale centrality
+    algorithm: exact all-pairs BFS carries O(n^2) (source, node) state,
+    HyperBall carries n x m registers per round (m = 2^p), merges are
+    associative bucket-wise maxes, and every round is one join + one
+    grouped max — the same shuffle shape as a grouped aggregate.
+
+    Built on the deterministic md5 HLL family (operators.sketch.
+    hll_registers/hll_merge/hll_estimate), so every register — and the
+    whole centrality table — is a pure function of the graph,
+    bit-identical across engines and EXACTLY oracle-checkable (unlike
+    any engine-internal HLL). The harmonic sum combines the per-round
+    estimates AFTER their 4-dp round (both engines combine identical
+    values; ln() ulp drift is absorbed upstream).
+
+    Output: the ``top`` nodes by estimated harmonic centrality (ties ->
+    min node id), with the per-round ball estimates for transparency.
+    """
+    from sqlitedataframe_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # Round state is localCheckpoint-TRUNCATED (the ktruss/bfs round
+    # pattern): each round's register table is consumed TWICE downstream
+    # (the next round's neighbor merge + its own estimate), so persist
+    # alone would stack — and re-print — every earlier round's lineage in
+    # each consumer's plan. Blocks are registered for release by the
+    # harness AFTER the result is consumed (register_rdd_handles
+    # contract: checkpoint-truncated frames cannot re-execute).
+    seen = _rdd_ids(spark)
+    adj = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    _register_handles(_take_handles(spark, seen))
+    nodes = adj.select("u").distinct()
+    seen = _rdd_ids(spark)
+    cur = hll_registers(
+        nodes.select(F.col("u").alias("node"), F.col("u").alias("member")),
+        key="member",
+        group_cols=["node"],
+        p=p,
+    ).localCheckpoint(eager=True)
+    _register_handles(_take_handles(spark, seen))
+    ests = [hll_estimate(cur, ["node"], p=p, out="ball0")]
+    for r in range(1, rounds + 1):
+        nbr = (
+            adj.join(cur, adj["v"] == cur["node"])
+            .select(adj["u"].alias("node"), "bucket", "r")
+        )
+        seen = _rdd_ids(spark)
+        cur = hll_merge(
+            nbr.unionByName(cur.select("node", "bucket", "r")), ["node"]
+        ).localCheckpoint(eager=True)
+        _register_handles(_take_handles(spark, seen))
+        ests.append(hll_estimate(cur, ["node"], p=p, out=f"ball{r}"))
+    out = ests[0]
+    for est in ests[1:]:
+        out = out.join(est, "node")
+    harmonic = sum(
+        (F.col(f"ball{r}") - F.col(f"ball{r - 1}")) / float(r)
+        for r in range(1, rounds + 1)
+    )
+    return (
+        out.select(
+            "node",
+            *[F.col(f"ball{r}") for r in range(rounds + 1)],
+            F.round(harmonic + 1e-9, 4).alias("harmonic_est"),
+        )
+        .orderBy(F.col("harmonic_est").desc(), F.col("node").asc())
+        .limit(top)
+    )

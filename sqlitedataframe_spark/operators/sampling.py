@@ -705,3 +705,72 @@ def contrastive_triplets(
         .select("anchor", "positive", "negative", "pos_score")
         .orderBy("anchor", "positive")
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    top_n: int = 3,
+    bottom_n: int = 3,
+    min_margin: float = 0.2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(chosen, rejected) preference-pair mining per group: the ``top_n``
+    highest-scored items crossed with the ``bottom_n`` lowest-scored,
+    kept when the score gap clears ``min_margin`` — the heuristic-signal
+    stage that builds reward-model / DPO training pairs before any human
+    labels exist (pair quality extremes WITHIN a group so the contrast
+    is attributable to content, not to the group).
+
+    Determinism: both rank windows carry the id tiebreaker; the margin
+    is a difference of already-rounded scores. Scale: the windows
+    partition by group (bounded by group size — use the two-level
+    bottom-k pattern if single groups outgrow a task), and the cross is
+    top_n x bottom_n per group, never data-sized.
+    """
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    wa = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    base = df.select(group_col, id_col, score_col)
+    top = (
+        base.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") <= top_n)
+        .select(
+            group_col,
+            F.col(id_col).alias("chosen"),
+            F.col(score_col).alias("chosen_score"),
+        )
+    )
+    bot = (
+        base.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") <= bottom_n)
+        .select(
+            group_col,
+            F.col(id_col).alias("rejected"),
+            F.col(score_col).alias("rejected_score"),
+        )
+    )
+    return (
+        top.join(bot, group_col)
+        .filter(F.col("chosen") != F.col("rejected"))
+        .select(
+            group_col,
+            "chosen",
+            "rejected",
+            "chosen_score",
+            "rejected_score",
+            F.round(
+                F.col("chosen_score") - F.col("rejected_score") + 1e-9,
+                round_dp,
+            ).alias("margin"),
+        )
+        .filter(F.col("margin") >= min_margin)
+        .orderBy(group_col, "chosen", "rejected")
+    )

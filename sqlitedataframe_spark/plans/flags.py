@@ -116,4 +116,5 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "events_cuped_stratified": "1-row epoch-midpoint bounds broadcast (events_cuped shape; pooled moments join keyed on stratum)",
     "embed_prefix_recall": "8-query broadcast crosses (full-dim + per-prefix sliced scoring) + 2-row dim-grid spine",
     "eval_auc_delong": "<=64-row bucket-offset prefix-sum joins + 1-row moment crosses (auc_quality_lang shape)",
+    "dedup_lsh_tuning": "5-row literal (bands, rows) config grid broadcast-crossed with the <=65-cell match-count frame",
 }

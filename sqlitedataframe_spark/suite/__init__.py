@@ -71,6 +71,7 @@ def load_all() -> dict[str, Query]:
         pipeline14,
         pipeline15,
         pipeline16,
+        pipeline17,
         eventstream,
         streamingq,
         bridge,

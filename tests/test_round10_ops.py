@@ -327,3 +327,113 @@ def test_sweep_spares_shared_caches(spark):
     assert shared.count() == 100
     stray.unpersist()
     release_shared_caches()
+
+
+# ---------------------------------------------------------------------------
+# bradley_terry_strengths
+# ---------------------------------------------------------------------------
+def test_bradley_terry_known_matchup(spark):
+    """Hand-checkable 3-item tournament: A beats B 3-1, B beats C 3-1,
+    A beats C 2-2 (even) -> strengths must order A > B > C, sum to ~1,
+    and the strength-of-schedule property holds."""
+    from sqlitedataframe_spark.operators.evalmetrics import (
+        bradley_terry_strengths,
+    )
+
+    wins = spark.createDataFrame(
+        [
+            ("A", "B", 3), ("B", "A", 1),
+            ("B", "C", 3), ("C", "B", 1),
+            ("A", "C", 2), ("C", "A", 2),
+        ],
+        "i string, j string, w long",
+    )
+    rows = bradley_terry_strengths(wins, iters=3).collect()
+    by = {r["i"]: r for r in rows}
+    assert by["A"]["wins"] == 5 and by["A"]["n_comparisons"] == 8
+    s = sum(r["strength"] for r in rows)
+    assert abs(s - 1.0) < 1e-4
+    assert by["A"]["strength"] > by["B"]["strength"] > by["C"]["strength"]
+    # order of input rows must not matter (fixed-order folds)
+    rows2 = bradley_terry_strengths(
+        wins.orderBy(F.desc("j")).repartition(7), iters=3
+    ).collect()
+    assert {(r["i"], r["strength"]) for r in rows2} == {
+        (r["i"], r["strength"]) for r in rows
+    }
+
+
+def test_bradley_terry_max_items_guard(spark):
+    from sqlitedataframe_spark.operators.evalmetrics import (
+        bradley_terry_strengths,
+    )
+
+    wins = spark.createDataFrame(
+        [(str(i), str(i + 1), 1) for i in range(30)], "i string, j string, w long"
+    )
+    with pytest.raises(ValueError, match="max_items"):
+        bradley_terry_strengths(wins, iters=1, max_items=10)
+
+
+# ---------------------------------------------------------------------------
+# lsh_tuning_curve
+# ---------------------------------------------------------------------------
+def test_lsh_tuning_curve_analytics(spark):
+    """Against hand-computed P(j) = 1-(1-j^r)^b on a two-cell est
+    distribution: high-sim pairs at j=1.0 detect with P=1 under every
+    config; thr50 midpoints match the closed form."""
+    from sqlitedataframe_spark.operators.dedup import lsh_tuning_curve
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0)] * 4 + [(3, 4, 0.125)] * 6,
+        "id_a long, id_b long, est_jaccard double",
+    )
+    out = {(r["bands"], r["rows_per_band"]): r for r in lsh_tuning_curve(pairs).collect()}
+    for (b, r), row in out.items():
+        assert abs(row["thr50"] - (1.0 / b) ** (1.0 / r)) < 1e-5
+        assert row["n_pairs_high"] == 4 and row["n_pairs_low"] == 6
+        assert abs(row["exp_recall_highsim"] - 1.0) < 1e-6  # j=1 always hits
+        expect_lo = 1.0 - (1.0 - 0.125 ** r) ** b
+        assert abs(row["exp_prob_lowsim"] - expect_lo) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# preference_pairs
+# ---------------------------------------------------------------------------
+def test_preference_pairs_shape(spark):
+    from sqlitedataframe_spark.operators.sampling import preference_pairs
+
+    df = spark.createDataFrame(
+        [("g", i, i / 10.0) for i in range(10)],
+        "src string, doc long, q double",
+    )
+    rows = preference_pairs(
+        df, "src", "doc", "q", top_n=2, bottom_n=2, min_margin=0.5
+    ).collect()
+    got = {(r["chosen"], r["rejected"]) for r in rows}
+    # top-2: docs 9, 8 (q .9, .8); bottom-2: docs 0, 1 (q 0, .1);
+    # all four crosses clear margin 0.5
+    assert got == {(9, 0), (9, 1), (8, 0), (8, 1)}
+    for r in rows:
+        assert r["margin"] >= 0.5
+
+
+# ---------------------------------------------------------------------------
+# hyperball_harmonic
+# ---------------------------------------------------------------------------
+def test_hyperball_star_graph(spark):
+    """Star graph: the hub must rank first (its 1-ball covers everything)
+    and leaves tie below it; ball estimates are monotone per node."""
+    from sqlitedataframe_spark.operators.graph import hyperball_harmonic
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 13)], "src long, dst long"
+    )
+    rows = hyperball_harmonic(edges, rounds=3, p=4, top=13).collect()
+    assert rows[0]["node"] == 0  # hub leads
+    hub = rows[0]
+    assert hub["ball1"] >= hub["ball0"] - 1e-9
+    leaf = [r for r in rows if r["node"] != 0][0]
+    assert hub["harmonic_est"] > leaf["harmonic_est"]
+    for r in rows:
+        assert r["ball0"] <= r["ball1"] + 1e-9 <= r["ball2"] + 2e-9 <= r["ball3"] + 3e-9
