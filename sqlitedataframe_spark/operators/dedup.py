@@ -1063,7 +1063,11 @@ def lcs_span_stats(
                 F.col("lcs_est") / F.least("_la", "_lb") + 1e-9, round_dp
             ).alias("lcs_ratio"),
         )
-        .orderBy("id_a", "id_b")
+        # no presentation orderBy here (r10): this frame is session-shared
+        # (suite.pipeline15.shared_lcs_spanstats) and a sort baked into the
+        # cached plan becomes a global Sort UPSTREAM of every downstream
+        # wide consumer (the span-cluster rollup) — consumers order their
+        # own presentation tails
     )
 
 
