@@ -437,3 +437,24 @@ def test_hyperball_star_graph(spark):
     assert hub["harmonic_est"] > leaf["harmonic_est"]
     for r in rows:
         assert r["ball0"] <= r["ball1"] + 1e-9 <= r["ball2"] + 2e-9 <= r["ball3"] + 3e-9
+
+
+def test_bottomk_prefilter_fallback_exact(spark):
+    """Force the shortfall path (oversample=0 -> the hex cut drops every
+    row, every group falls back to its unfiltered rows): the result must
+    still be the exact bottom-k, identical to the normal path."""
+    from sqlitedataframe_spark.operators.sketch import bottomk_sample
+
+    df = spark.range(800).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("k")
+    )
+    normal = sorted(
+        (r["g"], r["k"]) for r in bottomk_sample(df, "g", F.col("k"), k=12).collect()
+    )
+    forced = sorted(
+        (r["g"], r["k"])
+        for r in bottomk_sample(
+            df, "g", F.col("k"), k=12, prefilter_oversample=0
+        ).collect()
+    )
+    assert forced == normal and len(normal) == 24
