@@ -431,6 +431,7 @@ HEADLINE = [
     "eval_bradley_terry",
     "dedup_lsh_tuning",
     "sample_preference_pairs",
+    "pipeline_curation_funnel",
 ]
 
 

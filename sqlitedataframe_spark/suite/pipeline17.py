@@ -352,3 +352,248 @@ def sample_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bottom_n=3,
         min_margin=0.2,
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel report.
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_curation_funnel",
+    oracle=MH_EST_CTE
+    + """,
+    d0 AS (
+      SELECT doc_id, source, lang, n_chars, text FROM documents
+      WHERE doc_id % 50 <> 0),
+    gate AS (
+      SELECT * FROM d0
+      WHERE lang IN ('en', 'fr', 'es', 'de') AND n_chars BETWEEN 50 AND 5000),
+    exact AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS _rn
+        FROM gate) WHERE _rn = 1),
+    near AS (
+      SELECT e.* FROM exact e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM est p
+        JOIN exact a ON a.doc_id = p.id_a
+        WHERE p.id_b = e.doc_id AND p.est_jaccard >= 0.5)),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS r(i)),
+    test_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+    cont AS (
+      SELECT DISTINCT g.doc_id FROM grams g JOIN test_grams USING (gram)
+      WHERE g.doc_id % 50 <> 0),
+    decon AS (
+      SELECT n.* FROM near n
+      WHERE NOT EXISTS (SELECT 1 FROM cont c WHERE c.doc_id = n.doc_id)),
+    qual AS (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               (LEAST(CAST(LENGTH(text) AS DOUBLE) / 200.0, 1.0)
+                + LEAST(CAST(len(list_filter(string_split(lower(trim(text)),
+                    ' '), x -> list_contains(['the','a','an','and','or','of',
+                    'to','in','is','it'], x))) AS DOUBLE)
+                    / len(string_split(lower(trim(text)), ' ')) * 4, 1.0)
+                + GREATEST(0.0, 1.0 - CAST(LENGTH(regexp_replace(text,
+                    '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+                    / CAST(LENGTH(text) AS DOUBLE) * 5)) / 3 AS q
+        FROM decon)
+      WHERE ROUND(q, 6) >= 0.5),
+    per AS (
+      SELECT s.source,
+             CAST(COUNT(*) AS BIGINT) AS n_raw,
+             CAST(SUM(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_gate,
+             CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_exact,
+             CAST(SUM(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_near,
+             CAST(SUM(CASE WHEN dc.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_decontam,
+             CAST(SUM(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_quality
+      FROM d0 s
+      LEFT JOIN gate g USING (doc_id)
+      LEFT JOIN exact e ON e.doc_id = s.doc_id
+      LEFT JOIN near n ON n.doc_id = s.doc_id
+      LEFT JOIN decon dc ON dc.doc_id = s.doc_id
+      LEFT JOIN qual q ON q.doc_id = s.doc_id
+      GROUP BY s.source)
+    SELECT source, n_raw, n_gate, n_exact, n_near, n_decontam, n_quality,
+           ROUND(CAST(n_quality AS DOUBLE) / n_raw + 1e-9, 6) AS retention
+    FROM per ORDER BY source
+    """,
+)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL report: per source, survivor counts through
+    every stage of the standard LLM-corpus pipeline — raw (train side)
+    -> lang/length gate -> exact dedup (md5 fingerprint, keep-min-id)
+    -> near-dedup (drop any doc with a smaller LSH partner at est >=
+    0.5 among exact survivors) -> eval-set 4-gram decontamination ->
+    quality gate (shared quality_score >= 0.5) — plus end-to-end
+    retention. The dashboard that shows WHERE each feed loses its data
+    (a feed dying at near-dedup is syndication; at decontam it is
+    leaking the benchmark; at quality it is junk).
+
+    Shape: one documents scan fans into stage flags — the gates are
+    scan-side predicates, exact dedup is one hash-partitioned window
+    (32-char keys, never text), near-dedup is two semi/anti joins
+    against the SHARED signature table's pair list, decontamination
+    broadcasts the bounded test-gram set, and the funnel is one rollup
+    of left-join flags. Every stage membership is deterministic, so the
+    whole funnel is exactly oracle-checked.
+    """
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    d0 = d.filter(F.col("doc_id") % 50 != 0)
+    gate = d0.filter(
+        F.col("lang").isin("en", "fr", "es", "de")
+        & F.col("n_chars").between(50, 5000)
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    exact = (
+        gate.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    pairs = D.minhash_lsh_pairs(
+        d, min_jaccard=0.5, sig=shared_doc_sigs(spark, sf_dir)
+    )
+    ex_ids = exact.select("doc_id")
+    drop_b = (
+        pairs.join(ex_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "semi")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    near = exact.join(drop_b, "doc_id", "anti")
+    from sqlitedataframe_spark.operators.text import ngram_contamination
+
+    test = d.filter(F.col("doc_id") % 50 == 0)
+    cont = ngram_contamination(d0, test, n=4).select("doc_id")
+    decon = near.join(cont, "doc_id", "anti")
+    qual = decon.filter(quality_score("text") >= 0.5)
+
+    def cnt(frame: DataFrame, name: str) -> DataFrame:
+        return frame.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias(name)
+        )
+
+    out = cnt(d0, "n_raw")
+    for frame, name in [
+        (gate, "n_gate"),
+        (exact, "n_exact"),
+        (near, "n_near"),
+        (decon, "n_decontam"),
+        (qual, "n_quality"),
+    ]:
+        out = out.join(cnt(frame, name), "source", "left")
+    zeroed = [
+        F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+        for c in ("n_gate", "n_exact", "n_near", "n_decontam", "n_quality")
+    ]
+    return out.select(
+        "source",
+        "n_raw",
+        *zeroed,
+    ).select(
+        "*",
+        F.round(
+            F.col("n_quality").cast("double") / F.col("n_raw") + 1e-9, 6
+        ).alias("retention"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Streaming mergeable bottom-k rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_bottomk_rollup",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS g, value AS v,
+             CAST(event_id AS VARCHAR) AS kc,
+             md5(CAST(event_id AS VARCHAR)) AS h
+      FROM events),
+    rk AS (
+      SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, kc) AS rn
+      FROM s)
+    SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS k_eff,
+           ROUND(quantile_cont(v, 0.5) + 1e-9, 4) AS p50_est,
+           ROUND(quantile_cont(v, 0.9) + 1e-9, 4) AS p90_est
+    FROM rk WHERE rn <= 64 GROUP BY g ORDER BY event_type
+    """,
+)
+def stream_bottomk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable bottom-k rollup through the SQLite bridge:
+    each micro-batch keeps only its per-event-type bottom-64 sample
+    (operators.sketch.bottomk_sample — the KMV law makes per-batch
+    samples MERGEABLE: bottom-k of the union == bottom-k of the
+    per-batch bottom-ks), appends the tiny sample to an append-only
+    SQLite log, and the final answer re-merges the log and reads off
+    the sampled value quantiles. The continuous-profile pattern at
+    100 TB: raw events are touched once per batch, the log grows by at
+    most k rows per (batch, group), and re-aggregation never replays
+    the stream. Exactly oracle-checked against the one-shot flat
+    bottom-k over the whole table — the merge must be bit-identical.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from sqlitedataframe_spark.operators.sketch import bottomk_sample
+    from sqlitedataframe_spark.sources.sqlite import (
+        read_sql,
+        table_exists,
+        write_sql,
+    )
+    from sqlitedataframe_spark.streaming.core import read_table_stream
+
+    db = _os.path.join(
+        _tempfile.gettempdir(),
+        f"sdfspark_bk_{_os.path.basename(sf_dir)}.db",
+    )
+    if _os.path.exists(db):
+        _os.remove(db)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        samp = bottomk_sample(
+            batch_df.select("event_type", "event_id", "value"),
+            "event_type",
+            F.col("event_id"),
+            k=64,
+        )
+        mode = "append" if table_exists(db, "bk_log") else "replace"
+        write_sql(samp, db, table="bk_log", if_exists=mode)
+
+    s = read_table_stream(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    with _tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            s.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    log = read_sql(spark, db, table="bk_log").select(
+        "event_type", "event_id", "value"
+    )
+    merged = bottomk_sample(log, "event_type", F.col("event_id"), k=64)
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+            F.round(F.percentile("value", F.lit(0.5)) + 1e-9, 4).alias(
+                "p50_est"
+            ),
+            F.round(F.percentile("value", F.lit(0.9)) + 1e-9, 4).alias(
+                "p90_est"
+            ),
+        )
+        .orderBy("event_type")
+    )

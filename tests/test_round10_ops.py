@@ -458,3 +458,24 @@ def test_bottomk_prefilter_fallback_exact(spark):
         ).collect()
     )
     assert forced == normal and len(normal) == 24
+
+
+# ---------------------------------------------------------------------------
+# curation funnel: stage monotonicity
+# ---------------------------------------------------------------------------
+def test_curation_funnel_monotone(spark, sf_dir):
+    """Each stage can only shrink a source's survivor set, and raw totals
+    reconcile with the train-side document count."""
+    from sqlitedataframe_spark.io import load_table
+    from sqlitedataframe_spark.suite import load_all
+
+    rows = load_all()["pipeline_curation_funnel"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    stages = ["n_raw", "n_gate", "n_exact", "n_near", "n_decontam", "n_quality"]
+    for r in rows:
+        vals = [r[s] for s in stages]
+        assert vals == sorted(vals, reverse=True), r
+        assert 0.0 <= r["retention"] <= 1.0
+    total_raw = sum(r["n_raw"] for r in rows)
+    d = load_table(spark, sf_dir, "documents")
+    assert total_raw == d.filter(F.col("doc_id") % 50 != 0).count()
