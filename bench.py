@@ -598,6 +598,24 @@ def main() -> None:
             # the total excludes failed queries, so a cross-round
             # comparison must not read a lower value as an improvement
             full["incomplete"] = True
+        # One-time session-shared frame builds (ADVICE r10): bench hygiene
+        # deliberately preserves shared_eager_cache frames across queries,
+        # so the build cost lands on whichever consumer runs first and
+        # later reps read cache. Exposing the build seconds as a synthetic
+        # row lets a JSON consumer reconstruct end-to-end per-query cost:
+        # end_to_end(q) ~= median(q) + its shared builds (first rep only).
+        try:
+            from sqlitedataframe_spark.operators.util import (
+                SHARED_BUILD_SECONDS,
+            )
+
+            if SHARED_BUILD_SECONDS:
+                full["shared_cache_build"] = dict(SHARED_BUILD_SECONDS)
+                full["shared_cache_build_total"] = round(
+                    sum(SHARED_BUILD_SECONDS.values()), 3
+                )
+        except Exception:
+            pass
         # Full per-query detail: sidecar file + an EARLIER stdout line.
         # The driver's tail capture is ~2 KB, so the FINAL line must stay
         # compact (per-round grading reads `metric`/`value` from it).
@@ -623,6 +641,8 @@ def main() -> None:
             "n_excluded": len(excluded),
             "detail": "bench_detail.json",
         }
+        if "shared_cache_build_total" in full:
+            tail["shared_cache_build_total"] = full["shared_cache_build_total"]
         if only:
             tail["subset"] = True
         if errs:

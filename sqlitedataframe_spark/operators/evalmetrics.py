@@ -1093,17 +1093,23 @@ def bradley_terry_strengths(
             d = 0.0
             for j in opps[it]:  # fixed order: opponents ascending
                 d = d + float(n_of[(it, j)]) / (p[it] + p[j])
-            raw[it] = float(w_tot[it]) / d
+            # d == 0 iff every grid row for `it` has n == 0 (all-zero win
+            # counts, e.g. an item seen only in 0-0 ledger rows): defined
+            # fallback = keep the current strength (ADVICE r10)
+            raw[it] = float(w_tot[it]) / d if d > 0.0 else p[it]
         z = 0.0
         for it in items:  # fixed order: items ascending
             z = z + raw[it]
         p = {it: raw[it] / z for it in items}
     spark = wins.sparkSession
+    # item column type is DERIVED from the input frame (ADVICE r10: the
+    # old hardcoded "string" failed createDataFrame for integer item ids)
+    item_dt = wins.schema[item_col].dataType.simpleString()
     out = spark.createDataFrame(
         [
             (it, w_tot[it], n_tot[it], round(p[it] + 1e-9, round_dp))
             for it in items
         ],
-        f"{item_col} string, wins bigint, n_comparisons bigint, strength double",
+        f"{item_col} {item_dt}, wins bigint, n_comparisons bigint, strength double",
     )
     return out.orderBy(F.col("strength").desc(), F.col(item_col).asc())

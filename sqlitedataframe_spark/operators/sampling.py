@@ -760,6 +760,12 @@ def preference_pairs(
     return (
         top.join(bot, group_col)
         .filter(F.col("chosen") != F.col("rejected"))
+        # a group smaller than top_n + bottom_n ranks the same doc in
+        # both windows and could pair a LOWER-scored chosen with a
+        # higher-scored rejected; correctness must not depend on the
+        # caller passing min_margin > 0, so exclude inverted/flat pairs
+        # outright (ADVICE r10)
+        .filter(F.col("chosen_score") > F.col("rejected_score"))
         .select(
             group_col,
             "chosen",

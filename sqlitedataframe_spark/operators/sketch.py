@@ -415,6 +415,16 @@ def bottomk_sample(
     levels order by (md5 hex, key): md5 collisions aside, a total
     order, so the sample is a pure function of the data (bit-identical
     in any engine with md5 — the oracle replays one flat bottom-k).
+
+    Preconditions (ADVICE r10):
+      * ``key_col`` must be UNIQUE per row. Duplicate keys tie on
+        ``(_h, key)`` and ``row_number`` then picks arbitrarily among
+        rows whose OTHER columns differ, breaking the pure-function /
+        merge-parity guarantee. Every suite caller keys on a primary
+        key (doc_id, l_orderkey×l_linenumber, ...).
+      * NULL group keys are supported: grouping/joining happens on an
+        internal null-tagged string key, so a NULL group gets its own
+        bottom-k sample instead of silently vanishing in the equi-join.
     """
     kc = F.col(key_col) if isinstance(key_col, str) else key_col
     h = F.md5(kc.cast("string").cast("binary"))
@@ -423,7 +433,18 @@ def bottomk_sample(
     )
     from pyspark.sql import Window
 
-    base = df.withColumn("_h", h).withColumn("_shard", shard)
+    # Null-tagged internal group key (ADVICE r10): an equi-join on the
+    # raw group column never matches NULL keys and isin/~isin filters
+    # evaluate to NULL on them, so a nullable group would silently lose
+    # its sample. "n:" / "v:<str>" tags keep NULL as a first-class group.
+    gk = F.when(F.col(group_col).isNull(), F.lit("n:")).otherwise(
+        F.concat(F.lit("v:"), F.col(group_col).cast("string"))
+    )
+    base = (
+        df.withColumn("_h", h)
+        .withColumn("_shard", shard)
+        .withColumn("_g", gk)
+    )
 
     # Hash-threshold PRE-FILTER (r10): without it the rank windows shuffle
     # and sort the ENTIRE input (measured linear — 41x wall at 100x data);
@@ -438,7 +459,7 @@ def bottomk_sample(
     # sampling.cap_per_class_approx.
     oversample = prefilter_oversample
     space = 1 << 16
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    counts = base.groupBy("_g").agg(F.count(F.lit(1)).alias("_cnt"))
     cut_int = F.ceil(
         F.lit(float(space * oversample * k)) / F.col("_cnt")
     ).cast("int")
@@ -446,42 +467,43 @@ def bottomk_sample(
         (F.col("_cnt") <= oversample * k) | (cut_int >= F.lit(space)),
         F.lit("g000"),  # keep all: 'g000' sorts above every hex string
     ).otherwise(F.lpad(F.lower(F.hex(cut_int)), 4, "0"))
-    cuts = counts.select(group_col, cut.alias("_cut"), "_cnt")
-    pref = base.join(F.broadcast(cuts), group_col).filter(
+    cuts = counts.select("_g", cut.alias("_cut"), "_cnt")
+    pref = base.join(F.broadcast(cuts), "_g").filter(
         F.substring(F.col("_h"), 1, 4) < F.col("_cut")
     )
     # LEFT join from the cuts frame: a group whose filter kept ZERO rows
     # has no aggregate row at all and must still be detected as short
     shortfall = [
-        r[group_col]
+        r["_g"]
         for r in cuts.filter(F.col("_cut") != "g000")
         .join(
-            pref.groupBy(group_col).agg(F.count(F.lit(1)).alias("_m")),
-            group_col,
+            pref.groupBy("_g").agg(F.count(F.lit(1)).alias("_m")),
+            "_g",
             "left",
         )
         .filter(F.coalesce(F.col("_m"), F.lit(0)) < k)
         .collect()
     ]
     if shortfall:  # exact fallback for the (vanishingly rare) short groups
-        pref = pref.filter(~F.col(group_col).isin(shortfall)).unionByName(
-            base.join(F.broadcast(cuts), group_col).filter(
-                F.col(group_col).isin(shortfall)
+        # _g is never NULL (null-tagged), so isin semantics are total here
+        pref = pref.filter(~F.col("_g").isin(shortfall)).unionByName(
+            base.join(F.broadcast(cuts), "_g").filter(
+                F.col("_g").isin(shortfall)
             )
         )
     pref = pref.drop("_cut", "_cnt")
 
-    w1 = Window.partitionBy(group_col, "_shard").orderBy("_h", kc)
+    w1 = Window.partitionBy("_g", "_shard").orderBy("_h", kc)
     lvl1 = (
         pref.withColumn("_rn", F.row_number().over(w1))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
-    w2 = Window.partitionBy(group_col).orderBy("_h", kc)
+    w2 = Window.partitionBy("_g").orderBy("_h", kc)
     return (
         lvl1.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
-        .drop("_rn", "_h", "_shard")
+        .drop("_rn", "_h", "_shard", "_g")
     )
 
 

@@ -98,6 +98,13 @@ _SHARED_CACHES: dict[tuple, DataFrame] = {}
 #: persistent ids across each eager materialization) — what
 #: :func:`sweep_unshared_rdds` must NOT release.
 _SHARED_RDD_IDS: set[int] = set()
+#: Wall seconds spent BUILDING each shared frame (builder + persist +
+#: eager count), keyed by the user key. Bench reads this so its JSON can
+#: attribute the one-time build cost that otherwise lands on whichever
+#: query first touches a shared frame (ADVICE r10: per-query medians are
+#: no longer end-to-end for shared-frame consumers; this row makes the
+#: end-to-end cost reconstructible).
+SHARED_BUILD_SECONDS: dict[str, float] = {}
 
 
 def shared_eager_cache(spark, key: tuple, builder) -> DataFrame:
@@ -133,9 +140,16 @@ def shared_eager_cache(spark, key: tuple, builder) -> DataFrame:
             return df
         except Exception:
             pass  # stopped session etc. — rebuild below
+    import time as _time
+
     pre = persistent_rdd_ids(spark)
+    t0 = _time.time()
     out = builder().persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
+    kstr = "/".join(str(p) for p in key)
+    SHARED_BUILD_SECONDS[kstr] = SHARED_BUILD_SECONDS.get(kstr, 0.0) + round(
+        _time.time() - t0, 3
+    )
     _SHARED_RDD_IDS.update(persistent_rdd_ids(spark) - pre)
     _SHARED_CACHES[full_key] = out
     return out

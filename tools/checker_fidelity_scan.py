@@ -85,7 +85,16 @@ def classify(a, b) -> str:
     num = (int, float, Decimal)
     if isinstance(a, num) and isinstance(b, num) and not isinstance(a, bool) and not isinstance(b, bool):
         if isinstance(a, Decimal) or isinstance(b, Decimal):
-            return "decimal"
+            # r11 (VERDICT r10 #2): fractional-scale Decimals are their own
+            # class — the r10 agg_decimal_ledger probe proved the driver's
+            # normalizer handles them divergently (local STRICT_OK, driver
+            # red) while integral-scale DECIMAL(38,0) cells are driver-safe.
+            if any(
+                isinstance(x, Decimal) and x.as_tuple().exponent < 0
+                for x in (a, b)
+            ):
+                return "decimal_frac"
+            return "decimal_int"
         if isinstance(a, float) != isinstance(b, float):
             return "intfloat"
         if isinstance(a, float) and isinstance(b, float):
@@ -106,6 +115,19 @@ def norm_line(cols, row, order):
     return "|".join(norm_cell(row[i]) for i in order)
 
 
+def _frac_dec_cols(cols, rows) -> set:
+    """Column names whose cells contain a FRACTIONAL-scale Decimal —
+    banned from hashed output by the r11 suite convention (the r10
+    agg_decimal_ledger probe proved the driver reds this class even on
+    bit-identical cells; VERDICT r10 #1/#2)."""
+    out = set()
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, Decimal) and v.as_tuple().exponent < 0:
+                out.add(cols[i])
+    return out
+
+
 def scan_query(name, q, spark, con, sf_dir):
     sdf = q.spark_fn(spark, sf_dir)
     scols = sdf.columns
@@ -119,6 +141,13 @@ def scan_query(name, q, spark, con, sf_dir):
     res = con.sql(q.oracle)
     ocols = list(res.columns)
     orows = res.fetchall()
+    fracdec = _frac_dec_cols(scols, srows) | _frac_dec_cols(ocols, orows)
+    if fracdec:
+        return (
+            "FRACDEC",
+            "fractional-scale Decimal output cols: " + ",".join(sorted(fracdec)),
+            Counter(),
+        )
     if len(srows) != len(orows) or sorted(scols) != sorted(ocols):
         return ("MISMATCH", f"rows {len(srows)}/{len(orows)} cols", Counter())
     sorder = sorted(range(len(scols)), key=lambda i: scols[i])
@@ -178,7 +207,7 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{table_path(sf_dir, t)}')"
             )
-        n_ok = n_col = n_mis = 0
+        n_ok = n_col = n_mis = n_frac = 0
         print(f"== {sf_dir} ==")
         for name, q in sorted(registry.items()):
             if only and name not in only:
@@ -205,14 +234,18 @@ def main() -> int:
                     f"COLLAPSE   {name}: {sum(classes.values())} cells "
                     f"{dict(classes)} | {detail} [{el:.1f}s]"
                 )
+            elif status == "FRACDEC":
+                n_frac += 1
+                print(f"FRACDEC    {name}: {detail} [{el:.1f}s]")
             else:
                 n_mis += 1
                 print(f"MISMATCH   {name}: {detail} [{el:.1f}s]")
         con.close()
         total_collapse += n_col
-        total_mismatch += n_mis
+        total_mismatch += n_mis + n_frac
         print(
-            f"-- {sf_dir}: {n_ok} strict-ok, {n_col} collapse, {n_mis} mismatch"
+            f"-- {sf_dir}: {n_ok} strict-ok, {n_col} collapse, "
+            f"{n_mis} mismatch, {n_frac} fractional-scale-decimal"
         )
     print(f"\nclass totals: {dict(grand)}")
     print(

@@ -30,15 +30,28 @@ def norm_cell(v):
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
-    # Decimal -> float is KEPT: queries whose oracle emits DECIMAL cells
-    # where Spark emits double (eval_cost_threshold, feature_quantile_
-    # normalize pre-r10) were driver-GREEN at sf0.01 with those exact
-    # divergent raw types, so the driver provably applies the same
-    # float() collapse (checker-fidelity r10 evidence). The r10 scan
-    # gate (tools/checker_fidelity_scan.py) nevertheless holds the suite
-    # to STRICT type agreement, so no query relies on this.
+    # Decimal handling TIGHTENED (r11, VERDICT r10 #2). The old
+    # Decimal->float collapse was justified by "the driver provably
+    # applies the same float() collapse" — FALSIFIED by the r10
+    # agg_decimal_ledger probe: a fractional-scale DECIMAL(38,4) cell
+    # was driver-red despite bit-identical local cells, while the
+    # DECIMAL(38,0)-BIGINT and full-precision-double probes were green.
+    # New rule, strictly stricter than the driver:
+    #   * integral-scale Decimals (exponent >= 0) hash as their exact
+    #     integer string — identical to a python int of the same value
+    #     (the driver accepts this class: charged_e10 / disc_micros
+    #     green with Spark Decimal vs DuckDB HUGEINT-int cells);
+    #   * fractional-scale Decimals hash as a tagged "(scale, digits)"
+    #     cell that can NEVER equal a float's repr — so a query whose
+    #     two sides diverge in scaled-decimal-ness reds locally even
+    #     where the driver's float path might accidentally green it.
+    # Suite convention (enforced by checker_fidelity_scan's class
+    # report): no hashed output cell carries a fractional-scale Decimal.
     if isinstance(v, Decimal):
-        v = float(v)
+        exp = v.as_tuple().exponent
+        if isinstance(exp, int) and exp >= 0:
+            return str(int(v))
+        return f"dec[{-exp}]:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
