@@ -37,9 +37,30 @@ from sqlitedataframe_spark.plans import (  # noqa: E402
 )
 
 
+def frac_decimal_cols(schema, prefix="") -> list:
+    """Output columns typed as FRACTIONAL-scale DecimalType (scale > 0),
+    recursively through arrays/structs — banned from hashed output by the
+    r11 suite convention: the r10 agg_decimal_ledger probe proved the
+    driver's normalizer reds this class even on bit-identical cells
+    (VERDICT r10 #1). An ERROR like foldable windows, never a flag."""
+    from pyspark.sql.types import ArrayType, DecimalType, StructType
+
+    out = []
+    if isinstance(schema, StructType):
+        for f in schema.fields:
+            out += frac_decimal_cols(f.dataType, prefix + f.name)
+    elif isinstance(schema, DecimalType):
+        if schema.scale > 0:
+            out.append(prefix)
+    elif isinstance(schema, ArrayType):
+        out += frac_decimal_cols(schema.elementType, prefix + "[]")
+    return out
+
+
 def audit_one(df) -> dict:
     plan = explain_text(df)
     return {
+        "frac_decimal_cols": frac_decimal_cols(df.schema),
         "scans": scan_count(df),
         "exchanges": exchange_count(df),
         "broadcast_joins": broadcast_join_count(df),
@@ -117,6 +138,12 @@ def main() -> None:
     unadjudicated = sorted(set(flagged) - set(BENIGN_NESTED_LOOP))
     if unadjudicated:
         print(f"UNADJUDICATED FLAGS: {unadjudicated}", file=sys.stderr)
+        sys.exit(1)
+    # r11 convention gate: no query may emit a fractional-scale Decimal
+    # output column (driver-normalizer hazard class, VERDICT r10 #1)
+    frac = sorted(n for n, r in out.items() if r.get("frac_decimal_cols"))
+    if frac:
+        print(f"FRACTIONAL-SCALE DECIMAL OUTPUT: {frac}", file=sys.stderr)
         sys.exit(1)
     # HARD ERRORS (no adjudication path): a window over a constant-foldable
     # partition key set, or any plain global window — both serialize the
