@@ -113,12 +113,27 @@ def _unseen_names() -> list[str]:
 #: layout-stable by tools/parity_sweep.py this round; the driver row is
 #: the hard signal that the drift-proofing holds in ITS environment too).
 ROTATION_LEADS = [
-    # r10 (VERDICT r9 #3): the checker-fidelity flag list first — the two
-    # queries whose oracles emitted DECIMAL cells where Spark emits double
-    # (now CAST-aligned; the driver row re-proves the fix in ITS hash),
-    # then the r9 signed-zero set. The three new probe queries for the
-    # Decimal / >1e15-int / >9-dp-float cell classes (agg_decimal_ledger,
-    # profile_key_checksums, profile_exact_ratios) front as unseen.
+    # r11 (VERDICT r10 #4): the Decimal-representation fix first — the
+    # fixed agg_decimal_ledger re-fronts as unseen (its r10 row was red);
+    # the rotation re-proves the other two checker-fidelity probes and
+    # the full r10 wave so the integer-scale convention is driver-proven
+    # across the whole new surface immediately, then the CAST-aligned
+    # pair re-adjudicated under the tightened norm_cell, then the
+    # signed-zero / float-ROUND set.
+    "profile_key_checksums",
+    "profile_exact_ratios",
+    "dedup_span_clusters",
+    "text_tokenizer_fertility",
+    "dedup_decontam_stratified",
+    "agg_bottomk_quantiles",
+    "events_cuped_stratified",
+    "orders_cohort_ltv",
+    "graph_hyperball_harmonic",
+    "eval_bradley_terry",
+    "dedup_lsh_tuning",
+    "sample_preference_pairs",
+    "pipeline_curation_funnel",
+    "stream_bottomk_rollup",
     "eval_cost_threshold",
     "feature_quantile_normalize",
     # r9: the signed-zero-convention set — every query whose ROUND

@@ -432,6 +432,13 @@ HEADLINE = [
     "dedup_lsh_tuning",
     "sample_preference_pairs",
     "pipeline_curation_funnel",
+    # r11 wave
+    "agg_ddsketch_quantiles",
+    "agg_ddsketch_merge",
+    "mixture_epochs_exhaustion",
+    "embed_drift_cusum",
+    "eval_contamination_splits",
+    "pipeline_curation_incremental",
 ]
 
 

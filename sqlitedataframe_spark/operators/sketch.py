@@ -570,3 +570,123 @@ def bottomk_quantiles(
             ).alias(f"{tag}_abs_err")
         )
     return out.select(*cols).orderBy(group_col)
+
+
+def ddsketch_buckets(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    m: int = 32,
+) -> DataFrame:
+    """Log-linear bucket counts over a POSITIVE INTEGER value column — a
+    DDSketch-style relative-error rank sketch (Masson et al., "DDSketch:
+    a fast and fully-mergeable quantile sketch", VLDB 2019) whose state
+    is a plain additive count table, so MERGE == ONE-SHOT holds EXACTLY
+    (not approximately, as for KLL/t-digest compaction): the sketch of a
+    union is the pointwise SUM of the per-shard sketches, because the
+    bucket index of a value is a pure function of the value alone and
+    counts are associative. That makes it the accuracy-bounded sibling
+    of :func:`bottomk_sample` (VERDICT r10 #3a) — bottom-k is an exact
+    mergeable SAMPLE, this is a mergeable RANK SUMMARY with a proven
+    relative-error bound of 1/m on any quantile readout.
+
+    Bucketing is ALL-INTEGER so both engines agree bit-for-bit (no libm
+    log whose last ulp could flip a boundary value between buckets):
+
+        e   = length(bin(v)) - 1          -- floor(log2 v), exact
+        pw  = 1 << e
+        sub = ((v - pw) * m) div pw       -- linear split of the octave
+        idx = e * m + sub
+        lo  = pw + (sub * pw) div m       -- representative lower bound
+
+    Any v in bucket idx satisfies lo <= ~v < lo * (1 + 1/m) (up to the
+    integer floor), so reading off ``lo`` at any rank has relative error
+    <= 1/m. Precondition: values must be >= 1 (quantize scan-side —
+    money to cents, sizes to bytes); rows with v < 1 are REJECTED by a
+    filter so a silent zero can't corrupt the octave math.
+
+    Scale shape: one scan -> map-side combinable (group, idx) count —
+    the whole sketch is one partial-aggregated exchange of at most
+    |groups| * m * 64 rows regardless of input size, and sharded /
+    micro-batch builds merge by a second tiny SUM. No window, no sort,
+    no driver state.
+    """
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    b = (
+        df.select(F.col(group_col), vc.cast("bigint").alias("_v"))
+        .filter(F.col("_v") >= 1)
+        .withColumn("_e", F.length(F.bin(F.col("_v"))) - F.lit(1))
+        .withColumn(
+            "_pw", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_e AS INT))")
+        )
+        .withColumn("_sub", F.expr(f"((_v - _pw) * {int(m)}) div _pw"))
+        .withColumn(
+            "_idx", F.col("_e").cast("bigint") * int(m) + F.col("_sub")
+        )
+        .withColumn("_lo", F.col("_pw") + F.expr(f"(_sub * _pw) div {int(m)}"))
+    )
+    return b.groupBy(group_col, "_idx", "_lo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt")
+    )
+
+
+def ddsketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge DDSketch bucket tables (EXACT): union, then SUM counts per
+    (group, idx, lo). By construction equals building one sketch over
+    the union of the inputs — the property agg_ddsketch_merge proves
+    against the one-shot oracle and test_ddsketch_merge_parity proves
+    bit-identically in-process."""
+    it = iter(sketches)
+    out = next(it)
+    for s in it:
+        out = out.unionByName(s)
+    gcols = [c for c in out.columns if c not in ("_idx", "_lo", "_cnt")]
+    return out.groupBy(*gcols, "_idx", "_lo").agg(
+        F.sum("_cnt").cast("bigint").alias("_cnt")
+    )
+
+
+def ddsketch_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    m: int = 32,
+    qs: tuple = ((1, 2), (9, 10), (99, 100)),
+) -> DataFrame:
+    """Quantile readout from :func:`ddsketch_buckets`: for each quantile
+    num/den, the bucket lower bound at rank ceil(q * n) — an all-integer
+    answer within relative error 1/m of the true quantile. Ranks are
+    computed with integer arithmetic ((num*n + den - 1) div den), never
+    a float multiply, so the readout is bit-identical across engines.
+
+    Scale shape: the cumulative walk windows over the SKETCH (<= ~m*64
+    rows per group), never the data.
+    """
+    from pyspark.sql import Window
+
+    sk = ddsketch_buckets(df, group_col, value_col, m=m)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sk.withColumn("_cum", F.sum("_cnt").over(w))
+    tot = sk.groupBy(group_col).agg(
+        F.sum("_cnt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    j = cum.join(tot, group_col)
+    aggs = []
+    for num, den in qs:
+        rank = F.expr(f"({num} * n + {den} - 1) div {den}")
+        tag = f"p{100 * num // den}"
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= rank, F.col("_lo")))
+            .cast("bigint")
+            .alias(f"{tag}_lo")
+        )
+    return (
+        j.groupBy(group_col, "n", "n_buckets")
+        .agg(*aggs)
+        .orderBy(group_col)
+    )

@@ -117,4 +117,8 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "embed_prefix_recall": "8-query broadcast crosses (full-dim + per-prefix sliced scoring) + 2-row dim-grid spine",
     "eval_auc_delong": "<=64-row bucket-offset prefix-sum joins + 1-row moment crosses (auc_quality_lang shape)",
     "dedup_lsh_tuning": "5-row literal (bands, rows) config grid broadcast-crossed with the <=65-cell match-count frame",
+    # --- r11 wave ----------------------------------------------------------
+    "mixture_epochs_exhaustion": "1-row (total tokens, sum-of-sqrt) corpus stats broadcast (mixture family)",
+    "embed_drift_cusum": "1-row max-vec_id batch-bound broadcast + 1-row reference-mean-drift broadcast onto the 16-row batch frame",
+    "eval_contamination_splits": "1-row train-corpus-count broadcast onto the 3-row split report",
 }

@@ -72,6 +72,7 @@ def load_all() -> dict[str, Query]:
         pipeline15,
         pipeline16,
         pipeline17,
+        pipeline18,
         eventstream,
         streamingq,
         bridge,
