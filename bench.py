@@ -439,6 +439,9 @@ HEADLINE = [
     "embed_drift_cusum",
     "eval_contamination_splits",
     "pipeline_curation_incremental",
+    "eval_pass_at_k",
+    # stream_ddsketch_rollup excluded: SQLite-bridge micro-batch harness
+    # (temp-file IO), same policy as stream_bottomk_rollup
 ]
 
 

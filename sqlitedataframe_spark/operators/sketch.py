@@ -646,25 +646,23 @@ def ddsketch_merge(*sketches: DataFrame) -> DataFrame:
     )
 
 
-def ddsketch_quantiles(
-    df: DataFrame,
+def ddsketch_readout(
+    sk: DataFrame,
     group_col: str,
-    value_col: Column | str,
-    m: int = 32,
     qs: tuple = ((1, 2), (9, 10), (99, 100)),
 ) -> DataFrame:
-    """Quantile readout from :func:`ddsketch_buckets`: for each quantile
-    num/den, the bucket lower bound at rank ceil(q * n) — an all-integer
-    answer within relative error 1/m of the true quantile. Ranks are
-    computed with integer arithmetic ((num*n + den - 1) div den), never
-    a float multiply, so the readout is bit-identical across engines.
+    """Quantile readout from an already-built (or merged) bucket table:
+    for each quantile num/den, the bucket lower bound at rank
+    ceil(q * n) — an all-integer answer within relative error 1/m of the
+    true quantile. Ranks use integer arithmetic
+    ((num*n + den - 1) div den), never a float multiply, so the readout
+    is bit-identical across engines.
 
     Scale shape: the cumulative walk windows over the SKETCH (<= ~m*64
     rows per group), never the data.
     """
     from pyspark.sql import Window
 
-    sk = ddsketch_buckets(df, group_col, value_col, m=m)
     w = (
         Window.partitionBy(group_col)
         .orderBy("_idx")
@@ -689,4 +687,20 @@ def ddsketch_quantiles(
         j.groupBy(group_col, "n", "n_buckets")
         .agg(*aggs)
         .orderBy(group_col)
+    )
+
+
+def ddsketch_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    m: int = 32,
+    qs: tuple = ((1, 2), (9, 10), (99, 100)),
+) -> DataFrame:
+    """Build the DDSketch over ``df`` and read off the quantiles — the
+    one-shot convenience over :func:`ddsketch_buckets` +
+    :func:`ddsketch_readout` (micro-batch / sharded consumers call the
+    two halves directly and merge in between)."""
+    return ddsketch_readout(
+        ddsketch_buckets(df, group_col, value_col, m=m), group_col, qs=qs
     )

@@ -767,3 +767,227 @@ def pipeline_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming mergeable DDSketch rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_ddsketch_rollup",
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS g,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE CAST(ROUND(value * 100) AS BIGINT) >= 1),
+    b AS (
+      SELECT g, v, length(bin(v)) - 1 AS e,
+             (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) AS pw
+      FROM v),
+    s AS (SELECT g, e, pw, ((v - pw) * 32) // pw AS sub FROM b),
+    bk AS (
+      SELECT g, e * 32 + sub AS idx, pw + (sub * pw) // 32 AS lo FROM s),
+    sk AS (
+      SELECT g, idx, lo, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bk GROUP BY 1, 2, 3),
+    cum AS (
+      SELECT g, idx, lo, cnt,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY idx
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sk),
+    tot AS (
+      SELECT g, CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets
+      FROM sk GROUP BY g)
+    SELECT t.g AS event_type, t.n, t.n_buckets,
+           CAST(MIN(CASE WHEN c.cum >= (1 * t.n + 1) // 2
+                         THEN c.lo END) AS BIGINT) AS p50_lo,
+           CAST(MIN(CASE WHEN c.cum >= (9 * t.n + 9) // 10
+                         THEN c.lo END) AS BIGINT) AS p90_lo,
+           CAST(MIN(CASE WHEN c.cum >= (99 * t.n + 99) // 100
+                         THEN c.lo END) AS BIGINT) AS p99_lo
+    FROM cum c JOIN tot t USING (g)
+    GROUP BY t.g, t.n, t.n_buckets
+    ORDER BY event_type
+    """,
+)
+def stream_ddsketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DDSketch rollup through the SQLite bridge: each
+    micro-batch reduces to its per-event-type bucket-count sketch
+    (operators.sketch.ddsketch_buckets — EXACTLY mergeable: counts are
+    additive), appends the tiny sketch to an append-only SQLite log,
+    and the final answer merges the log by a SUM and reads off
+    p50/p90/p99 of the cent-quantized value. The continuous-latency-
+    profile pattern at 100 TB: raw events are touched once per batch,
+    the log grows by at most |groups| * ~m*64 rows per batch, and the
+    rollup NEVER replays the stream. Exactly oracle-checked against the
+    one-shot sketch over the whole table — merge == one-shot is the
+    sketch's defining law (the bottom-k rollup's accuracy-bounded
+    sibling, VERDICT r10 #3a).
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from sqlitedataframe_spark.operators.sketch import (
+        ddsketch_buckets as _ddb,
+        ddsketch_readout as _ddr,
+    )
+    from sqlitedataframe_spark.sources.sqlite import (
+        read_sql,
+        table_exists,
+        write_sql,
+    )
+    from sqlitedataframe_spark.streaming.core import read_table_stream
+
+    db = _os.path.join(
+        _tempfile.gettempdir(),
+        f"sdfspark_dd_{_os.path.basename(sf_dir)}.db",
+    )
+    if _os.path.exists(db):
+        _os.remove(db)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sk = _ddb(
+            batch_df.select(
+                "event_type",
+                F.round(F.col("value") * 100).cast("bigint").alias("_cents"),
+            ),
+            "event_type",
+            "_cents",
+            m=32,
+        )
+        mode = "append" if table_exists(db, "dd_log") else "replace"
+        write_sql(sk, db, table="dd_log", if_exists=mode)
+
+    s = read_table_stream(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    with _tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            s.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    log = read_sql(spark, db, table="dd_log")
+    merged = log.groupBy("event_type", "_idx", "_lo").agg(
+        F.sum("_cnt").cast("bigint").alias("_cnt")
+    )
+    return _ddr(merged, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Unbiased pass@k estimator per task family.
+# ---------------------------------------------------------------------------
+@query(
+    "eval_pass_at_k",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS task,
+             user_id % 128 AS attempt_group,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN CAST(ROUND(value * 100) AS BIGINT) % 5 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    ks AS (SELECT UNNEST([1, 4, 16]) AS k),
+    p AS (
+      SELECT task, attempt_group, n, c, k,
+             CASE WHEN n - c < k THEN 1.0
+                  ELSE 1.0 - list_reduce(
+                    list_transform(range(0, k),
+                                   i -> (CAST(n - c - i AS DOUBLE))
+                                        / (CAST(n - i AS DOUBLE))),
+                    (a, x) -> a * x)
+             END AS pak
+      FROM s CROSS JOIN ks
+      WHERE n >= k),
+    agg AS (
+      SELECT task, k,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(n) AS BIGINT) AS n_samples,
+             CAST(SUM(c) AS BIGINT) AS n_correct,
+             list_reduce(list(pak ORDER BY pak, attempt_group),
+                         (a, x) -> a + x) AS s_pak
+      FROM p GROUP BY 1, 2)
+    SELECT task, k, n_groups, n_samples, n_correct,
+           ROUND(s_pak / n_groups + 1e-9, 6) AS pass_at_k
+    FROM agg ORDER BY task, k
+    """,
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k per task family (Chen et al. 2021, "Evaluating
+    Large Language Models Trained on Code", eq. 1): for each task and
+    each attempt group (a problem), n sampled attempts with c successes
+    give pass@k = 1 - C(n-c, k)/C(n, k), computed as the FIXED-ORDER
+    product fold of (n-c-i)/(n-i) for i in [0, k) — numerically stable
+    (never materializes a binomial) and bit-identical across engines
+    (each factor is one exact-integer division; the fold order is the
+    index order on both sides). Groups with n < k are excluded (the
+    estimator is undefined), n - c < k short-circuits to 1.0 exactly.
+    The events fixture plays the eval log: event_type = task family,
+    user_id % 128 = problem, a value-derived deterministic success flag.
+
+    Shape: one scan -> (task, problem) integer count cells (map-side
+    combined) -> a 3-row k grid broadcast-crossed with the bounded cell
+    frame -> one rollup whose float sum is a sorted fixed-order fold.
+    The per-problem pass@k mean is the standard benchmark readout.
+    """
+    ev = T(spark, sf_dir, "events")
+    s = ev.groupBy(
+        F.col("event_type").alias("task"),
+        (F.col("user_id") % 128).alias("attempt_group"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.round(F.col("value") * 100).cast("bigint") % 5 == 0, 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    ks = spark.createDataFrame([(1,), (4,), (16,)], "k int")
+    pak = F.when(F.col("n") - F.col("c") < F.col("k"), F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.col("k") - 1),
+                lambda i: (F.col("n") - F.col("c") - i).cast("double")
+                / (F.col("n") - i).cast("double"),
+            ),
+            F.lit(1.0),
+            lambda a, x: a * x,
+        )
+    )
+    p = (
+        s.join(F.broadcast(ks))
+        .filter(F.col("n") >= F.col("k"))
+        .withColumn("pak", pak)
+    )
+    return (
+        p.groupBy("task", "k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n").cast("bigint").alias("n_samples"),
+            F.sum("c").cast("bigint").alias("n_correct"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("pak", "attempt_group"))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["pak"],
+            ).alias("_s"),
+        )
+        .select(
+            "task",
+            "k",
+            "n_groups",
+            "n_samples",
+            "n_correct",
+            F.round(F.col("_s") / F.col("n_groups") + 1e-9, 6).alias(
+                "pass_at_k"
+            ),
+        )
+        .orderBy("task", "k")
+    )

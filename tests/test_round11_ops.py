@@ -262,3 +262,48 @@ def test_incremental_funnel_matches_batch(spark, sf_dir):
         for r in reg["pipeline_curation_incremental"].spark_fn(spark, sf_dir).collect()
     }
     assert batch == incr
+
+
+def test_pass_at_k_matches_binomial(spark, sf_dir):
+    """The product-fold pass@k must equal 1 - C(n-c,k)/C(n,k) computed
+    with exact integer binomials, for every (task, k) cell."""
+    import math
+
+    from sqlitedataframe_spark.suite import load_all
+
+    from sqlitedataframe_spark.suite.relational import T as _T
+
+    ev = _T(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            F.col("event_type").alias("task"),
+            (F.col("user_id") % 128).alias("g"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.round(F.col("value") * 100).cast("bigint") % 5 == 0, 1
+                ).otherwise(0)
+            ).alias("c"),
+        )
+        .collect()
+    )
+    expect = {}
+    for k in (1, 4, 16):
+        per = {}
+        for r in cells:
+            n, c = r["n"], r["c"]
+            if n < k:
+                continue
+            pak = 1.0 - math.comb(n - c, k) / math.comb(n, k)
+            per.setdefault(r["task"], []).append(pak)
+        for task, vals in per.items():
+            expect[(task, k)] = round(sum(sorted(vals)) / len(vals) + 1e-9, 6)
+    got = {
+        (r["task"], r["k"]): r["pass_at_k"]
+        for r in load_all()["eval_pass_at_k"].spark_fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for key in expect:
+        assert abs(got[key] - expect[key]) < 1e-9, (key, got[key], expect[key])
