@@ -440,6 +440,8 @@ HEADLINE = [
     "eval_contamination_splits",
     "pipeline_curation_incremental",
     "eval_pass_at_k",
+    "agg_ddsketch_error_audit",
+    "dedup_clusters_incremental",
     # stream_ddsketch_rollup excluded: SQLite-bridge micro-batch harness
     # (temp-file IO), same policy as stream_bottomk_rollup
 ]

@@ -991,3 +991,203 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("task", "k")
     )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch error audit (sketch vs truth qualification).
+# ---------------------------------------------------------------------------
+@query(
+    "agg_ddsketch_error_audit",
+    oracle=_DD_CTE
+    + """,
+    cum AS (
+      SELECT g, idx, lo, cnt,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY idx
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sk),
+    tot AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM sk GROUP BY g),
+    est AS (
+      SELECT t.g, t.n,
+             CAST(MIN(CASE WHEN c.cum >= (1 * t.n + 1) // 2
+                           THEN c.lo END) AS BIGINT) AS p50_lo,
+             CAST(MIN(CASE WHEN c.cum >= (9 * t.n + 9) // 10
+                           THEN c.lo END) AS BIGINT) AS p90_lo
+      FROM cum c JOIN tot t USING (g) GROUP BY t.g, t.n),
+    ex AS (
+      SELECT g, ROUND(quantile_cont(v, 0.5) + 1e-9, 4) AS p50_exact,
+             ROUND(quantile_cont(v, 0.9) + 1e-9, 4) AS p90_exact
+      FROM v GROUP BY g)
+    SELECT e.g AS l_returnflag, e.n, e.p50_lo, x.p50_exact,
+           ROUND(ABS(e.p50_lo - x.p50_exact) / x.p50_exact + 1e-9, 6)
+             AS p50_rel_err,
+           e.p90_lo, x.p90_exact,
+           ROUND(ABS(e.p90_lo - x.p90_exact) / x.p90_exact + 1e-9, 6)
+             AS p90_rel_err
+    FROM est e JOIN ex x USING (g) ORDER BY l_returnflag
+    """,
+)
+def agg_ddsketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-truth qualification for the DDSketch readout (the
+    bottomk_quantiles pattern, VERDICT r9 #2d lineage): the p50/p90
+    bucket lower bounds NEXT TO the exact interpolated percentiles and
+    the realized relative error — the audit a 100 TB profile job runs
+    once per corpus before letting the sketch replace the exact pass.
+    The realized errors must sit under the 1/m = 3.125% guarantee
+    (pytest-asserted; the fixture lands well under).
+
+    Exactness: sketch cells are all-integer; the exact side is the
+    engine-anchored interpolated percentile (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``) rounded at 4 dp; the error divides two
+    already-published cells and rounds at 6.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    base = li.select("l_returnflag", cents.alias("_cents")).filter(
+        F.col("_cents") >= 1
+    )
+    from sqlitedataframe_spark.operators.sketch import (
+        ddsketch_buckets as _ddb,
+        ddsketch_readout as _ddr,
+    )
+
+    est = _ddr(
+        _ddb(base, "l_returnflag", "_cents", m=32),
+        "l_returnflag",
+        qs=((1, 2), (9, 10)),
+    ).drop("n_buckets")
+    ex = base.groupBy("l_returnflag").agg(
+        F.round(F.percentile("_cents", F.lit(0.5)) + 1e-9, 4).alias(
+            "p50_exact"
+        ),
+        F.round(F.percentile("_cents", F.lit(0.9)) + 1e-9, 4).alias(
+            "p90_exact"
+        ),
+    )
+    return (
+        est.join(ex, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "p50_lo",
+            "p50_exact",
+            F.round(
+                F.abs(F.col("p50_lo") - F.col("p50_exact"))
+                / F.col("p50_exact")
+                + 1e-9,
+                6,
+            ).alias("p50_rel_err"),
+            "p90_lo",
+            "p90_exact",
+            F.round(
+                F.abs(F.col("p90_lo") - F.col("p90_exact"))
+                / F.col("p90_exact")
+                + 1e-9,
+                6,
+            ).alias("p90_rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup clusters (the star-merge law).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_clusters_incremental",
+    oracle=_MH_EST_NOSUPP.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    + """,
+    ed AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+    nds AS (SELECT id_a AS id FROM ed UNION SELECT id_b FROM ed),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM ed
+            UNION SELECT id_b, id_a FROM ed),
+    walk(node, comp) AS (
+      SELECT id, id FROM nds
+      UNION
+      SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node),
+    comp AS (
+      SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
+      FROM walk GROUP BY node)
+    SELECT c.component,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(SUM(CASE WHEN c.doc_id % 50 <> 0 AND c.doc_id % 7 = 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_docs,
+           COUNT(DISTINCT d.source) > 1 AS cross_source
+    FROM comp c JOIN documents d USING (doc_id)
+    GROUP BY c.component ORDER BY c.component
+    """,
+)
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup CLUSTERS after a delta batch — the
+    STAR-MERGE law for connected components: with E_t0 the pairs among
+    the T0 snapshot and E_inc the pairs touching today's delta,
+
+        CC(E_t0 ∪ E_inc) == CC(star(CC(E_t0)) ∪ E_inc)
+
+    because each T0 component's (node -> label) star edges preserve
+    exactly its connectivity, so yesterday's clustering becomes
+    node-sized STATE and only delta-touching pairs are generated today
+    (``minhash_lsh_pairs new_ids=``; suppression off on both sides for
+    the unconditional snapshot-merge equality, as in
+    pipeline_curation_incremental). The ORACLE computes the clusters
+    from the ONE-SHOT recursive walk over ALL pairs: driver hash
+    equality proves the law. Per cluster: docs, sources, today's
+    arrivals (n_delta_docs — a cluster whose delta count is high is an
+    actively-syndicating feed), cross-source flag.
+
+    Shape: E_t0 and CC(E_t0) are T0 state (id-sized); today's work is
+    the delta-bounded banded join + pointer-jumped CC over (star ∪
+    E_inc), which never touches corpus text.
+    """
+    from sqlitedataframe_spark.operators.graph import connected_components
+
+    d = T(spark, sf_dir, "documents")
+    sig = shared_doc_sigs(spark, sf_dir)
+    is_delta = (F.col("doc_id") % 50 != 0) & (F.col("doc_id") % 7 == 3)
+    corpus_t0 = d.filter(~is_delta)
+    delta = d.filter(is_delta)
+
+    edges_t0 = D.minhash_lsh_pairs(
+        corpus_t0, min_jaccard=0.5, sig=sig, max_bucket=None
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    nodes_t0 = (
+        edges_t0.select(F.col("src").alias("doc_id"))
+        .unionByName(edges_t0.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    comp_t0 = connected_components(
+        edges_t0, nodes=nodes_t0, node_col="doc_id"
+    )
+    # T0 state as star edges: (node -> its T0 label) preserves exactly
+    # the T0 connectivity with |nodes| edges
+    star = comp_t0.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("src"), F.col("comp").alias("dst")
+    )
+    edges_inc = D.minhash_lsh_pairs(
+        d,
+        min_jaccard=0.5,
+        new_ids=delta.select("doc_id"),
+        sig=sig,
+        max_bucket=None,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    merged_edges = star.unionByName(edges_inc)
+    all_nodes = (
+        comp_t0.select(F.col("node").alias("doc_id"))
+        .unionByName(edges_inc.select(F.col("src").alias("doc_id")))
+        .unionByName(edges_inc.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components(
+        merged_edges, nodes=all_nodes, node_col="doc_id"
+    ).select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+    return (
+        comp.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum(is_delta.cast("int")).cast("bigint").alias("n_delta_docs"),
+            (F.countDistinct("source") > 1).alias("cross_source"),
+        )
+        .orderBy("component")
+    )

@@ -307,3 +307,56 @@ def test_pass_at_k_matches_binomial(spark, sf_dir):
     assert set(got) == set(expect)
     for key in expect:
         assert abs(got[key] - expect[key]) < 1e-9, (key, got[key], expect[key])
+
+
+def test_star_merge_law_connected_components(spark):
+    """CC(E1 ∪ E2) == CC(star(CC(E1)) ∪ E2) — the incremental-clusters
+    law, on a fixture where the delta edges BRIDGE two T0 components."""
+    from sqlitedataframe_spark.operators.graph import connected_components
+
+    e1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "src long, dst long"
+    )
+    e2 = spark.createDataFrame(
+        [(3, 10), (30, 31)], "src long, dst long"
+    )  # bridges {1,2,3} with {10,11}; adds a new component
+    full = {
+        (r["node"], r["comp"])
+        for r in connected_components(e1.unionByName(e2)).collect()
+    }
+    comp1 = connected_components(e1)
+    star = comp1.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("src"), F.col("comp").alias("dst")
+    )
+    nodes = (
+        comp1.select(F.col("node"))
+        .unionByName(e2.select(F.col("src").alias("node")))
+        .unionByName(e2.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    merged = {
+        (r["node"], r["comp"])
+        for r in connected_components(
+            star.unionByName(e2), nodes=nodes
+        ).collect()
+    }
+    assert full == merged
+    comps = {}
+    for n, c in merged:
+        comps.setdefault(c, set()).add(n)
+    assert comps[1] == {1, 2, 3, 10, 11}
+    assert comps[20] == {20, 21}
+    assert comps[30] == {30, 31}
+
+
+def test_ddsketch_error_audit_under_bound(spark, sf_dir):
+    """Realized p50/p90 relative errors must sit under 1/m = 3.125%."""
+    from sqlitedataframe_spark.suite import load_all
+
+    rows = (
+        load_all()["agg_ddsketch_error_audit"].spark_fn(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["p50_rel_err"] <= 1 / 32 + 1e-6
+        assert r["p90_rel_err"] <= 1 / 32 + 1e-6
