@@ -605,12 +605,23 @@ def ddsketch_buckets(
     money to cents, sizes to bytes); rows with v < 1 are REJECTED by a
     filter so a silent zero can't corrupt the octave math.
 
+    ``m`` must be a POWER OF TWO (asserted): with m = 2^k and pw = 2^e,
+    the sub/lo formulas use the algebraically-identical
+    divide-before-multiply forms ``sub = (v - pw) div (pw div m)`` and
+    ``lo = pw + sub * (pw div m)`` whenever pw >= m, so the operator is
+    TOTAL over bigint — the naive ``((v - pw) * m) div pw`` multiply
+    wraps silently in Spark (non-ANSI) for v near 2^63/m while DuckDB
+    raises, a cross-engine divergence on extreme inputs (ADVICE r11 #3).
+    For the (tiny) octaves with pw < m the original multiply form is
+    used; there ``(v - pw) * m < m^2`` cannot overflow.
+
     Scale shape: one scan -> map-side combinable (group, idx) count —
     the whole sketch is one partial-aggregated exchange of at most
     |groups| * m * 64 rows regardless of input size, and sharded /
     micro-batch builds merge by a second tiny SUM. No window, no sort,
     no driver state.
     """
+    assert m >= 1 and (m & (m - 1)) == 0, "m must be a power of two"
     vc = F.col(value_col) if isinstance(value_col, str) else value_col
     b = (
         df.select(F.col(group_col), vc.cast("bigint").alias("_v"))
@@ -619,11 +630,25 @@ def ddsketch_buckets(
         .withColumn(
             "_pw", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_e AS INT))")
         )
-        .withColumn("_sub", F.expr(f"((_v - _pw) * {int(m)}) div _pw"))
+        .withColumn(
+            "_sub",
+            F.expr(
+                f"CASE WHEN _pw >= {int(m)}"
+                f" THEN (_v - _pw) div (_pw div {int(m)})"
+                f" ELSE ((_v - _pw) * {int(m)}) div _pw END"
+            ),
+        )
         .withColumn(
             "_idx", F.col("_e").cast("bigint") * int(m) + F.col("_sub")
         )
-        .withColumn("_lo", F.col("_pw") + F.expr(f"(_sub * _pw) div {int(m)}"))
+        .withColumn(
+            "_lo",
+            F.expr(
+                f"_pw + CASE WHEN _pw >= {int(m)}"
+                f" THEN _sub * (_pw div {int(m)})"
+                f" ELSE (_sub * _pw) div {int(m)} END"
+            ),
+        )
     )
     return b.groupBy(group_col, "_idx", "_lo").agg(
         F.count(F.lit(1)).cast("bigint").alias("_cnt")

@@ -58,6 +58,12 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "feature_hash_collisions": "1-row combo-count broadcast cross onto the 1-row bucket rollup",
     "eval_cost_threshold": "19-row threshold-grid literal cross + 1-row argmin broadcast",
     "sample_temporal_split": "1-row percentile-cut broadcast + 1-row user-overlap count cross",
+    "embed_drift_cusum": (
+        "16x16 bounded theta-join computing the CUSUM prefix sum + running "
+        "min over the 16-row post-aggregate batch frame — the deliberate "
+        "alternative to the unpartitioned ordered Window plan_audit "
+        "hard-errors on (restructured r12 per ADVICE r11 #1)"
+    ),
     "events_funnel_wilson": "crosses of 1-row funnel-stage count aggregates",
     "orders_tail_index": "1-row top-k boundary (min) broadcast onto the 101-row frame",
     "eval_pr_sweep": "1-row P/N totals; threshold expansion over score-bucket frame",

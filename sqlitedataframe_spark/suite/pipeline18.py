@@ -298,8 +298,15 @@ def embed_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: vectors posexplode to dim-keyed scalars ONCE (never shuffle
     whole), one map-side-combinable (batch, dim) integer mean, a
-    dim-keyed join to the broadcast 64-row reference, then every CUSUM
-    window runs on the 16-row batch frame.
+    dim-keyed join to the broadcast 64-row reference, then the CUSUM
+    prefix path (prefix sum + running min) runs as two broadcast
+    theta-joins over the 16-row batch frame — NOT as ordered windows:
+    an unpartitioned Window is the single-task serialization class
+    plan_audit hard-errors on, and the r11 version's two
+    Window.orderBy('b') calls were only invisible to the audit through
+    the ':' tree-bar parser gap ADVICE r11 #1 closed. The 16x16
+    bounded cross is the adjudicated BENIGN_NESTED_LOOP pattern
+    (plans/flags.py).
     """
     emb = T(spark, sf_dir, "embeddings")
     mx = emb.select(F.max("vec_id").alias("_mid"))
@@ -351,13 +358,27 @@ def embed_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bcol.alias("b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
     )
-    from pyspark.sql import Window
-
-    wseq = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    p = dr.join(F.broadcast(mu)).withColumn(
-        "ps", F.sum(F.col("dq") - F.col("muq")).over(wseq)
+    dm = dr.join(F.broadcast(mu))  # 16 rows: b, dq, muq
+    # prefix sum over the 16-row frame via bounded theta-join (see above)
+    p = (
+        dm.alias("x")
+        .join(
+            F.broadcast(dm.select("b", "dq", "muq").alias("y")),
+            F.expr("y.b <= x.b"),
+        )
+        .groupBy(F.col("x.b").alias("b"), F.col("x.dq").alias("dq"),
+                 F.col("x.muq").alias("muq"))
+        .agg(F.sum(F.col("y.dq") - F.col("y.muq")).cast("bigint").alias("ps"))
     )
-    cu = p.withColumn("cq", F.col("ps") - F.min("ps").over(wseq))
+    # running min of the prefix path, same bounded pattern
+    cu = (
+        p.alias("x")
+        .join(F.broadcast(p.select("b", "ps").alias("y")), F.expr("y.b <= x.b"))
+        .groupBy(F.col("x.b").alias("b"), F.col("x.dq").alias("dq"),
+                 F.col("x.muq").alias("muq"), F.col("x.ps").alias("ps"))
+        .agg(F.min(F.col("y.ps")).cast("bigint").alias("rm"))
+        .withColumn("cq", F.col("ps") - F.col("rm"))
+    )
     return (
         cu.join(nv, "b")
         .select(

@@ -107,23 +107,26 @@ def test_norm_cell_decimal_rules():
     assert norm_cell(Decimal("1.25")) != norm_cell(Decimal("1.2500"))
 
 
-def test_frac_decimal_detector_and_ledger_schema(spark, sf_dir):
+def test_decimal_output_detector_and_ledger_schema(spark, sf_dir):
     """The plan-audit detector (whole-registry enforcement runs in the
-    close via tools/plan_audit.py, which now exits 1 on any
-    fractional-scale Decimal output column) must catch nested and
-    top-level fractional decimals and clear the fixed ledger."""
-    from tools.plan_audit import frac_decimal_cols
+    close via tools/plan_audit.py, which exits 1 on ANY Decimal-typed
+    output column — r12 tightening from fractional-scale-only after the
+    r11 driver capture redded integer-scale DECIMAL(38,0) cells) must
+    catch nested and top-level Decimals at every scale and clear the
+    VARCHAR-emitting ledger."""
+    from tools.plan_audit import decimal_output_cols
 
     from sqlitedataframe_spark.suite import load_all
 
     bad = spark.createDataFrame([(Decimal("1.25"),)], "x decimal(10,2)")
-    assert frac_decimal_cols(bad.schema) == ["x"]
+    assert decimal_output_cols(bad.schema) == ["x"]
     nested = spark.sql(
         "SELECT array(cast(1.5 as decimal(8,4))) a, cast(2 as decimal(38,0)) b"
     )
-    assert frac_decimal_cols(nested.schema) == ["a[]"]
+    assert decimal_output_cols(nested.schema) == ["a[]", "b"]
     ledger = load_all()["agg_decimal_ledger"].spark_fn(spark, sf_dir)
-    assert frac_decimal_cols(ledger.schema) == []
+    assert decimal_output_cols(ledger.schema) == []
+    assert dict(ledger.dtypes)["gross_cents"] == "string"
 
 
 # ---------------------------------------------------------------------------

@@ -115,15 +115,17 @@ def norm_line(cols, row, order):
     return "|".join(norm_cell(row[i]) for i in order)
 
 
-def _frac_dec_cols(cols, rows) -> set:
-    """Column names whose cells contain a FRACTIONAL-scale Decimal —
-    banned from hashed output by the r11 suite convention (the r10
-    agg_decimal_ledger probe proved the driver reds this class even on
-    bit-identical cells; VERDICT r10 #1/#2)."""
+def _dec_out_cols(cols, rows) -> set:
+    """Column names whose cells contain a Decimal at ANY scale — banned
+    from hashed output by the r12 suite convention (r10 proved the
+    driver reds fractional-scale Decimals on bit-identical cells; r11
+    proved it reds integer-scale DECIMAL(38,0) too while BIGINT>2^53 and
+    full-precision-double cells stay green — the Decimal TYPE itself is
+    the hazard; VERDICT r10 #1, r11 #1)."""
     out = set()
     for r in rows:
         for i, v in enumerate(r):
-            if isinstance(v, Decimal) and v.as_tuple().exponent < 0:
+            if isinstance(v, Decimal):
                 out.add(cols[i])
     return out
 
@@ -141,11 +143,11 @@ def scan_query(name, q, spark, con, sf_dir):
     res = con.sql(q.oracle)
     ocols = list(res.columns)
     orows = res.fetchall()
-    fracdec = _frac_dec_cols(scols, srows) | _frac_dec_cols(ocols, orows)
-    if fracdec:
+    decout = _dec_out_cols(scols, srows) | _dec_out_cols(ocols, orows)
+    if decout:
         return (
-            "FRACDEC",
-            "fractional-scale Decimal output cols: " + ",".join(sorted(fracdec)),
+            "DECOUT",
+            "Decimal-typed output cols: " + ",".join(sorted(decout)),
             Counter(),
         )
     if len(srows) != len(orows) or sorted(scols) != sorted(ocols):
@@ -234,9 +236,9 @@ def main() -> int:
                     f"COLLAPSE   {name}: {sum(classes.values())} cells "
                     f"{dict(classes)} | {detail} [{el:.1f}s]"
                 )
-            elif status == "FRACDEC":
+            elif status == "DECOUT":
                 n_frac += 1
-                print(f"FRACDEC    {name}: {detail} [{el:.1f}s]")
+                print(f"DECOUT     {name}: {detail} [{el:.1f}s]")
             else:
                 n_mis += 1
                 print(f"MISMATCH   {name}: {detail} [{el:.1f}s]")
@@ -245,7 +247,7 @@ def main() -> int:
         total_mismatch += n_mis + n_frac
         print(
             f"-- {sf_dir}: {n_ok} strict-ok, {n_col} collapse, "
-            f"{n_mis} mismatch, {n_frac} fractional-scale-decimal"
+            f"{n_mis} mismatch, {n_frac} decimal-typed-output"
         )
     print(f"\nclass totals: {dict(grand)}")
     print(

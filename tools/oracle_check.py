@@ -49,7 +49,12 @@ def norm_cell(v):
     # report): no hashed output cell carries a fractional-scale Decimal.
     if isinstance(v, Decimal):
         exp = v.as_tuple().exponent
-        if isinstance(exp, int) and exp >= 0:
+        if not isinstance(exp, int):
+            # Non-finite Decimals (NaN/Infinity) carry a string exponent
+            # ('n'/'F'); hash them as a tagged special cell instead of
+            # crashing the gate on `-exp` (ADVICE r11 #2).
+            return f"dec[special]:{v}"
+        if exp >= 0:
             return str(int(v))
         return f"dec[{-exp}]:{v}"
     if isinstance(v, float):

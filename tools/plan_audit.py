@@ -37,30 +37,35 @@ from sqlitedataframe_spark.plans import (  # noqa: E402
 )
 
 
-def frac_decimal_cols(schema, prefix="") -> list:
-    """Output columns typed as FRACTIONAL-scale DecimalType (scale > 0),
-    recursively through arrays/structs — banned from hashed output by the
-    r11 suite convention: the r10 agg_decimal_ledger probe proved the
-    driver's normalizer reds this class even on bit-identical cells
-    (VERDICT r10 #1). An ERROR like foldable windows, never a flag."""
+def decimal_output_cols(schema, prefix="") -> list:
+    """Output columns typed as DecimalType at ANY scale, recursively
+    through arrays/structs — banned from hashed output by the r12 suite
+    convention. Evidence chain: the r10 agg_decimal_ledger probe proved
+    the driver's normalizer reds fractional-scale Decimals on
+    bit-identical cells (VERDICT r10 #1), and the r11 integer-scale
+    DECIMAL(38,0) re-emit was STILL driver-red while the BIGINT>2^53 and
+    full-precision-double probes stayed green (VERDICT r11 #1) — the
+    Decimal TYPE itself diverges in the driver hash. Exact wide integers
+    ship as VARCHAR digits or hi/lo BIGINT limbs instead (probe pair
+    profile_wide_varchar / profile_wide_limbs). An ERROR like foldable
+    windows, never a flag."""
     from pyspark.sql.types import ArrayType, DecimalType, StructType
 
     out = []
     if isinstance(schema, StructType):
         for f in schema.fields:
-            out += frac_decimal_cols(f.dataType, prefix + f.name)
+            out += decimal_output_cols(f.dataType, prefix + f.name)
     elif isinstance(schema, DecimalType):
-        if schema.scale > 0:
-            out.append(prefix)
+        out.append(prefix)
     elif isinstance(schema, ArrayType):
-        out += frac_decimal_cols(schema.elementType, prefix + "[]")
+        out += decimal_output_cols(schema.elementType, prefix + "[]")
     return out
 
 
 def audit_one(df) -> dict:
     plan = explain_text(df)
     return {
-        "frac_decimal_cols": frac_decimal_cols(df.schema),
+        "decimal_output_cols": decimal_output_cols(df.schema),
         "scans": scan_count(df),
         "exchanges": exchange_count(df),
         "broadcast_joins": broadcast_join_count(df),
@@ -139,11 +144,11 @@ def main() -> None:
     if unadjudicated:
         print(f"UNADJUDICATED FLAGS: {unadjudicated}", file=sys.stderr)
         sys.exit(1)
-    # r11 convention gate: no query may emit a fractional-scale Decimal
-    # output column (driver-normalizer hazard class, VERDICT r10 #1)
-    frac = sorted(n for n, r in out.items() if r.get("frac_decimal_cols"))
-    if frac:
-        print(f"FRACTIONAL-SCALE DECIMAL OUTPUT: {frac}", file=sys.stderr)
+    # r12 convention gate: no query may emit a Decimal-typed output column
+    # at ANY scale (driver-normalizer hazard class, VERDICT r10 #1 + r11 #1)
+    decs = sorted(n for n, r in out.items() if r.get("decimal_output_cols"))
+    if decs:
+        print(f"DECIMAL-TYPED OUTPUT: {decs}", file=sys.stderr)
         sys.exit(1)
     # HARD ERRORS (no adjudication path): a window over a constant-foldable
     # partition key set, or any plain global window — both serialize the
