@@ -113,73 +113,61 @@ def _unseen_names() -> list[str]:
 #: layout-stable by tools/parity_sweep.py this round; the driver row is
 #: the hard signal that the drift-proofing holds in ITS environment too).
 ROTATION_LEADS = [
-    # r11 (VERDICT r10 #4): the Decimal-representation fix first — the
-    # fixed agg_decimal_ledger re-fronts as unseen (its r10 row was red);
-    # the rotation re-proves the other two checker-fidelity probes and
-    # the full r10 wave so the integer-scale convention is driver-proven
-    # across the whole new surface immediately, then the CAST-aligned
-    # pair re-adjudicated under the tightened norm_cell, then the
-    # signed-zero / float-ROUND set.
-    "profile_key_checksums",
-    "profile_exact_ratios",
-    "dedup_span_clusters",
-    "text_tokenizer_fertility",
-    "dedup_decontam_stratified",
-    "agg_bottomk_quantiles",
-    "events_cuped_stratified",
-    "orders_cohort_ltv",
-    "graph_hyperball_harmonic",
-    "eval_bradley_terry",
-    "dedup_lsh_tuning",
-    "sample_preference_pairs",
-    "pipeline_curation_funnel",
-    "stream_bottomk_rollup",
-    "eval_cost_threshold",
-    "feature_quantile_normalize",
-    # r9: the signed-zero-convention set — every query whose ROUND
-    # output is a signed near-zero statistic now carries `+ 0.0` on both
-    # sides (the welch fix generalized); the driver row re-proves it
+    # r12 (VERDICT r11 #4): after the unseen wave (agg_decimal_ledger
+    # re-fronts plus the 8 new r12 queries), keep one probe of EACH
+    # driver-normalizer cell class green every round...
+    "profile_key_checksums",   # BIGINT past 2^53
+    "profile_exact_ratios",    # full-precision doubles
+    # ...then spend the remaining budget on the float-ROUND-heavy set
+    # whose last driver-green row is <= r8 (computed from the union of
+    # CORRECTNESS_r*.json), so normalizer drift in the OLDER float
+    # classes would surface now rather than by accident later.
     "events_welch_ttest",
-    "lineitem_spearman",
-    "events_mann_whitney",
-    "orders_runs_test",
-    "events_ab_ztest",
-    "pandas_zscore_groups",
-    "feature_woe_iv",
-    "graph_assortativity",
-    "graph_label_modularity",
-    "events_double_ewma",
-    "events_anova_hour",
-    "agg_stats_moments",
-    "agg_corr_covar",
-    "agg_bootstrap_ci",
-    "agg_winsorized_stats",
-    "orders_theil_sen_trend",
-    "orders_interarrival_stats",
-    "orders_seasonal_decompose",
-    "orders_acf_lags",
-    "eval_brier_ece",
-    "eval_calibration_bins",
-    "eval_average_precision",
-    "eval_auc_by_source",
-    "events_burstiness",
-    "events_ewma_daily",
-    "events_drift_psi",
-    "events_forecast_baseline",
-    "events_user_entropy",
-    "text_token_entropy",
-    "text_jsd_sources",
-    "text_source_kl",
-    "text_perplexity_heldout",
-    "text_bigram_lm",
+    "events_funnel_wilson",
+    "events_ks_drift",
+    "events_cliffs_delta",
+    "events_chi_square",
+    "events_anomaly_mad",
+    "events_changepoint_cusum",
+    "events_did_estimate",
+    "events_markov_entropy",
+    "events_periodogram",
+    "events_survival_km",
+    "events_hourly_similarity",
+    "events_slo_burn",
+    "eval_auc_quality_lang",
+    "eval_cohen_kappa",
+    "eval_conformal_threshold",
+    "eval_gains_deciles",
+    "eval_ks_separation",
+    "eval_macro_f1",
+    "eval_mcnemar",
+    "eval_pr_sweep",
+    "eval_regression_metrics",
+    "eval_ab_srm",
+    "embed_centroid_drift",
+    "embed_dimension_variance",
+    "embed_intrinsic_dim",
+    "embed_jl_distortion",
+    "embed_norm_stats",
     "embed_silhouette",
-    "embed_pca_power",
-    "embed_centroid_distances",
-    "feature_target_encode",
-    "gapfill_timeseries",
-    "graph_pagerank",
-    "profile_stats_drift",
-    "supplier_ship_lag",
+    "embed_pq_codebook",
+    "embed_label_outliers",
+    "feature_cramers_v",
+    "feature_mutual_information",
+    "feature_robust_scaler",
+    "orders_gini_by_nation",
+    "orders_hhi_concentration",
+    "orders_tail_index",
+    "orders_time_weighted",
+    "orders_xyz_variability",
+    "text_burrows_delta",
+    "text_chao1_vocab",
+    "text_heaps_fit",
+    "text_zipf_fit",
+    "profile_wasserstein_drift",
+    "part_price_elasticity",
+    "customer_mahalanobis_top",
 ]
 
 

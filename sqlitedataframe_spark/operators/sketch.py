@@ -657,16 +657,18 @@ def ddsketch_buckets(
 
 def ddsketch_merge(*sketches: DataFrame) -> DataFrame:
     """Merge DDSketch bucket tables (EXACT): union, then SUM counts per
-    (group, idx, lo). By construction equals building one sketch over
-    the union of the inputs — the property agg_ddsketch_merge proves
-    against the one-shot oracle and test_ddsketch_merge_parity proves
-    bit-identically in-process."""
+    bucket key (every column except ``_cnt`` — works for both the
+    one-sided ``(group, _idx, _lo)`` and the signed
+    ``(group, _sign, _idx, _rv)`` layouts). By construction equals
+    building one sketch over the union of the inputs — the property
+    agg_ddsketch_merge proves against the one-shot oracle and
+    test_ddsketch_merge_parity proves bit-identically in-process."""
     it = iter(sketches)
     out = next(it)
     for s in it:
         out = out.unionByName(s)
-    gcols = [c for c in out.columns if c not in ("_idx", "_lo", "_cnt")]
-    return out.groupBy(*gcols, "_idx", "_lo").agg(
+    gcols = [c for c in out.columns if c != "_cnt"]
+    return out.groupBy(*gcols).agg(
         F.sum("_cnt").cast("bigint").alias("_cnt")
     )
 
@@ -728,4 +730,285 @@ def ddsketch_quantiles(
     two halves directly and merge in between)."""
     return ddsketch_readout(
         ddsketch_buckets(df, group_col, value_col, m=m), group_col, qs=qs
+    )
+
+
+def ddsketch_buckets_signed(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    m: int = 32,
+) -> DataFrame:
+    """Two-sided DDSketch over a SIGNED integer value column (VERDICT
+    r11 #3b): the one-sided :func:`ddsketch_buckets` rejects v < 1, so
+    latency deltas / money deltas / drift scores could not use it. This
+    variant keeps three stores, exactly as Masson et al. describe for
+    signed data: negative octaves (bucketed on \|v\|, mirrored), a zero
+    bucket, and positive octaves.
+
+    Per row: ``sign`` = 1 for v >= 1, -1 for v <= -1, else 0; for
+    sign != 0 the magnitude \|v\| buckets with the SAME all-integer
+    overflow-safe octave math as the one-sided sketch (m asserted a
+    power of two); the representative value ``_rv`` = sign * lo carries
+    the sign, so any rank readout has relative error <= 1/m on
+    magnitude. Values in (-1, 1) — exactly v = 0 for integer inputs —
+    land in the zero bucket (sign 0, idx 0, _rv 0: EXACT).
+
+    State: (group, _sign, _idx, _rv) -> _cnt, at most \|groups\| *
+    (2*m*64 + 1) rows regardless of input size, additively mergeable by
+    :func:`ddsketch_merge` (merge == one-shot EXACTLY, same law as the
+    one-sided sketch). Readout via :func:`ddsketch_readout_signed`:
+    ``_rv`` is monotone nondecreasing along the (sign, sign*idx) walk
+    order — negatives by descending magnitude, then zero, then
+    positives by ascending magnitude.
+    """
+    assert m >= 1 and (m & (m - 1)) == 0, "m must be a power of two"
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    b = (
+        df.select(F.col(group_col), vc.cast("bigint").alias("_v"))
+        .withColumn(
+            "_sign",
+            F.when(F.col("_v") >= 1, F.lit(1))
+            .when(F.col("_v") <= -1, F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .withColumn("_a", F.abs(F.col("_v")))
+        .withColumn(
+            "_e",
+            F.when(F.col("_sign") == 0, F.lit(0)).otherwise(
+                F.length(F.bin(F.col("_a"))) - F.lit(1)
+            ),
+        )
+        .withColumn(
+            "_pw", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_e AS INT))")
+        )
+        .withColumn(
+            "_sub",
+            F.when(F.col("_sign") == 0, F.lit(0).cast("bigint")).otherwise(
+                F.expr(
+                    f"CASE WHEN _pw >= {int(m)}"
+                    f" THEN (_a - _pw) div (_pw div {int(m)})"
+                    f" ELSE ((_a - _pw) * {int(m)}) div _pw END"
+                )
+            ),
+        )
+        .withColumn(
+            "_idx",
+            F.when(F.col("_sign") == 0, F.lit(0).cast("bigint")).otherwise(
+                F.col("_e").cast("bigint") * int(m) + F.col("_sub")
+            ),
+        )
+        .withColumn(
+            "_rv",
+            F.when(F.col("_sign") == 0, F.lit(0).cast("bigint")).otherwise(
+                F.col("_sign")
+                * F.expr(
+                    f"_pw + CASE WHEN _pw >= {int(m)}"
+                    f" THEN _sub * (_pw div {int(m)})"
+                    f" ELSE (_sub * _pw) div {int(m)} END"
+                )
+            ).cast("bigint"),
+        )
+    )
+    return b.groupBy(group_col, "_sign", "_idx", "_rv").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt")
+    )
+
+
+def ddsketch_readout_signed(
+    sk: DataFrame,
+    group_col: str,
+    qs: tuple = ((1, 10), (1, 2), (9, 10)),
+) -> DataFrame:
+    """Quantile readout from a signed sketch: the cumulative walk orders
+    buckets by ``(_sign, _sign * _idx)`` — most-negative first, zero
+    bucket, then positives — along which ``_rv`` is monotone
+    nondecreasing, so the value at integer rank ceil(q*n) is
+    MIN(_rv WHERE cum >= rank), exactly as in the one-sided readout.
+    Also emits per-sign counts (n_neg / n_zero / n_pos). All integer;
+    the walk windows over the SKETCH (<= ~2*m*64+1 rows per group),
+    never the data."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_sign", F.col("_sign") * F.col("_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sk.withColumn("_cum", F.sum("_cnt").over(w))
+    tot = sk.groupBy(group_col).agg(
+        F.sum("_cnt").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("_sign") == -1, F.col("_cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.sum(F.when(F.col("_sign") == 0, F.col("_cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.sum(F.when(F.col("_sign") == 1, F.col("_cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    j = cum.join(tot, group_col)
+    aggs = []
+    for num, den in qs:
+        rank = F.expr(f"({num} * n + {den} - 1) div {den}")
+        tag = f"p{100 * num // den}"
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= rank, F.col("_rv")))
+            .cast("bigint")
+            .alias(f"{tag}_rv")
+        )
+    return (
+        j.groupBy(group_col, "n", "n_neg", "n_zero", "n_pos")
+        .agg(*aggs)
+        .orderBy(group_col)
+    )
+
+
+#: 2^48 — the denominator scale of the md5-derived uniform in
+#: :func:`priority_sample`: u = (first 12 md5 hex digits + 1) / 2^48.
+_PRI_SCALE = float(1 << 48)
+
+
+def priority_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: Column | str,
+    k: int = 32,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Per-group PRIORITY SAMPLE of size k (Duffield, Lund & Thorup,
+    "Priority sampling for estimation of arbitrary subset sums", JACM
+    2007) — the WEIGHTED mergeable sibling of :func:`bottomk_sample`
+    (VERDICT r11 #3a): every row draws a deterministic uniform
+    u = (md5(id)[0:12] + 1) / 2^48 in (0, 1] and gets priority
+    p = w / u; the k highest-priority rows are the sample, the (k+1)-th
+    priority is the THRESHOLD tau, and w_hat = max(w, tau) is the
+    Horvitz-Thompson-style unbiased subset-sum estimator (sum of w_hat
+    over sampled members of any subset estimates that subset's true
+    weight, with zero covariance between distinct items). This is how a
+    mixture-rebalancing pipeline ships a weighted corpus sample whose
+    per-source token totals remain estimable after the fact.
+
+    MERGEABLE: p is a pure per-row function, so the top-(k+1) of a
+    union is the top-(k+1) of the concatenated per-shard top-(k+1)
+    states — shard samples roll up without re-reading data (the law
+    sample_weighted_priority_merge proves through the driver).
+
+    DETERMINISM: p = (w_double * 2^48) / u_int_double uses one IEEE
+    multiply and one IEEE divide on integer-valued doubles — both
+    correctly-rounded single operations, bit-identical on any IEEE-754
+    engine (the hazard class this suite guards against is ORDER-dependent
+    float folds and libm transcendentals, neither of which appears
+    here). Ties on p break by id descending, so the sample is a pure
+    function of the data.
+
+    Scale shape: rows reduce to a per-(group, md5-shard) top-(k+1) with
+    a window over shard-bounded partitions, then the <= n_shards*(k+1)
+    survivors per group merge to the final top-(k+1) — no window ever
+    sees a whole group (the bottomk_sample two-level pattern).
+
+    Returns the k sampled rows per group: (group, id, weight w, _p raw
+    priority, _rank 1..k, _tau threshold in weight units, _w_hat).
+    Groups with <= k rows keep all rows with tau = 0 and w_hat = w.
+    """
+    from pyspark.sql import Window
+
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    u = F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") + F.lit(1)
+    p = (wc.cast("double") * F.lit(_PRI_SCALE)) / u.cast("double")
+    shard = F.conv(F.substring(h, 29, 4), 16, 10).cast("bigint") % n_shards
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        wc.cast("bigint").alias("_w"),
+        p.alias("_p"),
+        shard.alias("_shard"),
+    )
+    w1 = Window.partitionBy(group_col, "_shard").orderBy(
+        F.col("_p").desc(), F.col(id_col).desc()
+    )
+    lvl1 = (
+        base.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k + 1)
+        .drop("_rn", "_shard")
+    )
+    return priority_resample(lvl1, group_col, id_col, k=k)
+
+
+def priority_state(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: Column | str,
+    k: int = 32,
+    n_shards: int = 16,
+) -> DataFrame:
+    """The MERGEABLE state of :func:`priority_sample`: the per-group
+    top-(k+1) rows by priority, as ``(group, id, _w, _p)`` — any union
+    of such states re-reduced by :func:`priority_resample` equals the
+    one-shot sample over the union of the inputs (every row of the
+    union's top-(k+1) is necessarily in its own shard's top-(k+1)).
+    Same two-level window shape as :func:`priority_sample` itself."""
+    from pyspark.sql import Window
+
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    u = F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") + F.lit(1)
+    p = (wc.cast("double") * F.lit(_PRI_SCALE)) / u.cast("double")
+    shard = F.conv(F.substring(h, 29, 4), 16, 10).cast("bigint") % n_shards
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        wc.cast("bigint").alias("_w"),
+        p.alias("_p"),
+        shard.alias("_shard"),
+    )
+    w1 = Window.partitionBy(group_col, "_shard").orderBy(
+        F.col("_p").desc(), F.col(id_col).desc()
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col("_p").desc(), F.col(id_col).desc()
+    )
+    return (
+        base.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k + 1)
+        .drop("_rn", "_shard")
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k + 1)
+        .drop("_rn")
+    )
+
+
+def priority_resample(
+    state: DataFrame, group_col: str, id_col: str, k: int = 32
+) -> DataFrame:
+    """Final (or merge-time) top-(k+1) reduction over priority-sample
+    STATE rows ``(group, id, _w, _p)`` — the merge half of
+    :func:`priority_sample`: union any number of per-shard states and
+    re-rank. Emits ranks 1..k plus the threshold/estimator columns."""
+    from pyspark.sql import Window
+
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col("_p").desc(), F.col(id_col).desc()
+    )
+    ranked = state.select(
+        group_col, id_col, "_w", "_p"
+    ).withColumn("_rank", F.row_number().over(w2))
+    # p = w * 2^48 / u_int == w / (u_int / 2^48) is ALREADY in weight
+    # units, so the threshold is the (k+1)-th priority itself.
+    tau = (
+        ranked.filter(F.col("_rank") == k + 1)
+        .select(group_col, F.col("_p").alias("_tau"))
+    )
+    return (
+        ranked.filter(F.col("_rank") <= k)
+        .join(tau, group_col, "left")
+        .withColumn("_tau", F.coalesce(F.col("_tau"), F.lit(0.0)))
+        .withColumn(
+            "_w_hat", F.greatest(F.col("_w").cast("double"), F.col("_tau"))
+        )
     )

@@ -127,5 +127,6 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "mixture_epochs_exhaustion": "1-row (total tokens, sum-of-sqrt) corpus stats broadcast (mixture family)",
     "embed_drift_cusum": "1-row max-vec_id batch-bound broadcast + 1-row reference-mean-drift broadcast onto the 16-row batch frame",
     "eval_contamination_splits": "1-row train-corpus-count broadcast onto the 3-row split report",
+    "eval_contamination_incremental": "1-row train-corpus-count broadcast onto the 3-row split report (incremental variant)",
     "eval_pass_at_k": "3-row literal k grid broadcast-crossed with the bounded (task, problem) count cells (lsh_tuning shape)",
 }

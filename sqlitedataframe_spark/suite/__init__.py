@@ -73,6 +73,7 @@ def load_all() -> dict[str, Query]:
         pipeline16,
         pipeline17,
         pipeline18,
+        pipeline19,
         eventstream,
         streamingq,
         bridge,
