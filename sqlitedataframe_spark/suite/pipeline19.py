@@ -735,3 +735,292 @@ def dedup_retention_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "len_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed-sketch error audit (the two-sided sibling of agg_ddsketch_error_audit).
+# ---------------------------------------------------------------------------
+_SIGNED_DD_CTE = """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1),
+    dd AS (
+      SELECT 'revenue_delta' AS measure, a.cents - b.cents AS v
+      FROM daily a JOIN daily b ON b.d = a.d - INTERVAL 1 DAY
+      UNION ALL
+      SELECT 'orders_delta' AS measure, a.cnt - b.cnt AS v
+      FROM daily a JOIN daily b ON b.d = a.d - INTERVAL 1 DAY),
+    cls AS (
+      SELECT measure,
+             CASE WHEN v >= 1 THEN 1 WHEN v <= -1 THEN -1 ELSE 0 END AS sgn,
+             ABS(v) AS a, v
+      FROM dd),
+    bk AS (
+      SELECT measure, sgn, v,
+             CASE WHEN sgn = 0 THEN 0
+                  ELSE (length(bin(a)) - 1) * 32
+                       + ((a - (CAST(1 AS BIGINT) << (length(bin(a)) - 1)))
+                          * 32) // (CAST(1 AS BIGINT) << (length(bin(a)) - 1))
+             END AS idx,
+             CASE WHEN sgn = 0 THEN 0
+                  ELSE sgn * ((CAST(1 AS BIGINT) << (length(bin(a)) - 1))
+                       + (((a - (CAST(1 AS BIGINT) << (length(bin(a)) - 1)))
+                           * 32) // (CAST(1 AS BIGINT) << (length(bin(a)) - 1))
+                          * (CAST(1 AS BIGINT) << (length(bin(a)) - 1))) // 32)
+             END AS rv
+      FROM cls),
+    sk AS (
+      SELECT measure, sgn, idx, rv, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bk GROUP BY 1, 2, 3, 4),
+    cum AS (
+      SELECT measure, sgn, idx, rv, cnt,
+             SUM(cnt) OVER (PARTITION BY measure
+                            ORDER BY sgn, sgn * idx
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sk),
+    tot AS (SELECT measure, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM sk GROUP BY measure),
+    est AS (
+      SELECT t.measure, t.n,
+             CAST(MIN(CASE WHEN c.cum >= (1 * t.n + 9) // 10
+                           THEN c.rv END) AS BIGINT) AS p10_rv,
+             CAST(MIN(CASE WHEN c.cum >= (1 * t.n + 1) // 2
+                           THEN c.rv END) AS BIGINT) AS p50_rv,
+             CAST(MIN(CASE WHEN c.cum >= (9 * t.n + 9) // 10
+                           THEN c.rv END) AS BIGINT) AS p90_rv
+      FROM cum c JOIN tot t USING (measure) GROUP BY t.measure, t.n),
+    rk AS (
+      SELECT measure, v,
+             ROW_NUMBER() OVER (PARTITION BY measure ORDER BY v) AS rn
+      FROM dd),
+    ex AS (
+      SELECT r.measure,
+             CAST(MAX(CASE WHEN r.rn = (1 * t.n + 9) // 10
+                           THEN r.v END) AS BIGINT) AS p10_exact,
+             CAST(MAX(CASE WHEN r.rn = (1 * t.n + 1) // 2
+                           THEN r.v END) AS BIGINT) AS p50_exact,
+             CAST(MAX(CASE WHEN r.rn = (9 * t.n + 9) // 10
+                           THEN r.v END) AS BIGINT) AS p90_exact
+      FROM rk r JOIN tot t USING (measure) GROUP BY r.measure)
+"""
+
+
+@query(
+    "agg_ddsketch_signed_error_audit",
+    oracle=_SIGNED_DD_CTE
+    + """
+    SELECT e.measure, e.n,
+           e.p10_rv, x.p10_exact,
+           CASE WHEN x.p10_exact = 0 THEN NULL
+                ELSE ROUND(ABS(e.p10_rv - x.p10_exact)
+                           / ABS(CAST(x.p10_exact AS DOUBLE)) + 1e-9, 6)
+           END AS p10_rel_err,
+           e.p50_rv, x.p50_exact,
+           CASE WHEN x.p50_exact = 0 THEN NULL
+                ELSE ROUND(ABS(e.p50_rv - x.p50_exact)
+                           / ABS(CAST(x.p50_exact AS DOUBLE)) + 1e-9, 6)
+           END AS p50_rel_err,
+           e.p90_rv, x.p90_exact,
+           CASE WHEN x.p90_exact = 0 THEN NULL
+                ELSE ROUND(ABS(e.p90_rv - x.p90_exact)
+                           / ABS(CAST(x.p90_exact AS DOUBLE)) + 1e-9, 6)
+           END AS p90_rel_err
+    FROM est e JOIN ex x USING (measure) ORDER BY e.measure
+    """,
+)
+def agg_ddsketch_signed_error_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-vs-truth qualification for the SIGNED readout: the
+    p10/p50/p90 representative values of the two-sided sketch NEXT TO
+    the exact rank-matched order statistics of the same signed deltas,
+    plus the realized relative error on magnitude — the audit that must
+    pass before the signed sketch replaces an exact pass over latency /
+    money deltas at 100 TB. Realized errors must sit under the 1/m =
+    3.125% guarantee wherever sketch and truth share a sign
+    (pytest-asserted); a zero exact value publishes NULL error rather
+    than a division blow-up.
+
+    Exactness: both sides are ALL-INTEGER until the final error
+    division of two already-published integer cells (ROUND at 6). The
+    exact side uses the SAME integer rank ceil(q*n) as the readout
+    (rank-matched, unlike an interpolated percentile), over the
+    calendar-bounded per-measure delta frame.
+    """
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(cents).alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    j = (
+        daily.alias("a")
+        .join(
+            F.broadcast(daily.alias("b")),
+            F.date_sub(F.col("a.d"), 1) == F.col("b.d"),
+        )
+        .select(
+            (F.col("a.cents") - F.col("b.cents")).alias("rev_v"),
+            (F.col("a.cnt") - F.col("b.cnt")).alias("cnt_v"),
+        )
+    )
+    dd = j.select(
+        F.lit("revenue_delta").alias("measure"), F.col("rev_v").alias("v")
+    ).unionByName(
+        j.select(
+            F.lit("orders_delta").alias("measure"), F.col("cnt_v").alias("v")
+        )
+    )
+    est = ddsketch_readout_signed(
+        ddsketch_buckets_signed(dd, "measure", "v"),
+        "measure",
+        qs=((1, 10), (1, 2), (9, 10)),
+    ).drop("n_neg", "n_zero", "n_pos")
+    w = Window.partitionBy("measure").orderBy("v")
+    rk = dd.withColumn("rn", F.row_number().over(w))
+    tot = dd.groupBy("measure").agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    ex = (
+        rk.join(tot, "measure")
+        .groupBy("measure")
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("rn")
+                        == F.expr(f"({num} * _n + {den} - 1) div {den}"),
+                        F.col("v"),
+                    )
+                )
+                .cast("bigint")
+                .alias(f"p{100 * num // den}_exact")
+                for num, den in ((1, 10), (1, 2), (9, 10))
+            ]
+        )
+    )
+
+    def err(tag: str):
+        rel = F.round(
+            F.abs(F.col(f"{tag}_rv") - F.col(f"{tag}_exact"))
+            / F.abs(F.col(f"{tag}_exact").cast("double"))
+            + 1e-9,
+            6,
+        )
+        return F.when(F.col(f"{tag}_exact") == 0, F.lit(None).cast("double")).otherwise(
+            rel
+        ).alias(f"{tag}_rel_err")
+
+    return (
+        est.join(ex, "measure")
+        .select(
+            "measure", "n",
+            "p10_rv", "p10_exact", err("p10"),
+            "p50_rv", "p50_exact", err("p50"),
+            "p90_rv", "p90_exact", err("p90"),
+        )
+        .orderBy("measure")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Priority-sample estimator audit: estimated vs true per-source mass.
+# ---------------------------------------------------------------------------
+@query(
+    "mixture_priority_budget",
+    oracle=_PRI_CTE.replace(
+        """
+    SELECT r.source, CAST(r.rnk AS INT) AS rank, r.doc_id, r.w,
+           ROUND(r.p + 1e-9, 4) AS priority,
+           ROUND(COALESCE(t.tau, 0.0) + 1e-9, 4) AS tau,
+           ROUND(GREATEST(CAST(r.w AS DOUBLE), COALESCE(t.tau, 0.0)) + 1e-9, 4)
+             AS w_hat
+    FROM r LEFT JOIN thr t USING (source)
+    WHERE r.rnk <= """
+        + str(_PRI_K)
+        + """
+    ORDER BY source, rank
+""",
+        """,
+    smp AS (
+      SELECT r.source,
+             CAST(ROUND(GREATEST(CAST(r.w AS DOUBLE), COALESCE(t.tau, 0.0))
+                        * 1000000) AS BIGINT) AS w_hat_q
+      FROM r LEFT JOIN thr t USING (source)
+      WHERE r.rnk <= """
+        + str(_PRI_K)
+        + """),
+    est AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             SUM(w_hat_q) AS est_q
+      FROM smp GROUP BY source),
+    tru AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS true_chars
+      FROM documents GROUP BY source)
+    SELECT t.source, t.n_docs, e.n_sampled, t.true_chars,
+           ROUND(CAST(e.est_q AS DOUBLE) / 1000000 + 1e-9, 4) AS est_chars,
+           ROUND(ABS(CAST(e.est_q AS DOUBLE) / 1000000 - t.true_chars)
+                 / t.true_chars + 1e-9, 6) AS rel_err
+    FROM tru t JOIN est e USING (source)
+    ORDER BY t.source
+""",
+    ),
+)
+def mixture_priority_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-sample ESTIMATOR AUDIT: per source, the true character
+    mass next to the mass estimated from only the 32-row priority
+    sample (sum of w_hat = max(w, tau) — the Duffield-Lund-Thorup
+    unbiased subset-sum estimator), with the realized relative error —
+    the check a mixture-rebalancing job runs before trusting sampled
+    token budgets instead of full scans. On the fixture the estimator
+    lands within ~35% per source from 32 rows (pytest bounds it); at
+    100 TB the same 32-row-per-source state answers every post-hoc
+    "how many tokens does slice X hold" question.
+
+    Exactness: w_hat values integer-quantize to micro-units scan-side
+    and SUM as BIGINT (order-free — the embed_drift_cusum lesson; a
+    32-double float fold would be engine-order-dependent), dividing
+    back to a published double only at the end.
+    """
+    d = T(spark, sf_dir, "documents")
+    smp = priority_sample(d, "source", "doc_id", "n_chars", k=_PRI_K)
+    est = (
+        smp.select(
+            "source",
+            F.round(F.col("_w_hat") * 1000000).cast("bigint").alias("_wq"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("_wq").cast("bigint").alias("_est_q"),
+        )
+    )
+    tru = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("true_chars"),
+    )
+    return (
+        tru.join(est, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_sampled",
+            "true_chars",
+            F.round(F.col("_est_q").cast("double") / 1000000 + 1e-9, 4).alias(
+                "est_chars"
+            ),
+            F.round(
+                F.abs(
+                    F.col("_est_q").cast("double") / 1000000
+                    - F.col("true_chars")
+                )
+                / F.col("true_chars")
+                + 1e-9,
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )

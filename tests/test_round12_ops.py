@@ -319,3 +319,44 @@ def test_contamination_incremental_matches_oneshot_oracle(spark, sf_dir):
         assert inc[s]["n_near"] == one[s]["n_near_contam"]
         assert inc[s]["n_ngram"] == one[s]["n_ngram_contam"]
         assert inc[s]["n_any"] == one[s]["n_any_contam"]
+
+
+# ---------------------------------------------------------------------------
+# Wave-2 audits: realized bounds, asserted (not just oracle-matched)
+# ---------------------------------------------------------------------------
+def test_signed_error_audit_under_bound(spark, sf_dir):
+    """Every realized rel err in the signed error audit must respect the
+    1/m = 3.125% DDSketch guarantee wherever sketch and truth share a
+    sign (they do on the fixture), modulo the integer floor of tiny
+    magnitudes (|exact| < m can quantize a whole unit)."""
+    from sqlitedataframe_spark.suite import load_all
+
+    rows = (
+        load_all()["agg_ddsketch_signed_error_audit"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == 2
+    for r in rows:
+        for tag in ("p10", "p50", "p90"):
+            ex, rv, err = r[f"{tag}_exact"], r[f"{tag}_rv"], r[f"{tag}_rel_err"]
+            if ex == 0:
+                assert err is None and rv == 0, (tag, r)
+            elif abs(ex) >= 32:
+                assert rv * ex > 0, (tag, r)  # same sign
+                assert err <= 1.0 / 32 + 1e-6, (tag, r)
+
+
+def test_priority_budget_estimator_quality(spark, sf_dir):
+    """The 32-row-per-source estimate of per-source char mass should land
+    within 60% of truth on the tiny fixture (a fixed-draw sanity band,
+    wide because k=32 gives ~1/sqrt(32) ~ 18% standard error)."""
+    from sqlitedataframe_spark.suite import load_all
+
+    rows = (
+        load_all()["mixture_priority_budget"].spark_fn(spark, sf_dir).collect()
+    )
+    assert len(rows) >= 3
+    for r in rows:
+        assert r["n_sampled"] <= 32
+        assert r["rel_err"] <= 0.6, dict(r.asDict())
