@@ -444,6 +444,17 @@ HEADLINE = [
     "dedup_clusters_incremental",
     # stream_ddsketch_rollup excluded: SQLite-bridge micro-batch harness
     # (temp-file IO), same policy as stream_bottomk_rollup
+    # --- round 12 wave ---
+    "profile_wide_varchar",
+    "profile_wide_limbs",
+    "sample_weighted_priority",
+    "sample_weighted_priority_merge",
+    "agg_ddsketch_signed",
+    "agg_ddsketch_signed_error_audit",
+    "mixture_priority_budget",
+    "eval_contamination_incremental",
+    "dedup_state_drift_audit",
+    "dedup_retention_by_source",
 ]
 
 
