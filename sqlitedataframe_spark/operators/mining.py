@@ -355,3 +355,82 @@ def funnel_stage_times(
         )
         prev = f"t_{s}"
     return stage.withColumnRenamed("_u", user_col)
+
+
+def path_pattern_stats(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    mapping: dict[str, str],
+    pattern: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern matching — the row-pattern
+    operator Spark's SQL surface lacks (Trino/Oracle MATCH_RECOGNIZE,
+    Flink CEP): each user's event history is encoded as an ordered
+    single-char string and a regex over that alphabet finds the
+    non-overlapping leftmost matches, exactly the semantics of
+    MATCH_RECOGNIZE ... AFTER MATCH SKIP PAST LAST ROW with greedy
+    quantifiers.
+
+    Keep ``pattern`` inside the portable regex core (literals, character
+    classes, * + ? alternation) so Java (Spark) and RE2 (DuckDB/Trino)
+    agree; both are leftmost-greedy for that subset.
+
+    First-match position correctness: strpos(path, first_match) IS the
+    first match's offset — if the extracted match string occurred
+    earlier in the path, the regex scan would have matched at that
+    earlier offset instead (the string itself matches the pattern),
+    a contradiction.
+
+    Scale: one shuffle on user_id; per-user state is the user's own
+    event string (bounded by per-user activity, the same contract as
+    top_paths/sessionize), built with an order-free collect + in-row
+    array_sort so no window ever sees more than one user's rows.
+
+    Returns per user: (user, n_events, path_len, n_matches,
+    first_match_pos 1-based or 0, longest_match_len, matched_chars).
+    """
+    ch = None
+    for k, v in mapping.items():
+        ch = (F.when(F.col(type_col) == k, F.lit(v)) if ch is None
+              else ch.when(F.col(type_col) == k, F.lit(v)))
+    ch = ch.otherwise(F.lit("_"))
+    paths = (
+        df.select(
+            F.col(user_col), F.col(ts_col), F.col(tiebreak_col), ch.alias("_c")
+        )
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(ts_col, tiebreak_col, "_c"))
+                    ),
+                    lambda s: s["_c"],
+                ),
+                "",
+            ).alias("_path"),
+        )
+    )
+    m = F.expr(f"regexp_extract_all(_path, '{pattern}', 0)")
+    first = F.expr(f"regexp_extract(_path, '{pattern}', 0)")
+    lens = F.transform(m, F.length)
+    return paths.select(
+        user_col,
+        "n_events",
+        F.length("_path").cast("int").alias("path_len"),
+        F.size(m).cast("int").alias("n_matches"),
+        F.when(first == "", F.lit(0))
+        .otherwise(F.instr("_path", first))
+        .cast("int")
+        .alias("first_match_pos"),
+        F.coalesce(F.array_max(lens), F.lit(0)).cast("int").alias(
+            "longest_match_len"
+        ),
+        F.coalesce(
+            F.aggregate(lens, F.lit(0), lambda a, x: a + x), F.lit(0)
+        ).cast("bigint").alias("matched_chars"),
+    )

@@ -780,3 +780,88 @@ def preference_pairs(
         .filter(F.col("margin") >= min_margin)
         .orderBy(group_col, "chosen", "rejected")
     )
+
+
+def systematic_pps(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    n: int,
+    seed: str = "pps-v1",
+    n_shards: int = 256,
+) -> DataFrame:
+    """Systematic PPS (probability-proportional-to-size) sample: rows
+    are laid on a weight line in deterministic md5-hash order, the line
+    is cut into ``n`` equal intervals of length I = W div n, and one
+    point r + j*I (r = md5(seed) mod I) is drawn per interval — the
+    classic survey-sampling design where a row of weight w receives
+    ``picks ~ w / I`` hits (large rows can be hit multiple times), and
+    every pick estimates exactly I units of weight mass.
+
+    Everything is INTEGER arithmetic: weights are exact BIGINTs, the
+    pick count of the span [cum_prev, cum) is g(cum-1) - g(cum_prev-1)
+    with g(x) = (x - r + I) div I - 1 (the +I offset keeps the dividend
+    non-negative, so truncating and flooring division agree on every
+    engine). No floats anywhere until a caller divides for a ratio.
+
+    Scale shape (distributed prefix sum): the hash order is
+    (h, key); the leading 8 bits of h define ``n_shards`` ORDER-ALIGNED
+    shards, per-shard weight totals produce shard offsets via a bounded
+    n_shards-row triangular join (the adjudicated bucket-offset
+    pattern), and the intra-shard running sum is a window over shard
+    partitions — no global window, no single-task sort.
+
+    Returns one row per input row: (key, weight w, h, cum_prev, cum,
+    picks) with ``sum(picks) == n`` exactly.
+    """
+    from pyspark.sql import Window
+
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    hexd = F.md5(F.col(key_col).cast("string").cast("binary"))
+    h = F.conv(F.substring(hexd, 1, 12), 16, 10).cast("bigint")
+    # leading-8-bit shard: shard order == hash order, so shard offsets +
+    # intra-shard cumsums compose to the global prefix sum
+    shard = F.conv(F.substring(hexd, 1, 2), 16, 10).cast("int")
+    base = df.select(
+        F.col(key_col),
+        wc.cast("bigint").alias("w"),
+        h.alias("h"),
+        shard.alias("_shard"),
+    )
+    sw = base.groupBy("_shard").agg(F.sum("w").alias("_sw"))
+    off = (
+        sw.alias("x")
+        .join(
+            F.broadcast(sw.select("_shard", "_sw").alias("y")),
+            F.expr("y._shard < x._shard"),
+            "left",
+        )
+        .groupBy(F.col("x._shard").alias("_shard"))
+        .agg(F.coalesce(F.sum("y._sw"), F.lit(0)).cast("bigint").alias("_off"))
+    )
+    wseed = F.conv(
+        F.substring(F.md5(F.lit(seed).cast("binary")), 1, 12), 16, 10
+    ).cast("bigint")
+    tot = sw.agg(F.sum("_sw").cast("bigint").alias("_wtot")).select(
+        "_wtot",
+        F.expr(f"_wtot div {n}").alias("ival"),
+    ).select("_wtot", "ival", (wseed % F.col("ival")).alias("_r"))
+    wcum = Window.partitionBy("_shard").orderBy("h", key_col)
+    c = (
+        base.join(F.broadcast(off), "_shard")
+        .withColumn("_cin", F.sum("w").over(wcum))
+        .withColumn("cum", F.col("_off") + F.col("_cin"))
+        .withColumn("cum_prev", F.col("cum") - F.col("w"))
+        .join(F.broadcast(tot))
+    )
+    g_hi = F.expr("(cum - 1 - _r + ival) div ival - 1")
+    g_lo = F.expr("(cum_prev - 1 - _r + ival) div ival - 1")
+    return c.select(
+        key_col,
+        "w",
+        "h",
+        "cum_prev",
+        "cum",
+        "ival",
+        (g_hi - g_lo).cast("bigint").alias("picks"),
+    )

@@ -1555,3 +1555,84 @@ def intrinsic_dim_twonn(
             "intrinsic_dim"
         ),
     )
+
+
+def linear_cka_views(
+    emb: DataFrame,
+    label_col: str,
+    id_col: str,
+    vec_col: str,
+    split_dim: int,
+    unit: int = 1000,
+) -> DataFrame:
+    """Linear CKA (centered kernel alignment, Kornblith et al. 2019)
+    between two VIEWS of an embedding table — dims 1..split_dim (X) vs
+    the rest (Y) — per label group:
+
+        CKA = ||Y^T X||_F^2 / (||X^T X||_F * ||Y^T Y||_F)
+
+    computed feature-side (d x d cross-covariance Grams, never an
+    n x n kernel), which is the only shape that scales: state is
+    O(d^2) per label regardless of row count, built by one
+    posexplode + self-join on the row id and a map-side-combining
+    integer aggregate.
+
+    Exactness discipline: components quantize to 1/unit-units
+    scan-side (the embed_drift_cusum convention), centering subtracts
+    the INTEGER-rounded per-(label, dim) mean, so every Gram entry is
+    an exact BIGINT; the Frobenius accumulations square those into
+    DECIMAL(38,0) — exact, order-free, identical on any engine (DuckDB
+    sums HUGEINT). Callers convert the three exact sums to DOUBLE for
+    the final ratio (correctly-rounded conversions + one sqrt + one
+    divide).
+
+    Returns per label: (label, n_vecs, xx, yy, xy) with xx/yy/xy
+    DECIMAL(38,0) — convert before publishing (no Decimal-typed output
+    cells leave a query; COVERAGE.md normalizer evidence).
+    """
+    q = emb.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * unit).cast("bigint"),
+            )
+        ).alias("dim0", "q"),
+    ).select("label", "_id", (F.col("dim0") + 1).alias("dim"), "q")
+    means = q.groupBy("label", "dim").agg(
+        F.round(F.sum("q").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mq")
+    )
+    c = q.join(F.broadcast(means), ["label", "dim"]).select(
+        "label", "_id", "dim", (F.col("q") - F.col("mq")).alias("c")
+    )
+    gram = (
+        c.alias("a")
+        .join(
+            c.select("_id", F.col("dim").alias("jdim"), F.col("c").alias("cj")).alias("b"),
+            F.col("a._id") == F.col("b._id"),
+        )
+        .groupBy(
+            F.col("a.label").alias("label"),
+            F.col("a.dim").alias("i"),
+            F.col("b.jdim").alias("j"),
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.cj")).alias("g"))
+    )
+    gd = gram.withColumn("g2", (F.col("g").cast("decimal(38,0)")
+                                * F.col("g").cast("decimal(38,0)")))
+    n = emb.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    s = F.lit(split_dim)
+    sums = gd.groupBy("label").agg(
+        F.sum(F.when((F.col("i") <= s) & (F.col("j") <= s), F.col("g2"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("xx"),
+        F.sum(F.when((F.col("i") > s) & (F.col("j") > s), F.col("g2"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("yy"),
+        F.sum(F.when((F.col("i") <= s) & (F.col("j") > s), F.col("g2"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("xy"),
+    )
+    return n.join(sums, "label")

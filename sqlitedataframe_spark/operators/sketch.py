@@ -743,18 +743,18 @@ def ddsketch_buckets_signed(
     r11 #3b): the one-sided :func:`ddsketch_buckets` rejects v < 1, so
     latency deltas / money deltas / drift scores could not use it. This
     variant keeps three stores, exactly as Masson et al. describe for
-    signed data: negative octaves (bucketed on \|v\|, mirrored), a zero
+    signed data: negative octaves (bucketed on |v|, mirrored), a zero
     bucket, and positive octaves.
 
     Per row: ``sign`` = 1 for v >= 1, -1 for v <= -1, else 0; for
-    sign != 0 the magnitude \|v\| buckets with the SAME all-integer
+    sign != 0 the magnitude |v| buckets with the SAME all-integer
     overflow-safe octave math as the one-sided sketch (m asserted a
     power of two); the representative value ``_rv`` = sign * lo carries
     the sign, so any rank readout has relative error <= 1/m on
     magnitude. Values in (-1, 1) — exactly v = 0 for integer inputs —
     land in the zero bucket (sign 0, idx 0, _rv 0: EXACT).
 
-    State: (group, _sign, _idx, _rv) -> _cnt, at most \|groups\| *
+    State: (group, _sign, _idx, _rv) -> _cnt, at most |groups| *
     (2*m*64 + 1) rows regardless of input size, additively mergeable by
     :func:`ddsketch_merge` (merge == one-shot EXACTLY, same law as the
     one-sided sketch). Readout via :func:`ddsketch_readout_signed`:
@@ -1012,3 +1012,95 @@ def priority_resample(
             "_w_hat", F.greatest(F.col("_w").cast("double"), F.col("_tau"))
         )
     )
+
+
+_KMV_SPACE = 1 << 48  # md5-prefix hash space: u48 = first 12 hex chars
+
+
+def kmv_hash(key: Column | str) -> Column:
+    """The 48-bit md5-prefix hash used by the KMV/theta sketch family —
+    same recipe as every other deterministic hash in this package
+    (md5 of the key's string rendering, first 12 hex chars as BIGINT),
+    so the sketch is a pure function of the data and exactly
+    oracle-checkable."""
+    kc = F.col(key) if isinstance(key, str) else key
+    h = F.md5(kc.cast("string").cast("binary"))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: Column | str,
+    k: int = 128,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values / theta) sketch: the ``k``
+    smallest DISTINCT 48-bit hashes of ``key_col`` per group, as rows
+    ``(group..., h, rank)`` — the bounded summary that supports
+    distinct-count estimation AND, unlike HLL, set-operation estimates
+    (intersection / Jaccard between two groups share a comparable hash
+    sample below the pairwise theta).
+
+    Scale shape: the DISTINCT on (group, h) partially combines map-side
+    (each map partition emits each (group, hash) once), then the rank
+    reduction is the bottomk two-level pattern — a window over
+    (group, h % n_shards) shard-bounded partitions keeps ``k`` per
+    shard, and the <= n_shards*k survivors per group rank to the final
+    k. No window ever sees a whole group. States MERGE by union +
+    re-rank (the k smallest of a union are the k smallest of the
+    concatenated per-shard k-smallest) — kmv_merge_rank is that half.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(
+        *[F.col(g) for g in group_cols], kmv_hash(key_col).alias("h")
+    ).distinct()
+    w1 = Window.partitionBy(*group_cols, "_shard").orderBy("h")
+    lvl1 = (
+        d.withColumn("_shard", F.col("h") % n_shards)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_shard")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        lvl1.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def kmv_merge_rank(
+    states: DataFrame, group_cols: list[str], k: int = 128
+) -> DataFrame:
+    """Merge half of :func:`kmv_sketch`: union any number of per-shard
+    sketch states ``(group..., h)`` (distinct hashes), re-rank, keep the
+    k smallest per group. The input is <= shards*k rows per group, so
+    the single rank window runs over a bounded frame."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        states.select(*group_cols, "h")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def kmv_theta_summary(
+    sketch: DataFrame, group_cols: list[str], k: int = 128
+) -> DataFrame:
+    """Distinct-count readout of a KMV sketch: per group, the sketch
+    size, theta (the k-th minimum hash when the sketch is FULL, else
+    the whole hash space), and the estimate n_sk * 2^48 / theta —
+    exact (= n_sk) for groups with fewer than k distinct keys, a
+    single-IEEE-divide estimate otherwise."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sk"),
+        F.max("h").alias("_mx"),
+    )
+    theta = F.when(
+        F.col("n_sk") >= k, F.col("_mx")
+    ).otherwise(F.lit(_KMV_SPACE))
+    return agg.withColumn("theta", theta).drop("_mx")

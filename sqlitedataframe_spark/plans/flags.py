@@ -129,4 +129,8 @@ BENIGN_NESTED_LOOP: dict[str, str] = {
     "eval_contamination_splits": "1-row train-corpus-count broadcast onto the 3-row split report",
     "eval_contamination_incremental": "1-row train-corpus-count broadcast onto the 3-row split report (incremental variant)",
     "eval_pass_at_k": "3-row literal k grid broadcast-crossed with the bounded (task, problem) count cells (lsh_tuning shape)",
+    # --- r12 wave 4 ---------------------------------------------------------
+    "eval_krippendorff_alpha": "cross of two 1-row aggregates (category-marginal totals x disagreeing-pair count)",
+    "eval_qini_uplift": "triangular cumulative over the score-value frame (bounded by max per-user engagement, not user count) — the gains_deciles pattern",
+    "sample_systematic_pps": "256-row shard-offset triangular join (distributed prefix sum) + 1-row (W, I, r) totals broadcast",
 }

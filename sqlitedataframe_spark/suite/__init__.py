@@ -74,6 +74,7 @@ def load_all() -> dict[str, Query]:
         pipeline17,
         pipeline18,
         pipeline19,
+        pipeline20,
         eventstream,
         streamingq,
         bridge,
