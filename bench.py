@@ -455,6 +455,17 @@ HEADLINE = [
     "eval_contamination_incremental",
     "dedup_state_drift_audit",
     "dedup_retention_by_source",
+    # --- round 12 wave 4 ---
+    "agg_kmv_intersect",
+    "agg_kmv_merge",
+    "events_pattern_match",
+    "events_sprt_sequential",
+    "eval_krippendorff_alpha",
+    "eval_qini_uplift",
+    "sample_systematic_pps",
+    "orders_croston_forecast",
+    "events_silence_gaps",
+    "embed_cka_views",
 ]
 
 
