@@ -212,22 +212,26 @@ def test_span_cluster_rollup_shape(spark):
 # ---------------------------------------------------------------------------
 # probe queries: type contracts
 # ---------------------------------------------------------------------------
-def test_decimal_ledger_emits_decimals(spark, sf_dir):
+def test_decimal_ledger_emits_varchar_digits(spark, sf_dir):
+    """r12 convention (VERDICT r11 #1): NO Decimal-typed output cell at
+    all — the wide exact ledgers cross the hash as VARCHAR digit strings
+    (the DECIMAL(38,0) arithmetic stays internal)."""
     from sqlitedataframe_spark.suite import load_all
 
     q = load_all()["agg_decimal_ledger"]
-    rows = q.spark_fn(spark, sf_dir).collect()
+    df = q.spark_fn(spark, sf_dir)
+    assert not any(t.startswith("decimal") for _, t in df.dtypes), df.dtypes
+    rows = df.collect()
     assert rows, "empty ledger"
+    saw_wide = False
     for r in rows:
-        assert isinstance(r["gross_cents"], Decimal)
-        assert isinstance(r["disc_micros"], Decimal)
-        assert isinstance(r["charged_e10"], Decimal)
-        # r11 convention (VERDICT r10 #1): INTEGER scale only — the r10
-        # scale-4 gross_usd cell was driver-red on bit-identical cells
         for col in ("gross_cents", "disc_micros", "charged_e10"):
-            assert r[col].as_tuple().exponent >= 0, col
+            assert isinstance(r[col], str), col
+            assert r[col].lstrip("-").isdigit(), (col, r[col])
         # charged ledger actually exercises the >int64 range at sf>=0.01
-        assert r["charged_e10"] == int(r["charged_e10"])
+        saw_wide = saw_wide or abs(int(r["charged_e10"])) > 2**63
+    if "sf0.001" not in sf_dir:
+        assert saw_wide, "charged_e10 never exceeded int64 — probe lost its bite"
 
 
 def test_key_checksums_past_float_boundary(spark, sf_dir):
