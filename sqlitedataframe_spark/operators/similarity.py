@@ -1211,31 +1211,46 @@ def _pq_subvectors(
 def _pq_assign(rows: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment per (vector, subspace): distance to the
     RATIONAL centroid (sum_j / cnt) in doubles derived from exact integer
-    sums (deterministic IEEE both engines); ties -> min code, realized as
-    two aggregates (min distance, then min code at that distance) so no
-    engine-specific struct-ordering semantics are relied on."""
-    cand = rows.join(F.broadcast(cents), "_s")
-    d = F.aggregate(
-        F.zip_with(
-            "_sub",
-            "_sv",
-            lambda x, sx: (
-                x.cast("double") - sx.cast("double") / F.col("_cnt")
-            )
-            * (x.cast("double") - sx.cast("double") / F.col("_cnt")),
+    sums (deterministic IEEE both engines); ties -> min code.
+
+    r12 (guide §2.4 "remove shuffles outright"): the k candidates are
+    folded into ONE row per subspace (collect_list), broadcast-joined on
+    the m-row key, and each vector row takes ``array_min`` over its
+    (distance, code) structs in-row — min distance, ties -> min code,
+    the exact semantics of the two-aggregate + self-join formulation this
+    replaces (struct ordering compares _d then _c; distances are sums of
+    squares, so no NaN/-0.0 cells exist to order). Per Lloyd round this
+    removes BOTH groupBy exchanges and the self-join: assignment is now a
+    pure map over the persisted subvector frame. The per-candidate
+    distance keeps the identical IEEE op sequence (zip, per-element
+    (x - sx/cnt)^2, left-to-right double fold from 0.0)."""
+    packed = cents.groupBy("_s").agg(
+        F.collect_list(F.struct("_c", "_sv", "_cnt")).alias("_cands")
+    )
+    cand = rows.join(F.broadcast(packed), "_s")
+    scored = F.transform(
+        "_cands",
+        lambda cd: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    "_sub",
+                    cd["_sv"],
+                    lambda x, sx: (
+                        x.cast("double") - sx.cast("double") / cd["_cnt"]
+                    )
+                    * (x.cast("double") - sx.cast("double") / cd["_cnt"]),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("_d"),
+            cd["_c"].alias("_c"),
         ),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
     )
-    scored = cand.select(
-        "_id", "_s", "_sub", F.col("_c"), d.alias("_d")
-    )
-    dmin = scored.groupBy("_id", "_s").agg(F.min("_d").alias("_dmin"))
-    return (
-        scored.join(dmin, ["_id", "_s"])
-        .filter(F.col("_d") == F.col("_dmin"))
-        .groupBy("_id", "_s")
-        .agg(F.min("_c").alias("_c"), F.first("_sub").alias("_sub"))
+    return cand.select(
+        "_id",
+        "_s",
+        F.array_min(scored).getField("_c").alias("_c"),
+        "_sub",
     )
 
 
@@ -1263,6 +1278,26 @@ def _pq_update(assign: DataFrame, prev: DataFrame, dim: int) -> DataFrame:
             F.coalesce("_newsv", "_sv").alias("_sv"),
             F.coalesce("_newcnt", "_cnt").alias("_cnt"),
         )
+    )
+
+
+def _pq_localize(cents: DataFrame) -> DataFrame:
+    """Materialize the m*k-row centroid frame to the driver and rebuild it
+    as a local relation — the adjudicated k-bounded-model-state pattern
+    (train_centroids collects its k x dim float matrix the same way).
+
+    r12: WITHOUT this, the Lloyd chain stays one lazy plan in which every
+    reference to round t's centroids embeds round t-1's ENTIRE subtree —
+    the shipped 2-round plan had 140 Exchange nodes
+    (plans/r12/embed_pq_codebook_before.txt) and re-executed the chain per
+    reference. Values are exact across the round-trip: the sum vectors are
+    DECIMAL(38,0) (python decimal.Decimal collects and re-injects
+    bit-exactly), codes/counts are integers."""
+    spark = cents.sparkSession
+    slim = cents.select("_s", "_c", "_sv", "_cnt")
+    return spark.createDataFrame(
+        [(r["_s"], r["_c"], r["_sv"], r["_cnt"]) for r in slim.collect()],
+        slim.schema,
     )
 
 
@@ -1294,24 +1329,35 @@ def pq_train_assign(
     aggregates; centroid frames are m*k rows throughout. No windows, no
     driver loops over data (the k seed rows come from a TakeOrdered).
     """
+    from sqlitedataframe_spark.operators.util import register_cache
+
     if k < 1 or m < 1 or iterations < 1:
         raise ValueError("m, k, iterations must all be >= 1")
     rows = _pq_subvectors(emb, m, vec_col, id_col, scale).persist()
+    # released at the harness boundary (register_cache), NOT here: the
+    # returned assignment is lazy, so an immediate unpersist would make
+    # every consumer re-derive the subvector frame per reference
+    register_cache(rows)
     dim_row = rows.select(F.size("_sub").alias("d")).limit(1).collect()
     if not dim_row:
         raise ValueError("pq_train_assign: empty input")
     dim = dim_row[0]["d"]
-    # seed: the k smallest ids' subvectors as 1-member clusters
+    # seed: the k smallest ids' subvectors as 1-member clusters. The _s=0
+    # slice carries each id exactly once, so no distinct shuffle is needed
+    # (r12; TakeOrdered over n rows, same ids).
     seed_ids = [
         r["_id"]
-        for r in rows.select("_id").distinct().orderBy("_id").limit(k).collect()
+        for r in rows.filter(F.col("_s") == 0)
+        .select("_id")
+        .orderBy("_id")
+        .limit(k)
+        .collect()
     ]
     id_to_code = F.create_map(
         *[F.lit(x) for pair in zip(seed_ids, range(k)) for x in pair]
     )
-    cents = (
-        rows.filter(F.col("_id").isin(seed_ids))
-        .select(
+    cents = _pq_localize(
+        rows.filter(F.col("_id").isin(seed_ids)).select(
             "_s",
             id_to_code[F.col("_id")].alias("_c"),
             F.transform("_sub", lambda x: x.cast("decimal(38,0)")).alias("_sv"),
@@ -1320,10 +1366,8 @@ def pq_train_assign(
     )
     for _ in range(iterations):
         assign = _pq_assign(rows, cents)
-        cents = _pq_update(assign, cents, dim)
-    final = _pq_assign(rows, cents)
-    rows.unpersist(False)
-    return final
+        cents = _pq_localize(_pq_update(assign, cents, dim))
+    return _pq_assign(rows, cents)
 
 
 def pq_codebook_stats(
@@ -1335,6 +1379,7 @@ def pq_codebook_stats(
     id_col: str = "vec_id",
     scale: int = 1_000_000,
     round_dp: int = 6,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(subspace, code) cluster size and within-cluster MSE after PQ
     training — the codebook-quality readout (dead codes, lopsided
@@ -1345,8 +1390,17 @@ def pq_codebook_stats(
     DECIMAL(38,0), one double division at the end, /scale^2 to undo the
     input quantization) — order-free, engine-portable, overflow-safe to
     ~1e12-member clusters.
+
+    ``assign``: an already-trained final assignment (pq_train_assign
+    output) to reuse — the codebook and the code-histogram queries train
+    the identical model, so the suite shares one session-cached
+    assignment between them (r12, the shared_doc_sigs pattern).
     """
-    final = pq_train_assign(emb, m, k, iterations, vec_col, id_col, scale)
+    final = (
+        assign
+        if assign is not None
+        else pq_train_assign(emb, m, k, iterations, vec_col, id_col, scale)
+    )
     dim_row = final.select(F.size("_sub").alias("d")).limit(1).collect()
     dim = dim_row[0]["d"]
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_assigned")]
@@ -1386,14 +1440,22 @@ def pq_code_signatures(
     id_col: str = "vec_id",
     scale: int = 1_000_000,
     top: int = 10,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """Joint PQ code-signature histogram: encode every vector to its
     m-byte code word ('c0-c1-...'), count signature usage, return the
     ``top`` most common (ties -> signature asc) — the collision-rate /
     diversity readout that says whether the codebook actually separates
     the corpus or funnels it into a few cells.
+
+    ``assign``: reuse an already-trained final assignment (see
+    pq_codebook_stats).
     """
-    final = pq_train_assign(emb, m, k, iterations, vec_col, id_col, scale)
+    final = (
+        assign
+        if assign is not None
+        else pq_train_assign(emb, m, k, iterations, vec_col, id_col, scale)
+    )
     sig = (
         final.groupBy("_id")
         .agg(

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from sqlitedataframe_spark.operators.util import hof_let
+
 #: Tiny deterministic English stopword list used by the heuristics. The
 #: point is the *plumbing* (ratio features computed at scale), not the model.
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
@@ -295,10 +297,16 @@ def repetition_stats(
     from sqlitedataframe_spark.operators.util import spread
 
     df = spread(df, id_col)
-    t = tokens(text_col)
-    cnt = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+    # let-bind the TOKEN array too (r12, util.hof_let): the outer binding
+    # below covers the sorted gram array, but without this inner one the
+    # slice-per-position gram builder re-tokenizes the text once per gram
+    grams = hof_let(
+        tokens(text_col),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    )
     zero = F.lit(0).cast("bigint")
 
     def fold(g: Column) -> Column:
@@ -358,12 +366,18 @@ def ngram_set(text_col: Column | str, n: int, sep: str = " ") -> Column:
     Pure scan-side Column expression; ``array_distinct`` makes per-document
     dedup free (no shuffle) for downstream set operations.
     """
-    t = F.split(_c(text_col), sep)
-    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), sep)),
-    ).otherwise(F.array().cast("array<string>"))
+    # let-bound (r12, util.hof_let): the split must not be inlined into the
+    # per-position lambda — that re-splits the text once per gram
+    grams = hof_let(
+        F.split(_c(text_col), sep),
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), sep),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     return F.array_distinct(grams)
 
 
@@ -435,19 +449,25 @@ def bigram_lm_scores(
     Rounded to ``round_dp`` so the score is engine-reproducible (the
     suite oracle re-derives the identical model in SQL).
     """
-    # Materialize the token array as a projected column FIRST: every
-    # element_at below then reads a bound attribute. Referencing the raw
-    # tokens() expression inside the transform lambda instead would
-    # re-evaluate the whole lower+trim+split per element access (the HOF
-    # common-subexpression pitfall — measured ~6x slower here).
+    # let-bound (r12, util.hof_let): the projected-column defense this
+    # used before does NOT survive the optimizer — CollapseProject inlines
+    # the tokens() expression back into the lambda, re-tokenizing once per
+    # element (the HOF common-subexpression pitfall; re-measured this
+    # round at ~10x on the sibling perplexity operator). hof_let binds the
+    # computed array to a lambda variable the optimizer cannot inline
+    # through.
     toks_df = df.select(
         F.col(id_col).alias("_id"), tokens(text_col).alias("_t")
     )
     t = F.col("_t")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.struct(
-            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+    bigrams = hof_let(
+        t,
+        lambda tt: F.transform(
+            F.sequence(F.lit(1), F.size(tt) - 1),
+            lambda i: F.struct(
+                F.element_at(tt, i).alias("w1"),
+                F.element_at(tt, i + 1).alias("w2"),
+            ),
         ),
     )
     doc_bi = (
@@ -496,12 +516,18 @@ def frequent_ngrams(
     k rows to the driver), not a full sort. Ties break on the gram text so
     the row set is engine-reproducible.
     """
-    t = F.split(_c(text_col), sep)
-    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), sep)),
-    ).otherwise(F.array().cast("array<string>"))
+    # let-bound (r12, util.hof_let): keep the split out of the per-position
+    # lambda — inlined, it re-splits the text once per gram
+    grams = hof_let(
+        F.split(_c(text_col), sep),
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), sep),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     return (
         df.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
@@ -1294,12 +1320,20 @@ def perplexity_heldout(
         F.col(lang_col).alias("_lang"),
         toks.alias("_t"),
     ).filter(F.size(toks) >= 2)
+    # let-bound (r12, util.hof_let): the projected _t did not protect the
+    # lambda — CollapseProject re-inlined the tokenize into every
+    # element_at, re-splitting the text once per bigram (measured: this
+    # one expression was 12.5 s of the query's 12.5 s at sf0.1; 0.9 s
+    # bound)
     base = base.withColumn(
         "_bg",
-        F.transform(
-            F.sequence(F.lit(1), F.size("_t") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(F.col("_t"), i), F.element_at(F.col("_t"), i + 1)
+        hof_let(
+            F.col("_t"),
+            lambda tt: F.transform(
+                F.sequence(F.lit(1), F.size(tt) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tt, i), F.element_at(tt, i + 1)
+                ),
             ),
         ),
     )
@@ -1308,9 +1342,21 @@ def perplexity_heldout(
 
     tr_bg = train.select("_lang", F.explode("_bg").alias("_b"))
     c2 = tr_bg.groupBy("_lang", "_b").agg(F.count(F.lit(1)).cast("long").alias("_c2"))
-    c1 = tr_bg.select(
-        "_lang", F.split(F.col("_b"), " ", 2).getItem(0).alias("_w1")
-    ).groupBy("_lang", "_w1").agg(F.count(F.lit(1)).cast("long").alias("_c1"))
+    # c1 (context counts) DERIVED from c2 instead of a second full
+    # tokenize+explode pass over train (r12, guide §2.3 "aggregate before
+    # you shuffle"): c(w1,·) == sum over bigrams starting with w1 of
+    # c(w1,w2) — exactly, since every bigram occurrence contributes one
+    # context occurrence. One scan fewer, and the c1 aggregation now
+    # shuffles the already-collapsed c2 rows, not raw bigrams.
+    c1 = (
+        c2.select(
+            "_lang",
+            F.split(F.col("_b"), " ", 2).getItem(0).alias("_w1"),
+            "_c2",
+        )
+        .groupBy("_lang", "_w1")
+        .agg(F.sum("_c2").cast("long").alias("_c1"))
+    )
     vocab = (
         train.select("_lang", F.explode("_t").alias("_w"))
         .distinct()
@@ -1668,9 +1714,14 @@ def char_ngram_topk(
     grams), ties -> gram asc.
     """
     t = F.lower(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(t) - (n - 1)),
-        lambda i: t.substr(i, F.lit(n)),
+    # let-bound (r12, util.hof_let): inlined, the lowercase ran once per
+    # POSITION (O(len^2) per doc) — measured 3x on text_char_trigrams
+    grams = hof_let(
+        t,
+        lambda s: F.transform(
+            F.sequence(F.lit(1), F.length(s) - (n - 1)),
+            lambda i: s.substr(i, F.lit(n)),
+        ),
     )
     c = (
         docs.filter(F.length(t) >= n)
@@ -2069,10 +2120,15 @@ def bpe_merge_rounds(
     try:
         for r in range(1, n_merges + 1):
             arr = F.split(F.col("s"), S)
-            pair_list = F.transform(
-                F.sequence(F.lit(1), F.size(arr) - 1),
-                lambda i: F.concat(
-                    F.element_at(arr, i), F.lit(S), F.element_at(arr, i + 1)
+            # let-bound (r12, util.hof_let): inlined, the symbol-string
+            # re-splits once per adjacent pair (O(len^2) per word-form)
+            pair_list = hof_let(
+                arr,
+                lambda a: F.transform(
+                    F.sequence(F.lit(1), F.size(a) - 1),
+                    lambda i: F.concat(
+                        F.element_at(a, i), F.lit(S), F.element_at(a, i + 1)
+                    ),
                 ),
             )
             top = (

@@ -188,6 +188,27 @@ def sweep_unshared_rdds(spark) -> int:
     return len(handles)
 
 
+def hof_let(bound, fn):
+    """Let-bind an expensive expression for a higher-order-function body:
+    ``hof_let(expr, lambda v: body(v))`` evaluates ``expr`` ONCE per row
+    and hands the computed value to ``body`` as a bound lambda variable.
+
+    Why this exists (r12, guide §7.2 "duplicated subtrees"): Catalyst
+    collapses Projects, so a HOF lambda that references a derived column
+    (e.g. ``tokens = split(lower(trim(text)))``) ends up with the whole
+    derivation INLINED at every reference — and HOF bodies are interpreted
+    with no subexpression elimination, so ``element_at(tokens, i)`` /
+    ``slice(tokens, i, n)`` re-runs the full tokenize once PER ELEMENT.
+    Measured on the sf0.1 text family: bigram explode+count 12.5 s -> 0.9 s,
+    char-trigram count 6.9 s -> 2.3 s, word-4-gram count 2.5 s -> 0.8 s.
+    The binding is ``element_at(transform(array(expr), fn), 1)`` — the
+    1-element-array transform that similarity.cosine and the MinHash
+    signature already used locally; centralized here so every n-gram /
+    window operator shares one audited idiom.
+    """
+    return F.element_at(F.transform(F.array(bound), fn), 1)
+
+
 _BYTE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
                 "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40,
                 "tb": 1 << 40}

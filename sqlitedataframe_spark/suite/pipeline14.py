@@ -1179,6 +1179,23 @@ def _pq_oracle_cte(m: int = 4, k: int = 4, iterations: int = 2) -> str:
 _PQ_DIM = 16
 
 
+def _shared_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The default-parameter trained PQ assignment (m=4, k=4, 2 Lloyd
+    rounds) over the embeddings table, built once per (app, sf_dir) and
+    persisted across queries (util.shared_eager_cache, the
+    shared_doc_sigs pattern — r12): embed_pq_codebook and embed_pq_codes
+    train the IDENTICAL model from the identical scan, so the second
+    query was re-running the whole Lloyd chain for nothing."""
+    from sqlitedataframe_spark.operators.similarity import pq_train_assign
+    from sqlitedataframe_spark.operators.util import shared_eager_cache
+
+    return shared_eager_cache(
+        spark,
+        ("pq_final_assign", sf_dir, 4, 4, 2, 1_000_000),
+        lambda: pq_train_assign(T(spark, sf_dir, "embeddings"), 4, 4, 2),
+    )
+
+
 @query(
     "embed_pq_codebook",
     oracle=_pq_oracle_cte()
@@ -1216,7 +1233,9 @@ def embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact identity sum_j(C*Sxx_j - Sx_j^2)/C^2 — the oracle unrolls the
     identical rounds as CTE levels.
     """
-    return pq_codebook_stats(T(spark, sf_dir, "embeddings"))
+    return pq_codebook_stats(
+        T(spark, sf_dir, "embeddings"), assign=_shared_pq_assign(spark, sf_dir)
+    )
 
 
 @query(
@@ -1240,7 +1259,9 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.similarity.pq_code_signatures over the same trained
     codebook as embed_pq_codebook (identical unrolled oracle).
     """
-    return pq_code_signatures(T(spark, sf_dir, "embeddings"))
+    return pq_code_signatures(
+        T(spark, sf_dir, "embeddings"), assign=_shared_pq_assign(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -361,13 +361,20 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap the chunk string for xxhash64(chunk) to shuffle 8-byte keys —
     string keys kept here so the DuckDB oracle is byte-identical.
     """
-    toks = X.tokens(F.col("text"))
-    nchunks = F.floor((F.size(toks) - 1) / 16).cast("int")
-    chunk_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), nchunks),
-            lambda i: F.array_join(F.slice(toks, i * 16 + 1, 16), " "),
-        )
+    from sqlitedataframe_spark.operators.util import hof_let
+
+    # let-bound (r12, util.hof_let): inlined, the tokenize re-ran once per
+    # chunk window inside the interpreted HOF lambda
+    chunk_arr = hof_let(
+        X.tokens(F.col("text")),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size(toks) - 1) / 16).cast("int")
+                ),
+                lambda i: F.array_join(F.slice(toks, i * 16 + 1, 16), " "),
+            )
+        ),
     )
     d = T(spark, sf_dir, "documents")
     chunks = d.select(F.col("doc_id"), F.explode(chunk_arr).alias("chunk"))
