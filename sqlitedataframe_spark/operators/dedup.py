@@ -347,6 +347,13 @@ def minhash_lsh_pairs(
         ).cast("double")
         / F.lit(float(n_hashes))
     )
+    # r12 note: deliberately NOT persisted here. Multi-reference consumers
+    # (CC edge symmetrization, node-set unions, span stats) persist at
+    # their call sites instead — a central lazy persist was measured to
+    # DESTROY subsetting consumers (dedup_lsh_recall 5.9 s -> 62 s): the
+    # InMemoryRelation boundary blocks filter/semi-join pushdown into the
+    # banded join, so a consumer that prunes pairs to a sample was forced
+    # to materialize the full candidate set.
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
@@ -837,7 +844,11 @@ def substring_span_stats(
     The reference has no span-dedup surface (SQLiteDataFrame.swift delegates
     relational ops to SQLite and has no text pipeline); Tier-D extension.
     """
-    sh = _char_shingles(df, id_col, text_col, k, stride)
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    # r12: lazily persisted — the shingle stream feeds both the duplicated-
+    # digest aggregate and the re-join; unpersisted, windows hashed twice
+    sh = register_cache(_char_shingles(df, id_col, text_col, k, stride).persist())
     return (
         sh.join(_dup_hashes(sh, min_docs), "_h")
         .groupBy("_id")
@@ -874,7 +885,10 @@ def duplicate_span_coverage(
     partition key needs no new exchange). Finally the per-doc summary joins
     document lengths back on the same key.
     """
-    sh = _char_shingles(df, id_col, text_col, k, stride)
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    # r12: same double-read as substring_span_stats — persist lazily
+    sh = register_cache(_char_shingles(df, id_col, text_col, k, stride).persist())
     spans = sh.join(_dup_hashes(sh, min_docs), "_h").select(
         "_id", "pos", (F.col("pos") + (k - 1)).alias("_end")
     )
@@ -1027,8 +1041,14 @@ def lcs_span_stats(
         .union(pairs.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    sh = _char_shingles(df, id_col, text_col, k, stride).join(
-        ids, "_id", "left_semi"
+    # r12: lazily persisted — the shingle stream feeds BOTH sides of the
+    # anchor join; unpersisted, the window hashing ran twice
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    sh = register_cache(
+        _char_shingles(df, id_col, text_col, k, stride)
+        .join(ids, "_id", "left_semi")
+        .persist()
     )
     a = sh.select(F.col("_id").alias("id_a"), F.col("pos").alias("_pa"), "_h")
     b = sh.select(F.col("_id").alias("id_b"), F.col("pos").alias("_pb"), "_h")

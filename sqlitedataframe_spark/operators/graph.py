@@ -68,11 +68,16 @@ def connected_components(
     appearing in ``edges``). Returns (node, component) with component =
     min id of the node's connected component.
     """
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    # r12: the incoming edge frame is referenced TWICE by the
+    # symmetrizing union — when the caller hands a lazily-built expensive
+    # frame (a banded LSH join, a wedge join), both branches re-ran it
+    # inside e's one materialization. Lazy persist computes it once; CC
+    # consumes edges fully, so no pushdown is lost (the minhash_lsh_pairs
+    # lesson applies only to subsetting consumers).
+    ed = _register_cache(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
     )
+    e = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     if nodes is None:
         base = e.select(F.col("a").alias("node")).distinct()
     else:
@@ -269,12 +274,22 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     Shuffles carry (long, long) edge rows only; the two joins key on
     single vertex columns; the result is one row (n_edges, n_triangles).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        F.col("a") != F.col("b")
+    # r12: the caller's edge frame is typically an expensive build (a
+    # co-occurrence join + HAVING aggregate); `e` is referenced twice by
+    # the symmetrization, `und` twice (degrees + orientation), and
+    # `oriented` FIVE times (both wedge sides, both closing orientations,
+    # the edge count) — unpersisted, the whole upstream chain re-executed
+    # per reference. Lazy persists: every consumer here reads the frames
+    # in full, so no pushdown is lost.
+    e = _register_cache(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .persist()
     )
-    und = (
+    und = _register_cache(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        .persist()
     )
     deg = und.groupBy(F.col("a").alias("n")).agg(F.count(F.lit(1)).alias("d"))
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("_da"))
@@ -282,11 +297,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     lower_first = (F.col("_da") < F.col("_db")) | (
         (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
     )
-    oriented = (
+    oriented = _register_cache(
         und.join(da, "a")
         .join(db, "b")
         .filter(lower_first)
         .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .persist()
     )
     w1 = oriented.select(F.col("u"), F.col("v").alias("m"))
     w2 = oriented.select(F.col("u").alias("m"), F.col("v").alias("w"))

@@ -669,7 +669,14 @@ def contrastive_triplets(
     n_row = corpus_ids.agg(
         F.count(F.lit(1)).cast("bigint").alias("_n")
     )
-    pos = pairs.filter(F.col(score_col) >= min_pos_score)
+    # r12: lazily persisted — `pos` feeds both orientations of the anchor
+    # union; unpersisted, an expensive upstream (the banded LSH join) ran
+    # twice
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    pos = register_cache(
+        pairs.filter(F.col(score_col) >= min_pos_score).persist()
+    )
     anchors = pos.select(
         F.col("id_a").alias("anchor"),
         F.col("id_b").alias("positive"),

@@ -379,10 +379,19 @@ def shared_lcs_spanstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlitedataframe_spark.operators.util import shared_eager_cache
 
     def build() -> DataFrame:
+        from sqlitedataframe_spark.operators.util import register_cache
+
         d = T(spark, sf_dir, "documents")
-        pairs = D.minhash_lsh_pairs(
-            d, min_jaccard=0.3, sig=shared_doc_sigs(spark, sf_dir)
-        ).select("id_a", "id_b")
+        # r12: lazily persisted — lcs_span_stats reads the pair frame
+        # twice (id population + anchor fan-out); unpersisted, the banded
+        # join + verify ran twice inside this one build
+        pairs = register_cache(
+            D.minhash_lsh_pairs(
+                d, min_jaccard=0.3, sig=shared_doc_sigs(spark, sf_dir)
+            )
+            .select("id_a", "id_b")
+            .persist()
+        )
         return D.lcs_span_stats(d, pairs, k=30, stride=10)
 
     return shared_eager_cache(

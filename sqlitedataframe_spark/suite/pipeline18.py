@@ -1168,9 +1168,16 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_t0 = d.filter(~is_delta)
     delta = d.filter(is_delta)
 
-    edges_t0 = D.minhash_lsh_pairs(
-        corpus_t0, min_jaccard=0.5, sig=sig, max_bucket=None
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    # r12: both pair frames are lazily persisted — each is referenced 3-4
+    # times (CC's edge symmetrization + the node-set unions), and every
+    # unpersisted reference re-ran the banded join + verify
+    edges_t0 = register_cache(
+        D.minhash_lsh_pairs(corpus_t0, min_jaccard=0.5, sig=sig, max_bucket=None)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .persist()
+    )
     nodes_t0 = (
         edges_t0.select(F.col("src").alias("doc_id"))
         .unionByName(edges_t0.select(F.col("dst").alias("doc_id")))
@@ -1184,13 +1191,17 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     star = comp_t0.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("src"), F.col("comp").alias("dst")
     )
-    edges_inc = D.minhash_lsh_pairs(
-        d,
-        min_jaccard=0.5,
-        new_ids=delta.select("doc_id"),
-        sig=sig,
-        max_bucket=None,
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges_inc = register_cache(
+        D.minhash_lsh_pairs(
+            d,
+            min_jaccard=0.5,
+            new_ids=delta.select("doc_id"),
+            sig=sig,
+            max_bucket=None,
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .persist()
+    )
     merged_edges = star.unionByName(edges_inc)
     all_nodes = (
         comp_t0.select(F.col("node").alias("doc_id"))

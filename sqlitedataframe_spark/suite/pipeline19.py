@@ -393,7 +393,13 @@ def eval_contamination_incremental(
         sig=sig,
         max_bucket=None,
     ).select("id_a", "id_b")
-    pairs = pairs_t0.unionByName(pairs_inc).distinct()
+    # r12: lazily persisted — the merged pair set is probed from BOTH
+    # orientations below; unpersisted, each probe re-ran both banded joins
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    pairs = register_cache(
+        pairs_t0.unionByName(pairs_inc).distinct().persist()
+    )
     bid = bench.select(F.col("doc_id").alias("_bid"), "split")
     nr = (
         pairs.join(F.broadcast(bid), pairs.id_a == bid._bid)
@@ -529,9 +535,15 @@ def dedup_state_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("src"), F.col("comp").alias("dst")
         )
 
-    edges0 = D.minhash_lsh_pairs(
-        corpus0, min_jaccard=0.5, sig=sig, max_bucket=None
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # r12: each round's edge frame is referenced 3x (CC symmetrization +
+    # node-set unions) — lazily persisted so the banded join runs once
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    edges0 = register_cache(
+        D.minhash_lsh_pairs(corpus0, min_jaccard=0.5, sig=sig, max_bucket=None)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .persist()
+    )
     nodes0 = (
         edges0.select(F.col("src").alias("doc_id"))
         .unionByName(edges0.select(F.col("dst").alias("doc_id")))
@@ -539,10 +551,14 @@ def dedup_state_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(edges0, nodes=nodes0, node_col="doc_id")
     for corpus_i, batch_i in ((corpus1, b1), (d, b2)):
-        edges_i = D.minhash_lsh_pairs(
-            corpus_i, min_jaccard=0.5, new_ids=batch_i, sig=sig,
-            max_bucket=None,
-        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        edges_i = register_cache(
+            D.minhash_lsh_pairs(
+                corpus_i, min_jaccard=0.5, new_ids=batch_i, sig=sig,
+                max_bucket=None,
+            )
+            .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .persist()
+        )
         nodes_i = (
             comp.select(F.col("node").alias("doc_id"))
             .unionByName(edges_i.select(F.col("src").alias("doc_id")))
