@@ -303,6 +303,15 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     banded = _suppress_hot_buckets(banded, ["band", "bucket"], max_bucket)
+    # r12: lazily persisted — both sides of the candidate self-join read
+    # this frame; unpersisted, the 16-band md5 bucketing (reading the
+    # cached signature table) evaluated twice per row. This is a JOIN
+    # INPUT persist: predicate pushdown of consumer filters into the join
+    # condition is unaffected (the dedup_lsh_recall lesson concerned
+    # persisting the join OUTPUT).
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    banded = register_cache(banded.persist())
 
     if new_ids is None:
         a = banded.alias("a")
@@ -570,6 +579,11 @@ def simhash128_pairs(
         ).alias("bb"),
     ).select("_id", "_sig0", "_sig1", "bb.band", "bb.bucket")
     banded = _suppress_hot_buckets(banded, ["band", "bucket"], max_bucket)
+    # r12: lazily persisted — both self-join sides read this frame, and
+    # the scan-side SWAR signature otherwise evaluated twice per row
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    banded = register_cache(banded.persist())
     a, b = banded.alias("a"), banded.alias("b")
     ham = (
         F.bit_count(F.col("a._sig0").bitwiseXOR(F.col("b._sig0")))
@@ -628,6 +642,10 @@ def simhash_pairs(
         ).alias("bb"),
     ).select("_id", "_sig", "bb.band", "bb.bucket")
     banded = _suppress_hot_buckets(banded, ["band", "bucket"], max_bucket)
+    # r12: lazily persisted — see simhash_pairs128
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    banded = register_cache(banded.persist())
     a, b = banded.alias("a"), banded.alias("b")
     # Duplicate candidate pairs (a pair colliding in several bands) are
     # removed with dropDuplicates, NOT an inline first-matching-band filter:

@@ -238,6 +238,12 @@ def knn_join_lsh(
         F.posexplode(banded_sig(F.col(vec_col))).alias("band", "bucket"),
     )
     banded = _suppress_hot_buckets(banded, ["band", "bucket"], max_bucket)
+    # r12: lazily persisted — both sides of the candidate self-join read
+    # this frame; unpersisted, the 32-dot-product signature (and the
+    # hot-bucket suppression) evaluated twice per row
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    banded = register_cache(banded.persist())
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -1160,17 +1160,25 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    truth = (
+    # r12: both pair frames are referenced twice (the hit join + their own
+    # counts) — lazily persisted AFTER their subsetting filters, so the
+    # adjacency pushdown into the banded join is kept while the expensive
+    # subtrees run once
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    truth = register_cache(
         a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
         .filter(inter.cast("double") / union >= 0.5)
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
+        .persist()
     )
-    found = (
+    found = register_cache(
         DD.minhash_lsh_pairs(d, shingle_k=1, min_jaccard=0.3)
         .filter(F.col("id_b") == F.col("id_a") + 1)
         .select("id_a", "id_b")
+        .persist()
     )
     hit = truth.join(found, ["id_a", "id_b"])
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))

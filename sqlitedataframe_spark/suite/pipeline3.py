@@ -183,42 +183,40 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH candidates: same banded signatures as operators.similarity.lsh_topk
     planes = S.random_hyperplanes(dim, n_planes, seed=42)
     width = n_planes // bands
-    sig = S.signature_bits(F.col("embedding"), planes)
-    band_cols = F.posexplode(
-        F.array(
-            *[
-                F.array_join(
-                    F.transform(
-                        F.slice(sig, b * width + 1, width), lambda x: x.cast("string")
-                    ),
-                    "",
-                )
-                for b in range(bands)
-            ]
-        )
-    ).alias("band", "bucket")
-    corpus_b = e.select("vec_id", "embedding", band_cols)
-    qs_b = qs.select(
-        "qid",
-        "q",
-        F.posexplode(
-            F.array(
+
+    def banded(vec) -> "F.Column":
+        # r12 (util.hof_let): the per-band slices reference the signature
+        # `bands` times — unbound, the whole 16-dot-product tree (and its
+        # 16x64 plane literals) was duplicated AND evaluated once per band
+        # (4x per row; the committed before-plan was 223 KB of repeated
+        # literals). Same let-bind as operators.similarity.lsh_topk.
+        from sqlitedataframe_spark.operators.util import hof_let
+
+        return hof_let(
+            S.signature_bits(vec, planes),
+            lambda s: F.array(
                 *[
                     F.array_join(
                         F.transform(
-                            F.slice(
-                                S.signature_bits(F.col("q"), planes),
-                                b * width + 1,
-                                width,
-                            ),
+                            F.slice(s, b * width + 1, width),
                             lambda x: x.cast("string"),
                         ),
                         "",
                     )
                     for b in range(bands)
                 ]
-            )
-        ).alias("band", "bucket"),
+            ),
+        )
+
+    corpus_b = e.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(banded(F.col("embedding"))).alias("band", "bucket"),
+    )
+    qs_b = qs.select(
+        "qid",
+        "q",
+        F.posexplode(banded(F.col("q"))).alias("band", "bucket"),
     )
     approx = (
         corpus_b.join(F.broadcast(qs_b), ["band", "bucket"])
