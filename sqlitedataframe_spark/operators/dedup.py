@@ -980,7 +980,14 @@ def containment_pairs(
     # the scan + n-gram expansion runs once per action instead of four
     # times, and the df-filter join plus the pair self-join are already
     # co-partitioned on gram. Measured ~2x at sf0.1.
-    grams = grams.repartition("gram")
+    # r12: ALSO lazily persisted post-repartition — ReuseExchange is
+    # best-effort under AQE (the minhash r4 lesson: a replanned subtree
+    # silently recomputes the whole expansion); the cache makes the
+    # share a guarantee while InMemoryTableScan keeps the gram hash
+    # partitioning, so the downstream joins still need no new exchange.
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    grams = register_cache(grams.repartition("gram").persist())
     sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     rare = (
         grams.groupBy("gram")

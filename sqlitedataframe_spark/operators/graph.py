@@ -343,12 +343,18 @@ def degree_stats(
     alpha moments — aggregates the node-sized degree table; alpha rides
     back onto the bucket rows as a 1-row broadcast.
     """
-    und = edges.select(
-        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
-    ).union(
-        edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b"))
-    ).distinct()
-    deg = und.groupBy("_a").agg(F.count(F.lit(1)).alias("_d"))
+    # r12: the edge argument (often an expensive co-occurrence join) is
+    # referenced twice by the symmetrizing union, and the degree table
+    # twice downstream (alpha + buckets) — lazily persisted so each
+    # builds once
+    ed = _register_cache(
+        edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+        .persist()
+    )
+    und = ed.union(ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))).distinct()
+    deg = _register_cache(
+        und.groupBy("_a").agg(F.count(F.lit(1)).alias("_d")).persist()
+    )
     alpha = deg.filter(F.col("_d") >= d_min).agg(
         F.round(
             1.0

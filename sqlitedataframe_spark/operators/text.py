@@ -685,7 +685,12 @@ def tfidf_cosine_pairs(
         )
     )
     # shared shuffle (ReuseExchange): norms, and both sides of the join
-    w = w.repartition("term")
+    # r12: ALSO lazily persisted post-repartition — ReuseExchange is
+    # best-effort under AQE; the cache guarantees the tf/df/weight build
+    # runs once while keeping the term hash-partitioning for the joins
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    w = register_cache(w.repartition("term").persist())
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_nrm"))
     keep = w.join(F.broadcast(n_docs)).filter(
         F.col("df")

@@ -507,16 +507,24 @@ def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's recursive-CTE transitive closure."""
     from sqlitedataframe_spark.operators import dedup as D
 
-    d = SM.sample_by_hash(
-        T(spark, sf_dir, "documents"), "doc_id", 0.4
-    ).select(
-        "doc_id",
-        "lang",
-        "source",
-        F.floor(F.col("n_chars") / 100).cast("bigint").alias("bkt"),
-        F.array_distinct(X.tokens("text")).alias("t"),
-        X.token_count_ws("text").alias("n_tokens"),
-    ).withColumn("nt", F.size("t"))
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    # r12: lazily persisted — `d` is referenced four times (both block-join
+    # sides, the CC node set, the final stats join); unpersisted, the
+    # tokenize + array_distinct ran once per reference
+    d = register_cache(
+        SM.sample_by_hash(T(spark, sf_dir, "documents"), "doc_id", 0.4)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("bigint").alias("bkt"),
+            F.array_distinct(X.tokens("text")).alias("t"),
+            X.token_count_ws("text").alias("n_tokens"),
+        )
+        .withColumn("nt", F.size("t"))
+        .persist()
+    )
     a, b = d.alias("a"), d.alias("b")
     na, nb = F.col("a.nt"), F.col("b.nt")
     inter = F.size(F.array_intersect(F.col("a.t"), F.col("b.t")))
