@@ -63,10 +63,29 @@ def normalize(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+#: Lazy analyzed-frame memo, keyed by (application id, dir, table).
+#: PLAN caching only — never results: ``spark.read.parquet`` re-lists the
+#: directory and re-reads footers on EVERY call (~100 ms each, measured
+#: r12; a full bench issues 1000+ calls), while the memoized DataFrame is
+#: an unexecuted logical plan, so each query still scans parquet with its
+#: own pushed filters/pruned columns. This is the session-level analogue
+#: of reading through a metastore/manifest instead of re-listing per
+#: query (guide §6); the application-id key guarantees a frame from a
+#: stopped session is never served to a new one. The fixture directory is
+#: immutable test data — callers that write parquet do so under temp
+#: dirs, never through this memo.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     ensure_worker_imports(spark)
-    return normalize(spark.read.parquet(table_path(sf_dir, name)), name)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = normalize(spark.read.parquet(table_path(sf_dir, name)), name)
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

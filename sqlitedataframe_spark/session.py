@@ -51,7 +51,14 @@ def tune(spark: SparkSession) -> SparkSession:
 
     Safe to call on a session we did not create (the driver's). Only touches
     confs that are runtime-mutable in Spark 4.
+
+    Idempotent per session object (r12): load_table routes every table
+    read through here, so a bench session pays the ~10 conf.set py4j
+    round-trips thousands of times for identical values — the guard skips
+    repeats (re-running tune on a NEW session object still applies).
     """
+    if getattr(spark, "_sdf_tuned", False):
+        return spark
     conf = spark.conf
     # Deterministic timestamp semantics: parquet instants compare equal to the
     # naive UTC values the DuckDB oracle sees.
@@ -83,6 +90,7 @@ def tune(spark: SparkSession) -> SparkSession:
         conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
         pass
+    spark._sdf_tuned = True
     return spark
 
 

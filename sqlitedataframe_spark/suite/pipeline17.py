@@ -463,18 +463,25 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(
         d, min_jaccard=0.5, sig=shared_doc_sigs(spark, sf_dir)
     )
+    # r12: every stage frame is lazily persisted — the funnel counts each
+    # stage AND each later stage's lineage contains all earlier ones, so
+    # unpersisted the exact-dedup window re-ran ~4x and the banded LSH
+    # pair build ~3x inside the one rollup plan
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    exact = register_cache(exact.persist())
     ex_ids = exact.select("doc_id")
     drop_b = (
         pairs.join(ex_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "semi")
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    near = exact.join(drop_b, "doc_id", "anti")
+    near = register_cache(exact.join(drop_b, "doc_id", "anti").persist())
     from sqlitedataframe_spark.operators.text import ngram_contamination
 
     test = d.filter(F.col("doc_id") % 50 == 0)
     cont = ngram_contamination(d0, test, n=4).select("doc_id")
-    decon = near.join(cont, "doc_id", "anti")
+    decon = register_cache(near.join(cont, "doc_id", "anti").persist())
     qual = decon.filter(quality_score("text") >= 0.5)
 
     def cnt(frame: DataFrame, name: str) -> DataFrame:

@@ -714,8 +714,15 @@ def pipeline_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     merged_state = (
         sb.unionByName(sd).groupBy("_h").agg(F.min("_m").alias("_m"))
     )
-    exact_ids = merged_state.select(F.col("_m").alias("doc_id"))
-    exact = gate.join(exact_ids, "doc_id", "semi")
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    exact_ids = register_cache(
+        merged_state.select(F.col("_m").alias("doc_id")).persist()
+    )
+    # r12: stage frames lazily persisted — the rollup counts each stage
+    # and every later stage's lineage embeds the earlier ones (exact's
+    # state merge re-ran ~5x, the pair build ~4x unpersisted)
+    exact = register_cache(gate.join(exact_ids, "doc_id", "semi").persist())
 
     # --- near-dedup pair state: T0 pairs (base corpus incl. the eval
     # docs, exactly what the T0 funnel run would have stored) + pairs
@@ -740,17 +747,17 @@ def pipeline_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    near = exact.join(drop_b, "doc_id", "anti")
+    near = register_cache(exact.join(drop_b, "doc_id", "anti").persist())
 
     # --- decontamination: static eval grams; per-snapshot increments
     test = d.filter(F.col("doc_id") % 50 == 0)
     cont_b = ngram_contamination(base, test, n=4).select("doc_id")
     cont_d = ngram_contamination(delta, test, n=4).select("doc_id")
     cont = cont_b.unionByName(cont_d)
-    decon = near.join(cont, "doc_id", "anti")
+    decon = register_cache(near.join(cont, "doc_id", "anti").persist())
 
-    # --- pointwise quality gate
-    qual = decon.filter(quality_score("text") >= 0.5)
+    # --- pointwise quality gate (counted twice: total + delta slice)
+    qual = register_cache(decon.filter(quality_score("text") >= 0.5).persist())
 
     def cnt(frame: DataFrame, name: str) -> DataFrame:
         return frame.groupBy("source").agg(

@@ -693,10 +693,17 @@ def dedup_retention_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("n_chars").between(50, 5000)
     )
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
-    exact = (
+    # r12: stage frames lazily persisted — the retention rollup counts
+    # each stage and later stages embed earlier ones (the funnel-family
+    # fix; the exact window and the banded pair build otherwise re-ran
+    # once per downstream stage)
+    from sqlitedataframe_spark.operators.util import register_cache
+
+    exact = register_cache(
         gate.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .persist()
     )
     pairs = D.minhash_lsh_pairs(
         d, min_jaccard=0.5, sig=shared_doc_sigs(spark, sf_dir)
@@ -707,7 +714,7 @@ def dedup_retention_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    near = exact.join(drop_b, "doc_id", "anti")
+    near = register_cache(exact.join(drop_b, "doc_id", "anti").persist())
     test = d.filter(F.col("doc_id") % 50 == 0)
     tg = F.broadcast(
         test.select(F.explode(ngram_set("text", 4)).alias("gram")).distinct()
@@ -718,7 +725,7 @@ def dedup_retention_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    decon = near.join(cont, "doc_id", "anti")
+    decon = register_cache(near.join(cont, "doc_id", "anti").persist())
     qual = decon.filter(quality_score("text") >= 0.5)
 
     def flag(frame: DataFrame, name: str) -> DataFrame:
