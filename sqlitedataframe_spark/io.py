@@ -63,29 +63,33 @@ def normalize(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
-#: Lazy analyzed-frame memo, keyed by (application id, dir, table).
-#: PLAN caching only — never results: ``spark.read.parquet`` re-lists the
-#: directory and re-reads footers on EVERY call (~100 ms each, measured
-#: r12; a full bench issues 1000+ calls), while the memoized DataFrame is
-#: an unexecuted logical plan, so each query still scans parquet with its
-#: own pushed filters/pruned columns. This is the session-level analogue
-#: of reading through a metastore/manifest instead of re-listing per
-#: query (guide §6); the application-id key guarantees a frame from a
-#: stopped session is never served to a new one. The fixture directory is
-#: immutable test data — callers that write parquet do so under temp
-#: dirs, never through this memo.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: Schema memo, keyed by (application id, dir, table). SCHEMA caching
+#: only — never results, never frames: ``spark.read.parquet`` without a
+#: schema runs footer inference on EVERY call (~137 ms each, measured
+#: r12; a full bench issues 1000+ calls), while supplying the cached
+#: schema skips it (~15 ms — 9x). Each call still returns a FRESH
+#: relation: memoizing the DataFrame object itself broke self-joins
+#: (q08_market_share joins nation twice; one shared plan object makes
+#: its columns ambiguous), so only the immutable schema is reused. The
+#: session-level analogue of reading through a metastore instead of
+#: re-inferring per query (guide §6); the application-id key guarantees
+#: a stopped session's state is never served to a new one. The fixture
+#: directory is immutable test data.
+_SCHEMA_CACHE: dict[tuple[str, str, str], object] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     ensure_worker_imports(spark)
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
-    df = _TABLE_CACHE.get(key)
-    if df is None:
-        df = normalize(spark.read.parquet(table_path(sf_dir, name)), name)
-        _TABLE_CACHE[key] = df
-    return df
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        _SCHEMA_CACHE[key] = df.schema
+        return normalize(df, name)
+    return normalize(
+        spark.read.schema(schema).parquet(table_path(sf_dir, name)), name
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

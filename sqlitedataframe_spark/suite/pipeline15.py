@@ -392,7 +392,17 @@ def shared_lcs_spanstats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b")
             .persist()
         )
-        return D.lcs_span_stats(d, pairs, k=30, stride=10)
+        stats = D.lcs_span_stats(d, pairs, k=30, stride=10)
+        # r12: truncate lineage BEFORE the shared persist. The stats plan
+        # embeds the banded-join + shingle subtrees (now with their own
+        # persisted frames), and every consumer action re-optimized that
+        # ~800 KB tree — dedup_span_clusters' CC (one optimize per round)
+        # measured 6.4 -> 12.7 s when the nested persists landed.
+        # localCheckpoint collapses the shared frame's plan to a
+        # LogicalRDD (disk-backed blocks); shared_eager_cache's delta
+        # capture marks the blocks shared, so the per-query RDD sweep
+        # leaves them alone, exactly like the persist it wraps.
+        return stats.localCheckpoint(eager=True)
 
     return shared_eager_cache(
         spark, ("lcs_spanstats", sf_dir, 0.3, 30, 10), build
