@@ -93,7 +93,9 @@ def test_minhash_lsh_pairs_storage_is_bounded_and_released(spark, sf_dir):
     pairs = minhash_lsh_pairs(d)
     assert pairs.count() >= 0
     pinned = _persistent_ids() - before
-    assert len(pinned) == 1, pinned  # exactly the signature table
+    # exactly the signature table + (r12) the banded self-join input —
+    # both registered, both drained by release_caches below
+    assert len(pinned) == 2, pinned
     released = release_caches()
     assert released >= 1
     leaked = _persistent_ids() - before
