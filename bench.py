@@ -1,10 +1,23 @@
 """Benchmark harness: runs the headline suite queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Output: a full per-query JSON line (and ``bench_detail.json`` sidecar),
-followed by a COMPACT final stdout line
+Output contract (restored r13 per VERDICT r12 #2 — PERF_r12 came back with
+``n_common: 0`` because the per-query dict never reached the driver's
+parser): the FINAL stdout line is ONE JSON object
 ``{"metric": "suite_total_wall_seconds", "value": total_sec, "unit": "sec",
-"sf": ...}`` sized to survive the driver's ~2 KB tail capture.
+"queries": {name: sec, ...}, "sf": ...}`` — the full per-query dict included.
+A compact summary line (metric/value/counts, no queries) is printed
+immediately BEFORE it so a very small tail capture still sees the headline
+number, and ``bench_detail.json`` keeps the full artifact with per-query
+min/max/n spread.
+
+Accounting (VERDICT r12 #7): ``value`` INCLUDES the one-time
+shared_eager_cache build seconds — value = sum(per-query medians)
++ shared_cache_build_total, both of which are emitted separately, so the
+headline is the end-to-end cost of the suite and cannot drift from what a
+cold session pays. (r12 and earlier reported sum-of-medians only; r12's
+529.586 s would read 546.765 s under this rule — use `sum_of_medians` for
+a like-for-like cross-round comparison.)
 
 Each query is timed to completion of a count()-free collect (materializing
 the true result). The session is warmed with one tiny action first so JVM
@@ -606,7 +619,7 @@ def main() -> None:
         }
         # a query is an error only if EVERY rep failed
         errs = {k: v for k, v in errors.items() if not rep_times.get(k)}
-        total = round(sum(timings.values()), 3)
+        sum_of_medians = round(sum(timings.values()), 3)
         # Self-describing coverage (VERDICT r6 #7): the headline set is a
         # subset of the registry (bridge/streaming-harness queries that
         # benchmark temp-file IO rather than the engine are excluded); list
@@ -614,6 +627,24 @@ def main() -> None:
         # the full registry. Exclusions are ALWAYS relative to the full
         # headline; a SPARK_GRAFT_BENCH_ONLY spot run is marked `subset`.
         excluded = sorted(set(registry) - set(full_headline))
+        # One-time session-shared frame builds (ADVICE r10 / VERDICT r12
+        # #7): bench hygiene deliberately preserves shared_eager_cache
+        # frames across queries, so the build cost lands on whichever
+        # consumer runs first and later reps read cache — the median would
+        # silently drop it. The headline `value` therefore ADDS the build
+        # seconds back: value = sum(medians) + shared_cache_build_total,
+        # with both components emitted so the accounting is reconstructible.
+        build_seconds: dict[str, float] = {}
+        try:
+            from sqlitedataframe_spark.operators.util import (
+                SHARED_BUILD_SECONDS,
+            )
+
+            build_seconds = dict(SHARED_BUILD_SECONDS)
+        except Exception:
+            pass
+        build_total = round(sum(build_seconds.values()), 3)
+        total = round(sum_of_medians + build_total, 3)
         full = {
             "metric": "suite_total_wall_seconds",
             "value": total,
@@ -623,65 +654,56 @@ def main() -> None:
             "reps": reps,
             "errors": errs,
             "sf": sf,
+            "sum_of_medians": sum_of_medians,
             "n_registry": len(registry),
             "excluded": excluded,
         }
+        if build_seconds:
+            full["shared_cache_build"] = build_seconds
+            full["shared_cache_build_total"] = build_total
         if only:
             full["subset"] = True
         if errs:
             # the total excludes failed queries, so a cross-round
             # comparison must not read a lower value as an improvement
             full["incomplete"] = True
-        # One-time session-shared frame builds (ADVICE r10): bench hygiene
-        # deliberately preserves shared_eager_cache frames across queries,
-        # so the build cost lands on whichever consumer runs first and
-        # later reps read cache. Exposing the build seconds as a synthetic
-        # row lets a JSON consumer reconstruct end-to-end per-query cost:
-        # end_to_end(q) ~= median(q) + its shared builds (first rep only).
-        try:
-            from sqlitedataframe_spark.operators.util import (
-                SHARED_BUILD_SECONDS,
-            )
-
-            if SHARED_BUILD_SECONDS:
-                full["shared_cache_build"] = dict(SHARED_BUILD_SECONDS)
-                full["shared_cache_build_total"] = round(
-                    sum(SHARED_BUILD_SECONDS.values()), 3
-                )
-        except Exception:
-            pass
-        # Full per-query detail: sidecar file + an EARLIER stdout line.
-        # The driver's tail capture is ~2 KB, so the FINAL line must stay
-        # compact (per-round grading reads `metric`/`value` from it).
         try:
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "bench_detail.json"), "w") as f:
                 json.dump(full, f, indent=1)
         except OSError:
             pass
-        if final:
-            compact_full = dict(full)
-            compact_full.pop("spread", None)  # keep the print bounded
-            print(json.dumps(compact_full), flush=True)
+        # Compact summary FIRST (headline number survives even a tiny tail
+        # capture), then the FINAL line is the driver-contract JSON object
+        # carrying the full per-query dict (VERDICT r12 #2: the per-query
+        # timings must land where PERF's parser reads them — the last line).
         tail = {
             "metric": "suite_total_wall_seconds",
             "value": total,
             "unit": "sec",
             "sf": sf,
             "reps": reps,
+            "sum_of_medians": sum_of_medians,
+            "shared_cache_build_total": build_total,
             "n_queries": len(timings),
             "n_errors": len(errs),
             "n_registry": len(registry),
             "n_excluded": len(excluded),
             "detail": "bench_detail.json",
         }
-        if "shared_cache_build_total" in full:
-            tail["shared_cache_build_total"] = full["shared_cache_build_total"]
         if only:
             tail["subset"] = True
         if errs:
             tail["incomplete"] = True
-        print(json.dumps(tail), flush=True)
+        if final:
+            print(json.dumps(tail), flush=True)
+            final_line = dict(full)
+            final_line.pop("spread", None)  # bound the line; spread lives
+            final_line.pop("excluded", None)  # in bench_detail.json
+            final_line["n_excluded"] = len(excluded)
+            print(json.dumps(final_line), flush=True)
+        else:
+            print(json.dumps(tail), flush=True)
         return full
 
     for name in HEADLINE:  # pass 1: full coverage, unconditional
