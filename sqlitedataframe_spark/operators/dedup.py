@@ -179,6 +179,58 @@ def minhash_signature_table(
     return minhash_signatures(with_sh, "_id", "_sh", n_hashes).repartition("_id")
 
 
+def minhash_band_table(
+    sig: DataFrame, n_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """(_id, band, bucket) banded-LSH table derived from a (_id, _sig)
+    signature table: each band's bucket is the 60-bit md5 prefix of the
+    band's signature slice — portable (any engine reproduces it: 15 hex
+    digits fit a signed bigint) and collision-safe at corpus scale
+    (~2^-60 per pair; false candidates are anyway dropped by the
+    est_jaccard verify in :func:`minhash_lsh_pairs`).
+
+    Extracted (r13) so suite queries that band the SAME shared signature
+    table can build this once per session (util.shared_eager_cache) and
+    inject it via ``minhash_lsh_pairs(banded=...)`` instead of re-running
+    the 16-band md5 bucketing per call — by construction the injected
+    table and the internal path share this exact expression."""
+    rows_per_band = n_hashes // bands
+    return sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.array_join(
+                                    F.transform(
+                                        F.slice(
+                                            F.col("_sig"),
+                                            b * rows_per_band + 1,
+                                            rows_per_band,
+                                        ),
+                                        lambda h: h.cast("string"),
+                                    ),
+                                    ",",
+                                ).cast("binary")
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint").alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -190,6 +242,7 @@ def minhash_lsh_pairs(
     max_bucket: int | None = 10_000,
     new_ids: DataFrame | None = None,
     sig: DataFrame | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH, with the
     estimated Jaccard (fraction of agreeing minhashes) attached and
@@ -212,8 +265,14 @@ def minhash_lsh_pairs(
     in early calls that a one-shot run suppresses — pass
     ``max_bucket=None`` there (the batch side of the semi-join already
     bounds the join cost) to keep the union-equals-one-shot equivalence
-    unconditional (ADVICE r4)."""
-    rows_per_band = n_hashes // bands
+    unconditional (ADVICE r4).
+
+    ``banded`` optionally injects a pre-built :func:`minhash_band_table`
+    over a SUPERSET population (restricted per call by an id semi-join,
+    sound because bucketing is a per-row pure function of the signature).
+    It MUST have been built from the same signatures with the same
+    (n_hashes, bands) as this call — the suite routes every injection
+    through one shared helper keyed by those params."""
     # The signature table is consumed three times (banding + both sides of
     # the verify join). It is materialized ONCE, eagerly, via
     # util.eager_cache: the r4 design relied on a forced exchange on _id
@@ -265,53 +324,41 @@ def minhash_lsh_pairs(
         sig = _eager_cache(
             minhash_signature_table(df, id_col, text_col, n_hashes, shingle_k)
         )
-    # Candidate generation on SLIM rows (id, band, bucket) only: the banded
-    # self-join is the skew-prone step (a hot bucket yields quadratic pairs),
-    # so the wide 64-long signature arrays must not ride through it — they
-    # are re-attached per id afterwards with two ordinary hash joins.
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    # 60-bit md5 bucket of the band's signature slice:
-                    # portable (any engine reproduces it — 15 hex digits fit
-                    # a signed bigint) and collision-safe at corpus scale
-                    # (~2^-60 per pair; false candidates would anyway be
-                    # dropped by the est_jaccard verify below).
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.array_join(
-                                    F.transform(
-                                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                                        lambda h: h.cast("string"),
-                                    ),
-                                    ",",
-                                ).cast("binary")
-                            ),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    ).cast("bigint").alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    banded = _suppress_hot_buckets(banded, ["band", "bucket"], max_bucket)
-    # r12: lazily persisted — both sides of the candidate self-join read
-    # this frame; unpersisted, the 16-band md5 bucketing (reading the
-    # cached signature table) evaluated twice per row. This is a JOIN
-    # INPUT persist: predicate pushdown of consumer filters into the join
-    # condition is unaffected (the dedup_lsh_recall lesson concerned
-    # persisting the join OUTPUT).
     from sqlitedataframe_spark.operators.util import register_cache
 
-    banded = register_cache(banded.persist())
+    if banded is not None:
+        # Injected shared banded table (minhash_band_table over the SAME
+        # shared signature table, persisted once via util.shared_eager_cache
+        # — r13): bucketing is a per-row pure function of the signature, so
+        # the id-restricted subset equals a fresh computation over this
+        # call's population. The contract mirrors ``sig=``: the caller must
+        # have built it with THE SAME (n_hashes, bands) — every suite call
+        # site routes through one helper keyed by those params. Removes the
+        # per-call 16-band md5 bucketing pass (and its per-call persist)
+        # that r12 still paid once per minhash_lsh_pairs call.
+        banded = banded.join(
+            df.select(F.col(id_col).alias("_id")), "_id", "left_semi"
+        )
+        banded = _suppress_hot_buckets(banded, ["band", "bucket"], max_bucket)
+        if max_bucket is not None:
+            # the window count must see this call's population; persist so
+            # the suppression pass runs once, not once per self-join side
+            banded = register_cache(banded.persist())
+    else:
+        # Candidate generation on SLIM rows (id, band, bucket) only: the
+        # banded self-join is the skew-prone step (a hot bucket yields
+        # quadratic pairs), so the wide 64-long signature arrays must not
+        # ride through it — they are re-attached per id afterwards with two
+        # ordinary hash joins.
+        banded = minhash_band_table(sig, n_hashes, bands)
+        banded = _suppress_hot_buckets(banded, ["band", "bucket"], max_bucket)
+        # r12: lazily persisted — both sides of the candidate self-join read
+        # this frame; unpersisted, the 16-band md5 bucketing (reading the
+        # cached signature table) evaluated twice per row. This is a JOIN
+        # INPUT persist: predicate pushdown of consumer filters into the join
+        # condition is unaffected (the dedup_lsh_recall lesson concerned
+        # persisting the join OUTPUT).
+        banded = register_cache(banded.persist())
 
     if new_ids is None:
         a = banded.alias("a")

@@ -34,6 +34,24 @@ def shared_doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_doc_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The default-parameter (16-band) LSH band table derived from
+    :func:`shared_doc_sigs`, built once per (app, sf_dir) and persisted
+    across queries (r13): every ``minhash_lsh_pairs`` call that injects
+    the shared signature table re-ran the 16-band md5 bucketing pass —
+    ~18 call sites across the dedup/contamination family paid it once
+    per call. Bucketing is a per-row pure function of the signature, so
+    consumers restrict this superset table by an id semi-join (same
+    soundness argument as the shared signature injection)."""
+    from sqlitedataframe_spark.operators.util import shared_eager_cache
+
+    return shared_eager_cache(
+        spark,
+        ("doc_minhash_banded", sf_dir, 64, 16, 3),
+        lambda: D.minhash_band_table(shared_doc_sigs(spark, sf_dir), 64, 16),
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact dedup (hash-groupBy): representative id per exact-text group.
 # --------------------------------------------------------------------------
@@ -212,7 +230,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     table) and must produce the same pairs bit-for-bit."""
     d = T(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(
-        d, min_jaccard=0.3, sig=shared_doc_sigs(spark, sf_dir)
+        d,
+        min_jaccard=0.3,
+        sig=shared_doc_sigs(spark, sf_dir),
+        banded=shared_doc_banded(spark, sf_dir),
     ).orderBy("id_a", "id_b")
 
 
@@ -774,6 +795,7 @@ def pipeline_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "text"),
         min_jaccard=0.8,
         sig=shared_doc_sigs(spark, sf_dir),
+        banded=shared_doc_banded(spark, sf_dir),
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     labels = connected_components(edges, nodes=d.select("doc_id"), node_col="doc_id")

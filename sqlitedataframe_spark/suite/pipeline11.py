@@ -14,7 +14,11 @@ from sqlitedataframe_spark.operators.profiling import anova_oneway
 from sqlitedataframe_spark.operators.relational import level_shift_locate
 from sqlitedataframe_spark.operators.sampling import neyman_allocation
 from sqlitedataframe_spark.suite import query
-from sqlitedataframe_spark.suite.pipeline import MH_EST_CTE, shared_doc_sigs
+from sqlitedataframe_spark.suite.pipeline import (
+    MH_EST_CTE,
+    shared_doc_banded,
+    shared_doc_sigs,
+)
 from sqlitedataframe_spark.suite.relational import T
 
 
@@ -185,7 +189,10 @@ def dedup_lsh_est_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiples of 1/64, so FLOOR and the 6-dp round are drift-free."""
     d = T(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
-        d, min_jaccard=0.0, sig=shared_doc_sigs(spark, sf_dir)
+        d,
+        min_jaccard=0.0,
+        sig=shared_doc_sigs(spark, sf_dir),
+        banded=shared_doc_banded(spark, sf_dir),
     )
     return (
         pairs.groupBy(

@@ -1549,6 +1549,7 @@ def sqlite_parallel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 from sqlitedataframe_spark.operators import dedup as D  # noqa: E402
 from sqlitedataframe_spark.suite.pipeline import (  # noqa: E402
     MH_EST_CTE,
+    shared_doc_banded,
     shared_doc_sigs,
 )
 
@@ -1583,7 +1584,10 @@ def dedup_source_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = T(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
-        d, min_jaccard=0.3, sig=shared_doc_sigs(spark, sf_dir)
+        d,
+        min_jaccard=0.3,
+        sig=shared_doc_sigs(spark, sf_dir),
+        banded=shared_doc_banded(spark, sf_dir),
     )
     src = d.select(F.col("doc_id"), F.col("source"))
     a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))

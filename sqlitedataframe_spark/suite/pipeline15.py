@@ -33,7 +33,11 @@ from sqlitedataframe_spark.operators.similarity import (
 )
 from sqlitedataframe_spark.operators.text import bm25_topk, tokens
 from sqlitedataframe_spark.suite import query
-from sqlitedataframe_spark.suite.pipeline import MH_EST_CTE, shared_doc_sigs
+from sqlitedataframe_spark.suite.pipeline import (
+    MH_EST_CTE,
+    shared_doc_banded,
+    shared_doc_sigs,
+)
 from sqlitedataframe_spark.suite.pipeline4 import _PCA_ITER
 from sqlitedataframe_spark.suite.pipeline6 import BM25_QUERY_TERMS
 from sqlitedataframe_spark.suite.pipeline7 import _BM25_TOP50, _COS_TOP50
@@ -387,7 +391,10 @@ def shared_lcs_spanstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join + verify ran twice inside this one build
         pairs = register_cache(
             D.minhash_lsh_pairs(
-                d, min_jaccard=0.3, sig=shared_doc_sigs(spark, sf_dir)
+                d,
+                min_jaccard=0.3,
+                sig=shared_doc_sigs(spark, sf_dir),
+                banded=shared_doc_banded(spark, sf_dir),
             )
             .select("id_a", "id_b")
             .persist()
@@ -993,7 +1000,10 @@ def sample_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlitedataframe_spark.operators.sampling import contrastive_triplets
 
     pairs = D.minhash_lsh_pairs(
-        d, min_jaccard=0.5, sig=shared_doc_sigs(spark, sf_dir)
+        d,
+        min_jaccard=0.5,
+        sig=shared_doc_sigs(spark, sf_dir),
+        banded=shared_doc_banded(spark, sf_dir),
     )
     return contrastive_triplets(
         pairs, d.select("doc_id"), id_col="doc_id", min_pos_score=0.5

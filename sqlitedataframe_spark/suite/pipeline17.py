@@ -28,7 +28,11 @@ from sqlitedataframe_spark.operators.sampling import preference_pairs
 from sqlitedataframe_spark.operators.sketch import _hll_alpha
 from sqlitedataframe_spark.operators.text import quality_score
 from sqlitedataframe_spark.suite import query
-from sqlitedataframe_spark.suite.pipeline import MH_EST_CTE, shared_doc_sigs
+from sqlitedataframe_spark.suite.pipeline import (
+    MH_EST_CTE,
+    shared_doc_banded,
+    shared_doc_sigs,
+)
 from sqlitedataframe_spark.suite.pipeline13 import _coorder_edges
 from sqlitedataframe_spark.suite.pipeline14 import _KCORE_EDGES
 from sqlitedataframe_spark.suite.relational import T
@@ -284,7 +288,10 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = T(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
-        d, min_jaccard=0.0, sig=shared_doc_sigs(spark, sf_dir)
+        d,
+        min_jaccard=0.0,
+        sig=shared_doc_sigs(spark, sf_dir),
+        banded=shared_doc_banded(spark, sf_dir),
     )
     return D.lsh_tuning_curve(pairs)
 
@@ -461,7 +468,10 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
     )
     pairs = D.minhash_lsh_pairs(
-        d, min_jaccard=0.5, sig=shared_doc_sigs(spark, sf_dir)
+        d,
+        min_jaccard=0.5,
+        sig=shared_doc_sigs(spark, sf_dir),
+        banded=shared_doc_banded(spark, sf_dir),
     )
     # r12: every stage frame is lazily persisted — the funnel counts each
     # stage AND each later stage's lineage contains all earlier ones, so

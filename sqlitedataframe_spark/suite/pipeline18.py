@@ -29,7 +29,11 @@ from sqlitedataframe_spark.operators.text import (
     quality_score,
 )
 from sqlitedataframe_spark.suite import query
-from sqlitedataframe_spark.suite.pipeline import MH_EST_CTE, shared_doc_sigs
+from sqlitedataframe_spark.suite.pipeline import (
+    MH_EST_CTE,
+    shared_doc_banded,
+    shared_doc_sigs,
+)
 from sqlitedataframe_spark.suite.relational import T
 
 
@@ -479,7 +483,10 @@ def eval_contamination_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pairs = D.minhash_lsh_pairs(
-        d, min_jaccard=0.5, sig=shared_doc_sigs(spark, sf_dir)
+        d,
+        min_jaccard=0.5,
+        sig=shared_doc_sigs(spark, sf_dir),
+        banded=shared_doc_banded(spark, sf_dir),
     ).select("id_a", "id_b")
     bid = bench.select(F.col("doc_id").alias("_bid"), "split")
     nr = (
@@ -728,9 +735,10 @@ def pipeline_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     # docs, exactly what the T0 funnel run would have stored) + pairs
     # touching the delta against the GROWN corpus
     sig = shared_doc_sigs(spark, sf_dir)
+    bnd = shared_doc_banded(spark, sf_dir)
     corpus_t0 = d.filter(~is_delta | (F.col("doc_id") % 50 == 0))
     pairs_t0 = D.minhash_lsh_pairs(
-        corpus_t0, min_jaccard=0.5, sig=sig, max_bucket=None
+        corpus_t0, min_jaccard=0.5, sig=sig, max_bucket=None, banded=bnd
     ).select("id_a", "id_b")
     pairs_inc = D.minhash_lsh_pairs(
         d,
@@ -738,6 +746,7 @@ def pipeline_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         new_ids=delta.select("doc_id"),
         sig=sig,
         max_bucket=None,
+        banded=bnd,
     ).select("id_a", "id_b")
     pairs = pairs_t0.unionByName(pairs_inc).distinct()
     drop_b = (
@@ -1181,7 +1190,10 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # times (CC's edge symmetrization + the node-set unions), and every
     # unpersisted reference re-ran the banded join + verify
     edges_t0 = register_cache(
-        D.minhash_lsh_pairs(corpus_t0, min_jaccard=0.5, sig=sig, max_bucket=None)
+        D.minhash_lsh_pairs(
+            corpus_t0, min_jaccard=0.5, sig=sig, max_bucket=None,
+            banded=shared_doc_banded(spark, sf_dir),
+        )
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .persist()
     )
@@ -1205,6 +1217,7 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_ids=delta.select("doc_id"),
             sig=sig,
             max_bucket=None,
+            banded=shared_doc_banded(spark, sf_dir),
         )
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .persist()

@@ -33,7 +33,11 @@ from sqlitedataframe_spark.operators.sketch import (
 )
 from sqlitedataframe_spark.operators.text import ngram_set, quality_score
 from sqlitedataframe_spark.suite import query
-from sqlitedataframe_spark.suite.pipeline import MH_EST_CTE, shared_doc_sigs
+from sqlitedataframe_spark.suite.pipeline import (
+    MH_EST_CTE,
+    shared_doc_banded,
+    shared_doc_sigs,
+)
 from sqlitedataframe_spark.suite.pipeline18 import _MH_EST_NOSUPP
 from sqlitedataframe_spark.suite.relational import T
 
@@ -383,8 +387,10 @@ def eval_contamination_incremental(
     ex = exact_of(t0_train).unionByName(exact_of(delta)).distinct()
 
     sig = shared_doc_sigs(spark, sf_dir)
+    bnd = shared_doc_banded(spark, sf_dir)
     pairs_t0 = D.minhash_lsh_pairs(
-        d.filter(~is_delta), min_jaccard=0.5, sig=sig, max_bucket=None
+        d.filter(~is_delta), min_jaccard=0.5, sig=sig, max_bucket=None,
+        banded=bnd,
     ).select("id_a", "id_b")
     pairs_inc = D.minhash_lsh_pairs(
         d,
@@ -392,6 +398,7 @@ def eval_contamination_incremental(
         new_ids=delta.select("doc_id"),
         sig=sig,
         max_bucket=None,
+        banded=bnd,
     ).select("id_a", "id_b")
     # r12: lazily persisted — the merged pair set is probed from BOTH
     # orientations below; unpersisted, each probe re-ran both banded joins
@@ -522,6 +529,7 @@ def dedup_state_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents")
     sig = shared_doc_sigs(spark, sf_dir)
+    bnd = shared_doc_banded(spark, sf_dir)
     is_train = F.col("doc_id") % 50 != 0
     in_b1 = is_train & (F.col("doc_id") % 7 == 2)
     in_b2 = is_train & (F.col("doc_id") % 7 == 5)
@@ -540,7 +548,9 @@ def dedup_state_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlitedataframe_spark.operators.util import register_cache
 
     edges0 = register_cache(
-        D.minhash_lsh_pairs(corpus0, min_jaccard=0.5, sig=sig, max_bucket=None)
+        D.minhash_lsh_pairs(
+            corpus0, min_jaccard=0.5, sig=sig, max_bucket=None, banded=bnd
+        )
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .persist()
     )
@@ -554,7 +564,7 @@ def dedup_state_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges_i = register_cache(
             D.minhash_lsh_pairs(
                 corpus_i, min_jaccard=0.5, new_ids=batch_i, sig=sig,
-                max_bucket=None,
+                max_bucket=None, banded=bnd,
             )
             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
             .persist()
@@ -706,7 +716,10 @@ def dedup_retention_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     pairs = D.minhash_lsh_pairs(
-        d, min_jaccard=0.5, sig=shared_doc_sigs(spark, sf_dir)
+        d,
+        min_jaccard=0.5,
+        sig=shared_doc_sigs(spark, sf_dir),
+        banded=shared_doc_banded(spark, sf_dir),
     ).select("id_a", "id_b")
     ex_ids = exact.select("doc_id")
     drop_b = (

@@ -951,12 +951,19 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joins to the batch, so self-join cost scales with the batch, not
     the corpus.
     """
-    from sqlitedataframe_spark.suite.pipeline import shared_doc_sigs
+    from sqlitedataframe_spark.suite.pipeline import (
+        shared_doc_banded,
+        shared_doc_sigs,
+    )
 
     d = T(spark, sf_dir, "documents")
     batch = d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
     return D.minhash_lsh_pairs(
-        d, min_jaccard=0.3, new_ids=batch, sig=shared_doc_sigs(spark, sf_dir)
+        d,
+        min_jaccard=0.3,
+        new_ids=batch,
+        sig=shared_doc_sigs(spark, sf_dir),
+        banded=shared_doc_banded(spark, sf_dir),
     ).orderBy("id_a", "id_b")
 
 
