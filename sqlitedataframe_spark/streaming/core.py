@@ -235,7 +235,12 @@ def stream_to_sqlite(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         mode = "append" if table_exists(db_path, table) else "replace"
-        write_sql(batch_df, db_path, table=table, if_exists=mode)
+        # r13: SQLite admits one writer at a time — partition-parallel
+        # appends only contend the file lock (N python workers + N fsync'd
+        # transactions per micro-batch). repartition(1) keeps the batch's
+        # upstream transform parallel and funnels rows through a single
+        # writer task (guide §6 "single-writer append").
+        write_sql(batch_df.repartition(1), db_path, table=table, if_exists=mode)
 
     ckpt = checkpoint or tempfile.mkdtemp(prefix="sdf_ckpt_")
     return (
@@ -283,7 +288,9 @@ def stream_upsert_to_sqlite(
                 db_path,
                 f'CREATE UNIQUE INDEX "idx_{table}_upsert" ON "{table}" ({quoted})',
             )
-        upsert_sql(batch_df, db_path, table, key_cols)
+        # r13: single-writer upsert — same file-lock argument as
+        # stream_to_sqlite; update-mode batches are aggregation-sized
+        upsert_sql(batch_df.repartition(1), db_path, table, key_cols)
 
     ckpt = checkpoint or tempfile.mkdtemp(prefix="sdf_ckpt_")
     return (
