@@ -1,11 +1,12 @@
-"""Dump .explain("formatted") for named suite queries to plans/r12/.
+"""Dump .explain("formatted") for named suite queries to plans/<round>/.
 
 Usage:
-    python tools/dump_plans.py <suffix> [query ...]
+    [SPARK_GRAFT_PLANS_ROUND=r13] python tools/dump_plans.py <suffix> [query ...]
 
-Writes plans/r12/<query>_<suffix>.txt for each query (suffix: before/after).
-Planning only — no query is executed (except any driver-side model state an
-operator materializes while BUILDING its plan, e.g. k-means seed collects).
+Writes plans/<round>/<query>_<suffix>.txt for each query (suffix:
+before/after; round defaults to r13). Planning only — no query is executed
+(except any driver-side model state an operator materializes while BUILDING
+its plan, e.g. k-means seed collects).
 """
 
 from __future__ import annotations
@@ -18,7 +19,11 @@ sys.path.insert(0, ".")
 from sqlitedataframe_spark.session import get_spark  # noqa: E402
 from sqlitedataframe_spark.suite import load_all  # noqa: E402
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
+)
 
 
 def main() -> None:
