@@ -9,6 +9,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sqlitedataframe_spark.session import default_parallelism  # noqa: E402
 from sqlitedataframe_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -16,7 +17,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests")
+    # r13: the test session is right-sized to the sf0.001 fixtures (~6k
+    # lineitem rows): at local[32] every tiny stage pays 32-task scheduling
+    # for no parallelism gain, and the full suite overran the driver's
+    # pytest window (VERIFY_r12 tests_ok=false was a timeout at ~87%).
+    # Measured ~15% faster suite-wide at 8 cores on identical tests.
+    # SPARK_GRAFT_CPUS still lowers it further; bench/oracle harnesses are
+    # untouched (they keep the real core contract).
+    s = get_spark("tests", cpus=min(default_parallelism(), 8))
     yield s
 
 

@@ -443,13 +443,19 @@ def test_groups_frame_matches_sqlite_reference(spark):
         ]
         for lo, up in [(-1, 1), (1, 2), (-2, -1)]  # covering + both-sided gaps
     ]
-    for agg, excl, sqlx, lo, up in cases:
-        got = {
-            r.rid: r.res
-            for r in groups_frames(
-                df, ["p"], "o", [(lo, up, agg, "v", "res", excl)]
-            ).collect()
-        }
+    # r13: all 60 cases evaluated in ONE multi-spec groups_frames pass
+    # (the single-pass capability test_groups_frames_multi_spec_single_pass
+    # pins) instead of 60 separate Spark jobs — same cases, same
+    # assertions, ~10x less wall (this was the test suite's #2 offender
+    # and part of why the driver's pytest window timed out in r12).
+    specs = [
+        (lo, up, agg, "v", f"res_{i}", excl)
+        for i, (agg, excl, sqlx, lo, up) in enumerate(cases)
+    ]
+    got_rows = {
+        r.rid: r for r in groups_frames(df, ["p"], "o", specs).collect()
+    }
+    for i, (agg, excl, sqlx, lo, up) in enumerate(cases):
         fn = "COUNT" if agg == "count" else agg.upper()
         want = dict(
             con.execute(
@@ -458,7 +464,7 @@ def test_groups_frame_matches_sqlite_reference(spark):
             ).fetchall()
         )
         for k, w in want.items():
-            g = got[k]
+            g = got_rows[k][f"res_{i}"]
             if g is None and w is None:
                 continue
             assert g is not None and w is not None and abs(g - w) < 1e-9, (

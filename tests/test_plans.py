@@ -334,8 +334,11 @@ def test_cooccurrence_single_group_exchange_reused(spark, sf_dir):
     plan = q._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "isFinalPlan=true" in final, final[:200]
+    # partition count follows the session's core sizing (conftest caps the
+    # tiny-fixture test session at 8 cores; the driver may set its own) —
+    # the invariant is the COUNT of group exchanges, not the constant
     group_exchanges = len(
-        re.findall(r"\+- Exchange hashpartitioning\(_g#\d+L, 32\)", final)
+        re.findall(r"\+- Exchange hashpartitioning\(_g#\d+L, \d+\)", final)
     )
     assert group_exchanges == 1, final
     assert "ReusedExchange" in final, final

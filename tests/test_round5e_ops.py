@@ -57,8 +57,11 @@ def test_theil_sen_median_of_pairwise_slopes(spark):
     )
     a = pts.select(F.col("idx").alias("ia"), F.col("rev").alias("ra"))
     b = pts.select(F.col("idx").alias("ib"), F.col("rev").alias("rb"))
+    # broadcast: a 4-row python-local relation has no stats, so the
+    # non-equi join otherwise plans as a 32x32-task CartesianProduct
+    # (measured 17 s for 6 rows)
     s = (
-        a.join(b, F.col("ib") > F.col("ia"))
+        a.join(F.broadcast(b), F.col("ib") > F.col("ia"))
         .select(
             ((F.col("rb") - F.col("ra")) / (F.col("ib") - F.col("ia"))).alias(
                 "s"
